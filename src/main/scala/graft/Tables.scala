@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Reads are plain parquet scans so Catalyst's filter pushdown and column
+  * pruning reach the file scan (SURVEY.md §2.1 S1–S5: the reference's
+  * key-addressed reads map to partition pruning / pushed filters here).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
