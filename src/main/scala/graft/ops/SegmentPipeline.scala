@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.store.Store
+
+/** The /segment job (SURVEY.md §3.1): ARD chip scan → per-pixel CCD →
+  * 37-col projection → chip/pixel/segment sinks.
+  *
+  * Spark shape: `read ARD → [limit] → mapPartitions(ccd) → selects →
+  * overwrite-write`. Chip-parallelism is the partitioning (one task
+  * works one chip's pixels when the source is partitioned by (cx, cy));
+  * pixel-parallelism inside a chip comes free because rows are pixels.
+  * The reference's multiprocessing.Pool (segment.py:189-195) maps to
+  * Spark tasks; its empty-scan guard (F3) and limit (L1) are preserved.
+  */
+object SegmentPipeline {
+
+  /** M1: per-pixel change detection as a typed partition map — the
+    * canonical per-key heavy UDF placement (SURVEY §2.12: NOT an
+    * Expression; too heavy for codegen, perfect for mapPartitions). */
+  def detect(ts: Dataset[PixelTimeseries], detector: ChangeDetector)
+      : Dataset[PixelDetection] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[PixelDetection]
+    ts.mapPartitions(_.map(detector.detect))
+  }
+
+  /** Full job for one (or many) chips.
+    *
+    * @param limit optional pixel cap (L1, ref segment.py:195 `take`)
+    */
+  def run(spark: SparkSession, ard: Dataset[PixelTimeseries], store: Store,
+      detector: ChangeDetector = HarmonicCcd(), limit: Option[Int] = None)
+      : SegmentResult = {
+    import spark.implicits._
+
+    val capped = limit.map(ard.limit).getOrElse(ard)
+    // F3 nodata guard (ref segment.py:178-184)
+    if (capped.isEmpty)
+      throw new IllegalStateException("No timeseries data available")
+
+    val detections = detect(capped, detector).cache()
+
+    // S9: segment sink — explode per-pixel segment lists to rows
+    val segments = detections.flatMap(_.segments)
+
+    // S8: pixel sink — one mask record per pixel
+    val pixels = detections
+      .map(d => PixelRecord(d.cx, d.cy, d.px, d.py, d.mask))
+
+    // S7: chip sink — groupBy(cx,cy).agg(first(dates)) (A3)
+    val chips = detections
+      .map(d => (d.cx, d.cy,
+        d.dates.map(o => HarmonicCcd.dateOfOrdinal(o))))
+      .toDF("cx", "cy", "dates")
+      .groupBy($"cx", $"cy")
+      .agg(first($"dates").as("dates"))
+      .as[ChipRecord]
+
+    store.write("segment", segments.toDF(), Seq("cx", "cy"))
+    store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
+    store.write("chip", chips.toDF(), Seq("cx", "cy"))
+    val counts = SegmentResult(
+      chips = chips.count(), pixels = pixels.count(),
+      segments = segments.count())
+    detections.unpersist()
+    counts
+  }
+}
+
+final case class SegmentResult(chips: Long, pixels: Long, segments: Long)

@@ -1,0 +1,37 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyed entity storage (SURVEY.md §2.1 S6–S13). The reference stores one
+  * gzipped JSON array per chip/tile key on S3 and deletes-before-writes
+  * for idempotent re-runs (ref: blackmagic/data/ceph.py:250-333,338-351).
+  *
+  * Spark-first mapping: partitioned parquet with DYNAMIC partition
+  * overwrite — rewriting a chip's partition atomically subsumes the
+  * reference's delete+insert (S12), and (cx, cy) partition columns give
+  * the same key-addressed reads via partition pruning that the
+  * reference's key scheme hand-implements.
+  *
+  * At 100 TB: one partition per chip key ≈ the reference's object layout;
+  * writers `repartition(keys)` first so each task writes exactly one
+  * partition file instead of shuffling small files across tasks.
+  */
+trait Store extends Serializable {
+  def write(entity: String, df: DataFrame, keys: Seq[String]): Unit
+  def read(entity: String, spark: SparkSession): DataFrame
+}
+
+final class ParquetStore(root: String) extends Store {
+  import org.apache.spark.sql.functions.col
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+    df.repartition(keys.map(col): _*)
+      .write
+      .partitionBy(keys: _*)
+      .option("partitionOverwriteMode", "dynamic") // S12: overwrite == delete+insert
+      .mode("overwrite")
+      .parquet(s"$root/$entity")
+
+  override def read(entity: String, spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/$entity")
+}
