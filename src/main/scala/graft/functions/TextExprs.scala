@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column expressions (tokenize, shingle, hash families)
+  * shared by the dedup / text-analysis operators. Everything is a pure
+  * `Column` composition — codegen'd, no UDFs — and every hash is defined
+  * identically in ANSI SQL (see [[TextSql]]) so the DuckDB oracle can
+  * verify values exactly.
+  *
+  * Canonical 48-bit content hash: the first 12 hex chars of md5,
+  * interpreted as an integer. 48 bits keeps every downstream product
+  * (`a*h+b` in MinHash) inside exact int64/double range in BOTH engines.
+  */
+object TextExprs {
+
+  /** Whitespace tokens of trimmed text (empty text -> empty array). */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, single
+    * punctuation marks — the usual pre-tokenizer regex. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** 48-bit integer from the md5 prefix — the canonical content hash. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Distinct word k-shingles (k consecutive tokens joined by one space);
+    * docs shorter than k tokens produce no shingles. */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(o => element_at(tokens, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash family: h_i(x) = (a_i * (x mod p) + b_i) mod p over the
+    * 48-bit shingle hashes. Constants are small enough that a*(x mod p)
+    * stays < 2^46 — exact in int64 and in float64 (for the SQL oracle). */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 2L * i + 3
+  def minhashB(i: Int): Long = 104729L * i + 12345
+
+  /** One MinHash signature component over a shingle array. */
+  def minhash(shingleArr: Column, i: Int): Column =
+    array_min(transform(shingleArr,
+      s => (lit(minhashA(i)) * (md5Long(s) % MinhashP) + minhashB(i))
+        % MinhashP))
+
+  /** SimHash over tokens, `bits` wide: bit b set iff the sum of
+    * (+1 / -1) votes from each token's hash bit b is positive. */
+  def simhash(tokens: Column, bits: Int): Column = {
+    val votes = (0 until bits).map { b =>
+      // vote_b = sum over tokens of (2*bit_b(h(t)) - 1)
+      aggregate(tokens, lit(0L),
+        (acc, t) => acc + (shiftright(md5Long(t), b).bitwiseAND(1) * 2 - 1))
+    }
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}
+
+/** The same hash definitions as ANSI SQL fragments for the DuckDB oracle.
+  * Kept adjacent to [[TextExprs]] so the two stay in lockstep.
+  */
+object TextSql {
+
+  /** 48-bit md5-prefix integer of expression `e` (exact: every partial
+    * sum < 2^48 is exactly representable in the double list_sum). */
+  def md5Long(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,13), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5($e), CAST(j AS INT), 1)) - 1)" +
+      s" * power(16, 12 - j))) AS BIGINT)"
+
+  def minhash(shingleVar: String, i: Int): String =
+    s"list_min(list_transform($shingleVar, s -> " +
+      s"(${TextExprs.minhashA(i)} * (${md5Long("s")} % ${TextExprs.MinhashP})" +
+      s" + ${TextExprs.minhashB(i)}) % ${TextExprs.MinhashP}))"
+
+  /** Distinct word k-shingles of a token list (DuckDB `range` excludes
+    * its stop bound, hence the +2-k offset vs the Spark sequence). */
+  def shingles(tokensVar: String, k: Int): String = {
+    val parts = (0 until k)
+      .map(o => s"$tokensVar[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len($tokensVar) + 2 - $k), " +
+      s"i -> $parts))"
+  }
+
+  def wsTokens(textExpr: String): String =
+    s"CASE WHEN trim($textExpr) = '' THEN [] " +
+      s"ELSE string_split_regex(trim($textExpr), '\\s+') END"
+
+  def simhash(tokensVar: String, bits: Int): String = {
+    val terms = (0 until bits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($tokensVar, t -> " +
+        s"((${md5Long("t")} >> $b) & 1) * 2 - 1)) > 0 " +
+        s"THEN CAST(power(2, $b) AS BIGINT) ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.StringToColumn
+import graft.functions.{TextExprs => T, TextSql => TS}
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (BASELINE.json north star: dedup, text analysis as first-class engine
+  * capabilities). All are pure column-expression / relational plans —
+  * codegen'd, shuffle-minimal — with exact DuckDB oracles.
+  *
+  * Scale design notes (100 TB):
+  * - Per-doc operators (x1–x5, x8 signature) are embarrassingly parallel
+  *   projections: no shuffle at all.
+  * - Pair-finding never enumerates O(n²): x6 joins on shingle (sparse
+  *   inverted index with a hot-key document-frequency cap — the standard
+  *   skew guard), x7 joins on LSH band keys (candidates only), x8 pairs
+  *   join on a signature-prefix bucket. All joins are shuffle-on-key and
+  *   AQE-skew-splittable.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Marker-token language profiles for the n-gram/langid heuristic. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "des"))
+
+  /** Shingle width for the near-dup family. */
+  private val K = 3
+
+  /** Document-frequency cap: shingles seen in more docs than this are
+    * dropped before the pair join (hot-key guard; a no-op at test scale,
+    * load-bearing at 100 TB). */
+  private val DfCap = 1000
+
+  /** MinHash signature size and band layout: 16 hashes = 4 bands x 4. */
+  private val Sig = 16
+  private val Bands = 4
+  private val RowsPerBand = Sig / Bands
+
+  val qs: Map[String, Q] = Map(
+    // ----- x1 token counting: whitespace + BPE-ish pre-tokenizer regex
+    "x1_tokenize" -> Q(
+      s"""SELECT doc_id,
+         |  CAST(len(${TS.wsTokens("text")}) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select($"doc_id",
+        size(T.wsTokens($"text")).cast("long").as("ws_tokens"),
+        size(T.bpeTokens($"text")).cast("long").as("bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x2 quality scoring: length/stopword/alpha ratios
+    "x2_quality" -> Q(
+      s"""WITH t AS (SELECT doc_id, text, ${TS.wsTokens("text")} AS tk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(len(list_filter(tk, w -> w IN ($StopwordsSql))) / len(tk), 6)
+         |    AS stop_ratio,
+         |  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |    / length(text), 6) AS alpha_ratio,
+         |  round(least(len(tk) / 50.0, 1.0) *
+         |    (1.0 - len(list_filter(tk, w -> w IN ($StopwordsSql))) / len(tk)),
+         |    6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = T.wsTokens($"text")
+      val nStop = size(filter(tk, w => w.isin(Stopwords: _*))).cast("double")
+      val nTok = size(tk)
+      Tables(s, dir, "documents").select($"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        round(nStop / nTok, 6).as("stop_ratio"),
+        round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
+          .cast("double") / length($"text"), 6).as("alpha_ratio"),
+        round(least(nTok / lit(50.0), lit(1.0)) *
+          (lit(1.0) - nStop / nTok), 6).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x3 language ID: marker-token profile argmax w/ fixed priority
+    "x3_langid" -> Q({
+      val cnts = LangMarkers.map { case (l, ms) =>
+        s"len(list_filter(tk, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS c_$l"
+      }.mkString(",\n         |  ")
+      val langs = LangMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (l, i) =>
+        val geRest = langs.drop(i + 1).map(o => s"c_$l >= c_$o")
+        val conds = (s"c_$l > 0" +: geRest).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  $cnts
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE $cases ELSE 'und' END AS predicted,
+         |  CAST(lang = CASE $cases ELSE 'und' END AS INT) AS agree
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val tk = T.wsTokens($"text")
+      val cnts = LangMarkers.map { case (l, ms) =>
+        l -> size(filter(tk, w => w.isin(ms: _*)))
+      }
+      val langs = LangMarkers.map(_._1)
+      val predicted = cnts.zipWithIndex.foldRight(lit("und")) {
+        case (((l, c), i), els) =>
+          val rest = cnts.drop(i + 1).map(_._2)
+          val cond = rest.foldLeft(c > 0)((acc, o) => acc && c >= o)
+          when(cond, lit(l)).otherwise(els)
+      }
+      Tables(s, dir, "documents").select($"doc_id", $"lang",
+        predicted.as("predicted"),
+        ($"lang" === predicted).cast("int").as("agree"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x4 document fingerprint: md5 of whitespace-normalized text
+    // (string + 48-bit integer forms)
+    "x4_fingerprint" -> Q(
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS fp,
+         |  ${TS.md5Long("norm")} AS fp_int
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+      Tables(s, dir, "documents").select($"doc_id",
+        md5(norm).as("fp"), T.md5Long(norm).as("fp_int"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x5 exact dedup: hash-groupBy on a content key, keep min id.
+    // Key = first 8 tokens so the planted near-dup prefixes collide.
+    // One shuffle on the key; at 100 TB this is the cheapest dedup pass.
+    "x5_dedup_exact" -> Q(
+      s"""WITH t AS (SELECT doc_id,
+         |  md5(array_to_string((${TS.wsTokens("text")})[1:8], ' ')) AS key
+         |  FROM documents)
+         |SELECT key, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM t GROUP BY key ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          md5(concat_ws(" ", slice(T.wsTokens($"text"), 1, 8))).as("key"))
+        .groupBy($"key")
+        .agg(min($"doc_id").as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy($"keep_id")
+    },
+
+    // ----- x6 n-gram Jaccard near-dup: sparse inverted-index self-join
+    // on 3-shingles (never O(n²)), df-capped, threshold 0.5
+    "x6_ngram_jaccard" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |  FROM tk WHERE len(tk) >= $K),
+         |df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+         |  WHERE df.c <= $DfCap),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(i / (x.n + y.n - i), 6) AS jaccard
+         |FROM pairs JOIN sz x ON pairs.d1 = x.doc_id
+         |  JOIN sz y ON pairs.d2 = y.doc_id
+         |WHERE i / (x.n + y.n - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val tk = Tables(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= K)
+      val sh = tk.select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+      val dfc = sh.groupBy($"s").agg(count(lit(1)).as("c"))
+        .filter($"c" <= DfCap).select($"s")
+      val shf = sh.join(dfc, "s")
+      val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // self-join via an explicit rename (avoids ambiguous-attribute
+      // resolution on a shared lineage)
+      val shfB = shf.select($"s".as("s2"), $"doc_id".as("doc_id2"))
+      val pairs = shf.join(shfB, $"s" === $"s2" && $"doc_id" < $"doc_id2")
+        .groupBy($"doc_id".as("d1"), $"doc_id2".as("d2"))
+        .agg(count(lit(1)).as("i"))
+      val jac = $"i" / ($"xn" + $"yn" - $"i")
+      pairs
+        .join(sz.select($"doc_id".as("d1"), $"n".as("xn")), "d1")
+        .join(sz.select($"doc_id".as("d2"), $"n".as("yn")), "d2")
+        .filter(jac >= 0.5)
+        .select($"d1", $"d2", round(jac, 6).as("jaccard"))
+        .orderBy($"d1", $"d2")
+    },
+
+    // ----- x7 MinHash + LSH banding: 16-hash signature, 4 bands x 4;
+    // candidates = band-key collisions only; est sim = matching fraction
+    "x7_minhash_lsh" -> Q({
+      val sigCols = (0 until Sig)
+        .map(i => s"${TS.minhash("arr", i)} AS h$i").mkString(",\n         |  ")
+      val bandSel = (0 until Bands).map { b =>
+        val ks = (0 until RowsPerBand)
+          .map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS b, concat_ws('_', $ks) AS k FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      val estSum = (0 until Sig)
+        .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${TS.shingles("tk", K)} AS arr
+         |  FROM tk WHERE len(tk) >= $K),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandSel),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(($estSum) / $Sig.0, 6) AS est_sim
+         |FROM cand JOIN sig x ON cand.d1 = x.doc_id
+         |  JOIN sig y ON cand.d2 = y.doc_id
+         |WHERE ($estSum) / $Sig.0 >= 0.25
+         |ORDER BY d1, d2""".stripMargin
+    }) { (s, dir) =>
+      val tk = Tables(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= K)
+      val sig = tk
+        .select($"doc_id" +: (0 until Sig).map(i =>
+          T.minhash(T.shingles($"tk", K), i).as(s"h$i")): _*)
+      val bands = sig.select($"doc_id", explode(array((0 until Bands).map {
+        b =>
+          struct(lit(b).as("b"),
+            concat_ws("_", (0 until RowsPerBand)
+              .map(r => col(s"h${b * RowsPerBand + r}")): _*).as("k"))
+      }: _*)).as("bk"))
+        .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
+      val bandsB = bands.select($"b".as("b2"), $"k".as("k2"),
+        $"doc_id".as("doc_id2"))
+      val cand = bands
+        .join(bandsB, $"b" === $"b2" && $"k" === $"k2" &&
+          $"doc_id" < $"doc_id2")
+        .select($"doc_id".as("d1"), $"doc_id2".as("d2")).distinct()
+      val sigX = sig.toDF("d1" +: (0 until Sig).map(i => s"x$i"): _*)
+      val sigY = sig.toDF("d2" +: (0 until Sig).map(i => s"y$i"): _*)
+      val est = (0 until Sig)
+        .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / Sig
+      cand.join(sigX, "d1").join(sigY, "d2")
+        .filter(est >= 0.25)
+        .select($"d1", $"d2", round(est, 6).as("est_sim"))
+        .orderBy($"d1", $"d2")
+    },
+
+    // ----- x8 SimHash: 16-bit token-vote signature per document
+    "x8_simhash" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents)
+         |SELECT doc_id, ${TS.simhash("tk", 16)} AS simhash
+         |FROM tk WHERE len(tk) >= 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select($"doc_id", T.wsTokens($"text").as("tk"))
+          .filter(size($"tk") >= 1)
+          .select($"doc_id", T.simhash($"tk", 16).as("simhash"))
+          .orderBy($"doc_id")
+    })
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.StringToColumn
+
+/** Similarity-search / embedding operators over the `embeddings` table
+  * (64-dim float vectors): brute-force cosine top-k as the exact
+  * baseline, an LSH-bucketed variant as the scale path, cosine near-dup
+  * pairs, and the element-wise array mean (SURVEY §2.4 A4).
+  *
+  * All dot products are higher-order-function folds over double arrays
+  * (`aggregate`/`zip_with` — codegen'd, no UDF). Ranking is done on the
+  * ROUNDED cosine with a deterministic id tiebreak so the DuckDB oracle
+  * ranks identically despite last-ulp float differences.
+  *
+  * Scale design (100 TB of vectors):
+  * - x9 broadcasts the (small) query set and scans the corpus once —
+  *   no shuffle of the big side; top-k via per-query window.
+  * - x10/x11 never enumerate O(n²): candidates come from an 8-bit
+  *   random-hyperplane bucket (deterministic sin-derived planes), i.e.
+  *   a shuffle-on-bucket-key join; refine exactly within buckets.
+  */
+object VectorOps {
+
+  /** Exact dot product of two double-array columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** SQL twin of `dot` (same element order; exact to last ulp or close
+    * enough that round(4) agrees). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** Deterministic random hyperplanes: plane j component i = sin(j*997
+    * + i*13). 8 planes -> 8-bit bucket. Same formula in SQL below. */
+  private val Planes = 8
+  private def planeDot(v: Column, j: Int): Column =
+    aggregate(sequence(lit(1), size(v)), lit(0.0),
+      (s, i) => s + element_at(v, i) * sin(lit(j * 997).cast("double") + i * 13))
+
+  private def bucket(v: Column): Column =
+    (0 until Planes).map { j =>
+      when(planeDot(v, j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sqlPlaneDot(v: String, j: Int): String =
+    s"list_sum(list_transform(range(1, len($v) + 1), " +
+      s"i -> $v[CAST(i AS INT)] * sin(${j * 997} + i * 13)))"
+
+  private def sqlBucket(v: String): String =
+    (0 until Planes).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(v, j)} > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val qs: Map[String, Q] = Map(
+    // ----- x9 brute-force cosine top-k: broadcast queries x corpus scan
+    "x9_cosine_knn" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT qid, e.vec_id AS nid,
+         |    round(${sqlCos("qv", "v")}, 4) AS cos
+         |  FROM q, e WHERE e.vec_id <> qid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val sc = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"),
+          round(cosine($"qv", $"v"), 4).as("cos"))
+      sc.withColumn("rn", row_number()
+          .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+          .cast("long"))
+        .filter($"rn" <= 5)
+        .orderBy($"qid", $"rn")
+    },
+
+    // ----- x10 embedding cosine near-dup pairs (bucketed candidates,
+    // exact refine; threshold 0.4 — the testdata's top pairs)
+    "x10_embed_neardup" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM e)
+         |SELECT a.vec_id AS d1, c.vec_id AS d2,
+         |  round(${sqlCos("a.v", "c.v")}, 4) AS cos
+         |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |WHERE round(${sqlCos("a.v", "c.v")}, 4) >= 0.4
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val b = e.withColumn("bkt", bucket($"v"))
+      val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+        $"bkt".as("bkt2"))
+      b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
+        .select($"vec_id".as("d1"), $"vec_id2".as("d2"),
+          round(cosine($"v", $"v2"), 4).as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"d1", $"d2")
+    },
+
+    // ----- x11 LSH-bucketed ANN: nearest same-bucket neighbor per vector
+    "x11_ann_lsh" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM e),
+         |sc AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+         |    round(${sqlCos("a.v", "c.v")}, 4) AS cos
+         |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
+      (s, dir) =>
+        val e = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val b = e.withColumn("bkt", bucket($"v"))
+        val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+          $"bkt".as("bkt2"))
+        val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
+          .select($"vec_id".as("qid"), $"vec_id2".as("nid"),
+            round(cosine($"v", $"v2"), 4).as("cos"))
+        sc.withColumn("rn", row_number()
+            .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+          .filter($"rn" === 1)
+          .select($"qid", $"nid", $"cos")
+          .orderBy($"qid")
+    },
+
+    // ----- a4 element-wise array mean per group (SURVEY §2.4 A4:
+    // the reference's np.mean(probs, axis=0) over annual prob vectors)
+    "a4_array_mean" -> Q(
+      """SELECT label, CAST(i AS BIGINT) AS i,
+        |  round(avg(v[CAST(i AS INT)]), 6) AS m
+        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings), range(1, 65) r(i)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding".cast("array<double>")))
+        .select($"label", ($"pos" + 1).cast("long").as("i"), $"col")
+        .groupBy($"label", $"i")
+        .agg(round(avg($"col"), 6).as("m"))
+        .orderBy($"label", $"i")
+    })
+}
