@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.StringToColumn
+
+/** One event row (the `events` testdata schema). */
+final case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** A closed session emitted by the stateful sessionizer. */
+final case class Session(
+    user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+    n_events: Long, total: Double)
+
+/** Structured Streaming operators over an event stream (SURVEY §2.11).
+  *
+  * Batch twins with DuckDB oracles live in `graft.queries.EventOps`;
+  * these run the same logic incrementally. Works on any streaming
+  * DataFrame (file source, Kafka, MemoryStream in tests) — state is
+  * bounded by the watermark, so the plan is stable at any input rate:
+  * the only shuffle is on the group key, and expired state is dropped
+  * by event-time, never accumulated.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark: late events beyond
+    * `watermark` are dropped; window state is purged once the watermark
+    * passes the window end (bounded state at 100 TB/day rates). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", windowLen), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("win"), $"event_type", $"n", $"total")
+
+  // NOT private: Spark's generated (de)serializers must reach the ctor
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  private implicit val sessionEnc: Encoder[Session] =
+    Encoders.product[Session]
+  private implicit val stateEnc: Encoder[SessionState] =
+    Encoders.product[SessionState]
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when `gap` passes with no events (enforced by event-time
+    * timeout against the watermark, so state size is O(active users)).
+    * The reference has no streaming surface; this is the engine-native
+    * generalization of its per-key batch grouping (G1/G2). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            // fold this batch's (sorted) events into the open session,
+            // closing it whenever the gap is exceeded
+            val closed = Vector.newBuilder[Session]
+            var st = state.getOption
+            rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.last <= gapMs =>
+                  st = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+/** Structured Streaming behavior: windowed counts under a watermark,
+  * gap sessionization with event-time timeout, and the job-queue
+  * dispatcher (SURVEY §2.11). MemoryStream drives deterministic
+  * micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, v: Double) =
+    Event(id, ts(minute), user, "click", v, "{}")
+
+  test("windowed counts aggregate by tumbling hour under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedCounts(in.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 5, 1, 1.0), ev(2, 30, 1, 2.0), ev(3, 70, 2, 4.0))
+      q.processAllAvailable()
+      // watermark now 70-10=60 -> hour-0 window [0,60) closes
+      in.addData(ev(4, 200, 1, 8.0)) // advances watermark past hour 1
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .select($"win".cast("string"), $"n", $"total")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0) == ("2024-01-01 00:00:00", 2L, 3.0)) // hour 0
+      assert(rows(1) == ("2024-01-01 01:00:00", 1L, 4.0)) // hour 1
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionize(in.toDS(), gapMs = 30L * 60 * 1000,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at minute 0, 10 (one session), then 60 (gap>30 ->
+      // second session); user 2: single event at 0
+      in.addData(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 0, 2, 5.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 60, 1, 3.0))
+      q.processAllAvailable()
+      // push watermark far ahead so open sessions time out
+      in.addData(ev(5, 600, 9, 0.0))
+      q.processAllAvailable()
+      in.addData(ev(6, 1200, 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[Session].collect()
+        .sortBy(s => (s.user_id, s.start_ts.getTime))
+      val u1 = rows.filter(_.user_id == 1)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && u1(0).total == 3.0)
+      assert(u1(0).end_ts == ts(10))
+      assert(u1(1).n_events == 1 && u1(1).total == 3.0)
+      val u2 = rows.filter(_.user_id == 2)
+      assert(u2.length == 1 && u2(0).n_events == 1 && u2(0).total == 5.0)
+    } finally q.stop()
+  }
+
+  test("job queue dispatches segment requests and logs errors") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-jobq").toString
+    val store = new graft.store.ParquetStore(root)
+    val fixtures = new PipelineFixtures(spark)
+    val jq = new JobQueue(spark, store,
+      ardSource = (_, _) => spark.createDataset(fixtures.chip()),
+      auxSource = () => spark.createDataset(fixtures.aux()).toDF(),
+      classifier = new graft.ml.SoftmaxClassifier(numClasses = 4))
+
+    val in = MemoryStream[JobRequest]
+    val q = jq.start(in.toDS(),
+      Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      in.addData(
+        JobRequest("segment", fixtures.Cx, fixtures.Cy, 0, 0, "", 0, 0),
+        JobRequest("bogus", 0, 0, 0, 0, "", 0, 0))
+      q.processAllAvailable()
+      val byKind = jq.results.groupBy(_.kind)
+      assert(byKind("segment").head.ok)
+      assert(byKind("segment").head.rows >= 25)
+      assert(!byKind("bogus").head.ok)
+      assert(store.read("segment", spark).count() >= 25)
+    } finally q.stop()
+  }
+}
