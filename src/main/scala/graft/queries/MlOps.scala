@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.core.PixelTimeseries
+import graft.ml.SoftmaxClassifier
+import graft.ops.{HarmonicCcd, SegmentPipeline}
+
+/** ML operators (SURVEY §2.9 M1–M3) exercised over the driver testdata.
+  * Not SQL-expressible, so these register without oracles (the driver
+  * records a rows-only check); exact-value coverage lives in
+  * CcdSpec/PipelinesSpec golden tests.
+  *
+  * m1 derives per-key "pixel" time series from the events table
+  * (user_id = pixel, ts = ordinal day, 7 band transforms of value) and
+  * runs the CCD kernel per key via mapPartitions — the canonical
+  * heavy-UDF placement. m2/m3 train and score the softmax classifier
+  * on the embeddings table with the bounded-collect contract.
+  */
+object MlOps {
+
+  private def eventTimeseries(s: SparkSession, dir: String) = {
+    import s.implicits._
+    implicit val tsEnc = Encoders.product[PixelTimeseries]
+    Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        val sorted = rows.toArray.sortBy(_._2.getTime)
+        val dates = sorted.map(r =>
+          (r._2.getTime / 86400000L).toInt + 719163) // epoch-day -> ordinal
+        def band(k: Double, off: Double): Array[Int] =
+          sorted.map(r => (r._3 * k + off).toInt)
+        PixelTimeseries(0L, 0L, uid, 0L, dates,
+          band(1, 0), band(2, 10), band(3, 20), band(4, 30),
+          band(5, 40), band(6, 50), band(7, 60),
+          Array.fill(sorted.length)(0))
+      }
+  }
+
+  val qs: Map[String, Q] = Map(
+    // ----- M1 per-key CCD change detection over event-derived series
+    "m1_ccd_detect" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      val det = SegmentPipeline.detect(eventTimeseries(s, dir), HarmonicCcd())
+      det.flatMap(_.segments)
+        .toDF()
+        .groupBy($"px")
+        .agg(count(lit(1)).as("n_segments"),
+          min($"sday").as("first_sday"), max($"eday").as("last_eday"))
+        .orderBy($"px")
+    },
+
+    // ----- M2+M5 train (bounded collect) + M3 broadcast batch score:
+    // confusion summary of the softmax classifier on embeddings
+    "m2_train_score" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      val data = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding".cast("array<float>").as("f"))
+      val sample = data.select($"label", $"f")
+        .as[(Int, Array[Float])].collect()
+      val clf = new SoftmaxClassifier(numClasses = 10, epochs = 40)
+      val model = clf.train(sample)
+      val bc = s.sparkContext.broadcast(model)
+      val scored = data.select($"vec_id", $"label", $"f")
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val clf2 = new SoftmaxClassifier(numClasses = 10)
+          val probs = clf2.scoreBatch(bc.value, rows.iterator.map(_._3))
+          rows.iterator.zip(probs).map { case ((id, lab, _), p) =>
+            (id, lab, p.indexOf(p.max))
+          }
+        }
+        .toDF("vec_id", "label", "predicted")
+      scored.groupBy($"label", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"predicted")
+    })
+}
