@@ -168,11 +168,16 @@ object VectorOps {
         |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings), range(1, 65) r(i)
         |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, dir) =>
+      // the ArrayMean Aggregator ships ONE (sums, n) buffer per group
+      // per task (map-side partial agg) — not 64 exploded rows per
+      // record, which is the difference at 100 TB
       Tables(s, dir, "embeddings")
-        .select($"label", posexplode($"embedding".cast("array<double>")))
-        .select($"label", ($"pos" + 1).cast("long").as("i"), $"col")
-        .groupBy($"label", $"i")
-        .agg(round(avg($"col"), 6).as("m"))
+        .select($"label", $"embedding".cast("array<double>").as("v"))
+        .groupBy($"label")
+        .agg(graft.functions.ArrayMean.udaf($"v").as("m"))
+        .select($"label", posexplode($"m"))
+        .select($"label", ($"pos" + 1).cast("long").as("i"),
+          round($"col", 6).as("m"))
         .orderBy($"label", $"i")
     })
 }
