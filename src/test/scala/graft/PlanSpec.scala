@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit (the 100 TB checklist): filters push to the
+  * parquet scan, projections prune the read schema, small sides
+  * broadcast, and the big fact join is the only shuffle. Asserted on
+  * plan text so a regression in plan shape fails CI, not just slows
+  * the bench.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s5_scan pushes the filter into the parquet scan and prunes columns") {
+    val p = planOf("s5_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), " +
+      "GreaterThanOrEqual(p_size,25)]"), p)
+    // projection reaches the scan: only the 3 selected columns are read
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_size")
+      && readSchema.contains("p_brand") && !readSchema.contains("p_name"),
+      readSchema)
+  }
+
+  test("f1_filter pushes all three predicates to the scan") {
+    val p = planOf("f1_filter")
+    // plan text truncates the filter list; the per-column IsNotNulls
+    // prove each predicate reached the scan's PushedFilters
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(pushed.contains("IsNotNull(l_shipdate)"), pushed)
+    assert(pushed.contains("IsNotNull(l_discount)"), pushed)
+    assert(pushed.contains("IsNotNull(l_quantity)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipda"), pushed)
+  }
+
+  test("flagship plan broadcasts all three dims; one shuffled fact join") {
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins:\n$p")
+    // lineitem join orders may itself broadcast at sf0.001 under AQE;
+    // what must NOT happen is a cartesian or nested-loop fact join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x9 KNN broadcasts the query side, never shuffles the corpus") {
+    val p = planOf("x9_cosine_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the codegen dot product is in the plan (not an interpreted fold)
+    assert(p.contains("dot_product"), p)
+  }
+
+  test("j1 join broadcasts the dimension side") {
+    val p = planOf("j1_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
