@@ -1,0 +1,94 @@
+package graft
+
+import java.time.LocalDate
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.DateExprs
+
+/** Property-based invariants (SURVEY §5 test plan d): explode row
+  * counts, sampling caps, ordinal round-trips — checked over
+  * ScalaCheck-generated inputs (sampled with fixed seeds and batched
+  * into single Spark jobs per property).
+  */
+class PropertiesSpec extends AnyFunSuite with SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+  import spark.implicits._
+
+  private val dateGen: Gen[LocalDate] = for {
+    y <- Gen.chooseNum(1, 2400)
+    d <- Gen.chooseNum(1, 365)
+  } yield LocalDate.ofYearDay(y, d)
+
+  test("ordinal round-trips for any proleptic date incl. year 1") {
+    val dates = sample(Gen.listOfN(60, dateGen), 1L).map(_.toString)
+    val got = dates.toDF("d")
+      .select($"d", DateExprs.dateFromOrdinal(
+        DateExprs.ordinalOf($"d".cast("date"))).cast("string").as("rt"))
+      .as[(String, String)].collect()
+    got.foreach { case (d, rt) => assert(d == rt) }
+  }
+
+  test("annual explode emits exactly the month/day dates inside the span") {
+    val pairs = sample(Gen.listOfN(40,
+      for { a <- dateGen; b <- dateGen } yield
+        if (a.isAfter(b)) (b, a) else (a, b)), 2L).distinct
+    val df = pairs.map { case (a, b) => (a.toString, b.toString) }
+      .toDF("s", "e")
+      .select($"s".cast("date").as("s"), $"e".cast("date").as("e"))
+      .select($"s", $"e", DateExprs.predictionDates($"s", $"e", 7, 1)
+        .as("pday"))
+    val got = df.groupBy($"s", $"e").agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, java.sql.Date, Long)].collect()
+      .map { case (s, e, n) => (s.toString, e.toString) -> n }.toMap
+    val sentinel = LocalDate.of(1, 1, 1)
+    pairs.foreach { case (a, b) =>
+      // the sentinel span IS the default segment: exactly one row
+      val expected =
+        if (a == sentinel && b == sentinel) 1
+        else (a.getYear to b.getYear).count { y =>
+          val p = LocalDate.of(y, 7, 1)
+          !p.isBefore(a) && !p.isAfter(b)
+        }
+      val key = (a.toString, b.toString)
+      if (expected > 0) assert(got(key) == expected, s"$key")
+      else assert(!got.contains(key) || got(key) == 0, s"$key")
+    }
+  }
+
+  test("stratified sample honors caps for arbitrary class histograms") {
+    val histGen = Gen.nonEmptyMap(Gen.zip(Gen.chooseNum(0, 8),
+      Gen.chooseNum(1, 40)))
+    (1 to 5).foreach { trial =>
+      val hist = sample(histGen, trial.toLong)
+      val rows = hist.toSeq.flatMap { case (lab, n) => Seq.fill(n)(lab) }
+      val df = rows.toDF("label")
+      val target = 30L; val cmin = 2L; val cmax = 10L
+      val got = ops.Features.stratifiedSample(df, target, cmin, cmax)
+        .groupBy($"label").count()
+        .as[(Int, Long)].collect().toMap
+      val total = rows.size.toDouble
+      hist.foreach { case (lab, n) =>
+        val pct = n / total
+        val cap = math.min(math.max(math.ceil(target * pct).toLong, cmin), cmax)
+        val expect = math.min(cap, n.toLong)
+        assert(got.getOrElse(lab, 0L) == expect,
+          s"label $lab n=$n cap=$cap got=${got.get(lab)}")
+      }
+    }
+  }
+
+  test("join preserves composite keys (combine is key-exact)") {
+    val segs = (1 to 30).map(i => (i % 5L, i % 3L, i.toLong, i * 2L, i))
+      .toDF("cx", "cy", "px", "py", "v")
+    val aux = (1 to 30).filter(_ % 2 == 0)
+      .map(i => (i % 5L, i % 3L, i.toLong, i * 2L, i * 10))
+      .toDF("cx", "cy", "px", "py", "a")
+    val joined = ops.Features.combine(segs, aux).collect()
+    assert(joined.length == 15)
+    joined.foreach(r => assert(r.getAs[Int]("a") == r.getAs[Int]("v") * 10))
+  }
+}
