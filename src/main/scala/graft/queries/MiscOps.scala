@@ -121,6 +121,70 @@ object MiscOps {
         .orderBy($"lang")
     },
 
+    // ----- F5 coverage predicate: model covers [begin, end]
+    // (references/xg-classify-annualized.py:150-151)
+    "f5_coverage" -> Q(
+      """WITH seg AS (SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS sday,
+        |  CAST(o_orderdate AS DATE) + 90 AS eday FROM orders)
+        |SELECT o_orderkey, sday, eday FROM seg
+        |WHERE sday <= DATE '1996-06-01' AND eday >= DATE '1996-06-15'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val sday = to_date($"o_orderdate")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", sday.as("sday"),
+          date_add(sday, 90).as("eday"))
+        .filter($"sday" <= lit("1996-06-01").cast("date") &&
+          $"eday" >= lit("1996-06-15").cast("date"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ----- C4 training-date stamp: constant date threaded into
+    // downstream arithmetic (ref segaux.py:166-173)
+    "c4_stamp" -> Q(
+      """SELECT o_orderkey, DATE '1990-07-01' AS training_date,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1990-07-01')
+        |    AS days_before
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val d = lit("1990-07-01").cast("date")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", d.as("training_date"),
+          datediff(d, to_date($"o_orderdate")).as("days_before"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ----- C7 JSON codec: parse the events props JSON + re-serialize
+    // a struct (the reference's gzip+JSON storage codec, ceph.py:297-333;
+    // gzip itself is a write-codec option, exercised by the store)
+    "c7_json" -> Q(
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  to_json(struct_pack(event_id := event_id,
+        |    event_type := event_type)) AS js
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          to_json(struct($"event_id", $"event_type")).as("js"))
+        .orderBy($"event_id")
+    },
+
+    // ----- A6 salted aggregation: skew-proof two-stage sum/count over
+    // a 3-value hot key — identical results to the direct aggregate
+    "a6_salted_agg" -> Q(
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Skew.saltedSumCount(
+          Tables(s, dir, "lineitem")
+            .select($"l_returnflag", $"l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice")
+          .select($"l_returnflag", round($"sum_value", 2).as("total"),
+            $"n_rows")
+          .orderBy($"l_returnflag")
+    },
+
     // ----- x12 multimodal binary columns: opaque payload + typed
     // metadata; "decode" here is the deterministic byte-level feature
     // stub (octet length, codepoint checksum, header hex) — the real
