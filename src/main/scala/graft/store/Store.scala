@@ -35,3 +35,24 @@ final class ParquetStore(root: String) extends Store {
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
 }
+
+/** Gzipped-JSON variant mirroring the reference's storage codec
+  * byte-for-byte in spirit (one gzip JSON object set per key partition,
+  * ceph.py:297-333); parquet remains the performance default — this
+  * exists for interop with consumers of the reference's layout.
+  */
+final class JsonStore(root: String) extends Store {
+  import org.apache.spark.sql.functions.col
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+    df.repartition(keys.map(col): _*)
+      .write
+      .partitionBy(keys: _*)
+      .option("compression", "gzip")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .json(s"$root/$entity")
+
+  override def read(entity: String, spark: SparkSession): DataFrame =
+    spark.read.json(s"$root/$entity")
+}
