@@ -14,6 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scan + explicit fan-out. The driver testdata is one parquet file
+    * with ONE row group per table, so a plain scan is a single task and
+    * all narrow per-row compute (tokenize/shingle/hash/normalize)
+    * serializes on one core until the first shuffle. The repartition
+    * stands in for the thousands of file splits a real 100 TB table
+    * gives the scan for free — compute-heavy queries read through this.
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
     // rejects by default; read nanos as long and floor to micros (the

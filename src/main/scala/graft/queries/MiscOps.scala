@@ -197,7 +197,7 @@ object MiscOps {
         |    AS checksum,
         |  substr(hex(encode(text)), 1, 8) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, dir, "documents")
         .select($"doc_id", $"lang".as("media_kind"),
           octet_length($"text").cast("long").as("n_bytes"),
           expr("aggregate(sequence(1, length(text)), 0L, " +

@@ -177,7 +177,7 @@ object TextOps {
          |  JOIN sz y ON pairs.d2 = y.doc_id
          |WHERE i / (x.n + y.n - i) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val tk = Tables(s, dir, "documents")
+      val tk = Tables.spread(s, dir, "documents")
         .select($"doc_id", T.wsTokens($"text").as("tk"))
         .filter(size($"tk") >= K)
       // join on the 48-bit shingle hash, not the string: ~3x smaller
@@ -242,7 +242,7 @@ object TextOps {
          |WHERE ($estSum) / $Sig.0 >= 0.25
          |ORDER BY d1, d2""".stripMargin
     }) { (s, dir) =>
-      val tk = Tables(s, dir, "documents")
+      val tk = Tables.spread(s, dir, "documents")
         .select($"doc_id", T.wsTokens($"text").as("tk"))
         .filter(size($"tk") >= K)
       // materialize hashed shingles once; the 16 signature components
@@ -286,7 +286,7 @@ object TextOps {
          |SELECT doc_id, ${TS.simhash("tk", 16)} AS simhash
          |FROM tk WHERE len(tk) >= 1 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        Tables(s, dir, "documents")
+        Tables.spread(s, dir, "documents")
           .select($"doc_id", T.wsTokens($"text").as("tk"))
           .filter(size($"tk") >= 1)
           .select($"doc_id", T.simhash($"tk", 16).as("simhash"))

@@ -94,7 +94,7 @@ object VectorOps {
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val e = normalized(Tables(s, dir, "embeddings")
+      val e = normalized(Tables.spread(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       val q = e.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"))
@@ -120,7 +120,7 @@ object VectorOps {
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
          |WHERE round(${sqlDot("a.v", "c.v")}, 4) >= 0.4
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val e = normalized(Tables(s, dir, "embeddings")
+      val e = normalized(Tables.spread(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       val b = e.withColumn("bkt", bucket($"v"))
       val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
@@ -145,7 +145,7 @@ object VectorOps {
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
       (s, dir) =>
-        val e = normalized(Tables(s, dir, "embeddings")
+        val e = normalized(Tables.spread(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v")))
         val b = e.withColumn("bkt", bucket($"v"))
         val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
