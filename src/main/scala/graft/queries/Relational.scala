@@ -208,18 +208,21 @@ object Relational {
             Tables(s, dir, "orders").agg(count(lit(1)).as("n_orders")))
     },
 
-    // ----- §2.5 window: running sum + rank over a unique ordering
+    // ----- §2.5 window: running sum + rank. The ordering includes
+    // l_quantity because the synthetic lineitem has duplicate
+    // (orderkey, linenumber) pairs — without it the prefix sum is
+    // ambiguous and both engines tie-break nondeterministically.
     "w1_window" -> Q(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1)
         |    AS running_qty,
         |  row_number() OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS rn
         |FROM lineitem ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       Tables(s, dir, "lineitem")
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           round(sum($"l_quantity")
