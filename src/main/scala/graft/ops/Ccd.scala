@@ -68,13 +68,19 @@ final case class HarmonicCcd(
     val segs = scala.collection.mutable.ArrayBuffer.empty[Segment]
     var start = 0
     while (m - start >= minObs) {
+      // center the linear term at the segment start: raw ordinals
+      // (~7e5) make the intercept/slope Gram catastrophically
+      // ill-conditioned; with t-tRef the solve is well-posed and the
+      // stored intercept is re-based afterwards (toSegment) so the
+      // ar = int + slope*ordinal contract is unchanged
+      val tRef = t(start)
       val fits = Array.fill(NumBands)(new RunningFit)
       var end = start
       // initialization: at least minObs obs AND a full seasonal cycle, so
       // the harmonic terms are constrained before we test for change
       while (end < m &&
           (end - start < minObs || t(end - 1) - t(start) < minSpanDays)) {
-        addObs(fits, t, y, end); end += 1
+        addObs(fits, t, y, end, tRef); end += 1
       }
       var models = fits.map(_.solve(termsFor(end - start)))
       var break_ = -1
@@ -82,11 +88,11 @@ final case class HarmonicCcd(
       while (end < m && !done) {
         if (end + peekWindow <= m &&
             (end until end + peekWindow).forall(j =>
-              isOutlier(models, t(j), y, j))) {
+              isOutlier(models, t(j), y, j, tRef))) {
           break_ = end
           done = true
         } else {
-          addObs(fits, t, y, end)
+          addObs(fits, t, y, end, tRef)
           end += 1
           models = fits.map(_.solve(termsFor(end - start)))
         }
@@ -96,9 +102,10 @@ final case class HarmonicCcd(
       val bIdx = if (broke) break_ else eIdx
       val mags =
         if (broke)
-          magnitudes(models, t, y, break_, math.min(break_ + peekWindow, m))
+          magnitudes(models, t, y, break_, math.min(break_ + peekWindow, m),
+            tRef)
         else Array.fill(NumBands)(0.0)
-      segs += toSegment(ts, models, mags,
+      segs += toSegment(ts, models, mags, tRef,
         sday = t(start).toInt, eday = t(eIdx).toInt, bday = t(bIdx).toInt,
         chprob = if (broke) 1.0 else 0.0, curqa = if (broke) 8 else 0)
       start = if (broke) break_ else m
@@ -111,15 +118,15 @@ final case class HarmonicCcd(
   }
 
   private def addObs(fits: Array[RunningFit], t: Array[Double],
-      y: Array[Array[Double]], j: Int): Unit = {
-    val row = designRow(t(j))
+      y: Array[Array[Double]], j: Int, tRef: Double): Unit = {
+    val row = designRow(t(j), tRef)
     var b = 0
     while (b < NumBands) { fits(b).add(row, y(b)(j)); b += 1 }
   }
 
   private def isOutlier(models: Array[BandFit], ti: Double,
-      y: Array[Array[Double]], j: Int): Boolean = {
-    val row = designRow(ti)
+      y: Array[Array[Double]], j: Int, tRef: Double): Boolean = {
+    val row = designRow(ti, tRef)
     var exceeded = 0
     var b = 0
     while (b < NumBands) {
@@ -134,36 +141,40 @@ final case class HarmonicCcd(
   /** Change magnitude: mean absolute prediction error over the peek
     * window per band (PyCCD reports per-band magnitudes at the break). */
   private def magnitudes(models: Array[BandFit], t: Array[Double],
-      y: Array[Array[Double]], from: Int, until: Int): Array[Double] =
+      y: Array[Array[Double]], from: Int, until: Int, tRef: Double)
+      : Array[Double] =
     Array.tabulate(NumBands) { b =>
       var s = 0.0
       var j = from
       while (j < until) {
-        s += math.abs(y(b)(j) - models(b).predict(designRow(t(j))))
+        s += math.abs(y(b)(j) - models(b).predict(designRow(t(j), tRef)))
         j += 1
       }
       if (until > from) s / (until - from) else 0.0
     }
 
   private def toSegment(ts: PixelTimeseries, models: Array[BandFit],
-      mags: Array[Double], sday: Int, eday: Int, bday: Int,
+      mags: Array[Double], tRef: Double, sday: Int, eday: Int, bday: Int,
       chprob: Double, curqa: Int): Segment = {
     def coef(b: Int): Array[Double] = {
       val beta = models(b).beta
       // coef = [slope, cos1, sin1, cos2, sin2, cos3, sin3]
       Array(beta(1), beta(2), beta(3), beta(4), beta(5), beta(6), beta(7))
     }
+    // re-base the centered intercept to ordinal 0: the fit is
+    // y = a + b*(t - tRef) + harmonics, the contract is int + slope*t
+    def int(b: Int): Double = models(b).beta(0) - models(b).beta(1) * tRef
     Segment(
       ts.cx, ts.cy, ts.px, ts.py,
       dateOfOrdinal(sday), dateOfOrdinal(eday), dateOfOrdinal(bday),
       chprob, curqa,
-      coef(0), models(0).beta(0), mags(0), models(0).rmse,
-      coef(1), models(1).beta(0), mags(1), models(1).rmse,
-      coef(2), models(2).beta(0), mags(2), models(2).rmse,
-      coef(3), models(3).beta(0), mags(3), models(3).rmse,
-      coef(4), models(4).beta(0), mags(4), models(4).rmse,
-      coef(5), models(5).beta(0), mags(5), models(5).rmse,
-      coef(6), models(6).beta(0), mags(6), models(6).rmse)
+      coef(0), int(0), mags(0), models(0).rmse,
+      coef(1), int(1), mags(1), models(1).rmse,
+      coef(2), int(2), mags(2), models(2).rmse,
+      coef(3), int(3), mags(3), models(3).rmse,
+      coef(4), int(4), mags(4), models(4).rmse,
+      coef(5), int(5), mags(5), models(5).rmse,
+      coef(6), int(6), mags(6), models(6).rmse)
   }
 }
 
@@ -183,10 +194,12 @@ object HarmonicCcd {
   private[ops] def dateOfOrdinal(ordinal: Int): Date =
     Date.valueOf(LocalDate.ofEpochDay(ordinal - EpochOrdinal))
 
-  private[ops] def designRow(ti: Double): Array[Double] = {
+  /** Design row with the linear term centered at tRef (conditioning);
+    * harmonics keep the absolute phase (raw ti). */
+  private[ops] def designRow(ti: Double, tRef: Double): Array[Double] = {
     val r = new Array[Double](Terms)
     r(0) = 1.0
-    r(1) = ti
+    r(1) = ti - tRef
     var h = 1
     while (h <= 3) {
       r(2 * h) = math.cos(W * h * ti)

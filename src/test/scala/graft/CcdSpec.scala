@@ -1,3 +1,4 @@
+// golden-fit coefficient recovery added below the behavioral tests
 package graft
 
 import java.time.LocalDate
@@ -86,5 +87,31 @@ class CcdSpec extends AnyFunSuite {
     val det = HarmonicCcd().detect(ts.copy(qas = qas))
     assert(det.mask.count(_ == 0) == 2)
     assert(det.mask(3) == 0 && det.mask(10) == 0)
+  }
+
+  test("harmonic fit recovers known coefficients on a noiseless series") {
+    // y = base + slope*t + amp*sin(wt) exactly; the solved model must
+    // reproduce (intercept, slope, first sin coefficient) to high
+    // precision — a golden check on the normal-equation math itself.
+    val t0 = ordinal("1985-01-03")
+    val n = 230
+    val dates = Array.tabulate(n)(i => t0 + 16 * i)
+    val w = 2.0 * math.Pi / 365.25
+    val base = 500000.0; val slope = 0.6; val amp = 2000.0
+    def series: Array[Int] = dates.map(t =>
+      math.round(base + slope * t + amp * math.sin(w * t)).toInt)
+    val flat = Array.fill(n)(1000)
+    val ts = PixelTimeseries(0, 0, 0, 0, dates,
+      series, flat, flat, flat, flat, flat, flat, Array.fill(n)(0))
+    val seg = HarmonicCcd().detect(ts).segments.head
+    // blue band carries the synthetic signal
+    // tolerance floor set by the series' integer quantization (±0.5)
+    assert(math.abs(seg.blcoef(0) - slope) < 5e-3,
+      s"slope ${seg.blcoef(0)}")
+    // re-based intercept: slope error is amplified by tRef (~7e5), so
+    // the bound is tolerance(slope) * tRef
+    assert(math.abs(seg.blint - base) < 4000, s"intercept ${seg.blint}")
+    assert(math.abs(seg.blcoef(2) - amp) < 20, s"sin1 ${seg.blcoef(2)}")
+    assert(seg.blrmse < 5, s"rmse ${seg.blrmse}") // rounding noise only
   }
 }

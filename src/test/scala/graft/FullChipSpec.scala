@@ -35,7 +35,8 @@ class FullChipSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("full 100x100 chip: 1 chip / 10,000 pixels / >= 10,000 segments") {
+  test("full 100x100 chip: 1 chip / 10,000 pixels / >= 10,000 segments," +
+      " then train + predict end-to-end") {
     val root = Files.createTempDirectory("graft-fullchip").toString
     val store = new ParquetStore(root)
     val res = SegmentPipeline.run(spark,
@@ -51,5 +52,41 @@ class FullChipSpec extends AnyFunSuite with SparkSpec {
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(cx"), plan)
     assert(read.count() == res.segments)
+
+    // B/tile at full chip: aux labels per pixel, bounded-sample train
+    val aux = (for (px <- 0 until 100; py <- 0 until 100) yield
+      graft.core.AuxRow(Cx, Cy, Cx / 30 + px, Cy / 30 - py,
+        Array((px / 34) + 1), Array(px), Array(py * 0.5), Array(1.0),
+        Array(px % 7), Array(300.0 + py))).toSeq
+    val auxDf = spark.createDataset(aux).toDF()
+    val clf = new graft.ml.SoftmaxClassifier(numClasses = 4, epochs = 15)
+    val train = graft.ops.TrainingPipeline.run(spark,
+      store.read("segment", spark), auxDf, store, clf,
+      tx = -2115585L, ty = 1964805L,
+      graft.ops.TrainingPipeline.Params(date = "1990-07-01",
+        targetSamples = 5000, classMin = 100, classMax = 2000))
+    assert(train.model.nonEmpty)
+    assert(store.read("tile", spark).count() == 1) // "1 and only 1" model
+
+    // C/prediction at full chip: the 30,000-predictions analog — one
+    // row per (segment, annual 07-01 inside span); count must equal the
+    // independently-computed explode total
+    val modelBytes = store.read("tile", spark)
+      .select($"model").as[Array[Byte]].head()
+    val n = graft.ops.PredictionPipeline.run(spark,
+      store.read("segment", spark), auxDf, store, clf, modelBytes,
+      month = 7, day = 1)
+    val expected = store.read("segment", spark)
+      .select($"sday", $"eday").as[(java.sql.Date, java.sql.Date)]
+      .collect().map { case (s, e) =>
+        val (sd, ed) = (s.toLocalDate, e.toLocalDate)
+        math.max(
+          (sd.getYear to ed.getYear).count { y =>
+            val p = java.time.LocalDate.of(y, 7, 1)
+            !p.isBefore(sd) && !p.isAfter(ed)
+          }, 0)
+      }.sum
+    assert(n == expected, s"predictions $n vs exploded-span total $expected")
+    assert(n >= res.segments) // multi-year spans -> at least 1 row/segment
   }
 }
