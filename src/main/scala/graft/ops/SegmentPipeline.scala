@@ -28,14 +28,22 @@ object SegmentPipeline {
 
   /** Full job for one (or many) chips.
     *
-    * @param limit optional pixel cap (L1, ref segment.py:195 `take`)
+    * @param limit    optional pixel cap (L1, ref segment.py:195 `take`)
+    * @param acquired optional "YYYY/YYYY" observation window — the
+    *                 reference's acquired request param, applied at the
+    *                 scan by its upstream (segment.py:146-175)
     */
   def run(spark: SparkSession, ard: Dataset[PixelTimeseries], store: Store,
-      detector: ChangeDetector = HarmonicCcd(), limit: Option[Int] = None)
-      : SegmentResult = {
+      detector: ChangeDetector = HarmonicCcd(), limit: Option[Int] = None,
+      acquired: Option[String] = None): SegmentResult = {
     import spark.implicits._
+    implicit val tsEnc = org.apache.spark.sql.Encoders.product[PixelTimeseries]
 
-    val capped = limit.map(ard.limit).getOrElse(ard)
+    val windowed = acquired.map { a =>
+      val (from, to) = AcquiredWindow.parse(a)
+      ard.map(AcquiredWindow.clip(_, from, to))
+    }.getOrElse(ard)
+    val capped = limit.map(windowed.limit).getOrElse(windowed)
     // F3 nodata guard (ref segment.py:178-184)
     if (capped.isEmpty)
       throw new IllegalStateException("No timeseries data available")
