@@ -57,17 +57,11 @@ object TextExprs {
       h => (lit(minhashA(i)) * h + minhashB(i)) % MinhashP))
 
   /** SimHash over tokens, `bits` wide: bit b set iff the sum of
-    * (+1 / -1) votes from each token's hash bit b is positive. */
-  def simhash(tokens: Column, bits: Int): Column = {
-    val votes = (0 until bits).map { b =>
-      // vote_b = sum over tokens of (2*bit_b(h(t)) - 1)
-      aggregate(tokens, lit(0L),
-        (acc, t) => acc + (shiftright(md5Long(t), b).bitwiseAND(1) * 2 - 1))
-    }
-    votes.zipWithIndex.map { case (v, b) =>
-      when(v > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * (+1 / -1) votes from each token's hash bit b is positive. Tokens
+    * are md5-hashed ONCE (not once per bit), then all vote counters
+    * update in a single codegen pass ([[SimHashBits]]). */
+  def simhash(tokens: Column, bits: Int): Column =
+    SimHashBits(transform(tokens, t => md5Long(t)), bits)
 }
 
 /** The same hash definitions as ANSI SQL fragments for the DuckDB oracle.

@@ -245,15 +245,17 @@ object TextOps {
       val tk = Tables.spread(s, dir, "documents")
         .select($"doc_id", T.wsTokens($"text").as("tk"))
         .filter(size($"tk") >= K)
-      // materialize hashed shingles once; the 16 signature components
-      // then only do cheap integer arithmetic over the hashed array
+      // materialize hashed shingles once; the whole 16-component
+      // signature is then ONE codegen pass over the hashed array
+      // (MinHashSig), not 16 interpreted array_min(transform) passes
       val hashed = tk.select($"doc_id",
         T.shingleHashes(T.shingles($"tk", K)).as("hs"))
       // cached: consumed by the band explode and both sides of the
       // signature-agreement join
       val sig = hashed
+        .select($"doc_id", graft.functions.MinHashSig($"hs", Sig).as("sigs"))
         .select($"doc_id" +: (0 until Sig).map(i =>
-          T.minhash($"hs", i).as(s"h$i")): _*)
+          element_at($"sigs", i + 1).as(s"h$i")): _*)
         .cache()
       val bands = sig.select($"doc_id", explode(array((0 until Bands).map {
         b =>

@@ -61,9 +61,12 @@ object VectorOps {
   private def planeLit(j: Int): Column =
     typedLit((1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
 
-  private def planeDot(v: Column, j: Int): Column =
-    aggregate(zip_with(v, planeLit(j), (x, p) => x * p), lit(0.0),
-      (s, x) => s + x)
+  /** Same sequential-fold float semantics as
+    * `aggregate(zip_with(v, plane, *), 0d, +)` but through the codegen
+    * [[graft.functions.DotProduct]] loop — the plane literal is a
+    * constant array, so the per-row cost is one tight fused loop
+    * instead of an interpreted lambda per element. */
+  private def planeDot(v: Column, j: Int): Column = dot(v, planeLit(j))
 
   private def bucket(v: Column): Column =
     (0 until Planes).map { j =>
@@ -122,7 +125,9 @@ object VectorOps {
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val e = normalized(Tables.spread(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-      val b = e.withColumn("bkt", bucket($"v"))
+      // cached: both sides of the bucket self-join reuse one
+      // normalize+bucket pass instead of recomputing from the scan
+      val b = e.withColumn("bkt", bucket($"v")).cache()
       val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
         $"bkt".as("bkt2"))
       b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
@@ -147,7 +152,7 @@ object VectorOps {
       (s, dir) =>
         val e = normalized(Tables.spread(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-        val b = e.withColumn("bkt", bucket($"v"))
+        val b = e.withColumn("bkt", bucket($"v")).cache()
         val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
           $"bkt".as("bkt2"))
         val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
