@@ -58,6 +58,9 @@ object VectorOps {
     * evaluated symbolically in the SQL oracle below. */
   private val Planes = 8
   private val Dim = 64
+
+  /** IVF coarse-quantizer size (x13): centroid count. */
+  private val Cells = 16
   private def planeLit(j: Int): Column =
     typedLit((1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
 
@@ -163,6 +166,64 @@ object VectorOps {
           .filter($"rn" === 1)
           .select($"qid", $"nid", $"cos")
           .orderBy($"qid")
+    },
+
+    // ----- x13 IVF-bucketed ANN: coarse quantizer = the first 16
+    // vectors (deterministic "trained" centroids); every vector is
+    // assigned to its max-cosine cell, queries probe ONLY their own
+    // cell. The quantizer is tiny by construction, so the Spark plan
+    // collects it once and bakes the centroids in as literal arrays:
+    // cell assignment is then a pure codegen projection over the corpus
+    // scan — zero shuffle of the big side, which is the IVF property
+    // that matters at 100 TB (the LSH variant x11 is the hash-based
+    // alternative; IVF adapts to the data distribution).
+    "x13_ann_ivf" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $Cells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid) AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM cells
+         |  WHERE vec_id < 8),
+         |sc AS (SELECT qid, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.v")}, 4) AS cos
+         |  FROM q JOIN cells m ON q.cell = m.cell AND m.vec_id <> qid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val e = normalized(Tables.spread(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+      // the bounded quantizer collect (16 x 64 doubles) — the one
+      // driver-side materialization IVF sanctions; everything after is
+      // a literal-folded projection
+      val centroids = e.filter($"vec_id" < Cells)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      // argmax over centroids via lexicographic struct max; negated cid
+      // makes ties resolve to the SMALLEST cid (matching the oracle's
+      // `ORDER BY cos DESC, cid`)
+      val best = array_max(array(centroids.map { case (cid, cv) =>
+        struct(round(dot($"v", typedLit(cv)), 4).as("cos"),
+          lit(-cid).as("negcid"))
+      }: _*))
+      val cells = e.withColumn("cell", -best.getField("negcid")).cache()
+      val q = cells.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+      val sc = cells.join(broadcast(q),
+          $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"),
+          round(dot($"qv", $"v"), 4).as("cos"))
+      sc.withColumn("rn", row_number()
+          .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+          .cast("long"))
+        .filter($"rn" <= 3)
+        .orderBy($"qid", $"rn")
     },
 
     // ----- a4 element-wise array mean per group (SURVEY §2.4 A4:
