@@ -65,4 +65,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = planOf("j1_join")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x13 IVF assigns cells without shuffling the corpus and " +
+    "broadcasts the probe side") {
+    val p = planOf("x13_ann_ivf")
+    // cell assignment is a literal-folded projection: the quantizer
+    // must NOT appear as a join against a centroid relation
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe (query) side broadcasts into the cell-equality join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exact refine uses the codegen dot product
+    assert(p.contains("dot_product"), p)
+  }
 }
