@@ -36,6 +36,33 @@ final class ParquetStore(root: String) extends Store {
     spark.read.parquet(s"$root/$entity")
 }
 
+/** Bucketed variant: rows are hash-bucketed (and sorted) on the key
+  * columns at write time, so two entities written with the same keys
+  * and bucket count join WITHOUT a shuffle — the physical layout
+  * carries the partitioning. This is the 100 TB answer to the
+  * segments ⋈ aux join (J1): at tile scale neither side broadcasts,
+  * and bucketing both tables on (cx, cy, px, py) makes the repeated
+  * train/predict joins exchange-free forever after one write.
+  *
+  * Bucketed output requires the table catalog (`saveAsTable`); the
+  * data itself lands as ordinary parquet under `root/entity`.
+  */
+final class BucketedStore(root: String, buckets: Int) extends Store {
+
+  private def table(entity: String) = s"graft_bkt_$entity"
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", s"$root/$entity")
+      .mode("overwrite")
+      .saveAsTable(table(entity))
+
+  override def read(entity: String, spark: SparkSession): DataFrame =
+    spark.table(table(entity))
+}
+
 /** Gzipped-JSON variant mirroring the reference's storage codec
   * byte-for-byte in spirit (one gzip JSON object set per key partition,
   * ceph.py:297-333); parquet remains the performance default — this

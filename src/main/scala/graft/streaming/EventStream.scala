@@ -38,6 +38,19 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
       .select($"window.start".as("win"), $"event_type", $"n", $"total")
 
+  /** Streaming exact dedup: drops rows whose key was already seen,
+    * keeping state only within the watermark horizon (the streaming
+    * twin of the batch x5 hash-groupBy dedup — the form a continuous
+    * training-data ingest pipeline needs). State is bounded: a key's
+    * entry is evicted once the watermark passes its event time, so
+    * at 100 TB/day the state store holds one horizon's keys, not the
+    * stream's history. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // NOT private: Spark's generated (de)serializers must reach the ctor
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)

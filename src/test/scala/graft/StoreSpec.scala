@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.store.{JsonStore, ParquetStore}
+import graft.store.{BucketedStore, JsonStore, ParquetStore}
 
 /** Keyed store contracts (S6/S12/S13): dynamic partition overwrite
   * replaces delete+insert per key, other keys' partitions survive, and
@@ -39,5 +39,33 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val files = Files.walk(java.nio.file.Paths.get(root))
       .toArray.map(_.toString).filter(_.endsWith(".gz"))
     assert(files.nonEmpty)
+  }
+
+  test("bucketed store joins co-located entities without a shuffle") {
+    val root = Files.createTempDirectory("graft-bkt-spec").toString
+    val store = new BucketedStore(root, buckets = 4)
+    val seg = (1 to 200).map(i => (i.toLong, s"seg $i")).toDF("k", "sv")
+    val aux = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "av")
+    store.write("seg", seg, Seq("k"))
+    store.write("aux", aux, Seq("k"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the non-broadcast path so the bucket layout (not a
+      // broadcast) is what eliminates the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = store.read("seg", spark)
+        .join(store.read("aux", spark), "k")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.dedupWithinWatermark(in.toDF(), Seq("event_id"),
+      "30 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // event 1 arrives twice in one batch; event 2 once
+      in.addData(ev(1, 0, 1, 1.0), ev(1, 1, 1, 1.0), ev(2, 5, 2, 2.0))
+      q.processAllAvailable()
+      // a later batch re-sends event 2 while still inside the
+      // watermark horizon -> dropped
+      in.addData(ev(2, 10, 2, 2.0), ev(3, 20, 3, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("job queue dispatches segment requests and logs errors") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-jobq").toString
