@@ -19,7 +19,8 @@ object Skew {
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: String,
       salts: Int = 16): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
-    val salt = pmod(hash(df.columns.map(col): _*), lit(salts)).as("_salt")
+    val salt = pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts))
+      .as("_salt")
     df.select((keyCols :+ salt :+ col(value).as("_v")): _*)
       .groupBy((keyCols :+ col("_salt")): _*)
       .agg(sum(col("_v")).as("_psum"), count(lit(1)).as("_pcnt"))

@@ -208,9 +208,10 @@ object VectorOps {
       // argmax over centroids via lexicographic struct max; negated cid
       // makes ties resolve to the SMALLEST cid (matching the oracle's
       // `ORDER BY cos DESC, cid`)
-      val best = array_max(array(centroids.map { case (cid, cv) =>
-        struct(round(dot($"v", typedLit(cv)), 4).as("cos"),
-          lit(-cid).as("negcid"))
+      val best = array_max(array(centroids.toIndexedSeq.map {
+        case (cid, cv) =>
+          struct(round(dot($"v", typedLit(cv)), 4).as("cos"),
+            lit(-cid).as("negcid"))
       }: _*))
       val cells = e.withColumn("cell", -best.getField("negcid")).cache()
       val q = cells.filter($"vec_id" < 8)
