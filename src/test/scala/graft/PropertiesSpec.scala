@@ -81,6 +81,39 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("MinHashSig equals the per-component array_min/transform form") {
+    val arrGen = Gen.listOfN(30,
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, graft.functions.TextExprs.MinhashP - 1)))
+    val arrays = sample(arrGen, 7L)
+    val sig = 16
+    val df = arrays.toDF("hs")
+    val fused = df.select(graft.functions.MinHashSig($"hs", sig).as("s"))
+      .as[Seq[Long]].collect()
+    val hof = df.select(array((0 until sig).map(i =>
+        graft.functions.TextExprs.minhash($"hs", i)): _*).as("s"))
+      .as[Seq[Long]].collect()
+    fused.zip(hof).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("SimHashBits equals the per-bit aggregate-vote form") {
+    val arrGen = Gen.listOfN(30,
+      Gen.listOf(Gen.chooseNum(0L, (1L << 48) - 1)))
+    val arrays = sample(arrGen, 8L)
+    val bits = 16
+    val df = arrays.toDF("hs")
+    val fused = df.select(
+      graft.functions.SimHashBits($"hs", bits).as("s")).as[Long].collect()
+    // reference semantics: per-bit fold of (+1/-1) votes, bit set iff
+    // the vote sum is positive; empty input -> 0
+    val expect = arrays.map { hs =>
+      (0 until bits).map { b =>
+        val v = hs.map(h => ((h >> b) & 1L) * 2 - 1).sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+    }
+    fused.zip(expect).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("join preserves composite keys (combine is key-exact)") {
     val segs = (1 to 30).map(i => (i % 5L, i % 3L, i.toLong, i * 2L, i))
       .toDF("cx", "cy", "px", "py", "v")
