@@ -117,6 +117,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(byKind("segment").head.rows >= 25)
       assert(!byKind("bogus").head.ok)
       assert(store.read("segment", spark).count() >= 25)
+
+      // the full reference lifecycle through the queue (its test order
+      // A segment -> B tile -> D prediction): train on the persisted
+      // segments, then score against the persisted model
+      in.addData(JobRequest("tile", 0, 0, 7, 9, "1990-07-01", 0, 0))
+      q.processAllAvailable()
+      val tile = jq.results.find(_.kind == "tile").get
+      assert(tile.ok, tile.error)
+      assert(store.read("tile", spark)
+        .filter($"tx" === 7 && $"ty" === 9).count() == 1)
+
+      in.addData(JobRequest("prediction", fixtures.Cx, fixtures.Cy,
+        7, 9, "", 7, 1))
+      q.processAllAvailable()
+      val pred = jq.results.find(_.kind == "prediction").get
+      assert(pred.ok, pred.error)
+      assert(pred.rows > 0)
+      assert(store.read("prediction", spark).count() == pred.rows)
     } finally q.stop()
   }
 }
