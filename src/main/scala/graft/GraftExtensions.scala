@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, PredictionDates}
+import graft.functions.{DotProduct, MinHashSig, PredictionDates, SimHashBits}
 
 /** Session extension registering the engine's native expressions into
   * the SQL function registry, so the whole surface is reachable from
@@ -11,40 +11,55 @@ import graft.functions.{DotProduct, PredictionDates}
   *
   *   - `dot_product(array<double>, array<double>)` — codegen'd scalar
   *   - `prediction_dates(sday, eday, month, day)` — C3 generator UDTF
+  *   - `minhash_sig(array<bigint>, k)` — single-pass k-component MinHash
+  *   - `simhash_bits(array<bigint>, bits)` — single-pass SimHash
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * or `GraftExtensions.install(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("prediction_dates"),
-      new ExpressionInfo(classOf[PredictionDates].getName,
-        "prediction_dates"),
-      (children: Seq[Expression]) => PredictionDates(
-        children(0), children(1), children(2), children(3))))
-  }
+  import GraftExtensions.builders
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
 }
 
 object GraftExtensions {
+
+  /** Width/size arguments arrive from SQL as literal expressions; the
+    * expression constructors take them as plain ints. */
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct].getName,
+      children => DotProduct(children(0), children(1))),
+    ("prediction_dates", classOf[PredictionDates].getName,
+      children => PredictionDates(
+        children(0), children(1), children(2), children(3))),
+    ("minhash_sig", classOf[MinHashSig].getName,
+      children => MinHashSig(children(0),
+        intArg(children(1), "minhash_sig size"))),
+    ("simhash_bits", classOf[SimHashBits].getName,
+      children => SimHashBits(children(0),
+        intArg(children(1), "simhash_bits width"))))
 
   /** Register the same functions on an already-running session (the
     * extensions config only applies at session build time). */
   def install(spark: SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.registerFunction(spark, "dot_product",
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      children => DotProduct(children(0), children(1)))
-    ColumnBridge.registerFunction(spark, "prediction_dates",
-      new ExpressionInfo(classOf[PredictionDates].getName,
-        "prediction_dates"),
-      children => PredictionDates(
-        children(0), children(1), children(2), children(3)))
+    builders.foreach { case (name, clazz, builder) =>
+      ColumnBridge.registerFunction(spark, name,
+        new ExpressionInfo(clazz, name), builder)
+    }
   }
 
   /** Register every testdata table as a temp view so the engine is

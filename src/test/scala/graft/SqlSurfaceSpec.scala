@@ -55,6 +55,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(got.tail.toSeq == (1980 to 1985).map(y => s"$y-07-01"))
   }
 
+  test("minhash_sig and simhash_bits are callable from SQL text") {
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(5L, 99L, 1234567L), 16) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length == 16)
+    // component 0: min over h of (3h + 12345) mod p
+    assert(sig(0) == Seq(5L, 99L, 1234567L)
+      .map(h => (3 * h + 12345) % graft.functions.TextExprs.MinhashP).min)
+    val sh = spark.sql(
+      "SELECT simhash_bits(array(1L), 16) AS s").as[Long].head()
+    assert(sh == 1L) // single hash 1 votes +1 only on bit 0
+  }
+
   test("array_mean aggregator: element-wise mean with partial agg") {
     val df = Seq(
       (1, Seq(1.0, 10.0)), (1, Seq(3.0, 30.0)),
