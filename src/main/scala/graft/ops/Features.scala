@@ -87,22 +87,35 @@ object Features {
     * class (ref: blackmagic/blueprints/tile.py:242-284 + the prototype's
     * per-class shuffle, references/xg-train-annualized.py:53-74).
     *
-    * Scale shape: one aggregate for the caps (tiny, broadcast) + one
-    * window over the data partitioned by label — a single shuffle on the
-    * label key. Skew guard: classMax bounds any one class's rows.
+    * Scale shape: one aggregate for the caps (tiny, broadcast), then a
+    * two-phase pick. A per-class `row_number` window alone would sort a
+    * WHOLE class inside one task — at the reference's caps a class can
+    * be 8M rows of 100 TB input, which is the skew bottleneck. So when
+    * a class is much larger than its cap, a Bernoulli pre-thin keeps
+    * each row with p = (cap + 10*sqrt(cap) + 100) / cnt first; the
+    * window then ranks ~cap survivors instead of the full class. The
+    * margin puts a shortfall >=10 sigma below the mean (P < 1e-20), and
+    * classes near their cap skip thinning entirely, so the exact-cap
+    * contract holds: min(cap, class size) rows per class, uniformly
+    * chosen. One shuffle on the label key either way.
     */
   def stratifiedSample(data: DataFrame, targetSamples: Long, classMin: Long,
       classMax: Long, seed: Long = 42, labelCol: String = "label")
       : DataFrame = {
     val caps = statistics(data, labelCol)
-      .select(col(labelCol),
+      .select(col(labelCol), col("cnt"),
         least(greatest(ceil(lit(targetSamples) * col("pct")).cast("long"),
           lit(classMin)), lit(classMax)).as("cap"))
-    val ranked = data.withColumn("rn",
+    val margin = col("cap") + lit(10) * sqrt(col("cap")) + lit(100)
+    val keepP = when(col("cnt") > margin * 2, margin / col("cnt"))
+      .otherwise(lit(1.0))
+    val thinned = data.join(broadcast(caps), Seq(labelCol))
+      .filter(rand(seed + 1) < keepP)
+    val ranked = thinned.withColumn("rn",
       row_number().over(
         Window.partitionBy(col(labelCol)).orderBy(rand(seed))))
-    ranked.join(broadcast(caps), Seq(labelCol))
+    ranked
       .filter(col("rn") <= col("cap"))
-      .drop("rn", "cap")
+      .drop("rn", "cap", "cnt")
   }
 }
