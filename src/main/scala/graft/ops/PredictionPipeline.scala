@@ -41,6 +41,12 @@ object PredictionPipeline {
         DateExprs.isDefaultSegment($"sday", $"eday"))
   }
 
+  /** Rows per scoring call: big enough to amortize per-batch model cost
+    * (a chip is 30k rows — one or two batches, matching the reference's
+    * one-DMatrix-per-chip shape), small enough to bound task memory even
+    * when an eager backend materializes the batch. */
+  private val ScoreBatchSize = 32768
+
   /** Score + persist; returns the number of prediction rows written. */
   def run(spark: SparkSession, segments: DataFrame, aux: DataFrame,
       store: Store, classifier: Classifier, modelBytes: Array[Byte],
@@ -62,17 +68,22 @@ object PredictionPipeline {
     val bcModel = spark.sparkContext.broadcast(modelBytes)
     val bcClassifier = spark.sparkContext.broadcast(classifier)
     val scored = scoredInput.mapPartitions { it =>
-      val rows = it.toArray
-      val probs = bcClassifier.value
-        .scoreBatch(bcModel.value, rows.iterator.map(_.features))
-      rows.iterator.zip(probs).map { case (r, p) =>
-        Prediction(r.cx, r.cy, r.px, r.py, r.sday, r.eday, r.pday, p)
+      it.grouped(ScoreBatchSize).flatMap { batch =>
+        val probs = bcClassifier.value
+          .scoreBatch(bcModel.value, batch.iterator.map(_.features))
+        batch.iterator.zip(probs).map { case (r, p) =>
+          Prediction(r.cx, r.cy, r.px, r.py, r.sday, r.eday, r.pday, p)
+        }
       }
     }
 
-    // U1: scored ∪ defaults
-    val predictions = scored.toDF().unionByName(defaults)
-    store.write("prediction", predictions, Seq("cx", "cy"))
-    store.read("prediction", spark).count()
+    // U1: scored ∪ defaults. Cache spans the write and the count so the
+    // job's row count never re-scans the whole prediction table (a
+    // full-table read per request would not survive 100 TB).
+    val predictions = scored.toDF().unionByName(defaults).cache()
+    try {
+      store.write("prediction", predictions, Seq("cx", "cy"))
+      predictions.count()
+    } finally predictions.unpersist()
   }
 }
