@@ -89,4 +89,84 @@ object Multimodal {
           decoder.decode(row))
       }
     }
+
+  /** The resample seam: re-encode one payload at the target dims.
+    * Implementations must be deterministic per (payload, w, h). */
+  trait MediaResizer extends Serializable {
+    def resize(row: MediaRow, width: Int, height: Int): Array[Byte]
+  }
+
+  /** Deterministic stand-in for a real resampler: nearest-neighbor
+    * byte sampling scaled by the pixel-count ratio — payload size
+    * tracks the target dims the way a raw raster's would. */
+  final class FakeResizer extends MediaResizer {
+    override def resize(row: MediaRow, width: Int, height: Int)
+        : Array[Byte] = {
+      val src = row.payload
+      if (src.isEmpty) return Array.emptyByteArray
+      val srcPx = math.max(row.width.toLong * row.height, 1L)
+      val outLen = math.max(
+        (src.length * (width.toLong * height) / srcPx).toInt, 1)
+      Array.tabulate[Byte](outLen) { j =>
+        src(((j.toLong * src.length) / outLen).toInt)
+      }
+    }
+  }
+
+  private implicit val mediaEnc: Encoder[MediaRow] =
+    Encoders.product[MediaRow]
+
+  /** Resize operator: a pure per-partition map — metadata is rewritten
+    * to the target dims alongside the resampled payload, so downstream
+    * metadata queries never decode. No shuffle, no driver hop. */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int,
+      resizer: MediaResizer = new FakeResizer): Dataset[MediaRow] =
+    media.mapPartitions { it =>
+      it.map { row =>
+        row.copy(width = width, height = height,
+          payload = resizer.resize(row, width, height))
+      }
+    }
+
+  /** One sampled frame from a video payload. */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, n_frames: Int,
+      payload: Array[Byte])
+
+  /** The frame-extraction seam: pull one frame's bytes out of a video
+    * payload. Deterministic per (payload, frameIdx). */
+  trait FrameGrabber extends Serializable {
+    def grab(row: MediaRow, frameIdx: Int): Array[Byte]
+  }
+
+  /** Deterministic stand-in: treats the payload as `n_frames` equal
+    * byte slices and returns slice `frameIdx` — the container-parsing
+    * equivalent a real demuxer would do. */
+  final class FakeGrabber extends FrameGrabber {
+    override def grab(row: MediaRow, frameIdx: Int): Array[Byte] = {
+      val n = math.max(row.n_frames, 1)
+      val from = (row.payload.length.toLong * frameIdx / n).toInt
+      val until = (row.payload.length.toLong * (frameIdx + 1) / n).toInt
+      java.util.Arrays.copyOfRange(row.payload, from, until)
+    }
+  }
+
+  private implicit val frameEnc: Encoder[FrameRow] =
+    Encoders.product[FrameRow]
+
+  /** Frame sampling: every `everyN`-th frame of each video row, as a
+    * partition-local flatMap (generator shape — one input row fans out
+    * to its sampled frames with no shuffle; at 100 TB the fan-out
+    * stays inside the task that already holds the payload bytes). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int,
+      grabber: FrameGrabber = new FakeGrabber): Dataset[FrameRow] = {
+    require(everyN > 0, "everyN must be positive")
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { row =>
+        (0 until row.n_frames by everyN).iterator.map { f =>
+          FrameRow(row.media_id, f, row.n_frames, grabber.grab(row, f))
+        }
+      }
+    }
+  }
 }
