@@ -18,6 +18,20 @@ object Bench {
       try Tables(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // ...and exercise the physical machinery (shuffle exchange, hash
+    // join/agg, sort, window codegen) once on the 25-row dims so the
+    // first timed query doesn't pay one-time JIT/codegen-cache cost
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Tables(spark, sfDir, "nation")
+        .join(Tables(spark, sfDir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("n").desc, col("r_name"))))
+        .orderBy(col("rk")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
