@@ -281,6 +281,47 @@ object TextOps {
         .orderBy($"d1", $"d2")
     },
 
+    // ----- x14 tf-idf: top-5 scored terms per document (SURVEY §7.5
+    // "tokenize/tf-idf"). Scale shape: three key-partitioned shuffles —
+    // (doc, term) count, term-frequency join on term, per-doc ranking
+    // window — and the corpus size joins in as a broadcast 1-row agg.
+    // The score is rounded BEFORE ranking so both engines rank
+    // identically despite last-ulp ln() differences.
+    "x14_tfidf" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM tk),
+         |sc AS (SELECT doc_id, tf.term,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.spread(s, dir, "documents")
+          .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+        val terms = docs.select($"doc_id", explode($"tk").as("term"))
+        val tf = terms.groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val sc = tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .select($"doc_id", $"term",
+            round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
+              .as("tfidf"))
+        sc.withColumn("rn", row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term"))
+            .cast("long"))
+          .filter($"rn" <= 5)
+          .orderBy($"doc_id", $"rn")
+    },
+
     // ----- x8 SimHash: 16-bit token-vote signature per document
     "x8_simhash" -> Q(
       s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
