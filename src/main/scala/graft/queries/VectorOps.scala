@@ -227,6 +227,52 @@ object VectorOps {
         .orderBy($"qid", $"rn")
     },
 
+    // ----- x15 int8 scalar quantization: per-vector symmetric quantize
+    // (q_i = round(v_i * 127 / max|v|)) + reconstruction RMSE — the
+    // 4x-compression step a 100 TB vector store applies before ANN.
+    // Pure projection: zero shuffle, one scan, codegen'd HOF arithmetic.
+    // Rounding is written as floor(x + 0.5) in BOTH engines so halfway
+    // cases agree exactly (round() half-away-from-zero differs between
+    // engines for negatives).
+    "x15_quantize" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+         |      AS mx
+         |  FROM e),
+         |q AS (SELECT vec_id, v, mx,
+         |    list_transform(v, x -> floor(x * 127 / mx + 0.5)) AS qv
+         |  FROM m)
+         |SELECT vec_id,
+         |  round(mx / 127, 9) AS scale,
+         |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+         |    AS ql1,
+         |  round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+         |    i -> pow(v[CAST(i AS INT)]
+         |      - qv[CAST(i AS INT)] * mx / 127, 2))) / len(v)), 6)
+         |    AS rmse
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val mx = greatest(
+        array_max(transform($"v", x => abs(x))), lit(1e-12))
+      val m = e.withColumn("mx", mx)
+      val qv = transform($"v", x => floor(x * 127 / $"mx" + 0.5))
+      val q = m.withColumn("qv", qv)
+      val sumsq = aggregate(
+        zip_with($"v", $"qv", (x, qi) => pow(x - qi * $"mx" / 127, 2)),
+        lit(0.0), (acc, x) => acc + x)
+      q.select($"vec_id",
+        round($"mx" / 127, 9).as("scale"),
+        aggregate($"qv", lit(0.0), (a, x) => a + x).cast("long").as("qsum"),
+        aggregate($"qv", lit(0.0), (a, x) => a + abs(x)).cast("long")
+          .as("ql1"),
+        round(sqrt(sumsq / size($"v")), 6).as("rmse"))
+        .orderBy($"vec_id")
+    },
+
     // ----- a4 element-wise array mean per group (SURVEY §2.4 A4:
     // the reference's np.mean(probs, axis=0) over annual prob vectors)
     "a4_array_mean" -> Q(
