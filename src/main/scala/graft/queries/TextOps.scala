@@ -307,9 +307,14 @@ object TextOps {
         val terms = docs.select($"doc_id", explode($"tk").as("term"))
         val tf = terms.groupBy($"doc_id", $"term")
           .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        // df as a count-over-term window: one exchange of tf on term,
+        // instead of a separate aggregate + join (which reshuffles the
+        // same relation twice)
+        val withDf = tf.withColumn("df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"term")))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val sc = tf.join(df, "term")
+        val sc = withDf
           .crossJoin(broadcast(n))
           .select($"doc_id", $"term",
             round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
