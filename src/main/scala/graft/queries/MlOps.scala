@@ -67,11 +67,14 @@ object MlOps {
       val scored = data.select($"vec_id", $"label", $"f")
         .as[(Long, Int, Array[Float])]
         .mapPartitions { it =>
-          val rows = it.toArray
           val clf2 = new SoftmaxClassifier(numClasses = 10)
-          val probs = clf2.scoreBatch(bc.value, rows.iterator.map(_._3))
-          rows.iterator.zip(probs).map { case ((id, lab, _), p) =>
-            (id, lab, p.indexOf(p.max))
+          // fixed-size batches bound task memory while keeping the
+          // vectorized-batch scoring shape (same as PredictionPipeline)
+          it.grouped(32768).flatMap { batch =>
+            val probs = clf2.scoreBatch(bc.value, batch.iterator.map(_._3))
+            batch.iterator.zip(probs).map { case ((id, lab, _), p) =>
+              (id, lab, p.indexOf(p.max))
+            }
           }
         }
         .toDF("vec_id", "label", "predicted")
