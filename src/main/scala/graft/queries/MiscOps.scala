@@ -63,15 +63,19 @@ object MiscOps {
     },
 
     // ----- F4 default-segment sentinel routing: the 0001-01-01 rows
-    // must survive parquet + both engines' date handling (SURVEY §7.4.4)
+    // must survive parquet + both engines' date handling (SURVEY §7.4.4).
+    // min/max days ship as ISO strings: year-1 dates overflow pandas'
+    // datetime64[ns] in the comparator, so a DATE column here hash-
+    // mismatches even when the values are identical (round-1 lesson).
     "f4_sentinel" -> Q(
       """WITH t AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN DATE '0001-01-01'
         |       ELSE CAST(o_orderdate AS DATE) END AS sday
         |  FROM orders)
         |SELECT CAST(sday = DATE '0001-01-01' AS INT) AS is_default,
-        |  CAST(count(*) AS BIGINT) AS n, min(sday) AS min_day,
-        |  max(sday) AS max_day
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(sday) AS VARCHAR) AS min_day,
+        |  CAST(max(sday) AS VARCHAR) AS max_day
         |FROM t GROUP BY 1 ORDER BY is_default""".stripMargin) { (s, dir) =>
       val sday = when($"o_orderkey" % 7 === 0, lit("0001-01-01").cast("date"))
         .otherwise(to_date($"o_orderdate"))
@@ -79,8 +83,9 @@ object MiscOps {
         .select($"o_orderkey", sday.as("sday"))
         .groupBy(DateExprs.isDefaultSegment($"sday", $"sday").cast("int")
           .as("is_default"))
-        .agg(count(lit(1)).as("n"), min($"sday").as("min_day"),
-          max($"sday").as("max_day"))
+        .agg(count(lit(1)).as("n"),
+          date_format(min($"sday"), "yyyy-MM-dd").as("min_day"),
+          date_format(max($"sday"), "yyyy-MM-dd").as("max_day"))
         .orderBy($"is_default")
     },
 
