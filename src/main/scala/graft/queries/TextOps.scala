@@ -189,7 +189,10 @@ object TextOps {
         .select($"doc_id", T.md5Long($"s").as("h"))
       // df-cap as a window over h: one shuffle, no extra join, and the
       // cached result stays hash-partitioned on h so the pair self-join
-      // below needs no further exchange
+      // below needs no further exchange. (Measured alternatives at
+      // sf0.1: postings-list pair enumeration via collect_list or a
+      // bounded udaf is 2-4x slower — object-hash aggregation and
+      // per-row array copies lose to the codegen'd sort window + SMJ.)
       val shf = sh
         .withColumn("c", count(lit(1))
           .over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
@@ -307,14 +310,17 @@ object TextOps {
         val terms = docs.select($"doc_id", explode($"tk").as("term"))
         val tf = terms.groupBy($"doc_id", $"term")
           .agg(count(lit(1)).as("tf"))
-        // df as a count-over-term window: one exchange of tf on term,
-        // instead of a separate aggregate + join (which reshuffles the
-        // same relation twice)
-        val withDf = tf.withColumn("df", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"term")))
+        // df via hash-agg + broadcast join back onto tf: the partial
+        // (map-side) agg collapses tf to vocabulary size before any
+        // exchange, and the broadcast keeps the big tf relation from
+        // being reshuffled-and-sorted on term (a count-over-term window
+        // costs a full second exchange + sort of tf). A corpus whose
+        // vocabulary outgrows the broadcast threshold would df-cap
+        // first (see x6) or fall back to a shuffled join.
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val sc = withDf
+        val sc = tf
+          .join(broadcast(df), "term")
           .crossJoin(broadcast(n))
           .select($"doc_id", $"term",
             round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
