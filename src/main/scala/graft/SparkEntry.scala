@@ -14,7 +14,7 @@ object SparkEntry {
   /** Full registry: Spark impl + optional DuckDB oracle per query. */
   def all: Map[String, Q] =
     Relational.qs ++ DateOps.qs ++ TextOps.qs ++ VectorOps.qs ++
-      EventOps.qs ++ MiscOps.qs ++ MlOps.qs
+      EventOps.qs ++ MiscOps.qs ++ MlOps.qs ++ SeqOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,6 +44,65 @@ object TextOps {
   private val Bands = 4
   private val RowsPerBand = Sig / Bands
 
+  /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
+    * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
+    * intersection counts -> Jaccard >= 0.5. */
+  private val pairCtes: String =
+    s"""tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
+       |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+       |  FROM tk WHERE len(tk) >= $K)),
+       |df AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+       |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN df USING (h)
+       |  WHERE df.c <= $DfCap),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT d1, d2, i / (x.n + y.n - i) AS jacv
+       |  FROM pairs JOIN sz x ON pairs.d1 = x.doc_id
+       |    JOIN sz y ON pairs.d2 = y.doc_id
+       |  WHERE i / (x.n + y.n - i) >= 0.5)""".stripMargin
+
+  /** Spark twin of [[pairCtes]]: near-dup pairs (d1, d2, jacv). */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= K)
+    // join on the 48-bit shingle hash, not the string: ~3x smaller
+    // shuffle keys; both engines hash identically so any collision
+    // affects both sides the same way. Cached: three consumers
+    // (df-cap, sizes, pair join) would otherwise re-explode the scan.
+    val sh = tk
+      .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+      .select($"doc_id", T.md5Long($"s").as("h"))
+    // df-cap as a window over h: one shuffle, no extra join, and the
+    // cached result stays hash-partitioned on h so the pair self-join
+    // below needs no further exchange. (Measured alternatives at
+    // sf0.1: postings-list pair enumeration via collect_list or a
+    // bounded udaf is 2-4x slower — object-hash aggregation and
+    // per-row array copies lose to the codegen'd sort window + SMJ.)
+    val shf = sh
+      .withColumn("c", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .filter($"c" <= DfCap).select($"doc_id", $"h").cache()
+    val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // self-join via an explicit rename (avoids ambiguous-attribute
+    // resolution on a shared lineage)
+    val shfB = shf.select($"h".as("h2"), $"doc_id".as("doc_id2"))
+    val pairs = shf.join(shfB, $"h" === $"h2" && $"doc_id" < $"doc_id2")
+      .groupBy($"doc_id".as("d1"), $"doc_id2".as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = $"i" / ($"xn" + $"yn" - $"i")
+    pairs
+      .join(sz.select($"doc_id".as("d1"), $"n".as("xn")), "d1")
+      .join(sz.select($"doc_id".as("d2"), $"n".as("yn")), "d2")
+      .filter(jac >= 0.5)
+      .select($"d1", $"d2", jac.as("jacv"))
+  }
+
   val qs: Map[String, Q] = Map(
     // ----- x1 token counting: whitespace + BPE-ish pre-tokenizer regex
     "x1_tokenize" -> Q(
@@ -160,57 +219,58 @@ object TextOps {
     // ----- x6 n-gram Jaccard near-dup: sparse inverted-index self-join
     // on 3-shingles (never O(n²)), df-capped, threshold 0.5
     "x6_ngram_jaccard" -> Q(
-      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
-         |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
-         |  FROM tk WHERE len(tk) >= $K)),
-         |df AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-         |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN df USING (h)
-         |  WHERE df.c <= $DfCap),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(i / (x.n + y.n - i), 6) AS jaccard
-         |FROM pairs JOIN sz x ON pairs.d1 = x.doc_id
-         |  JOIN sz y ON pairs.d2 = y.doc_id
-         |WHERE i / (x.n + y.n - i) >= 0.5
-         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val tk = Tables.spread(s, dir, "documents")
-        .select($"doc_id", T.wsTokens($"text").as("tk"))
-        .filter(size($"tk") >= K)
-      // join on the 48-bit shingle hash, not the string: ~3x smaller
-      // shuffle keys; both engines hash identically so any collision
-      // affects both sides the same way. Cached: three consumers
-      // (df-cap, sizes, pair join) would otherwise re-explode the scan.
-      val sh = tk
-        .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-        .select($"doc_id", T.md5Long($"s").as("h"))
-      // df-cap as a window over h: one shuffle, no extra join, and the
-      // cached result stays hash-partitioned on h so the pair self-join
-      // below needs no further exchange. (Measured alternatives at
-      // sf0.1: postings-list pair enumeration via collect_list or a
-      // bounded udaf is 2-4x slower — object-hash aggregation and
-      // per-row array copies lose to the codegen'd sort window + SMJ.)
-      val shf = sh
-        .withColumn("c", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
-        .filter($"c" <= DfCap).select($"doc_id", $"h").cache()
-      val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      // self-join via an explicit rename (avoids ambiguous-attribute
-      // resolution on a shared lineage)
-      val shfB = shf.select($"h".as("h2"), $"doc_id".as("doc_id2"))
-      val pairs = shf.join(shfB, $"h" === $"h2" && $"doc_id" < $"doc_id2")
-        .groupBy($"doc_id".as("d1"), $"doc_id2".as("d2"))
-        .agg(count(lit(1)).as("i"))
-      val jac = $"i" / ($"xn" + $"yn" - $"i")
-      pairs
-        .join(sz.select($"doc_id".as("d1"), $"n".as("xn")), "d1")
-        .join(sz.select($"doc_id".as("d2"), $"n".as("yn")), "d2")
-        .filter(jac >= 0.5)
-        .select($"d1", $"d2", round(jac, 6).as("jaccard"))
+      s"""WITH $pairCtes
+         |SELECT d1, d2, round(jacv, 6) AS jaccard
+         |FROM jac ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      jaccardPairs(s, dir)
+        .select($"d1", $"d2", round($"jacv", 6).as("jaccard"))
         .orderBy($"d1", $"d2")
+    },
+
+    // ----- x19 near-dup clustering: connected components over the x6
+    // pair graph (the "keep one doc per duplicate cluster" step after
+    // pair finding). Spark side: min-label propagation — per iteration
+    // ONE join + ONE min-agg, O(component diameter) iterations, lineage
+    // cut by localCheckpoint (a reliable checkpoint dir at cluster
+    // scale). Near-dup graphs are overwhelmingly tiny cliques, so this
+    // converges in 2-3 rounds; the large-star/small-star rewrite is the
+    // upgrade path if components ever get deep. Oracle: recursive-CTE
+    // transitive closure over the same pairs.
+    "x19_components" -> Q(
+      s"""WITH RECURSIVE $pairCtes,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jac
+         |  UNION ALL SELECT d2, d1 FROM jac),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (SELECT n, n AS m FROM nodes
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+         |comp AS (SELECT n, min(m) AS comp FROM reach GROUP BY n)
+         |SELECT n AS doc_id, CAST(comp AS BIGINT) AS comp,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pr = jaccardPairs(s, dir).select($"d1", $"d2")
+      val und = pr.union(pr.select($"d2", $"d1")).toDF("a", "b").cache()
+      var labels = und.select($"a".as("n")).distinct()
+        .withColumn("m", $"n").localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val nbr = und.join(labels, und("b") === labels("n"))
+          .select(und("a").as("n"), $"m")
+        val next = labels.union(nbr)
+          .groupBy($"n").agg(min($"m").as("m")).localCheckpoint()
+        changed = next.join(labels.select($"n", $"m".as("prev")), "n")
+          .filter($"m" < $"prev").count()
+        labels = next
+        iter += 1
+      }
+      und.unpersist()
+      labels
+        .withColumn("csize", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"m"))
+          .cast("long"))
+        .select($"n".as("doc_id"), $"m".as("comp"), $"csize")
+        .orderBy($"doc_id")
     },
 
     // ----- x7 MinHash + LSH banding: 16-hash signature, 4 bands x 4;
