@@ -42,17 +42,18 @@ object SeqOps {
         |SELECT CAST(lid AS BIGINT) AS lid, user_id,
         |  CAST(coalesce(rid, -1) AS BIGINT) AS rid
         |FROM w WHERE tag = 1 ORDER BY lid""".stripMargin) { (s, dir) =>
-      val ev = Tables(s, dir, "events")
-      val r = ev.filter($"event_type" === "view")
-        .select($"user_id", $"ts", lit(0).as("tag"),
-          $"event_id".as("rid"), lit(null).cast("long").as("lid"))
-      val l = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", lit(1).as("tag"),
-          lit(null).cast("long").as("rid"), $"event_id".as("lid"))
+      // one scan with an IN filter + conditional tag projection (a
+      // union of two filtered scans would read the table twice)
+      val tagged = Tables(s, dir, "events")
+        .filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"ts",
+          when($"event_type" === "view", 0).otherwise(1).as("tag"),
+          when($"event_type" === "view", $"event_id").as("rid"),
+          when($"event_type" === "click", $"event_id").as("lid"))
       val w = Window.partitionBy($"user_id")
         .orderBy($"ts", $"tag", coalesce($"rid", lit(-1L)))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      r.unionByName(l)
+      tagged
         .withColumn("asof_rid", last($"rid", ignoreNulls = true).over(w))
         .filter($"tag" === 1)
         .select($"lid", $"user_id",

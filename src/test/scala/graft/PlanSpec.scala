@@ -18,6 +18,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Only the AQE final plan section — the adaptive plan string repeats
+    * every operator under "== Initial Plan ==", which double-counts
+    * scans/exchanges in occurrence assertions. */
+  private def finalPlanOf(name: String): String =
+    planOf(name).split("== Initial Plan ==")(0)
+
   test("s5_scan pushes the filter into the parquet scan and prunes columns") {
     val p = planOf("s5_scan")
     assert(p.contains("PushedFilters: [IsNotNull(p_size), " +
@@ -76,5 +82,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     // exact refine uses the codegen dot product
     assert(p.contains("dot_product"), p)
+  }
+
+  test("x16 as-of join reads events once and shuffles once on user_id") {
+    val p = finalPlanOf("x16_asof")
+    // single scan: union-of-filters would scan the parquet twice
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    // the event-type IN filter reaches the scan
+    assert(p.contains("In(event_type"), p)
+    // exactly one exchange: the window partitioning on user_id (plus
+    // the final global sort's range exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("x17 packing is a single window over one shuffle on source") {
+    val p = finalPlanOf("x17_pack")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("x18 scrub is a pure projection: no exchange at all") {
+    val p = finalPlanOf("x18_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // only the final ORDER BY's range exchange is allowed
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 }
