@@ -252,16 +252,22 @@ object TextOps {
       val und = pr.union(pr.select($"d2", $"d1")).toDF("a", "b").cache()
       var labels = und.select($"a".as("n")).distinct()
         .withColumn("m", $"n").localCheckpoint()
-      var changed = 1L
+      // labels only ever decrease, so the label SUM is strictly
+      // monotone until the fixpoint: convergence = unchanged sum, ONE
+      // small aggregate per iteration (a join-against-previous change
+      // count would double the per-iteration action count)
+      def labelSum(): Long =
+        labels.agg(sum($"m")).first().getLong(0)
+      var prev = -1L
+      var cur = labelSum()
       var iter = 0
-      while (changed > 0 && iter < 50) {
+      while (cur != prev && iter < 50) {
         val nbr = und.join(labels, und("b") === labels("n"))
           .select(und("a").as("n"), $"m")
-        val next = labels.union(nbr)
+        labels = labels.union(nbr)
           .groupBy($"n").agg(min($"m").as("m")).localCheckpoint()
-        changed = next.join(labels.select($"n", $"m".as("prev")), "n")
-          .filter($"m" < $"prev").count()
-        labels = next
+        prev = cur
+        cur = labelSum()
         iter += 1
       }
       und.unpersist()
