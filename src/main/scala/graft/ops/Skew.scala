@@ -27,4 +27,21 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n_rows"))
   }
+
+  /** Salted equi-join for a skewed big side: the big side gets a
+    * deterministic row-hash salt, the other side is replicated across
+    * all `salts` values, and the join key becomes (key, salt) — each
+    * hot key spreads over `salts` reducers instead of serializing one.
+    * This is the manual big-big skew-join guard; when the small side
+    * fits the broadcast threshold Spark needs no salt at all, and AQE
+    * skew splitting covers moderate skew — use this when BOTH sides
+    * are too big to broadcast and one key dominates. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -190,6 +190,32 @@ object MiscOps {
           .orderBy($"l_returnflag")
     },
 
+    // ----- J4 salted skew join: the 3-value returnflag key is the
+    // pathological case (every row lands on one of 3 reducers in a
+    // plain shuffle join); Skew.saltedJoin spreads each hot key over 16
+    // reducers. Weighted sums accumulate as exact integer cents so the
+    // result is order-independent and engine-exact.
+    "j4_salted_join" -> Q(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * w)
+        |    AS DOUBLE) / 100, 2) AS weighted
+        |FROM lineitem JOIN (VALUES ('A', 2), ('N', 3), ('R', 5))
+        |  d(l_returnflag, w) USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dim = s.createDataFrame(Seq(("A", 2), ("N", 3), ("R", 5)))
+        .toDF("l_returnflag", "w")
+      graft.ops.Skew.saltedJoin(
+          Tables(s, dir, "lineitem")
+            .select($"l_returnflag",
+              round($"l_extendedprice" * 100).cast("long").as("cents")),
+          dim, "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round((sum($"cents" * $"w")).cast("double") / 100, 2)
+            .as("weighted"))
+        .orderBy($"l_returnflag")
+    },
+
     // ----- x12 multimodal binary columns: opaque payload + typed
     // metadata; "decode" here is the deterministic byte-level feature
     // stub (octet length, codepoint checksum, header hex) — the real

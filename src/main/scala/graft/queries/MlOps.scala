@@ -81,5 +81,48 @@ object MlOps {
       scored.groupBy($"label", $"predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy($"label", $"predicted")
+    },
+
+    // ----- m3 closed-form per-group OLS trend (the regression kernel
+    // inside CCD, reduced to normal equations so it IS oracle-checkable
+    // unlike m1/m2): slope/intercept of total price over order date per
+    // customer. All sufficient statistics (n, Σx, Σy, Σxx, Σxy) are
+    // EXACT integer sums — order-independent under distributed
+    // aggregation, so both engines derive bit-identical doubles. One
+    // map-side-combined shuffle on the group key; the 100 TB shape.
+    "m3_trend" -> Q(
+      """WITH t AS (SELECT o_custkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS x,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT o_custkey, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a WHERE n >= 2 AND n*sxx - sx*sx <> 0
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import graft.StringToColumn
+      val t = Tables(s, dir, "orders").select($"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+      val a = t.groupBy($"o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+      val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+      val slope = num / den
+      a.filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") =!= 0)
+        .select($"o_custkey", $"n", round(slope, 6).as("slope"),
+          round(($"sy".cast("double") - slope * $"sx".cast("double"))
+            / $"n".cast("double"), 6).as("intercept"))
+        .orderBy($"o_custkey")
     })
 }
