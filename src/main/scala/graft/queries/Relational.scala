@@ -208,6 +208,42 @@ object Relational {
             Tables(s, dir, "orders").agg(count(lit(1)).as("n_orders")))
     },
 
+    // ----- A7 exact per-group quantiles (data-profiling surface): the
+    // discrete percentile is the value at rank ceil(p*n) of the sorted
+    // group — one shuffle + per-group sort, deterministic regardless of
+    // tie order because equal ranks hold equal values. At 100 TB the
+    // one-pass mergeable sketch (approx_percentile / KLL) replaces the
+    // sort; the exact form is what the oracle can verify bit-for-bit.
+    "a7_quantiles" -> Q(
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |r AS (SELECT flag, q,
+        |  row_number() OVER (PARTITION BY flag ORDER BY q) AS rn,
+        |  count(*) OVER (PARTITION BY flag) AS n FROM t)
+        |SELECT flag,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN q END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN q END) AS BIGINT) AS p90,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "lineitem").select(
+        $"l_returnflag".as("flag"),
+        round($"l_quantity").cast("long").as("q"))
+      val byFlag = Window.partitionBy($"flag")
+      val r = t
+        .withColumn("rn", row_number().over(byFlag.orderBy($"q")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      r.groupBy($"flag")
+        .agg(
+          max(when($"rn" === ceil(lit(0.5) * $"n").cast("long"), $"q"))
+            .cast("long").as("p50"),
+          max(when($"rn" === ceil(lit(0.9) * $"n").cast("long"), $"q"))
+            .cast("long").as("p90"),
+          max($"n").cast("long").as("n"))
+        .orderBy($"flag")
+    },
+
     // ----- §2.5 window: running sum + rank. The ordering includes
     // l_quantity because the synthetic lineitem has duplicate
     // (orderkey, linenumber) pairs — without it the prefix sum is
