@@ -61,20 +61,29 @@ object VectorOps {
 
   /** IVF coarse-quantizer size (x13): centroid count. */
   private val Cells = 16
-  private def planeLit(j: Int): Column =
-    typedLit((1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
 
-  /** Same sequential-fold float semantics as
-    * `aggregate(zip_with(v, plane, *), 0d, +)` but through the codegen
-    * [[graft.functions.DotProduct]] loop — the plane literal is a
-    * constant array, so the per-row cost is one tight fused loop
-    * instead of an interpreted lambda per element. */
-  private def planeDot(v: Column, j: Int): Column = dot(v, planeLit(j))
+  /** The 8 hyperplanes as one constant matrix, fed to the single-loop
+    * [[graft.functions.DotMatrix]] codegen expression (bit-identical
+    * per-plane sequential folds; one small generated method instead of
+    * 8 embedded 64-element literal folds). */
+  private val PlaneMatrix: Array[Array[Double]] =
+    Array.tabulate(Planes)(j =>
+      (1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
 
-  private def bucket(v: Column): Column =
+  /** Per-plane sign bits over a materialized plane-dots array column
+    * (compute `DotMatrix(v, PlaneMatrix)` into its own column first —
+    * CollapseProject keeps a multi-referenced non-trivial alias
+    * materialized, so the 8 bit tests share one dots evaluation). */
+  private def bucketOf(planeDots: Column): Column =
     (0 until Planes).map { j =>
-      when(planeDot(v, j) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(planeDots, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Normalize + assign the LSH bucket: one DotMatrix pass per row. */
+  private def bucketed(e: org.apache.spark.sql.DataFrame) =
+    e.withColumn("pd", graft.functions.DotMatrix($"v", PlaneMatrix))
+      .withColumn("bkt", bucketOf($"pd"))
+      .drop("pd")
 
   private def sqlPlaneDot(v: String, j: Int): String =
     s"list_sum(list_transform(range(1, len($v) + 1), " +
@@ -130,7 +139,7 @@ object VectorOps {
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       // cached: both sides of the bucket self-join reuse one
       // normalize+bucket pass instead of recomputing from the scan
-      val b = e.withColumn("bkt", bucket($"v")).cache()
+      val b = bucketed(e).cache()
       val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
         $"bkt".as("bkt2"))
       b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
@@ -155,7 +164,7 @@ object VectorOps {
       (s, dir) =>
         val e = normalized(Tables.spread(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-        val b = e.withColumn("bkt", bucket($"v")).cache()
+        val b = bucketed(e).cache()
         val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
           $"bkt".as("bkt2"))
         val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
@@ -205,15 +214,23 @@ object VectorOps {
         .select($"vec_id", $"v").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      // argmax over centroids via lexicographic struct max; negated cid
-      // makes ties resolve to the SMALLEST cid (matching the oracle's
-      // `ORDER BY cos DESC, cid`)
-      val best = array_max(array(centroids.toIndexedSeq.map {
-        case (cid, cv) =>
-          struct(round(dot($"v", typedLit(cv)), 4).as("cos"),
+      // all 16 centroid dots in ONE DotMatrix loop (bit-identical to
+      // the per-centroid DotProduct folds), then argmax via
+      // lexicographic struct max; negated cid makes ties resolve to
+      // the SMALLEST cid (matching the oracle's `ORDER BY cos DESC,
+      // cid`)
+      val centroidMatrix = centroids.map(_._2)
+      val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
+        case ((cid, _), r) => // row r of the matrix IS centroid cid
+          struct(round(element_at($"cd", r + 1), 4).as("cos"),
             lit(-cid).as("negcid"))
       }: _*))
-      val cells = e.withColumn("cell", -best.getField("negcid")).cache()
+      val cells = e
+        .withColumn("cd",
+          graft.functions.DotMatrix($"v", centroidMatrix))
+        .withColumn("cell", -best.getField("negcid"))
+        .drop("cd")
+        .cache()
       val q = cells.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
       val sc = cells.join(broadcast(q),
