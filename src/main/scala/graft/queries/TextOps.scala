@@ -216,6 +216,37 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ----- x20 dedup resolution: keep the BEST doc per duplicate
+    // cluster (longest text, doc_id tiebreak) — the canonical-selection
+    // step that follows pair/cluster finding in a dedup pipeline (x5
+    // keeps min-id; real pipelines keep max-quality). One shuffle on
+    // the content key + a rank window.
+    "x20_dedup_resolve" -> Q(
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  md5(array_to_string((${TS.wsTokens("text")})[1:8], ' ')) AS key
+         |  FROM documents),
+         |r AS (SELECT key, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY key
+         |    ORDER BY n_chars DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY key) AS dups FROM k)
+         |SELECT key, CAST(doc_id AS BIGINT) AS keep_id,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(dups AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY key""".stripMargin) { (s, dir) =>
+      val byKey = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          md5(concat_ws(" ", slice(T.wsTokens($"text"), 1, 8))).as("key"))
+        .withColumn("rn", row_number()
+          .over(byKey.orderBy($"n_chars".desc, $"doc_id")))
+        .withColumn("dups", count(lit(1)).over(byKey))
+        .filter($"rn" === 1)
+        .select($"key", $"doc_id".as("keep_id"),
+          $"n_chars".cast("long").as("n_chars"),
+          $"dups".cast("long").as("n_members"))
+        .orderBy($"key")
+    },
+
     // ----- x6 n-gram Jaccard near-dup: sparse inverted-index self-join
     // on 3-shingles (never O(n²)), df-capped, threshold 0.5
     "x6_ngram_jaccard" -> Q(
