@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, PredictionDates, SimHashBits}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.{DotMatrix, DotProduct, MinHashSig, PredictionDates, SimHashBits}
 
 /** Session extension registering the engine's native expressions into
   * the SQL function registry, so the whole surface is reachable from
@@ -50,7 +51,19 @@ object GraftExtensions {
         intArg(children(1), "minhash_sig size"))),
     ("simhash_bits", classOf[SimHashBits].getName,
       children => SimHashBits(children(0),
-        intArg(children(1), "simhash_bits width"))))
+        intArg(children(1), "simhash_bits width"))),
+    ("dot_matrix", classOf[DotMatrix].getName,
+      children => {
+        // the matrix must be a literal array<array<double>>: fold it
+        // once at resolution into the expression's constant
+        val m = children(1)
+        require(m.foldable,
+          "dot_matrix matrix must be a literal array of double arrays")
+        val ad = m.eval().asInstanceOf[ArrayData]
+        val rows = Array.tabulate(ad.numElements())(r =>
+          ad.getArray(r).toDoubleArray())
+        DotMatrix(children(0), rows)
+      }))
 
   /** Register the same functions on an already-running session (the
     * extensions config only applies at session build time). */

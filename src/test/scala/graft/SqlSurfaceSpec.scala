@@ -33,6 +33,14 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(df.select(DotProduct($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("dot_matrix is callable from SQL text with a literal matrix") {
+    val got = spark.sql(
+      "SELECT dot_matrix(array(1d, 2d), " +
+        "array(array(3d, 4d), array(1d, 0d))) AS d")
+      .as[Seq[Double]].head()
+    assert(got == Seq(11.0, 1.0))
+  }
+
   test("dot_product is callable from SQL text") {
     val got = spark.sql(
       "SELECT dot_product(array(1d, 2d), array(3d, 4d)) AS d")
