@@ -88,7 +88,11 @@ object MlOps {
     // unlike m1/m2): slope/intercept of total price over order date per
     // customer. All sufficient statistics (n, Σx, Σy, Σxx, Σxy) are
     // EXACT integer sums — order-independent under distributed
-    // aggregation, so both engines derive bit-identical doubles. One
+    // aggregation, so both engines derive bit-identical doubles. The
+    // 6-decimal rounding is written as floor(x*1e6 + 0.5)/1e6 in BOTH
+    // engines: identical IEEE ops on identical doubles, whereas
+    // round(x, 6) hits engine-specific behavior exactly at scaled-ulp
+    // boundaries (2/15k rows differed at sf0.1 before this). One
     // map-side-combined shuffle on the group key; the 100 TB shape.
     "m3_trend" -> Q(
       """WITH t AS (SELECT o_custkey,
@@ -98,15 +102,16 @@ object MlOps {
         |a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
-        |  FROM t GROUP BY 1)
+        |  FROM t GROUP BY 1),
+        |f AS (SELECT o_custkey, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |    AS slope_raw, sx, sy
+        |  FROM a WHERE n >= 2 AND n*sxx - sx*sx <> 0)
         |SELECT o_custkey, n,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
-        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
-        |  round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
-        |      / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE), 6) AS intercept
-        |FROM a WHERE n >= 2 AND n*sxx - sx*sx <> 0
-        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+        |  floor(slope_raw * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM f ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       import graft.StringToColumn
       val t = Tables(s, dir, "orders").select($"o_custkey",
         datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date"))
@@ -119,10 +124,12 @@ object MlOps {
       val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
       val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
       val slope = num / den
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
       a.filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") =!= 0)
-        .select($"o_custkey", $"n", round(slope, 6).as("slope"),
-          round(($"sy".cast("double") - slope * $"sx".cast("double"))
-            / $"n".cast("double"), 6).as("intercept"))
+        .select($"o_custkey", $"n", r6(slope).as("slope"),
+          r6(($"sy".cast("double") - slope * $"sx".cast("double"))
+            / $"n".cast("double")).as("intercept"))
         .orderBy($"o_custkey")
     })
 }
