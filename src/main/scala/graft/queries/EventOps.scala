@@ -66,6 +66,49 @@ object EventOps {
         .orderBy($"user_id", $"session_id")
     },
 
+    // ----- e4 ordered conversion funnel: per user, first view, first
+    // click AFTER that view, first purchase AFTER that click. Three
+    // conditional-min window passes over ONE exchange on user_id (each
+    // references the previous pass's column), then a same-partitioning
+    // rollup — no joins, no second shuffle; the shape that holds when
+    // the event log is 100 TB and users are millions.
+    "e4_funnel" -> Q(
+      """WITH s1 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (SELECT user_id, event_type, ts, t1,
+        |  min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT user_id, t1, t2,
+        |  min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT user_id,
+        |  CAST(1 + CAST(t2 IS NOT NULL AS INT)
+        |    + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS stage,
+        |  CAST(epoch_us(coalesce(t3, t2, t1)) - epoch_us(t1) AS BIGINT)
+        |    AS funnel_us
+        |FROM s3 WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val byU = Window.partitionBy($"user_id")
+      Tables(s, dir, "events")
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"ts")).over(byU))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts"))
+            .over(byU))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts"))
+            .over(byU))
+        .filter($"t1".isNotNull)
+        .select($"user_id",
+          (lit(1) + $"t2".isNotNull.cast("int")
+            + $"t3".isNotNull.cast("int")).cast("long").as("stage"),
+          (unix_micros(coalesce($"t3", $"t2", $"t1"))
+            - unix_micros($"t1")).as("funnel_us"))
+        .distinct()
+        .orderBy($"user_id")
+    },
+
     // ----- e3 rollup (multi-level aggregate, free from Spark SQL —
     // SURVEY §2.4 "grouping sets, cube, rollup")
     "e3_rollup" -> Q(

@@ -216,6 +216,26 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ----- x21 bigram corpus statistics: top-20 bigrams by document
+    // frequency (n-gram LM profiling). Per-doc distinct shingling keeps
+    // the count a document frequency; one hash-agg shuffle on the
+    // bigram, then a global top-k (TakeOrdered — no full sort).
+    "x21_bigrams" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |b AS (SELECT doc_id, unnest(${TS.shingles("tk", 2)}) AS bg
+         |  FROM tk WHERE len(tk) >= 2),
+         |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM b GROUP BY 1)
+         |SELECT bg, df FROM c ORDER BY df DESC, bg LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Tables.spread(s, dir, "documents")
+          .select(explode(
+            T.shingles(T.wsTokens(lower($"text")), 2)).as("bg"))
+          .groupBy($"bg").agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"bg")
+          .limit(20)
+    },
+
     // ----- x20 dedup resolution: keep the BEST doc per duplicate
     // cluster (longest text, doc_id tiebreak) — the canonical-selection
     // step that follows pair/cluster finding in a dedup pipeline (x5
