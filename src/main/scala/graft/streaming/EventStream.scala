@@ -60,6 +60,47 @@ object EventStream {
   private implicit val stateEnc: Encoder[SessionState] =
     Encoders.product[SessionState]
 
+  // NOT private: Spark's generated (de)serializers must reach the ctor
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  private implicit val funnelStateEnc: Encoder[FunnelState] =
+    Encoders.product[FunnelState]
+  private implicit val funnelStageEnc: Encoder[FunnelStage] =
+    Encoders.product[FunnelStage]
+
+  /** Incremental ordered conversion funnel (streaming twin of the
+    * batch e4 query): per user, track first view, first click after
+    * it, first purchase after that; emit the user's current stage
+    * (0-3) on every update. State is three epoch-millis longs per
+    * user — O(users), independent of stream length. Run the query in
+    * Update output mode. */
+  def funnelStages(events: Dataset[Event],
+      watermark: String = "1 hour"): Dataset[FunnelStage] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelState, FunnelStage](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, 0, 0))
+          rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if s.t1 == 0 => s = s.copy(t1 = t)
+              case "click" if s.t1 != 0 && s.t2 == 0 && t > s.t1 =>
+                s = s.copy(t2 = t)
+              case "purchase" if s.t2 != 0 && s.t3 == 0 && t > s.t2 =>
+                s = s.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          FunnelStage(userId, (if (s.t1 != 0) 1 else 0)
+            + (if (s.t2 != 0) 1 else 0) + (if (s.t3 != 0) 1 else 0))
+      }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gap` passes with no events (enforced by event-time
     * timeout against the watermark, so state size is O(active users)).

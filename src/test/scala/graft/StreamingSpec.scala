@@ -94,6 +94,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel tracks view -> click -> purchase per user") {
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, minute: Int, user: Long, typ: String) =
+      Event(id, ts(minute), user, typ, 1.0, "{}")
+    val in = MemoryStream[Event]
+    val q = EventStream.funnelStages(in.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // user 1 completes the funnel in order; user 2's purchase comes
+      // BEFORE any click and must not advance the stage
+      in.addData(tev(1, 0, 1, "view"), tev(2, 5, 1, "click"),
+        tev(3, 0, 2, "view"), tev(4, 2, 2, "purchase"))
+      q.processAllAvailable()
+      in.addData(tev(5, 10, 1, "purchase"), tev(6, 12, 2, "click"))
+      q.processAllAvailable()
+      val last = spark.table("funnel")
+        .groupBy($"user_id").agg(org.apache.spark.sql.functions
+          .max($"stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      assert(last(1L) == 3) // view -> click -> purchase
+      assert(last(2L) == 2) // purchase-before-click never counted
+    } finally q.stop()
+  }
+
   test("job queue dispatches segment requests and logs errors") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-jobq").toString
