@@ -216,6 +216,28 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ----- x22 deterministic weighted sample: md5-derived priority
+    // u/w (heavier docs rank earlier in expectation), top-20 by
+    // priority. Spark plans ORDER BY + LIMIT as TakeOrdered — each
+    // partition keeps only its local top-20 and the driver merges k*p
+    // rows, so the full table is never sorted or shuffled: the
+    // weighted-reservoir shape at 100 TB. Priorities divide two exact
+    // integers, so both engines order identically.
+    "x22_weighted_sample" -> Q(
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  ${TS.md5Long("CAST(doc_id AS VARCHAR) || '_s7'")} AS u
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+         |FROM t ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars".cast("long").as("w"),
+          T.md5Long(concat($"doc_id".cast("string"), lit("_s7"))).as("u"))
+        .orderBy($"u".cast("double") / $"w", $"doc_id")
+        .limit(20)
+        .select($"doc_id", $"w")
+    },
+
     // ----- x21 bigram corpus statistics: top-20 bigrams by document
     // frequency (n-gram LM profiling). Per-doc distinct shingling keeps
     // the count a document frequency; one hash-agg shuffle on the
