@@ -103,6 +103,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("x22 weighted sample plans as TakeOrdered (no global sort)") {
+    val p = finalPlanOf("x22_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // a global Sort exchange would mean the whole table is sorted
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("x18 scrub is a pure projection: no exchange at all") {
     val p = finalPlanOf("x18_scrub")
     assert(!p.contains("Exchange hashpartitioning"), p)
