@@ -35,6 +35,38 @@ object Bench {
           Window.partitionBy(lit(1)).orderBy(col("n").desc, col("r_name"))))
         .orderBy(col("rk")).count()
     } catch { case _: Throwable => () }
+    // ...and the text/hash stage shapes (regex split, md5/conv shingle
+    // hashing, the df-cap window, the pair self-join, term tf/df aggs)
+    // on a ~1k-doc subset — identical generated classes to the real
+    // x6/x14/x19/x21 stages, so the heavy text queries don't pay the
+    // janino + C2 warmup inside whichever of them runs first
+    try {
+      queries.TextOps.warmup(spark, sfDir)
+    } catch { case _: Throwable => () }
+    // ...and the MinHash / SimHash codegen expressions (x7/x8)
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextExprs => T}
+      Tables(spark, sfDir, "documents").limit(64)
+        .select(col("doc_id"), T.wsTokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.MinHashSig(
+            T.shingleHashes(T.shingles(col("tk"), 3)), 16).as("sig"),
+          T.simhash(col("tk"), 16).as("simhash"),
+          T.md5Long(concat_ws(" ", col("tk"))).as("m")).count()
+    } catch { case _: Throwable => () }
+    // ...and the vector codegen expressions (DotProduct fold, DotMatrix
+    // loop, transform-normalize) the embedding queries lean on
+    try {
+      import org.apache.spark.sql.functions._
+      val m = Array.tabulate(4)(j => Array.tabulate(64)(i => (j + i) / 64.0))
+      Tables(spark, sfDir, "embeddings").limit(64)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+        .withColumn("u", transform(col("v"), x => x / col("nrm")))
+        .select(graft.functions.DotMatrix(col("u"), m).as("pd")).count()
+    } catch { case _: Throwable => () }
     // sorted order: Map iteration order is arbitrary and would shift
     // residual warmup between queries run-to-run / round-to-round
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

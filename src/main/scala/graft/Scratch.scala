@@ -26,13 +26,15 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq else Seq("x14_tfidf")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val c0 = System.nanoTime()
       fn(spark, sfDir).count() // warm
+      val cold = (System.nanoTime() - c0) / 1e9
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"SCRATCH $name%-18s min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      println(f"SCRATCH $name%-18s cold=$cold%.3f min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

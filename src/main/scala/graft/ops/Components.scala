@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.collection.mutable
+
+/** Connected components over an undirected pair graph `(d1, d2)` —
+  * the cluster-resolution step after near-dup pair finding (the
+  * reference's dedup analogue of `blackmagic/blueprints/prediction.py`'s
+  * group-then-resolve shape; pair sources: x6 Jaccard, x7 MinHash-LSH).
+  *
+  * Scale design: pair finding is where the 100 TB lives; the
+  * *thresholded* pair graph is orders of magnitude smaller (near-dup
+  * clusters are overwhelmingly 2-5 node cliques). So:
+  *
+  *  - '''Fast path''' (edge count <= `maxDriverEdges`): collect the edge
+  *    list and run union-find on the driver — O(E α(E)) in a few hundred
+  *    MB for millions of edges, ONE distributed job instead of
+  *    O(diameter) join+agg rounds. The collect is bounded by
+  *    `limit(maxDriverEdges + 1)`, so an unexpectedly dense graph can
+  *    never OOM the driver — it falls through instead.
+  *  - '''Distributed fallback''': min-label propagation — per iteration
+  *    ONE join + ONE min-agg, lineage cut by `localCheckpoint`;
+  *    convergence detected by the (monotone) label sum going stationary.
+  *    O(component diameter) iterations; the large-star/small-star
+  *    rewrite is the upgrade path if components ever get deep.
+  *
+  * Output: `(doc_id, comp, csize)` — component = min member id, one row
+  * per node that appears in any pair.
+  */
+object Components {
+
+  /** Edges above this are left to the distributed path. 4M edges ≈
+    * 64 MB collected — trivially driver-sized; raise with driver heap. */
+  val DefaultMaxDriverEdges: Int = 4000000
+
+  /** @param pairs two LongType columns (order/names ignored), one row
+    *              per undirected edge. */
+  def connected(pairs: DataFrame,
+      maxDriverEdges: Int = DefaultMaxDriverEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    // cache + count + collect, NOT limit(n).collect(): a global limit
+    // over the pair-finding pipeline executes as an incremental
+    // CollectLimit (1, then 4, then 16... partitions), re-running the
+    // upstream joins once per scale-up step. The count materializes the
+    // (tiny) pair list in one pass; the collect then reads the cache.
+    val cached = pairs.cache()
+    val n = cached.count()
+    if (n > maxDriverEdges) propagate(cached)
+    else {
+      val out = unionFind(spark, cached.collect())
+      cached.unpersist()
+      out
+    }
+  }
+
+  /** Driver union-find with path halving; component label = min member. */
+  private def unionFind(spark: SparkSession, edges: Array[Row]): DataFrame = {
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root, so the final root IS the component label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edges.foreach { r =>
+      parent.getOrElseUpdate(r.getLong(0), r.getLong(0))
+      parent.getOrElseUpdate(r.getLong(1), r.getLong(1))
+      union(r.getLong(0), r.getLong(1))
+    }
+    val comp = parent.keys.toArray.map(n => n -> find(n))
+    val csize = mutable.LongMap.empty[Long]
+    comp.foreach { case (_, c) => csize(c) = csize.getOrElse(c, 0L) + 1 }
+    val rows = comp.map { case (n, c) =>
+      Row(n, c, csize(c))
+    }.toIndexedSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("comp", LongType, nullable = false),
+      StructField("csize", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Distributed min-label propagation (the beyond-driver-scale path). */
+  private def propagate(pairs: DataFrame): DataFrame = {
+    import graft.StringToColumn
+    val pr = pairs.toDF("d1", "d2")
+    val und = pr.union(pr.select($"d2", $"d1")).toDF("a", "b").cache()
+    var labels = und.select($"a".as("n")).distinct()
+      .withColumn("m", $"n").localCheckpoint()
+    // labels only ever decrease, so the label SUM is strictly monotone
+    // until the fixpoint: convergence = unchanged sum, ONE small
+    // aggregate per iteration
+    def labelSum(): Long = labels.agg(sum($"m")).first().getLong(0)
+    var prev = -1L
+    var cur = labelSum()
+    var iter = 0
+    while (cur != prev && iter < 50) {
+      val nbr = und.join(labels, und("b") === labels("n"))
+        .select(und("a").as("n"), $"m")
+      labels = labels.union(nbr)
+        .groupBy($"n").agg(min($"m").as("m")).localCheckpoint()
+      prev = cur
+      cur = labelSum()
+      iter += 1
+    }
+    und.unpersist()
+    labels
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy($"m")).cast("long"))
+      .select($"n".as("doc_id"), $"m".as("comp"), $"csize")
+  }
+}

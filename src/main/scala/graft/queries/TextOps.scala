@@ -103,6 +103,39 @@ object TextOps {
       .select($"d1", $"d2", jac.as("jacv"))
   }
 
+  /** Bench warmup: run the shingle/hash/window/self-join stage shapes
+    * on a ~1k-doc subset. The per-stage generated code depends only on
+    * the operators inside each exchange-bounded stage, so these stages
+    * produce the SAME codegen classes as the real x6/x19/x21 pipelines —
+    * one warmup pass gets them janino-compiled and C2-hot without
+    * precomputing any query result (the subset plan shares no cache key
+    * with the full-table plans). */
+  def warmup(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val part = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables(s, dir, "documents").limit(1024).repartition(part)
+    val tk = docs.select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= K)
+    val sh = tk.select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+      .select($"doc_id", T.md5Long($"s").as("h"))
+    val shf = sh
+      .withColumn("c", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .filter($"c" <= DfCap).select($"doc_id", $"h")
+    val shfB = shf.select($"h".as("h2"), $"doc_id".as("doc_id2"))
+    shf.join(shfB, $"h" === $"h2" && $"doc_id" < $"doc_id2")
+      .groupBy($"doc_id", $"doc_id2").agg(count(lit(1)).as("i")).count()
+    // x21's bigram shape (k=2 over lowered text) + TakeOrdered
+    docs.select(explode(
+        T.shingles(T.wsTokens(lower($"text")), 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"bg").limit(5).count()
+    // x14's term-explode + tf/df agg shape
+    val terms = docs
+      .select($"doc_id", explode(T.wsTokens(lower($"text"))).as("term"))
+    terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"term").agg(count(lit(1)).as("df")).count()
+  }
+
   val qs: Map[String, Q] = Map(
     // ----- x1 token counting: whitespace + BPE-ish pre-tokenizer regex
     "x1_tokenize" -> Q(
@@ -302,13 +335,11 @@ object TextOps {
 
     // ----- x19 near-dup clustering: connected components over the x6
     // pair graph (the "keep one doc per duplicate cluster" step after
-    // pair finding). Spark side: min-label propagation — per iteration
-    // ONE join + ONE min-agg, O(component diameter) iterations, lineage
-    // cut by localCheckpoint (a reliable checkpoint dir at cluster
-    // scale). Near-dup graphs are overwhelmingly tiny cliques, so this
-    // converges in 2-3 rounds; the large-star/small-star rewrite is the
-    // upgrade path if components ever get deep. Oracle: recursive-CTE
-    // transitive closure over the same pairs.
+    // pair finding) — ops.Components: bounded-collect driver union-find
+    // when the thresholded pair graph is driver-sized (it almost always
+    // is — the 100 TB lives in pair FINDING, not the pair list), with a
+    // distributed min-label-propagation fallback above the edge cap.
+    // Oracle: recursive-CTE transitive closure over the same pairs.
     "x19_components" -> Q(
       s"""WITH RECURSIVE $pairCtes,
          |edges AS (SELECT d1 AS a, d2 AS b FROM jac
@@ -321,34 +352,8 @@ object TextOps {
          |SELECT n AS doc_id, CAST(comp AS BIGINT) AS comp,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS csize
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pr = jaccardPairs(s, dir).select($"d1", $"d2")
-      val und = pr.union(pr.select($"d2", $"d1")).toDF("a", "b").cache()
-      var labels = und.select($"a".as("n")).distinct()
-        .withColumn("m", $"n").localCheckpoint()
-      // labels only ever decrease, so the label SUM is strictly
-      // monotone until the fixpoint: convergence = unchanged sum, ONE
-      // small aggregate per iteration (a join-against-previous change
-      // count would double the per-iteration action count)
-      def labelSum(): Long =
-        labels.agg(sum($"m")).first().getLong(0)
-      var prev = -1L
-      var cur = labelSum()
-      var iter = 0
-      while (cur != prev && iter < 50) {
-        val nbr = und.join(labels, und("b") === labels("n"))
-          .select(und("a").as("n"), $"m")
-        labels = labels.union(nbr)
-          .groupBy($"n").agg(min($"m").as("m")).localCheckpoint()
-        prev = cur
-        cur = labelSum()
-        iter += 1
-      }
-      und.unpersist()
-      labels
-        .withColumn("csize", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy($"m"))
-          .cast("long"))
-        .select($"n".as("doc_id"), $"m".as("comp"), $"csize")
+      graft.ops.Components
+        .connected(jaccardPairs(s, dir).select($"d1", $"d2"))
         .orderBy($"doc_id")
     },
 
@@ -447,8 +452,10 @@ object TextOps {
         val docs = Tables.spread(s, dir, "documents")
           .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
         val terms = docs.select($"doc_id", explode($"tk").as("term"))
+        // cached: the df broadcast build and the scoring join both
+        // consume tf; without the cache the explode+agg runs twice
         val tf = terms.groupBy($"doc_id", $"term")
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")).cache()
         // df via hash-agg + broadcast join back onto tf: the partial
         // (map-side) agg collapses tf to vocabulary size before any
         // exchange, and the broadcast keeps the big tf relation from
