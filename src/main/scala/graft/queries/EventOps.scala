@@ -20,6 +20,10 @@ object EventOps {
 
   private val GapMicros = 1800000000L // 30 min session gap
 
+  /** Explicit pivot value list (a9): fixed up front so the pivot needs
+    * no values-discovery job. */
+  private val EventTypes = Seq("view", "click", "purchase", "signup", "error")
+
   val qs: Map[String, Q] = Map(
     // ----- e1 tumbling-window aggregate (streaming twin: watermark+window)
     "e1_window_agg" -> Q(
@@ -106,6 +110,71 @@ object EventOps {
           (unix_micros(coalesce($"t3", $"t2", $"t1"))
             - unix_micros($"t1")).as("funnel_us"))
         .distinct()
+        .orderBy($"user_id")
+    },
+
+    // ----- e5 hopping (sliding) window aggregate: 1 h windows every
+    // 30 min, so each event lands in exactly 2 windows. Spark's
+    // window(ts, size, slide) generator expands the hops BEFORE the
+    // aggregation exchange — map-side partial aggs still apply, so the
+    // cost at 100 TB is (size/slide)x rows into the same one-shuffle
+    // plan as e1. Streaming twin: the same expression under a
+    // watermark.
+    "e5_hopping" -> Q(
+      """WITH h AS (SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |          time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |    AS win FROM events)
+        |SELECT win, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes")
+          .getField("start").as("win"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .orderBy($"win", $"event_type")
+    },
+
+    // ----- e6 event-transition (Markov) counts: per user, ordered
+    // (prev -> next) pairs via ONE lag window on the user_id exchange,
+    // then a small hash-agg on the pair. The bigram model over event
+    // streams; at 100 TB the window and the rollup are the only
+    // shuffles and the second is vocabulary-sized.
+    "e6_transitions" -> Q(
+      """WITH x AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM events)
+        |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |FROM x WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev", $"next")
+    },
+
+    // ----- a9 pivot: per-user event-type counts as columns. With an
+    // explicit value list the pivot is ONE shuffle on user_id (no
+    // values-discovery pre-pass, which at 100 TB would be its own
+    // full-table distinct); the oracle is the equivalent conditional
+    // aggregation.
+    "a9_pivot" -> Q({
+      val conds = EventTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+        .mkString(",\n        |  ")
+      s"""SELECT user_id,
+        |  $conds
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .select($"user_id" +: EventTypes.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
         .orderBy($"user_id")
     },
 

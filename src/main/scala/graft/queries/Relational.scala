@@ -147,6 +147,43 @@ object Relational {
           .orderBy($"label")
     },
 
+    // ----- a8 cube: all four grouping combinations of
+    // (returnflag, linestatus) in ONE pass — Spark expands the grouping
+    // sets BEFORE the exchange, so partial aggregation still collapses
+    // each map partition to |sets| x |groups| rows: one shuffle at any
+    // scale (vs four separate scans). Quantity sums are integral in
+    // TPC-H so the aggregates are order-exact.
+    "a8_cube" -> Q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n", $"qty")
+        .orderBy($"rf", $"ls")
+    },
+
+    // ----- x23 distinct counting: exact count_distinct per group (the
+    // oracle-checkable path). The sketch path at 100 TB is
+    // approx_count_distinct (HLL++, mergeable partials, no
+    // per-key state explosion) — asserted within 5% of this exact
+    // result in SqlSurfaceSpec.
+    "x23_distinct" -> Q(
+      """SELECT l_returnflag AS rf,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("rf"))
+        .agg(count_distinct($"l_partkey").as("n_parts"),
+          count_distinct($"l_suppkey").as("n_supps"))
+        .orderBy($"rf")
+    },
+
     // ----- A2 stratified class sampling with clamped per-class caps
     // (reference sample(): cap = clamp(ceil(target*pct), min, max),
     // deterministic order stands in for the reference's shuffle)

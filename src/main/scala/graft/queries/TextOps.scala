@@ -44,6 +44,14 @@ object TextOps {
   private val Bands = 4
   private val RowsPerBand = Sig / Bands
 
+  /** RAG chunker geometry (x24): window size / stride in tokens. */
+  private val ChunkSize = 32
+  private val ChunkStride = 16
+
+  /** Per-language epoch repeat factors (x25); 0 drops the language. */
+  private val MixtureWeights: Seq[(String, Int)] =
+    Seq("en" -> 1, "de" -> 2, "es" -> 3, "fr" -> 4, "zh" -> 0)
+
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
     * intersection counts -> Jaccard >= 0.5. */
@@ -477,6 +485,106 @@ object TextOps {
             .cast("long"))
           .filter($"rn" <= 5)
           .orderBy($"doc_id", $"rn")
+    },
+
+    // ----- x24 RAG chunking: overlapping sliding token windows
+    // (size 32, stride 16) per document — the context-window chunker a
+    // retrieval pipeline runs before embedding. Pure generator
+    // projection (sequence+explode+slice): zero shuffles, perfectly
+    // parallel at any scale; chunk identity = md5 of the joined window.
+    "x24_chunk" -> Q(
+      s"""WITH t AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, tk, unnest(range(0, greatest(1,
+         |    CAST(ceil((len(tk) - ${ChunkSize - ChunkStride})
+         |      / ${ChunkStride}.0) AS BIGINT)))) AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(tk[CAST(chunk_id * $ChunkStride + 1 AS INT)
+         |    : CAST(chunk_id * $ChunkStride + $ChunkSize AS INT)])
+         |    AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(tk[CAST(chunk_id * $ChunkStride + 1 AS INT)
+         |    : CAST(chunk_id * $ChunkStride + $ChunkSize AS INT)], ' '))
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val nChunks = greatest(lit(1L),
+        ceil((size($"tk") - (ChunkSize - ChunkStride)) / lit(ChunkStride.toDouble))
+          .cast("long"))
+      val chunk = slice($"tk", ($"chunk_id" * ChunkStride + 1).cast("int"),
+        lit(ChunkSize))
+      Tables(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .select($"doc_id", $"tk",
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          size(chunk).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", chunk)).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
+    // ----- x25 dataset mixture: per-language epoch (repeat) factors —
+    // the "see low-resource sources N times per training pass" weighting
+    // step. A narrow generator expansion (no shuffle): each row emits
+    // its own repeats, weight-0 languages drop via an ordinary filter
+    // that pushes to the scan.
+    "x25_mixture" -> Q({
+      val cases = MixtureWeights.map { case (l, w) =>
+        s"WHEN '$l' THEN $w"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CASE lang $cases ELSE 0 END AS w FROM documents)
+         |SELECT doc_id, lang, CAST(unnest(range(1, w + 1)) AS BIGINT)
+         |  AS epoch
+         |FROM t WHERE w > 0 ORDER BY doc_id, epoch""".stripMargin
+    }) { (s, dir) =>
+      val w = MixtureWeights.foldRight(lit(0L)) { case ((l, n), els) =>
+        when($"lang" === l, lit(n.toLong)).otherwise(els)
+      }
+      Tables(s, dir, "documents")
+        .withColumn("w", w)
+        .filter($"w" > 0)
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(1L), $"w")).as("epoch"))
+        .orderBy($"doc_id", $"epoch")
+    },
+
+    // ----- x26 benchmark contamination check: 3-shingle containment of
+    // each corpus doc against a (small) benchmark set. The benchmark
+    // shingle index is BROADCAST — the 100 TB corpus side never
+    // shuffles; decontamination is a map-side semi-join + a pair-sized
+    // agg. Containment = |S_c ∩ S_b| / |S_c| over distinct shingles.
+    "x26_contamination" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |  FROM tk WHERE len(tk) >= $K)),
+         |corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id AS bd, h FROM sh WHERE doc_id % 20 = 0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1),
+         |ov AS (SELECT corp.doc_id AS cd, bd, count(*) AS i
+         |  FROM corp JOIN bench USING (h) GROUP BY 1, 2)
+         |SELECT cd, bd, CAST(i AS BIGINT) AS overlap,
+         |  round(i / n, 6) AS containment
+         |FROM ov JOIN sz ON ov.cd = sz.doc_id
+         |WHERE i / n >= 0.2 ORDER BY cd, bd""".stripMargin) { (s, dir) =>
+      val sh = Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= K)
+        .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+        .select($"doc_id", T.md5Long($"s").as("h"))
+      val corp = sh.filter($"doc_id" % 20 =!= 0)
+      val bench = sh.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("bd"), $"h".as("bh"))
+      val sz = corp.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      corp.join(broadcast(bench), $"h" === $"bh")
+        .groupBy($"doc_id".as("cd"), $"bd")
+        .agg(count(lit(1)).as("i"))
+        .join(sz.select($"doc_id".as("cd"), $"n"), "cd")
+        .filter($"i" / $"n" >= 0.2)
+        .select($"cd", $"bd", $"i".as("overlap"),
+          round($"i" / $"n", 6).as("containment"))
+        .orderBy($"cd", $"bd")
     },
 
     // ----- x8 SimHash: 16-bit token-vote signature per document

@@ -48,6 +48,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(got == 11.0)
   }
 
+  test("approx_count_distinct (the x23 sketch path) is within 5% of exact") {
+    // 10k rows over ~2k distinct keys; HLL++ partials merge across
+    // partitions, which is why this is the 100 TB path while the
+    // oracle-checked x23 query uses exact count_distinct
+    val df = spark.range(10000)
+      .select((($"id" * 2654435761L) % 2003).as("k"))
+    val Seq(exact, approx) = df
+      .agg(count_distinct($"k").cast("double"),
+        approx_count_distinct($"k", 0.02).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toSeq
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("prediction_dates UDTF explodes annual dates incl. sentinel") {
     val got = spark.sql(
       """SELECT s.pday FROM (
