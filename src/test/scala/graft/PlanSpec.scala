@@ -116,4 +116,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // only the final ORDER BY's range exchange is allowed
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
+
+  test("a8 cube expands grouping sets before ONE aggregation exchange") {
+    val p = finalPlanOf("a8_cube")
+    assert(p.contains("Expand"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("a9 pivot with an explicit value list is one scan, no " +
+    "values-discovery job") {
+    val p = finalPlanOf("a9_pivot")
+    // Spark plans pivot as (user,type)-count partial agg + pivotfirst
+    // on user: two hash exchanges, both map-side combined. What the
+    // explicit value list buys is NO separate distinct-values job and
+    // no third exchange.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+    assert(p.contains("pivotfirst"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("e6 transitions: lag window and pair agg share one exchange " +
+    "chain, single scan") {
+    val p = finalPlanOf("e6_transitions")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    // window on user_id + vocabulary-sized pair agg = 2 hash exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+  }
+
+  test("x24 chunker is generator-only: no hash exchange") {
+    val p = finalPlanOf("x24_chunk")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("x25 mixture is a filtered generator: no hash exchange") {
+    val p = finalPlanOf("x25_mixture")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("x26 contamination broadcasts the benchmark shingle index") {
+    val p = finalPlanOf("x26_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
