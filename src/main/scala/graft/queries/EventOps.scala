@@ -178,6 +178,46 @@ object EventOps {
         .orderBy($"user_id")
     },
 
+    // ----- j5 banded range join: clicks within the 10 minutes before
+    // each purchase, per user. The general point-in-interval join (J2
+    // at table scale) plans as BroadcastNestedLoopJoin — O(n*m) and
+    // lethal at 100 TB. Banding rewrites it as an EQUI-join: bucket
+    // width = window length, each click emits into its own bucket and
+    // the next, join on (user_id, bucket) + residual time predicate.
+    // A pair can match only one of the two emitted copies, so no dedup
+    // is needed; the plan is an ordinary shuffled hash/SMJ join
+    // (PlanSpec asserts no nested-loop).
+    "j5_range_join" -> Q(
+      """SELECT p.event_id,
+        |  CAST(count(c.cts) AS BIGINT) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts AS cts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.cts >= p.ts - INTERVAL 10 MINUTE AND c.cts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val W = 600000000L // 10 min in micros = the band width
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts",
+          floor(unix_micros($"ts") / W).as("b"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cuid"), $"ts".as("cts"),
+          explode(array(floor(unix_micros($"ts") / W),
+            floor(unix_micros($"ts") / W) + 1)).as("b"))
+      val counts = p.join(c,
+          $"user_id" === $"cuid" && p("b") === c("b") &&
+            unix_micros($"cts") >= unix_micros($"ts") - W &&
+            $"cts" < $"ts")
+        .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+      p.select($"event_id")
+        .join(counts, Seq("event_id"), "left")
+        .select($"event_id",
+          coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+        .orderBy($"event_id")
+    },
+
     // ----- e3 rollup (multi-level aggregate, free from Spark SQL —
     // SURVEY §2.4 "grouping sets, cube, rollup")
     "e3_rollup" -> Q(

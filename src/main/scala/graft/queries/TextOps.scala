@@ -52,6 +52,10 @@ object TextOps {
   private val MixtureWeights: Seq[(String, Int)] =
     Seq("en" -> 1, "de" -> 2, "es" -> 3, "fr" -> 4, "zh" -> 0)
 
+  /** Rolling-hash modulus (x28) = the MinHash prime, so
+    * [[TextExprs.shingleHashes]] doubles as the token-hash step. */
+  private val TextExprsM: Long = T.MinhashP
+
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
     * intersection counts -> Jaccard >= 0.5. */
@@ -585,6 +589,97 @@ object TextOps {
         .select($"cd", $"bd", $"i".as("overlap"),
           round($"i" / $"n", 6).as("containment"))
         .orderBy($"cd", $"bd")
+    },
+
+    // ----- x27 filter-pipeline yield report: attribute each document
+    // to the FIRST quality gate it fails (the cascade a corpus-cleaning
+    // pipeline applies), then a 4-row aggregate — drop accounting for a
+    // 100 TB cleaning run in ONE pass over the corpus, no per-filter
+    // rescans. CASE short-circuits identically in both engines, so
+    // later gates never see rows (e.g. empty docs) an earlier gate
+    // already dropped.
+    "x27_filter_report" -> Q(
+      s"""WITH t AS (SELECT doc_id, text, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |st AS (SELECT doc_id, CASE
+         |    WHEN len(tk) < 10 THEN 'a_too_short'
+         |    WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / length(text) < 0.5 THEN 'b_low_alpha'
+         |    WHEN len(list_filter(tk, w -> w IN ($StopwordsSql)))
+         |      / len(tk) > 0.5 THEN 'c_high_stop'
+         |    ELSE 'z_kept' END AS stage FROM t)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(count(*) / (SELECT count(*) FROM st), 6) AS pct
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+      val tk = T.wsTokens($"text")
+      val alpha = length(regexp_replace(lower($"text"), "[^a-z]", ""))
+        .cast("double") / length($"text")
+      val stopRatio = size(filter(tk, w => w.isin(Stopwords: _*)))
+        .cast("double") / size(tk)
+      val stage = when(size(tk) < 10, "a_too_short")
+        .when(alpha < 0.5, "b_low_alpha")
+        .when(stopRatio > 0.5, "c_high_stop")
+        .otherwise("z_kept")
+      Tables(s, dir, "documents")
+        .select($"doc_id", stage.as("stage"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_docs"))
+        .withColumn("pct", round($"n_docs" / sum($"n_docs")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        .orderBy($"stage")
+    },
+
+    // ----- x28 winnowed rolling-hash fingerprints: polynomial rolling
+    // hash over token hashes (4-gram, base 33 mod 2^31-1), then the
+    // winnowing min over each 5-gram window, distinct per doc — the
+    // local-fingerprint selection scheme used for plagiarism-style
+    // partial-overlap detection. Shape: posexplode tokens to rows, hash
+    // each token ONCE (codegen md5), then gram = lead chain and
+    // winnow-min = sliding frame — two window passes sharing ONE
+    // doc_id exchange, + the distinct agg on the same key. (The nested
+    // array_min(transform(sequence...)) formulation is a trap:
+    // higher-order functions are interpreted, and CollapseProject
+    // inlines the token-hash array into every gram reference —
+    // O(n_tokens * md5) per ELEMENT. Windows keep md5 linear and
+    // codegen'd.)
+    "x28_winnow" -> Q({
+      val B = 33L; val M = TextExprsM
+      val gram = s"(th[CAST(i AS INT)] * ${B * B * B} + " +
+        s"th[CAST(i + 1 AS INT)] * ${B * B} + " +
+        s"th[CAST(i + 2 AS INT)] * $B + th[CAST(i + 3 AS INT)]) % $M"
+      s"""WITH t AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, s ->
+         |    ${TS.md5Long("s")} % $M) AS th
+         |  FROM t WHERE len(tk) >= 8),
+         |g AS (SELECT doc_id, list_transform(range(1, len(th) - 2),
+         |    i -> $gram) AS grams FROM h),
+         |f AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(grams) - 3),
+         |    i -> list_min(grams[CAST(i AS INT) : CAST(i + 4 AS INT)])))
+         |    AS fps FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM f
+         |ORDER BY doc_id, fp""".stripMargin
+    }) { (s, dir) =>
+      val B = 33L; val M = TextExprsM
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= 8)
+        .select($"doc_id", posexplode($"tk").as(Seq("pos", "tok")))
+        .withColumn("th", T.md5Long($"tok") % M)
+        .withColumn("g",
+          when(lead($"th", 3).over(byDoc).isNotNull,
+            ($"th" * (B * B * B) + lead($"th", 1).over(byDoc) * (B * B) +
+              lead($"th", 2).over(byDoc) * B + lead($"th", 3).over(byDoc))
+              % M))
+        .withColumn("fp",
+          when(lead($"g", 4).over(byDoc).isNotNull,
+            min($"g").over(byDoc.rowsBetween(0, 4))))
+        .filter($"fp".isNotNull)
+        .groupBy($"doc_id", $"fp").agg(count(lit(1)))
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id", $"fp")
     },
 
     // ----- x8 SimHash: 16-bit token-vote signature per document
