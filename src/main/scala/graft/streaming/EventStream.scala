@@ -38,6 +38,62 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
       .select($"window.start".as("win"), $"event_type", $"n", $"total")
 
+  /** Hopping (sliding) window counts/sums: the e5 batch query run
+    * incrementally. The window generator emits size/slide windows per
+    * event BEFORE the aggregation exchange, so map-side partials and
+    * watermark-driven state eviction work exactly as in the tumbling
+    * case — state is O(open windows), not O(stream). */
+  def hoppingCounts(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", windowLen, slide), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("win"), $"event_type", $"n", $"total")
+
+  /** Stream-static enrichment join: the streaming side joins a static
+    * dimension (user tier, source metadata...) per micro-batch with the
+    * dimension BROADCAST — the stream itself never shuffles and the
+    * join holds no state. The static side is re-read per batch, so a
+    * dimension table updated in place is picked up without restarting
+    * the query. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Incremental event-transition counts (streaming twin of batch e6):
+    * per user, remember only the LAST event; each arriving event emits
+    * one (prev, next) pair. State is one (epoch, type) per user —
+    * O(users) — and the downstream count per pair is an ordinary
+    * streaming aggregation. Run in Update/Append per sink needs. */
+  def transitions(events: Dataset[Event],
+      watermark: String = "1 hour"): Dataset[Transition] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[LastEvent]) =>
+          val out = Vector.newBuilder[Transition]
+          var last = state.getOption
+          rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            last.foreach(l => out += Transition(userId, l.tpe, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+
+  // NOT private: Spark's generated (de)serializers must reach the ctor
+  final case class LastEvent(epoch: Long, tpe: String)
+  final case class Transition(user_id: Long, prev: String, next: String)
+
+  private implicit val lastEventEnc: Encoder[LastEvent] =
+    Encoders.product[LastEvent]
+  private implicit val transitionEnc: Encoder[Transition] =
+    Encoders.product[Transition]
+
   /** Streaming exact dedup: drops rows whose key was already seen,
     * keeping state only within the watermark horizon (the streaming
     * twin of the batch x5 hash-groupBy dedup — the form a continuous

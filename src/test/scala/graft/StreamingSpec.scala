@@ -73,6 +73,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows land each event in exactly two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.hoppingCounts(in.toDF(), "10 minutes",
+      "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("hop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 45, 1, 2.0)) // windows [23:30..0:30) is pre-epoch-
+      q.processAllAvailable()       // day start: [0:00,1:00) and [0:30,1:30)
+      in.addData(ev(2, 400, 9, 0.0)) // advance watermark, close both
+      q.processAllAvailable()
+      val rows = spark.table("hop")
+        .select($"win".cast("string"), $"n", $"total")
+        .as[(String, Long, Double)].collect().sorted
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00", 1L, 2.0),
+        ("2024-01-01 00:30:00", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich broadcasts the dimension, no stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrich(in.toDF(), dim)
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, 1, 1.0), ev(2, 0, 2, 1.0), ev(3, 0, 7, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enr").as[(Long, Option[String])]
+        .collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, Some("gold")), (2L, Some("basic")),
+        (3L, None)))
+      assert(q.lastProgress.stateOperators.isEmpty) // join holds no state
+    } finally q.stop()
+  }
+
+  test("streaming transitions emit one (prev, next) pair per event " +
+    "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    def typed(id: Long, minute: Int, user: Long, tpe: String) =
+      Event(id, ts(minute), user, tpe, 0.0, "{}")
+    val q = EventStream.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(typed(1, 0, 1, "view"), typed(2, 5, 1, "click"))
+      q.processAllAvailable()
+      in.addData(typed(3, 10, 1, "purchase"), typed(4, 0, 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("trans")
+        .as[EventStream.Transition].collect()
+        .map(t => (t.user_id, t.prev, t.next)).sorted
+      // state carries "click" across the batch boundary for user 1
+      assert(rows.toSeq == Seq((1L, "click", "purchase"),
+        (1L, "view", "click")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
