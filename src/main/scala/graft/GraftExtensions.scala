@@ -22,11 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions.builders
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, clazz, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
     }
+    // range-join -> banded equi-join rewrite (graft.plans.BandedRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
+  }
 }
 
 object GraftExtensions {
@@ -65,14 +68,18 @@ object GraftExtensions {
         DotMatrix(children(0), rows)
       }))
 
-  /** Register the same functions on an already-running session (the
-    * extensions config only applies at session build time). */
+  /** Register the same functions + optimizer rule on an already-running
+    * session (the extensions config only applies at session build time). */
   def install(spark: SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     builders.foreach { case (name, clazz, builder) =>
       ColumnBridge.registerFunction(spark, name,
         new ExpressionInfo(clazz, name), builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BandedRangeJoin))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.BandedRangeJoin)
   }
 
   /** Register every testdata table as a temp view so the engine is

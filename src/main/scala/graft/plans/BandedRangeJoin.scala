@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite an inner point-in-interval (range) join
+  *
+  * {{{  ... JOIN ... ON  <rest> AND  x >= y - w  AND  x <= y  }}}
+  *
+  * (x from one side, y from the other, w a positive long literal) into a
+  * '''banded equi-join''': band width = w, the x side emits its own band
+  * and the next (`Generate(Explode(...))` — one scan, 2x rows), the y
+  * side computes one band, and the join gains `band_x = band_y` with the
+  * original range predicates kept as residuals.
+  *
+  * Why: without an equality conjunct Spark plans a range join as
+  * BroadcastNestedLoopJoin — O(|L|*|R|) and lethal at 100 TB. With the
+  * band key the join is an ordinary shuffled hash/sort-merge join whose
+  * per-key work is bounded by the window density. x ∈ [y-w, y] implies
+  * floor-div bands satisfy band(x) <= band(y) <= band(x)+1, and a pair
+  * can match through exactly ONE of the two emitted copies, so the
+  * rewrite is lossless and never duplicates.
+  *
+  * Scope guards: inner joins; x and y are LongType expressions each
+  * referencing exactly one side (wrap timestamps in `unix_micros`);
+  * w > 0 foldable. Fires once — rewritten joins carry `__graft_band`
+  * attributes that make them ineligible (idempotent under the
+  * optimizer's fixpoint).
+  *
+  * The reference's point-in-interval predicate is SURVEY §2.3 J2
+  * (`blackmagic/blueprints/tile.py:77-85`) — constant-folded there; this
+  * rule is the general table-vs-table form (j5_range_join exercises it
+  * end-to-end against the DuckDB oracle).
+  */
+object BandedRangeJoin extends Rule[LogicalPlan] {
+
+  private val BandCol = "__graft_band"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved && eligible(cond) =>
+      rewrite(left, right, cond, hint).getOrElse(j)
+  }
+
+  /** Skip joins we already banded (fixpoint guard). */
+  private def eligible(cond: Expression): Boolean =
+    !cond.references.exists(_.name.startsWith(BandCol))
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** `x >= y - w` in its four spellings -> (x, y, w). */
+  private def lowerBound(
+      e: Expression): Option[(Expression, Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(x, Subtract(y, w, _)) if w.foldable =>
+        Some((x, y, w))
+      case GreaterThan(x, Subtract(y, w, _)) if w.foldable => Some((x, y, w))
+      case LessThanOrEqual(Subtract(y, w, _), x) if w.foldable =>
+        Some((x, y, w))
+      case LessThan(Subtract(y, w, _), x) if w.foldable => Some((x, y, w))
+      case _ => None
+    }
+
+  /** `x <= y` / `x < y` in both spellings -> (x, y). */
+  private def upperBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThan(x, y) => Some((x, y))
+      case LessThanOrEqual(x, y) => Some((x, y))
+      case GreaterThan(y, x) => Some((x, y))
+      case GreaterThanOrEqual(y, x) => Some((x, y))
+      case _ => None
+    }
+
+  /** true = references only `left`, false = only `right`. */
+  private def sideOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(left.outputSet)) Some(true)
+    else if (refs.subsetOf(right.outputSet)) Some(false)
+    else None
+  }
+
+  /** Exact floor division for longs of any sign: (e - pmod(e, w)) / w. */
+  private def floorDiv(e: Expression, w: Expression): Expression =
+    IntegralDivide(Subtract(e, Pmod(e, w)), w)
+
+  private def rewrite(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
+    val cs = conjuncts(cond)
+    val matched = (for {
+      lc <- cs.iterator
+      (x, y, w) <- lowerBound(lc).iterator
+      uc <- cs.iterator if uc ne lc
+      (x2, y2) <- upperBound(uc).iterator
+      if x2.semanticEquals(x) && y2.semanticEquals(y)
+      if x.dataType == LongType && y.dataType == LongType &&
+        w.dataType == LongType
+      wv <- Option(w.eval()).collect { case l: Long if l > 0 => l }.iterator
+      xIsLeft <- sideOf(x, left, right).iterator
+      yIsLeft <- sideOf(y, left, right).iterator
+      if xIsLeft != yIsLeft
+    } yield (x, y, Literal(wv, LongType), xIsLeft)).nextOption()
+
+    matched.map { case (x, y, w, xIsLeft) =>
+      val xSide = if (xIsLeft) left else right
+      val ySide = if (xIsLeft) right else left
+      // y side: one band column
+      val yAlias = Alias(floorDiv(y, w), BandCol + "_y")()
+      val yProj = Project(ySide.output :+ yAlias, ySide)
+      // x side: emit band and band+1 through ONE Generate (single scan)
+      val bandX = AttributeReference(BandCol + "_x", LongType)()
+      val xGen = Generate(
+        Explode(CreateArray(Seq(
+          floorDiv(x, w), Add(floorDiv(x, w), Literal(1L, LongType))))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(bandX), child = xSide)
+      val newCond = And(cond, EqualTo(bandX, yAlias.toAttribute))
+      val (newLeft, newRight) = if (xIsLeft) (xGen, yProj) else (yProj, xGen)
+      // project the band columns away: output attrs = the original join's
+      Project(left.output ++ right.output,
+        Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+}

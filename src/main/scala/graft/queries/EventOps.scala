@@ -181,12 +181,13 @@ object EventOps {
     // ----- j5 banded range join: clicks within the 10 minutes before
     // each purchase, per user. The general point-in-interval join (J2
     // at table scale) plans as BroadcastNestedLoopJoin — O(n*m) and
-    // lethal at 100 TB. Banding rewrites it as an EQUI-join: bucket
-    // width = window length, each click emits into its own bucket and
-    // the next, join on (user_id, bucket) + residual time predicate.
-    // A pair can match only one of the two emitted copies, so no dedup
-    // is needed; the plan is an ordinary shuffled hash/SMJ join
-    // (PlanSpec asserts no nested-loop).
+    // lethal at 100 TB. The join below is written NAIVELY (equality +
+    // two range conjuncts); graft.plans.BandedRangeJoin (registered via
+    // GraftExtensions) rewrites it to a bucketed EQUI-join — band width
+    // = window length, click side emits its own band and the next, join
+    // gains band equality — so the physical plan is an ordinary
+    // shuffled join (BandedRangeJoinSpec asserts no nested-loop and
+    // value-equality with the unrewritten join).
     "j5_range_join" -> Q(
       """SELECT p.event_id,
         |  CAST(count(c.cts) AS BIGINT) AS n_clicks
@@ -200,16 +201,13 @@ object EventOps {
       val W = 600000000L // 10 min in micros = the band width
       val ev = Tables(s, dir, "events")
       val p = ev.filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts",
-          floor(unix_micros($"ts") / W).as("b"))
+        .select($"event_id", $"user_id", $"ts")
       val c = ev.filter($"event_type" === "click")
-        .select($"user_id".as("cuid"), $"ts".as("cts"),
-          explode(array(floor(unix_micros($"ts") / W),
-            floor(unix_micros($"ts") / W) + 1)).as("b"))
+        .select($"user_id".as("cuid"), $"ts".as("cts"))
       val counts = p.join(c,
-          $"user_id" === $"cuid" && p("b") === c("b") &&
+          $"user_id" === $"cuid" &&
             unix_micros($"cts") >= unix_micros($"ts") - W &&
-            $"cts" < $"ts")
+            unix_micros($"cts") < unix_micros($"ts"))
         .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
       p.select($"event_id")
         .join(counts, Seq("event_id"), "left")

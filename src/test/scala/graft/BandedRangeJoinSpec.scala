@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BandedRangeJoin optimizer rule: a naive inner point-in-interval
+  * join must plan as an equi-join (no nested-loop) and return exactly
+  * the rows the unrewritten join returns.
+  */
+class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  private val W = 100L
+
+  // left: probes (k, t); right: candidates (k, u); match iff same k and
+  // u in [t - W, t). Data straddles band boundaries and includes
+  // negative times (floor-div sign case) and a key with no matches.
+  private val probes: DataFrame = Seq(
+    (1L, 250L), (1L, 1000L), (2L, 50L), (3L, -120L), (9L, 500L))
+    .toDF("k", "t")
+  private val cands: DataFrame = Seq(
+    (1L, 151L), (1L, 249L), (1L, 250L), (1L, 899L), (1L, 999L),
+    (2L, -40L), (2L, 49L), (3L, -220L), (3L, -121L), (3L, -120L),
+    (7L, 500L)).toDF("k", "u")
+
+  private def joined: DataFrame =
+    probes.join(cands,
+      probes("k") === cands("k") &&
+        cands("u") >= probes("t") - W && cands("u") < probes("t"))
+      .select(probes("k"), probes("t"), cands("u"))
+
+  private def bruteForce: Set[(Long, Long, Long)] = {
+    val p = probes.as[(Long, Long)].collect()
+    val c = cands.as[(Long, Long)].collect()
+    (for {
+      (k, t) <- p; (k2, u) <- c
+      if k == k2 && u >= t - W && u < t
+    } yield (k, t, u)).toSet
+  }
+
+  test("rule rewrites the range join to a banded equi-join (no BNLJ)") {
+    val df = joined
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__graft_band"), plan)
+  }
+
+  test("banded join returns exactly the brute-force row set") {
+    val got = joined.as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteForce)
+    assert(got.nonEmpty) // the fixture actually exercises matches
+    // boundary semantics: u = t excluded, u = t - W included
+    assert(got.contains((1L, 250L, 151L)) && !got.contains((1L, 250L, 250L)))
+    // negative-time bands (floor division, not truncate-toward-zero)
+    assert(got.contains((3L, -120L, -220L)) && got.contains((3L, -120L, -121L)))
+  }
+
+  test("non-matching shapes are left alone (outer join keeps BNLJ)") {
+    val df = probes.join(cands,
+      probes("k") === cands("k") &&
+        cands("u") >= probes("t") - W && cands("u") < probes("t"), "left")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_band"), plan)
+  }
+}
