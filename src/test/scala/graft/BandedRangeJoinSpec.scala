@@ -60,6 +60,22 @@ class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains((3L, -120L, -220L)) && got.contains((3L, -120L, -121L)))
   }
 
+  test("pure range join (no key equality) also bands — no cartesian") {
+    val df = probes.join(cands,
+      cands("u") >= probes("t") - W && cands("u") < probes("t"))
+      .select(probes("t"), cands("u"))
+    val got = df.as[(Long, Long)].collect().toSet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val p = probes.as[(Long, Long)].collect()
+    val c = cands.as[(Long, Long)].collect()
+    val expected = (for {
+      (_, t) <- p; (_, u) <- c if u >= t - W && u < t
+    } yield (t, u)).toSet
+    assert(got == expected)
+  }
+
   test("non-matching shapes are left alone (outer join keeps BNLJ)") {
     val df = probes.join(cands,
       probes("k") === cands("k") &&

@@ -163,4 +163,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = finalPlanOf("x26_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x27 filter report is one scan into a 4-row aggregate") {
+    val p = finalPlanOf("x27_filter_report")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("x28 winnow: gram + winnow windows share one doc_id exchange") {
+    val p = finalPlanOf("x28_winnow")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    // spread repartition + the doc_id window/agg partitioning; the two
+    // window passes and the distinct agg must NOT add further exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2, p)
+  }
 }
