@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.store.JsonStore
+
+/** The graft-keyed DataSource V2 reader over JsonStore's layout:
+  * key-filter pruning at the file listing, column pruning, and payload
+  * round-trip through from_json.
+  */
+class KeyedSourceSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("keyed-src").toString
+
+  private val PayloadSchema = StructType(Seq(
+    StructField("px", LongType), StructField("v", StringType)))
+
+  // 3 chips x 2 rows; JsonStore gzips one dir per (cx, cy)
+  new JsonStore(root).write("segment",
+    Seq(
+      (1L, 10L, 100L, "a"), (1L, 10L, 101L, "b"),
+      (1L, 20L, 102L, "c"), (1L, 20L, 103L, "d"),
+      (2L, 10L, 104L, "e"), (2L, 10L, 105L, "f"))
+      .toDF("cx", "cy", "px", "v"),
+    Seq("cx", "cy"))
+
+  private def read =
+    spark.read.format("graft-keyed").load(s"$root/segment")
+
+  test("reads every row and re-attaches the directory keys") {
+    val rows = read
+      .select($"cx", $"cy",
+        from_json($"value", PayloadSchema).getField("px").as("px"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, 10L, 100L), (1L, 10L, 101L), (1L, 20L, 102L), (1L, 20L, 103L),
+      (2L, 10L, 104L), (2L, 10L, 105L)))
+  }
+
+  test("key filters prune the file listing (the S3-key GET analogue)") {
+    val all = read
+    val one = read.filter($"cx" === 1L && $"cy" === 20L)
+    assert(one.rdd.getNumPartitions < all.rdd.getNumPartitions)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 2)
+    // the pruning filters are visible in the scan description
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-keyed"), plan)
+  }
+
+  test("In and range filters prune; residual evaluation keeps results exact") {
+    val in = read.filter($"cy".isin(10L))
+    assert(in.count() == 4)
+    assert(in.rdd.getNumPartitions == 2) // cx=1/cy=10 and cx=2/cy=10
+    // non-key residual on the payload still applies after the scan
+    val f = read.filter($"cx" >= 2L &&
+      from_json($"value", PayloadSchema).getField("v") === "e")
+    assert(f.count() == 1)
+  }
+}
