@@ -216,6 +216,37 @@ object EventOps {
         .orderBy($"event_id")
     },
 
+    // ----- e7 weekly cohort retention: users bucketed by first-seen
+    // week, counted as active per week offset — the cohort matrix.
+    // ONE window pass on the user_id exchange anchors each event to its
+    // user's cohort (no self-join back onto a per-user aggregate), then
+    // a distinct + count on (cohort, offset, user): both week-keyed and
+    // tiny relative to the event log.
+    "e7_retention" -> Q(
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |      AS DATE) AS cohort
+        |  FROM events),
+        |d AS (SELECT DISTINCT user_id, cohort,
+        |    CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset
+        |  FROM f)
+        |SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val byU = Window.partitionBy($"user_id")
+      Tables(s, dir, "events")
+        .select($"user_id",
+          date_trunc("week", $"ts").cast("date").as("wk"),
+          date_trunc("week", min($"ts").over(byU)).cast("date").as("cohort"))
+        .select($"user_id", $"cohort",
+          floor(datediff($"wk", $"cohort") / 7).cast("long")
+            .as("week_offset"))
+        .distinct()
+        .groupBy($"cohort", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"week_offset")
+    },
+
     // ----- e3 rollup (multi-level aggregate, free from Spark SQL —
     // SURVEY §2.4 "grouping sets, cube, rollup")
     "e3_rollup" -> Q(
