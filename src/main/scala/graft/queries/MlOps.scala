@@ -20,6 +20,24 @@ import graft.ops.{HarmonicCcd, SegmentPipeline}
   */
 object MlOps {
 
+  /** m2 sample caps, mirroring the reference's target_samples /
+    * class_min / class_max trainer surface (ref:
+    * blackmagic/__init__.py:17-19). They bound the driver collect to at
+    * most numClasses * TrainClassMax rows no matter the corpus size. */
+  private[graft] val TrainTargetSamples = 100000L
+  private[graft] val TrainClassMin = 100L
+  private[graft] val TrainClassMax = 20000L
+
+  /** M2's sanctioned driver collect, bounded BEFORE collection: the
+    * stratified caps run distributed-side (one shuffle on label), so the
+    * driver materializes ≤ classes*classMax rows — the same shape as
+    * TrainingPipeline (SURVEY §7.4.5). `labeled` must be (label, f). */
+  private[graft] def trainingSample(
+      labeled: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.Features.stratifiedSample(labeled, TrainTargetSamples,
+      TrainClassMin, TrainClassMax).select(col("label"), col("f"))
+
   private def eventTimeseries(s: SparkSession, dir: String) = {
     import s.implicits._
     implicit val tsEnc = Encoders.product[PixelTimeseries]
@@ -59,7 +77,7 @@ object MlOps {
       import s.implicits._
       val data = Tables(s, dir, "embeddings")
         .select($"vec_id", $"label", $"embedding".cast("array<float>").as("f"))
-      val sample = data.select($"label", $"f")
+      val sample = trainingSample(data.select($"label", $"f"))
         .as[(Int, Array[Float])].collect()
       val clf = new SoftmaxClassifier(numClasses = 10, epochs = 40)
       val model = clf.train(sample)

@@ -39,10 +39,76 @@ object TextOps {
     * load-bearing at 100 TB). */
   private val DfCap = 1000
 
-  /** MinHash signature size and band layout: 16 hashes = 4 bands x 4. */
+  /** MinHash signature size and band layout: 16 hashes = 4 bands x 4.
+    * Defaults for the registry query; [[minhashLsh]] takes them as
+    * parameters — the band count is the recall/cost knob (more bands =
+    * shorter band keys = more candidate collisions; s-curve threshold
+    * ≈ (1/bands)^(bands/sig)), and a larger corpus wants a larger sig
+    * with MORE rows per band so bucket occupancy, and with it the
+    * per-bucket candidate-pair work, stays bounded as n grows. */
   private val Sig = 16
   private val Bands = 4
   private val RowsPerBand = Sig / Bands
+
+  /** Band count for a target corpus size: grow rows-per-band by one for
+    * every ~100× corpus growth (halving the band-collision rate per
+    * added row), keeping the candidate set sparse. sig stays the
+    * signature accuracy knob; bands = sig / rowsPerBand. */
+  def bandsFor(corpusSize: Long, sig: Int = Sig): Int = {
+    val rows = math.min(sig,
+      RowsPerBand + math.max(0, (math.log10(
+        math.max(1.0, corpusSize.toDouble / 100000.0)) / 2).toInt))
+    math.max(1, sig / rows)
+  }
+
+  /** x7 body, parameterized on signature size and band count: MinHash
+    * signatures -> band-key collision candidates -> signature-agreement
+    * refine (est_sim >= 0.25). Splitting a band in two (bands 4 -> 8 at
+    * fixed sig) can only ADD candidates — a pair matching a 4-row band
+    * matches both 2-row halves — which GeometrySpec asserts. */
+  private[graft] def minhashLsh(s: org.apache.spark.sql.SparkSession,
+      dir: String, sig: Int = Sig, bands: Int = Bands)
+      : org.apache.spark.sql.DataFrame = {
+    require(sig % bands == 0, s"bands ($bands) must divide sig ($sig)")
+    val rowsPerBand = sig / bands
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= K)
+    // materialize hashed shingles once; the whole signature is then ONE
+    // codegen pass over the hashed array (MinHashSig), not `sig`
+    // interpreted array_min(transform) passes
+    val hashed = tk.select($"doc_id",
+      T.shingleHashes(T.shingles($"tk", K)).as("hs"))
+    // cached: consumed by the band explode and both sides of the
+    // signature-agreement join
+    val sigDf = hashed
+      .select($"doc_id", graft.functions.MinHashSig($"hs", sig).as("sigs"))
+      .select($"doc_id" +: (0 until sig).map(i =>
+        element_at($"sigs", i + 1).as(s"h$i")): _*)
+      .cache()
+    val bandRows = sigDf.select($"doc_id", explode(array((0 until bands).map {
+      b =>
+        struct(lit(b).as("b"),
+          concat_ws("_", (0 until rowsPerBand)
+            .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("k"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
+    val bandsB = bandRows.select($"b".as("b2"), $"k".as("k2"),
+      $"doc_id".as("doc_id2"))
+    val cand = bandRows
+      .join(bandsB, $"b" === $"b2" && $"k" === $"k2" &&
+        $"doc_id" < $"doc_id2")
+      .select($"doc_id".as("d1"), $"doc_id2".as("d2")).distinct()
+    val sigX = sigDf.toDF("d1" +: (0 until sig).map(i => s"x$i"): _*)
+    val sigY = sigDf.toDF("d2" +: (0 until sig).map(i => s"y$i"): _*)
+    val est = (0 until sig)
+      .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / sig
+    cand.join(sigX, "d1").join(sigY, "d2")
+      .filter(est >= 0.25)
+      .select($"d1", $"d2", round(est, 6).as("est_sim"))
+      .orderBy($"d1", $"d2")
+  }
 
   /** RAG chunker geometry (x24): window size / stride in tokens. */
   private val ChunkSize = 32
@@ -55,6 +121,49 @@ object TextOps {
   /** Rolling-hash modulus (x28) = the MinHash prime, so
     * [[TextExprs.shingleHashes]] doubles as the token-hash step. */
   private val TextExprsM: Long = T.MinhashP
+
+  /** x14's vocabulary-broadcast cap (rows). A distinct-term relation
+    * under this cap broadcasts (one hash table per executor, no shuffle
+    * of the much larger tf relation); above it the broadcast hint is
+    * DROPPED and the term join becomes an ordinary shuffled join — a
+    * web-scale vocabulary must never be forced into executor memory.
+    * 4M terms × ~40 B/row ≈ 160 MB, a safe per-executor table. */
+  private[graft] val MaxBroadcastVocab = 4000000L
+
+  /** x14 body, parameterized on the broadcast cap so the fallback path
+    * is testable (PlanSpec drives it with cap = 0). The guard MEASURES
+    * the vocabulary — one cheap count over the cached, already
+    * vocabulary-sized df aggregate — instead of trusting a size
+    * estimate that an agg-over-parquet plan doesn't have. */
+  private[graft] def tfidfTop5(s: org.apache.spark.sql.SparkSession,
+      dir: String, maxBroadcastVocab: Long = MaxBroadcastVocab)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+    val terms = docs.select($"doc_id", explode($"tk").as("term"))
+    // cached: the df build, the guard count, and the scoring join all
+    // consume tf; without the cache the explode+agg would run thrice
+    val tf = terms.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf")).cache()
+    // df via hash-agg: the partial (map-side) agg collapses tf to
+    // vocabulary size before any exchange. Cached so the guard count
+    // and the join share one materialization.
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df")).cache()
+    val dfSide = if (df.count() <= maxBroadcastVocab) broadcast(df) else df
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val sc = tf
+      .join(dfSide, "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
+          .as("tfidf"))
+    sc.withColumn("rn", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term"))
+        .cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"doc_id", $"rn")
+  }
 
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
@@ -400,45 +509,7 @@ object TextOps {
          |  JOIN sig y ON cand.d2 = y.doc_id
          |WHERE ($estSum) / $Sig.0 >= 0.25
          |ORDER BY d1, d2""".stripMargin
-    }) { (s, dir) =>
-      val tk = Tables.spread(s, dir, "documents")
-        .select($"doc_id", T.wsTokens($"text").as("tk"))
-        .filter(size($"tk") >= K)
-      // materialize hashed shingles once; the whole 16-component
-      // signature is then ONE codegen pass over the hashed array
-      // (MinHashSig), not 16 interpreted array_min(transform) passes
-      val hashed = tk.select($"doc_id",
-        T.shingleHashes(T.shingles($"tk", K)).as("hs"))
-      // cached: consumed by the band explode and both sides of the
-      // signature-agreement join
-      val sig = hashed
-        .select($"doc_id", graft.functions.MinHashSig($"hs", Sig).as("sigs"))
-        .select($"doc_id" +: (0 until Sig).map(i =>
-          element_at($"sigs", i + 1).as(s"h$i")): _*)
-        .cache()
-      val bands = sig.select($"doc_id", explode(array((0 until Bands).map {
-        b =>
-          struct(lit(b).as("b"),
-            concat_ws("_", (0 until RowsPerBand)
-              .map(r => col(s"h${b * RowsPerBand + r}")): _*).as("k"))
-      }: _*)).as("bk"))
-        .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
-      val bandsB = bands.select($"b".as("b2"), $"k".as("k2"),
-        $"doc_id".as("doc_id2"))
-      val cand = bands
-        .join(bandsB, $"b" === $"b2" && $"k" === $"k2" &&
-          $"doc_id" < $"doc_id2")
-        .select($"doc_id".as("d1"), $"doc_id2".as("d2")).distinct()
-      val sigX = sig.toDF("d1" +: (0 until Sig).map(i => s"x$i"): _*)
-      val sigY = sig.toDF("d2" +: (0 until Sig).map(i => s"y$i"): _*)
-      val est = (0 until Sig)
-        .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / Sig
-      cand.join(sigX, "d1").join(sigY, "d2")
-        .filter(est >= 0.25)
-        .select($"d1", $"d2", round(est, 6).as("est_sim"))
-        .orderBy($"d1", $"d2")
-    },
+    }) { (s, dir) => minhashLsh(s, dir) },
 
     // ----- x14 tf-idf: top-5 scored terms per document (SURVEY §7.5
     // "tokenize/tf-idf"). Scale shape: three key-partitioned shuffles —
@@ -460,35 +531,7 @@ object TextOps {
          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) {
-      (s, dir) =>
-        val docs = Tables.spread(s, dir, "documents")
-          .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
-        val terms = docs.select($"doc_id", explode($"tk").as("term"))
-        // cached: the df broadcast build and the scoring join both
-        // consume tf; without the cache the explode+agg runs twice
-        val tf = terms.groupBy($"doc_id", $"term")
-          .agg(count(lit(1)).as("tf")).cache()
-        // df via hash-agg + broadcast join back onto tf: the partial
-        // (map-side) agg collapses tf to vocabulary size before any
-        // exchange, and the broadcast keeps the big tf relation from
-        // being reshuffled-and-sorted on term (a count-over-term window
-        // costs a full second exchange + sort of tf). A corpus whose
-        // vocabulary outgrows the broadcast threshold would df-cap
-        // first (see x6) or fall back to a shuffled join.
-        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val sc = tf
-          .join(broadcast(df), "term")
-          .crossJoin(broadcast(n))
-          .select($"doc_id", $"term",
-            round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
-              .as("tfidf"))
-        sc.withColumn("rn", row_number()
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term"))
-            .cast("long"))
-          .filter($"rn" <= 5)
-          .orderBy($"doc_id", $"rn")
+      (s, dir) => tfidfTop5(s, dir)
     },
 
     // ----- x24 RAG chunking: overlapping sliding token windows

@@ -51,46 +51,150 @@ object VectorOps {
       s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
 
   /** Deterministic random hyperplanes: plane j component i = sin(j*997
-    * + i*13). 8 planes -> 8-bit bucket. The plane components are
-    * compile-time constants, so they're baked in as literal arrays
+    * + i*13). `planes` sign bits -> one bucket id. The plane components
+    * are driver-side constants, so they're baked in as literal arrays
     * (Math.sin — bit-identical to what per-row sin() would produce);
-    * the per-row work is just 8 fused multiply-add folds. Same formula
-    * evaluated symbolically in the SQL oracle below. */
-  private val Planes = 8
+    * the per-row work is just `planes` fused multiply-add folds. Same
+    * formula evaluated symbolically in the SQL oracle below.
+    *
+    * The plane FORMULA is independent of the plane count, so bucket ids
+    * at p planes are the low-p-bit prefix of bucket ids at p' > p
+    * planes: adding planes strictly refines the partition, and the
+    * candidate-pair set at p' planes is a SUBSET of the set at p —
+    * the monotonicity GeometrySpec asserts. */
+  private[graft] val DefaultPlanes = 8
   private val Dim = 64
 
-  /** IVF coarse-quantizer size (x13): centroid count. */
-  private val Cells = 16
+  /** IVF coarse-quantizer size (x13): default centroid count. */
+  private[graft] val DefaultCells = 16
 
-  /** The 8 hyperplanes as one constant matrix, fed to the single-loop
-    * [[graft.functions.DotMatrix]] codegen expression (bit-identical
-    * per-plane sequential folds; one small generated method instead of
-    * 8 embedded 64-element literal folds). */
-  private val PlaneMatrix: Array[Array[Double]] =
-    Array.tabulate(Planes)(j =>
+  /** LSH geometry for a corpus of n vectors: planes = ceil(log2(n /
+    * targetOccupancy)). Expected bucket occupancy on roughly isotropic
+    * data is n / 2^planes, and per-bucket refine work grows with
+    * occupancy² candidate pairs — so every corpus doubling adds one
+    * plane and the per-bucket cost stays constant. The recall price is
+    * multiplicative per plane (P[cos θ pair collides] = (1 - θ/π)^planes),
+    * which is why callers choose targetOccupancy (recall vs refine
+    * cost), never a fixed plane count. */
+  def planesFor(corpusSize: Long, targetOccupancy: Long = 1024L): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    math.max(DefaultPlanes,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+  }
+
+  /** IVF cell count for a corpus of n vectors: cells ≈ sqrt(n), the
+    * classic optimum — per-query probe cost is cells (centroid scan)
+    * + n/cells (one cell's exact refine), minimized at sqrt(n). */
+  def cellsFor(corpusSize: Long): Int =
+    math.max(DefaultCells,
+      math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+
+  private def planeMatrix(planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes)(j =>
       (1 to Dim).map(i => math.sin(j * 997 + i * 13.0)).toArray)
 
   /** Per-plane sign bits over a materialized plane-dots array column
-    * (compute `DotMatrix(v, PlaneMatrix)` into its own column first —
+    * (compute `DotMatrix(v, planeMatrix)` into its own column first —
     * CollapseProject keeps a multi-referenced non-trivial alias
-    * materialized, so the 8 bit tests share one dots evaluation). */
-  private def bucketOf(planeDots: Column): Column =
-    (0 until Planes).map { j =>
+    * materialized, so the bit tests share one dots evaluation). */
+  private def bucketOf(planeDots: Column, planes: Int): Column =
+    (0 until planes).map { j =>
       when(element_at(planeDots, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Normalize + assign the LSH bucket: one DotMatrix pass per row. */
-  private def bucketed(e: org.apache.spark.sql.DataFrame) =
-    e.withColumn("pd", graft.functions.DotMatrix($"v", PlaneMatrix))
-      .withColumn("bkt", bucketOf($"pd"))
+  private[graft] def bucketed(e: org.apache.spark.sql.DataFrame,
+      planes: Int = DefaultPlanes) =
+    e.withColumn("pd",
+        graft.functions.DotMatrix($"v", planeMatrix(planes)))
+      .withColumn("bkt", bucketOf($"pd", planes))
       .drop("pd")
+
+  private[graft] def normalizedEmbeddings(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    normalized(Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** x10 body, parameterized on the plane count (the scale knob). */
+  private[graft] def embedNeardup(s: org.apache.spark.sql.SparkSession,
+      dir: String, planes: Int = DefaultPlanes,
+      threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    // cached: both sides of the bucket self-join reuse one
+    // normalize+bucket pass instead of recomputing from the scan
+    val b = bucketed(normalizedEmbeddings(s, dir), planes).cache()
+    val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"bkt".as("bkt2"))
+    b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
+      .select($"vec_id".as("d1"), $"vec_id2".as("d2"),
+        round(dot($"v", $"v2"), 4).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** x11 body, parameterized on the plane count (the scale knob). */
+  private[graft] def annLsh(s: org.apache.spark.sql.SparkSession,
+      dir: String, planes: Int = DefaultPlanes)
+      : org.apache.spark.sql.DataFrame = {
+    val b = bucketed(normalizedEmbeddings(s, dir), planes).cache()
+    val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"bkt".as("bkt2"))
+    val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
+      .select($"vec_id".as("qid"), $"vec_id2".as("nid"),
+        round(dot($"v", $"v2"), 4).as("cos"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rn" === 1)
+      .select($"qid", $"nid", $"cos")
+      .orderBy($"qid")
+  }
+
+  /** x13 body, parameterized on the quantizer size (the scale knob). */
+  private[graft] def annIvf(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    // the bounded quantizer collect (cells x 64 doubles) — the one
+    // driver-side materialization IVF sanctions; everything after is
+    // a literal-folded projection
+    val centroids = e.filter($"vec_id" < cells)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // all centroid dots in ONE DotMatrix loop (bit-identical to the
+    // per-centroid DotProduct folds), then argmax via lexicographic
+    // struct max; negated cid makes ties resolve to the SMALLEST cid
+    // (matching the oracle's `ORDER BY cos DESC, cid`)
+    val centroidMatrix = centroids.map(_._2)
+    val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
+      case ((cid, _), r) => // row r of the matrix IS centroid cid
+        struct(round(element_at($"cd", r + 1), 4).as("cos"),
+          lit(-cid).as("negcid"))
+    }: _*))
+    val cellsDf = e
+      .withColumn("cd",
+        graft.functions.DotMatrix($"v", centroidMatrix))
+      .withColumn("cell", -best.getField("negcid"))
+      .drop("cd")
+      .cache()
+    val q = cellsDf.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+    val sc = cellsDf.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= 3)
+      .orderBy($"qid", $"rn")
+  }
 
   private def sqlPlaneDot(v: String, j: Int): String =
     s"list_sum(list_transform(range(1, len($v) + 1), " +
       s"i -> $v[CAST(i AS INT)] * sin(${j * 997} + i * 13)))"
 
   private def sqlBucket(v: String): String =
-    (0 until Planes).map { j =>
+    (0 until DefaultPlanes).map { j =>
       s"(CASE WHEN ${sqlPlaneDot(v, j)} > 0 " +
         s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -135,18 +239,7 @@ object VectorOps {
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
          |WHERE round(${sqlDot("a.v", "c.v")}, 4) >= 0.4
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val e = normalized(Tables.spread(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-      // cached: both sides of the bucket self-join reuse one
-      // normalize+bucket pass instead of recomputing from the scan
-      val b = bucketed(e).cache()
-      val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
-        $"bkt".as("bkt2"))
-      b.join(b2, $"bkt" === $"bkt2" && $"vec_id" < $"vec_id2")
-        .select($"vec_id".as("d1"), $"vec_id2".as("d2"),
-          round(dot($"v", $"v2"), 4).as("cos"))
-        .filter($"cos" >= 0.4)
-        .orderBy($"d1", $"d2")
+      embedNeardup(s, dir)
     },
 
     // ----- x11 LSH-bucketed ANN: nearest same-bucket neighbor per vector
@@ -161,20 +254,7 @@ object VectorOps {
          |r AS (SELECT qid, nid, cos, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
-      (s, dir) =>
-        val e = normalized(Tables.spread(s, dir, "embeddings")
-          .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-        val b = bucketed(e).cache()
-        val b2 = b.select($"vec_id".as("vec_id2"), $"v".as("v2"),
-          $"bkt".as("bkt2"))
-        val sc = b.join(b2, $"bkt" === $"bkt2" && $"vec_id" =!= $"vec_id2")
-          .select($"vec_id".as("qid"), $"vec_id2".as("nid"),
-            round(dot($"v", $"v2"), 4).as("cos"))
-        sc.withColumn("rn", row_number()
-            .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
-          .filter($"rn" === 1)
-          .select($"qid", $"nid", $"cos")
-          .orderBy($"qid")
+      (s, dir) => annLsh(s, dir)
     },
 
     // ----- x13 IVF-bucketed ANN: coarse quantizer = the first 16
@@ -190,7 +270,8 @@ object VectorOps {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |n AS ${sqlNormalized("e")},
-         |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $Cells),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
          |asg AS (SELECT n.vec_id, n.v, c.cid,
          |    row_number() OVER (PARTITION BY n.vec_id
          |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid) AS arn
@@ -205,43 +286,7 @@ object VectorOps {
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val e = normalized(Tables.spread(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-      // the bounded quantizer collect (16 x 64 doubles) — the one
-      // driver-side materialization IVF sanctions; everything after is
-      // a literal-folded projection
-      val centroids = e.filter($"vec_id" < Cells)
-        .select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      // all 16 centroid dots in ONE DotMatrix loop (bit-identical to
-      // the per-centroid DotProduct folds), then argmax via
-      // lexicographic struct max; negated cid makes ties resolve to
-      // the SMALLEST cid (matching the oracle's `ORDER BY cos DESC,
-      // cid`)
-      val centroidMatrix = centroids.map(_._2)
-      val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
-        case ((cid, _), r) => // row r of the matrix IS centroid cid
-          struct(round(element_at($"cd", r + 1), 4).as("cos"),
-            lit(-cid).as("negcid"))
-      }: _*))
-      val cells = e
-        .withColumn("cd",
-          graft.functions.DotMatrix($"v", centroidMatrix))
-        .withColumn("cell", -best.getField("negcid"))
-        .drop("cd")
-        .cache()
-      val q = cells.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
-      val sc = cells.join(broadcast(q),
-          $"cell" === $"qcell" && $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("nid"),
-          round(dot($"qv", $"v"), 4).as("cos"))
-      sc.withColumn("rn", row_number()
-          .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
-          .cast("long"))
-        .filter($"rn" <= 3)
-        .orderBy($"qid", $"rn")
+      annIvf(s, dir)
     },
 
     // ----- x15 int8 scalar quantization: per-vector symmetric quantize

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{MlOps, TextOps, VectorOps}
+
+/** Round-4 scale guards — the three round-3 "weak" marks, asserted so
+  * they can't regress:
+  *   1. m2's driver collect is bounded by the stratified caps BEFORE
+  *      collection (never the whole table);
+  *   2. x14's vocabulary broadcast drops its hint above the cap
+  *      (shuffled-join fallback);
+  *   3. ANN/LSH geometry is a scale input, not a constant — planes /
+  *      cells / bands grow with corpus size, and refining the geometry
+  *      only narrows candidate sets (the prefix property).
+  */
+class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("m2 training sample is capped per class before the collect") {
+    import spark.implicits._
+    val big = spark.range(30000)
+      .select(lit(0).as("label"), array(lit(1f)).as("f"))
+    val mid = spark.range(300)
+      .select(lit(1).as("label"), array(lit(2f)).as("f"))
+    val tiny = spark.range(3)
+      .select(lit(2).as("label"), array(lit(3f)).as("f"))
+    val counts = MlOps.trainingSample(big.union(mid).union(tiny))
+      .groupBy($"label").count()
+      .as[(Int, Long)].collect().toMap
+    // dominant class hits the hard cap; small classes keep all rows
+    assert(counts(0) == MlOps.TrainClassMax, counts)
+    assert(counts(1) == 300L, counts)
+    assert(counts(2) == 3L, counts)
+    assert(counts.values.sum <= 3 * MlOps.TrainClassMax)
+  }
+
+  test("x14 keeps the broadcast under the cap, drops it above " +
+    "(shuffled-join fallback)") {
+    // model the 100 TB case: no auto-broadcast, so the join strategy is
+    // exactly what the guard decides (at test scale Spark's own
+    // threshold would otherwise re-broadcast the tiny df relation)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // guard passes -> the term join is a broadcast hash join
+      val hinted = TextOps.tfidfTop5(spark, dir)
+      assert(hinted.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        hinted.queryExecution.sparkPlan.toString)
+      // vocabulary over the cap -> hint dropped, shuffled join on term
+      val fallback = TextOps.tfidfTop5(spark, dir, maxBroadcastVocab = 0)
+      val p = fallback.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // and the fallback still computes the same result
+      val a = TextOps.tfidfTop5(spark, dir).collect().toSeq
+      val b = fallback.collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("LSH/IVF geometry scales with corpus size") {
+    assert(VectorOps.planesFor(1000) == VectorOps.DefaultPlanes)
+    assert(VectorOps.planesFor(1L << 30) > VectorOps.planesFor(1L << 20))
+    assert(VectorOps.planesFor(1L << 40) > VectorOps.planesFor(1L << 30))
+    assert(VectorOps.cellsFor(1000000L) > VectorOps.cellsFor(1000L))
+    assert(VectorOps.cellsFor(100L) == VectorOps.DefaultCells)
+    // minhash: a bigger corpus gets FEWER, longer bands (sparser
+    // candidates); bands always divide the signature
+    assert(TextOps.bandsFor(1000000000L) < TextOps.bandsFor(1000L))
+    assert(16 % TextOps.bandsFor(1000000000L) == 0)
+  }
+
+  test("more planes refine the same corpus into more buckets") {
+    val e = VectorOps.normalizedEmbeddings(spark, dir)
+    val n8 = VectorOps.bucketed(e, 8).select("bkt").distinct().count()
+    val n12 = VectorOps.bucketed(e, 12).select("bkt").distinct().count()
+    assert(n12 > n8, s"12 planes: $n12 buckets, 8 planes: $n8")
+  }
+
+  test("x10: more planes -> candidate pairs are a subset " +
+    "(prefix property), fewer -> superset") {
+    def pairs(planes: Int): Set[(Long, Long)] =
+      VectorOps.embedNeardup(spark, dir, planes).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p6 = pairs(6); val p8 = pairs(8); val p10 = pairs(10)
+    assert(p8.nonEmpty)
+    assert(p10.subsetOf(p8), (p10 -- p8).toString)
+    assert(p8.subsetOf(p6), (p8 -- p6).toString)
+  }
+
+  test("x11 stays green under non-default planes; coarser buckets find " +
+    "better-or-equal neighbors") {
+    def nn(planes: Int): Map[Long, Double] =
+      VectorOps.annLsh(spark, dir, planes).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val n6 = nn(6); val n10 = nn(10)
+    assert(n6.nonEmpty && n10.nonEmpty)
+    // every vector with a 10-plane neighbor also has one at 6 planes,
+    // and the 6-plane (coarser, bigger bucket) neighbor is >= as close
+    n10.foreach { case (qid, cos10) =>
+      assert(n6.contains(qid), s"qid $qid lost its bucket at 6 planes")
+      assert(n6(qid) >= cos10, s"qid $qid: 6-plane $cos10 > ${n6(qid)}")
+    }
+  }
+
+  test("x13 stays green with a non-default quantizer size") {
+    val r = VectorOps.annIvf(spark, dir, cells = 32).collect()
+    assert(r.nonEmpty)
+    // top-3 per query, deterministic under re-run
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 3))
+    val again = VectorOps.annIvf(spark, dir, cells = 32).collect()
+    assert(r.toSeq == again.toSeq)
+  }
+
+  test("x7 stays green with a non-default band layout; splitting bands " +
+    "only adds candidates") {
+    def res(bands: Int): Set[(Long, Long)] =
+      TextOps.minhashLsh(spark, dir, 16, bands).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b4 = res(4); val b8 = res(8)
+    assert(b4.nonEmpty)
+    // a pair colliding in a 4-row band collides in both 2-row halves
+    assert(b4.subsetOf(b8), (b4 -- b8).toString)
+  }
+}
