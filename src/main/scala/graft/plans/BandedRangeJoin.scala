@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType,
+  TimestampType}
 
 /** Optimizer rule: rewrite an inner point-in-interval (range) join
   *
@@ -24,11 +25,14 @@ import org.apache.spark.sql.types.LongType
   * can match through exactly ONE of the two emitted copies, so the
   * rewrite is lossless and never duplicates.
   *
-  * Scope guards: inner joins; x and y are LongType expressions each
-  * referencing exactly one side (wrap timestamps in `unix_micros`);
-  * w > 0 foldable. Fires once — rewritten joins carry `__graft_band`
-  * attributes that make them ineligible (idempotent under the
-  * optimizer's fixpoint).
+  * Scope guards: inner joins; x and y are LongType OR TimestampType
+  * expressions each referencing exactly one side; w > 0 foldable (for
+  * timestamps, `y - INTERVAL ...` reaches the optimizer as
+  * `TimestampAddInterval(y, negative day-time literal)` — matched
+  * directly, with the band keys computed over an implicit
+  * `unix_micros` wrap and the width in microseconds). Fires once —
+  * rewritten joins carry `__graft_band` attributes that make them
+  * ineligible (idempotent under the optimizer's fixpoint).
   *
   * The reference's point-in-interval predicate is SURVEY §2.3 J2
   * (`blackmagic/blueprints/tile.py:77-85`) — constant-folded there; this
@@ -67,6 +71,33 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Timestamp form of the lower bound: `x >= y - INTERVAL w` arrives
+    * optimized as `x >= TimestampAddInterval(y, negative literal)` (the
+    * analyzer rewrites datetime subtraction to interval addition) ->
+    * (x, y, width in micros). */
+  private def tsLowerBound(
+      e: Expression): Option[(Expression, Expression, Long)] = {
+    def widthOf(ta: TimestampAddInterval): Option[(Expression, Long)] = {
+      val w = ta.children(1)
+      if (w.foldable && w.dataType.isInstanceOf[DayTimeIntervalType])
+        Option(w.eval()).collect {
+          case micros: Long if micros < 0 => (ta.children(0), -micros)
+        }
+      else None
+    }
+    e match {
+      case GreaterThanOrEqual(x, ta: TimestampAddInterval) =>
+        widthOf(ta).map { case (y, wv) => (x, y, wv) }
+      case GreaterThan(x, ta: TimestampAddInterval) =>
+        widthOf(ta).map { case (y, wv) => (x, y, wv) }
+      case LessThanOrEqual(ta: TimestampAddInterval, x) =>
+        widthOf(ta).map { case (y, wv) => (x, y, wv) }
+      case LessThan(ta: TimestampAddInterval, x) =>
+        widthOf(ta).map { case (y, wv) => (x, y, wv) }
+      case _ => None
+    }
+  }
+
   /** `x <= y` / `x < y` in both spellings -> (x, y). */
   private def upperBound(e: Expression): Option[(Expression, Expression)] =
     e match {
@@ -94,7 +125,8 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
     val cs = conjuncts(cond)
-    val matched = (for {
+    // long form: operands are already LongType band keys
+    val longMatch = for {
       lc <- cs.iterator
       (x, y, w) <- lowerBound(lc).iterator
       uc <- cs.iterator if uc ne lc
@@ -106,9 +138,23 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
       xIsLeft <- sideOf(x, left, right).iterator
       yIsLeft <- sideOf(y, left, right).iterator
       if xIsLeft != yIsLeft
-    } yield (x, y, Literal(wv, LongType), xIsLeft)).nextOption()
+    } yield (x, y, wv, xIsLeft)
+    // timestamp form: band keys are the implicit unix_micros wrap,
+    // width already in micros from the interval literal
+    val tsMatch = for {
+      lc <- cs.iterator
+      (x, y, wv) <- tsLowerBound(lc).iterator if wv > 0
+      uc <- cs.iterator if uc ne lc
+      (x2, y2) <- upperBound(uc).iterator
+      if x2.semanticEquals(x) && y2.semanticEquals(y)
+      if x.dataType == TimestampType && y.dataType == TimestampType
+      xIsLeft <- sideOf(x, left, right).iterator
+      yIsLeft <- sideOf(y, left, right).iterator
+      if xIsLeft != yIsLeft
+    } yield (UnixMicros(x), UnixMicros(y), wv, xIsLeft)
 
-    matched.map { case (x, y, w, xIsLeft) =>
+    (longMatch ++ tsMatch).nextOption().map { case (x, y, wv, xIsLeft) =>
+      val w = Literal(wv, LongType)
       val xSide = if (xIsLeft) left else right
       val ySide = if (xIsLeft) right else left
       // y side: one band column

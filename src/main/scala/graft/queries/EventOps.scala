@@ -216,6 +216,40 @@ object EventOps {
         .orderBy($"event_id")
     },
 
+    // ----- j6 banded range join on RAW timestamps: identical semantics
+    // to j5, but the condition is written directly on timestamp columns
+    // with an interval literal — no manual unix_micros. BandedRangeJoin
+    // matches the analyzer's `TimestampAddInterval(ts, negative
+    // interval)` form and bands over an implicit unix_micros wrap, so
+    // the natural spelling of a time-window join gets the same
+    // equi-join plan as the hand-converted one.
+    "j6_range_join_ts" -> Q(
+      """SELECT p.event_id,
+        |  CAST(count(c.cts) AS BIGINT) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts AS cts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.cts >= p.ts - INTERVAL 10 MINUTE AND c.cts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cuid"), $"ts".as("cts"))
+      val counts = p.join(c,
+          $"user_id" === $"cuid" &&
+            $"cts" >= $"ts" - expr("INTERVAL 10 MINUTES") &&
+            $"cts" < $"ts")
+        .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+      p.select($"event_id")
+        .join(counts, Seq("event_id"), "left")
+        .select($"event_id",
+          coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+        .orderBy($"event_id")
+    },
+
     // ----- e7 weekly cohort retention: users bucketed by first-seen
     // week, counted as active per week offset — the cohort matrix.
     // ONE window pass on the user_id exchange anchors each event to its

@@ -76,6 +76,30 @@ class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("raw timestamp operands band through the implicit unix_micros " +
+    "wrap") {
+    // same fixture, times as timestamps; the condition is written on
+    // RAW timestamps with an interval literal — no manual unix_micros
+    val pTs = probes.select($"k",
+      timestamp_micros($"t" * 1000000L).as("ts"))
+    val cTs = cands.select($"k".as("ck"),
+      timestamp_micros($"u" * 1000000L).as("cts"))
+    val df = pTs.join(cTs,
+      pTs("k") === cTs("ck") &&
+        cTs("cts") >= pTs("ts") - expr(s"INTERVAL $W SECONDS") &&
+        cTs("cts") < pTs("ts"))
+      .select($"k", unix_micros($"ts").as("t"), unix_micros($"cts").as("u"))
+    val got = df.as[(Long, Long, Long)].collect().toSet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__graft_band"), plan)
+    val expected = bruteForce.map { case (k, t, u) =>
+      (k, t * 1000000L, u * 1000000L)
+    }
+    assert(got == expected)
+  }
+
   test("non-matching shapes are left alone (outer join keeps BNLJ)") {
     val df = probes.join(cands,
       probes("k") === cands("k") &&
