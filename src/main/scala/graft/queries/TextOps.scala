@@ -53,19 +53,27 @@ object TextOps {
   /** Band count for a target corpus size: grow rows-per-band by one for
     * every ~100× corpus growth (halving the band-collision rate per
     * added row), keeping the candidate set sparse. sig stays the
-    * signature accuracy knob; bands = sig / rowsPerBand. */
+    * signature accuracy knob; bands = sig / rowsPerBand. The desired
+    * rows-per-band is snapped DOWN to the nearest divisor of sig, so
+    * the returned band count always satisfies [[minhashLsh]]'s
+    * `sig % bands == 0` contract (a non-divisor row count would give
+    * fractional bands); the base grows from sig/Bands, not the default
+    * signature's constant, so non-default sig values scale coherently. */
   def bandsFor(corpusSize: Long, sig: Int = Sig): Int = {
-    val rows = math.min(sig,
-      RowsPerBand + math.max(0, (math.log10(
+    val want = math.min(sig,
+      math.max(1, sig / Bands) + math.max(0, (math.log10(
         math.max(1.0, corpusSize.toDouble / 100000.0)) / 2).toInt))
-    math.max(1, sig / rows)
+    // largest divisor of sig <= want: keeps rows (and so bands)
+    // monotone in corpusSize, and bands always divides sig
+    val rows = (want to 1 by -1).find(sig % _ == 0).get
+    sig / rows
   }
 
   /** x7 body, parameterized on signature size and band count: MinHash
     * signatures -> band-key collision candidates -> signature-agreement
     * refine (est_sim >= 0.25). Splitting a band in two (bands 4 -> 8 at
     * fixed sig) can only ADD candidates — a pair matching a 4-row band
-    * matches both 2-row halves — which GeometrySpec asserts. */
+    * matches both 2-row halves — which ScaleGuardsSpec asserts. */
   private[graft] def minhashLsh(s: org.apache.spark.sql.SparkSession,
       dir: String, sig: Int = Sig, bands: Int = Bands)
       : org.apache.spark.sql.DataFrame = {
