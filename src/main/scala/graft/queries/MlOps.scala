@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.core.PixelTimeseries
-import graft.ml.SoftmaxClassifier
+import graft.ml.{BoostConfig, GradientBoostedClassifier}
 import graft.ops.{HarmonicCcd, SegmentPipeline}
 
 /** ML operators (SURVEY §2.9 M1–M3) exercised over the driver testdata.
@@ -79,13 +79,17 @@ object MlOps {
         .select($"vec_id", $"label", $"embedding".cast("array<float>").as("f"))
       val sample = trainingSample(data.select($"label", $"f"))
         .as[(Int, Array[Float])].collect()
-      val clf = new SoftmaxClassifier(numClasses = 10, epochs = 40)
+      // Reference trainer protocol (hist GBT + mlogloss watchlist +
+      // early stop, tile.py:287-331), rounds scaled to the testdata —
+      // production keeps BoostConfig()'s num_round=500 default.
+      val clf = new GradientBoostedClassifier(BoostConfig(
+        numRound = 60, numClass = 10, maxDepth = 4))
       val model = clf.train(sample)
       val bc = s.sparkContext.broadcast(model)
       val scored = data.select($"vec_id", $"label", $"f")
         .as[(Long, Int, Array[Float])]
         .mapPartitions { it =>
-          val clf2 = new SoftmaxClassifier(numClasses = 10)
+          val clf2 = new GradientBoostedClassifier()
           // fixed-size batches bound task memory while keeping the
           // vectorized-batch scoring shape (same as PredictionPipeline)
           it.grouped(32768).flatMap { batch =>

@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ml.{Classifier, RandomForestSparkClassifier, SoftmaxClassifier}
+import graft.ml.{BoostConfig, Classifier, GradientBoostedClassifier,
+  RandomForestSparkClassifier, SoftmaxClassifier}
 
 /** The pluggable-trainer contract (M2/M3/M5): both implementations must
   * train from the same (label, features) matrix, round-trip the model
@@ -54,6 +55,56 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
   test("random-forest classifier satisfies the trainer contract") {
     spark // force session init so SparkSession.active resolves
     contract(new RandomForestSparkClassifier(), absentClassesZero = true)
+  }
+
+  test("gradient-boosted classifier satisfies the trainer contract") {
+    contract(new GradientBoostedClassifier(
+      BoostConfig(numRound = 60, maxDepth = 3)), absentClassesZero = false)
+  }
+
+  // The reference's watchlist protocol (tile.py:287-331): train/eval
+  // split, per-round eval mlogloss, stop when no improvement for
+  // early_stopping_rounds. Random labels make eval loss bottom out
+  // fast, so the stop MUST fire long before num_round.
+  test("early stopping fires on the eval watchlist (M2 protocol)") {
+    val rnd = new scala.util.Random(11)
+    val rows = Array.tabulate(400) { _ =>
+      (rnd.nextInt(3), Array.fill(4)(rnd.nextFloat()))
+    }
+    val clf = new GradientBoostedClassifier(BoostConfig(
+      numRound = 500, earlyStoppingRounds = 10, numClass = 3, maxDepth = 3))
+    val model = clf.train(rows)
+    val rep = clf.lastReport
+    assert(rep.roundsRun < 500, s"ran ${rep.roundsRun} rounds — never stopped")
+    assert(rep.roundsRun - 1 - rep.bestRound >= 10) // 10 stale rounds seen
+    assert(rep.evalHistory.length == rep.roundsRun)
+    assert(rep.bestScore == rep.evalHistory.min)
+    // best_ntree_limit scoring: the model keeps trees only up to the
+    // best round, not the stale tail
+    assert(clf.treeCount(model) == (rep.bestRound + 1) * 3)
+  }
+
+  test("rounds/depth knobs change the model (reference config surface)") {
+    // XOR labels: depth-1 stumps cannot express the boundary, so the
+    // maxDepth knob must change the learned trees
+    val rnd = new scala.util.Random(5)
+    val rows = Array.tabulate(400) { _ =>
+      val a = rnd.nextFloat(); val b = rnd.nextFloat()
+      val l = (if (a > 0.5f) 1 else 0) ^ (if (b > 0.5f) 1 else 0)
+      (l, Array(a, b, rnd.nextFloat(), rnd.nextFloat()))
+    }
+    def train(c: BoostConfig): (GradientBoostedClassifier, Array[Byte]) = {
+      val clf = new GradientBoostedClassifier(c)
+      (clf, clf.train(rows))
+    }
+    // testSize=0 disables the watchlist -> exactly numRound rounds kept
+    val (c5, m5) = train(BoostConfig(numRound = 5, testSize = 0.0, numClass = 2))
+    assert(c5.treeCount(m5) == 5 * 2)
+    val (c9, m9) = train(BoostConfig(numRound = 9, testSize = 0.0, numClass = 2))
+    assert(c9.treeCount(m9) == 9 * 2)
+    val (_, d1) = train(BoostConfig(numRound = 5, testSize = 0.0,
+      numClass = 2, maxDepth = 1))
+    assert(!java.util.Arrays.equals(m5, d1), "maxDepth knob had no effect")
   }
 
   test("random-forest pads absent classes instead of injecting rows (M4)") {
