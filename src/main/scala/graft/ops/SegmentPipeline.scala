@@ -66,12 +66,17 @@ object SegmentPipeline {
       .agg(first($"dates").as("dates"))
       .as[ChipRecord]
 
-    store.write("segment", segments.toDF(), Seq("cx", "cy"))
-    store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
-    store.write("chip", chips.toDF(), Seq("cx", "cy"))
+    // Counts FIRST: they force detection through the cache, so a
+    // detector failure surfaces before any sink is touched — the
+    // nothing-persisted half of the reference's error contract
+    // (ref: test/test_A_segment.py:159-194). The writes then stream
+    // from the cache; JobQueue compensates if a write itself fails.
     val counts = SegmentResult(
       chips = chips.count(), pixels = pixels.count(),
       segments = segments.count())
+    store.write("segment", segments.toDF(), Seq("cx", "cy"))
+    store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
+    store.write("chip", chips.toDF(), Seq("cx", "cy"))
     detections.unpersist()
     counts
   }

@@ -19,6 +19,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait Store extends Serializable {
   def write(entity: String, df: DataFrame, keys: Seq[String]): Unit
   def read(entity: String, spark: SparkSession): DataFrame
+
+  /** S12 explicit keyed delete (ref: blackmagic/data/__init__.py:57-70
+    * delete_tile/chip/pixels/segments/predictions): drop ONE key
+    * partition, leave every other key untouched, succeed when the key
+    * (or the whole entity) is absent — the idempotency the reference's
+    * delete-before-write rests on. */
+  def delete(entity: String, keyValues: Seq[(String, Any)]): Unit
+}
+
+/** Partition-path delete shared by the partitioned-layout stores: the
+  * key IS a directory (`entity/cx=1/cy=10`), so keyed delete is one
+  * filesystem remove — no scan, no rewrite, the same O(1)-per-key
+  * economy as the reference's object-store delete at any scale. */
+private[store] object PartitionedDelete {
+  def apply(root: String, entity: String,
+      keyValues: Seq[(String, Any)]): Unit = {
+    val dir = keyValues.map { case (k, v) => s"$k=$v" }.mkString("/")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$entity/$dir")
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(path, true) // false when absent — idempotent by contract
+    ()
+  }
 }
 
 final class ParquetStore(root: String) extends Store {
@@ -34,6 +56,10 @@ final class ParquetStore(root: String) extends Store {
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
+
+  override def delete(entity: String,
+      keyValues: Seq[(String, Any)]): Unit =
+    PartitionedDelete(root, entity, keyValues)
 }
 
 /** Bucketed variant: rows are hash-bucketed (and sorted) on the key
@@ -51,16 +77,62 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
 
   private def table(entity: String) = s"graft_bkt_$entity"
 
-  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+  // bucket columns of the last write, so delete's rewrite preserves
+  // the entity's layout even when deleting by a key subset
+  private val entityKeys =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  /** S12 keyed overwrite. Bucketed files interleave keys, so this is a
+    * merge: drop the incoming keys from the current table (anti-join on
+    * the key columns), union the new rows, rewrite. localCheckpoint
+    * truncates lineage so the rewrite never reads the table it
+    * replaces. The rewrite cost is the bucketed trade-off — this store
+    * is for scan-heavy join entities, not upsert-churn ones. */
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val toWrite = if (spark.catalog.tableExists(table(entity))) {
+      read(entity, spark)
+        .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(df)
+        .localCheckpoint(true)
+    } else df
+    rawWrite(entity, toWrite, keys)
+  }
+
+  private def rawWrite(entity: String, df: DataFrame,
+      keys: Seq[String]): Unit = {
+    entityKeys.synchronized { entityKeys(entity) = keys }
     df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", s"$root/$entity")
       .mode("overwrite")
       .saveAsTable(table(entity))
+  }
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.table(table(entity))
+
+  /** Bucketed layout trades keyed delete for exchange-free joins: rows
+    * of one key live inside shared bucket files, so delete is a
+    * filtered rewrite of the entity. localCheckpoint truncates lineage
+    * so the overwrite doesn't read the table it replaces. Use the
+    * partitioned stores where frequent keyed deletes matter; bucketing
+    * is for the scan-heavy join tables. */
+  override def delete(entity: String,
+      keyValues: Seq[(String, Any)]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val spark = SparkSession.active
+    val cur = read(entity, spark)
+    val hit = keyValues.map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    val keep = cur.filter(not(hit)).localCheckpoint(true)
+    val keys = entityKeys.synchronized {
+      entityKeys.getOrElse(entity, keyValues.map(_._1))
+    }
+    rawWrite(entity, keep, keys)
+  }
 }
 
 /** Gzipped-JSON variant mirroring the reference's storage codec
@@ -82,4 +154,8 @@ final class JsonStore(root: String) extends Store {
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.json(s"$root/$entity")
+
+  override def delete(entity: String,
+      keyValues: Seq[(String, Any)]): Unit =
+    PartitionedDelete(root, entity, keyValues)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.core.PixelTimeseries
 import graft.ml.Classifier
@@ -17,17 +17,31 @@ final case class JobRequest(
     cx: Long, cy: Long, tx: Long, ty: Long,
     date: String, month: Int, day: Int)
 
-/** The result record appended to the job log for each processed request. */
+/** The result record appended to the job log for each processed
+  * request. `status` carries the reference's HTTP contract: 200 ok,
+  * 400 invalid request (failed validation, nothing ran), 500 pipeline
+  * failure (nothing persisted). */
 final case class JobResult(kind: String, cx: Long, cy: Long,
-    tx: Long, ty: Long, ok: Boolean, rows: Long, error: String)
+    tx: Long, ty: Long, ok: Boolean, rows: Long, error: String,
+    status: Int)
 
 /** Job-queue stream driver (SURVEY §2.11 / §7.1 module 7): requests
   * arrive on any streaming source; `foreachBatch` dispatches the
   * corresponding batch pipeline. Exactly-once story: checkpointing
   * makes batch replay possible, and every sink is an idempotent keyed
-  * overwrite (S12 semantics), so replays converge. The reference's
-  * per-stage error channel (exception -> error response, nothing
-  * persisted) maps to per-request try/catch emitting a JobResult.
+  * overwrite (S12 semantics), so replays converge.
+  *
+  * Error contract, matching the reference stage tests
+  * (ref: test/test_A_segment.py:55-87,159-194):
+  *  - requests missing required fields are rejected with a
+  *    400-equivalent JobResult BEFORE any pipeline runs — the store is
+  *    never touched;
+  *  - a pipeline failure yields a 500-equivalent JobResult and leaves
+  *    the request's key partitions EMPTY (the observable state the
+  *    reference's delete-before-write produces on failure): pipelines
+  *    materialize their results before writing, and any write that
+  *    still fails is compensated by keyed deletes of the touched
+  *    entities.
   */
 final class JobQueue(
     spark: SparkSession,
@@ -40,20 +54,75 @@ final class JobQueue(
   @volatile private var log = List.empty[JobResult]
   def results: List[JobResult] = log
 
-  /** Process one micro-batch of requests (also the unit test surface). */
-  def dispatch(batch: Dataset[JobRequest]): Unit = {
-    // request batches are tiny control messages (the reference's HTTP
-    // bodies) — collecting them to the driver is the sanctioned pattern;
-    // the DATA work each one triggers stays fully distributed.
-    batch.collect().foreach { r =>
-      val res =
+  /** Per-field request validation (the reference's parameters() check,
+    * ref: blackmagic/blueprints/segment.py:146-163): names every
+    * missing/invalid field so the caller can fix the request. Rows come
+    * from the loose schema a JSON request source delivers, where any
+    * field may be null. */
+  private[streaming] def parameters(r: Row): Either[String, JobRequest] = {
+    def has(f: String) =
+      r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f))
+    def str(f: String) = if (has(f)) r.getString(r.fieldIndex(f)) else ""
+    def num(f: String) = r.getAs[Number](r.fieldIndex(f))
+    if (!has("kind")) return Left("kind is a required parameter")
+    val kind = str("kind")
+    val required: Seq[String] = kind match {
+      case "segment" => Seq("cx", "cy")
+      case "tile" => Seq("tx", "ty", "date")
+      case "prediction" => Seq("tx", "ty", "cx", "cy", "month", "day")
+      case other => return Left(s"unknown kind: $other")
+    }
+    val missing = required.filterNot(has)
+    if (missing.nonEmpty)
+      return Left(s"${missing.mkString(", ")} " +
+        s"${if (missing.size == 1) "is a required parameter"
+        else "are required parameters"}")
+    def lng(f: String) = if (has(f)) num(f).longValue() else 0L
+    def int(f: String) = if (has(f)) num(f).intValue() else 0
+    // value-range checks run in handle(), which answers 400 for them
+    Right(JobRequest(kind, lng("cx"), lng("cy"), lng("tx"), lng("ty"),
+      str("date"), int("month"), int("day")))
+  }
+
+  /** Value-range validation shared by both entry points. */
+  private[streaming] def domainCheck(r: JobRequest): Option[String] =
+    r.kind match {
+      case "tile" =>
+        if (scala.util.Try(java.time.LocalDate.parse(r.date)).isFailure)
+          Some(s"date must be ISO yyyy-MM-dd, got '${r.date}'")
+        else None
+      case "prediction" =>
+        if (r.month < 1 || r.month > 12) Some(s"month out of range: ${r.month}")
+        else if (r.day < 1 || r.day > 31) Some(s"day out of range: ${r.day}")
+        else None
+      case _ => None
+    }
+
+  /** Entities (and their key values) a request writes — the rollback
+    * set for the nothing-persisted guarantee. */
+  private def touched(r: JobRequest): Seq[(String, Seq[(String, Any)])] =
+    r.kind match {
+      case "segment" => Seq("segment", "pixel", "chip")
+        .map(_ -> Seq("cx" -> r.cx, "cy" -> r.cy))
+      case "tile" => Seq("tile" -> Seq("tx" -> r.tx, "ty" -> r.ty))
+      case "prediction" =>
+        Seq("prediction" -> Seq("cx" -> r.cx, "cy" -> r.cy))
+      case _ => Seq.empty
+    }
+
+  /** Run one validated request through its pipeline. */
+  private def handle(r: JobRequest): JobResult =
+    domainCheck(r) match {
+      case Some(err) =>
+        JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = false, 0, err, 400)
+      case None =>
         try {
           r.kind match {
             case "segment" =>
               val out = SegmentPipeline.run(spark, ardSource(r.cx, r.cy),
                 store, detector)
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true,
-                out.segments, "")
+                out.segments, "", 200)
             case "tile" =>
               val out = TrainingPipeline.run(spark,
                 store.read("segment", spark), auxSource(), store,
@@ -61,7 +130,7 @@ final class JobQueue(
                 TrainingPipeline.Params(date = r.date,
                   targetSamples = 1000000, classMin = 1, classMax = 1000000))
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true,
-                out.trainRows, "")
+                out.trainRows, "", 200)
             case "prediction" =>
               import org.apache.spark.sql.functions.col
               import spark.implicits._
@@ -72,19 +141,53 @@ final class JobQueue(
                 store.read("segment", spark)
                   .filter(col("cx") === r.cx && col("cy") === r.cy),
                 auxSource(), store, classifier, modelBytes, r.month, r.day)
-              JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true, n, "")
+              JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true, n, "", 200)
             case other =>
               JobResult(other, r.cx, r.cy, r.tx, r.ty, ok = false, 0,
-                s"unknown kind: $other")
+                s"unknown kind: $other", 400)
           }
         } catch {
           case e: Exception =>
+            // nothing-persisted: a failed request's key partitions end
+            // up empty, exactly as after the reference's delete-first +
+            // failed save (ref: test/test_A_segment.py:159-194)
+            touched(r).foreach { case (entity, keys) =>
+              try store.delete(entity, keys)
+              catch { case _: Exception => () }
+            }
             JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = false, 0,
-              String.valueOf(e.getMessage))
+              String.valueOf(e.getMessage), 500)
         }
+    }
+
+  /** Process one micro-batch of typed requests. */
+  def dispatch(batch: Dataset[JobRequest]): Unit =
+    // request batches are tiny control messages (the reference's HTTP
+    // bodies) — collecting them to the driver is the sanctioned pattern;
+    // the DATA work each one triggers stays fully distributed.
+    batch.collect().foreach { r => log = handle(r) :: log }
+
+  /** Process one micro-batch of RAW rows (any nullable schema, e.g.
+    * parsed JSON requests): per-field validation runs first, and a
+    * request that fails it is answered 400 without any pipeline (or
+    * store) involvement. */
+  def dispatchRaw(batch: DataFrame): Unit =
+    batch.collect().foreach { row =>
+      val res = parameters(row) match {
+        case Left(err) =>
+          def lv(f: String) =
+            if (row.schema.fieldNames.contains(f) &&
+              !row.isNullAt(row.fieldIndex(f)))
+              row.getAs[Number](row.fieldIndex(f)).longValue() else 0L
+          val kind = if (row.schema.fieldNames.contains("kind") &&
+            !row.isNullAt(row.fieldIndex("kind")))
+            row.getString(row.fieldIndex("kind")) else ""
+          JobResult(kind, lv("cx"), lv("cy"), lv("tx"), lv("ty"),
+            ok = false, 0, err, 400)
+        case Right(req) => handle(req)
+      }
       log = res :: log
     }
-  }
 
   /** Start the streaming dispatcher over a request stream. */
   def start(requests: Dataset[JobRequest], checkpoint: String)

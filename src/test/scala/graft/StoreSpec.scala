@@ -3,7 +3,8 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.store.{BucketedStore, JsonStore, ParquetStore}
+import graft.store.{BucketedStore, ConnectorStore, InMemoryConnector,
+  JsonStore, KeyedApi, ParquetStore, Store}
 
 /** Keyed store contracts (S6/S12/S13): dynamic partition overwrite
   * replaces delete+insert per key, other keys' partitions survive, and
@@ -39,6 +40,61 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val files = Files.walk(java.nio.file.Paths.get(root))
       .toArray.map(_.toString).filter(_.endsWith(".gz"))
     assert(files.nonEmpty)
+  }
+
+  // S12/S13 parity across every Store implementation, including the
+  // connector-shaped one (ref: blackmagic/data/__init__.py:13-70):
+  // keyed overwrite replaces only its key, explicit keyed delete drops
+  // only its key and is idempotent on absent keys.
+  test("keyed upsert/delete parity holds across all store impls") {
+    val tmp = Files.createTempDirectory("graft-parity").toString
+    val stores: Seq[(String, Store)] = Seq(
+      "parquet" -> new ParquetStore(s"$tmp/pq"),
+      "json" -> new JsonStore(s"$tmp/js"),
+      "bucketed" -> new BucketedStore(s"$tmp/bk", buckets = 4),
+      "connector" -> new ConnectorStore(new InMemoryConnector))
+    stores.foreach { case (name, store) =>
+      val v1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("cx", "cy", "v")
+      store.write("par", v1, Seq("cx", "cy"))
+      store.write("par", Seq((1L, 10L, "a2")).toDF("cx", "cy", "v"),
+        Seq("cx", "cy"))
+      def got = store.read("par", spark)
+        .select($"cx".cast("long"), $"v").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a2"), (2L, "b")), s"[$name] upsert")
+      store.delete("par", Seq("cx" -> 1L, "cy" -> 10L))
+      assert(got == Set((2L, "b")), s"[$name] delete")
+      store.delete("par", Seq("cx" -> 1L, "cy" -> 10L)) // re-delete
+      store.delete("par", Seq("cx" -> 99L, "cy" -> 99L)) // absent key
+      assert(got == Set((2L, "b")), s"[$name] idempotent delete")
+    }
+  }
+
+  test("the 15-method keyed API mirrors the reference storage interface") {
+    val api = new KeyedApi(new ConnectorStore(new InMemoryConnector), spark)
+    api.setup(); api.start()
+    api.insertTile(Seq((7L, 9L, Array[Byte](1, 2, 3)))
+      .toDF("tx", "ty", "model"))
+    api.insertChip(Seq((1L, 10L, "c")).toDF("cx", "cy", "dates"))
+    api.insertPixels(Seq((1L, 10L, 5L)).toDF("cx", "cy", "px"))
+    api.insertSegments(Seq((1L, 10L, 0.5)).toDF("cx", "cy", "coef"))
+    api.insertPredictions(Seq((1L, 10L, 0.9)).toDF("cx", "cy", "prob"))
+    assert(api.selectTile(7, 9).count() == 1)
+    assert(api.selectTile(7, 8).count() == 0) // partition-addressed
+    assert(api.selectChip(1, 10).count() == 1)
+    assert(api.selectPixels(1, 10).count() == 1)
+    assert(api.selectSegments(1, 10).count() == 1)
+    assert(api.selectPredictions(1, 10).count() == 1)
+    api.deleteTile(7, 9)
+    api.deleteChip(1, 10)
+    api.deletePixels(1, 10)
+    api.deleteSegments(1, 10)
+    api.deletePredictions(1, 10)
+    assert(api.selectTile(7, 9).count() == 0)
+    assert(api.selectChip(1, 10).count() == 0)
+    assert(api.selectPixels(1, 10).count() == 0)
+    assert(api.selectSegments(1, 10).count() == 0)
+    assert(api.selectPredictions(1, 10).count() == 0)
+    api.stop()
   }
 
   test("bucketed store joins co-located entities without a shuffle") {

@@ -182,6 +182,108 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  // ---- request-validation / nothing-persisted error contract
+  // (ref: test/test_A_segment.py:55-87 bad parameters -> 400 + empty
+  // store; :159-194 stage exception -> 500 + empty store)
+
+  private def jobQueue(store: graft.store.Store,
+      detector: graft.ops.ChangeDetector = graft.ops.HarmonicCcd()) = {
+    val fixtures = new PipelineFixtures(spark)
+    (fixtures, new JobQueue(spark, store,
+      ardSource = (_, _) => spark.createDataset(fixtures.chip()),
+      auxSource = () => spark.createDataset(fixtures.aux()).toDF(),
+      classifier = new graft.ml.SoftmaxClassifier(numClasses = 4),
+      detector = detector))
+  }
+
+  private def countFor(store: graft.store.Store, entity: String): Long =
+    try store.read(entity, spark).count()
+    catch { case _: Exception => 0L } // entity never written
+
+  test("requests missing required fields get 400 and never run") {
+    val root = Files.createTempDirectory("graft-jobq-400").toString
+    val store = new graft.store.ParquetStore(root)
+    val (_, jq) = jobQueue(store)
+    // the loose rows a JSON request source delivers: any field nullable
+    val raw = Seq[(String, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[String], Option[Int], Option[Int])](
+      ("segment", None, Some(20L), None, None, None, None, None),
+      ("tile", None, None, Some(7L), Some(9L), None, None, None),
+      ("prediction", Some(1L), Some(2L), Some(7L), Some(9L), None, None,
+        Some(1)))
+      .toDF("kind", "cx", "cy", "tx", "ty", "date", "month", "day")
+    jq.dispatchRaw(raw)
+    val res = jq.results.reverse
+    assert(res.forall(r => r.status == 400 && !r.ok))
+    assert(res(0).error.contains("cx")) // segment: names the missing field
+    assert(res(1).error.contains("date")) // tile
+    assert(res(2).error.contains("month")) // prediction
+    // 400s happen BEFORE any pipeline: no entity was ever created
+    Seq("segment", "pixel", "chip", "tile", "prediction").foreach { e =>
+      assert(!Files.exists(java.nio.file.Paths.get(root, e)),
+        s"$e written by a rejected request")
+    }
+  }
+
+  test("out-of-range values get 400 through the typed path too") {
+    val root = Files.createTempDirectory("graft-jobq-rng").toString
+    val store = new graft.store.ParquetStore(root)
+    val (f, jq) = jobQueue(store)
+    jq.dispatch(spark.createDataset(Seq(
+      JobRequest("prediction", f.Cx, f.Cy, 7, 9, "", 13, 1), // month 13
+      JobRequest("tile", 0, 0, 7, 9, "not-a-date", 0, 0))))
+    assert(jq.results.forall(r => r.status == 400 && !r.ok))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "prediction")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "tile")))
+  }
+
+  test("a detection failure answers 500 and persists nothing") {
+    val root = Files.createTempDirectory("graft-jobq-det").toString
+    val store = new graft.store.ParquetStore(root)
+    val boom = new graft.ops.ChangeDetector {
+      def detect(ts: graft.core.PixelTimeseries) =
+        throw new RuntimeException("test_detection_exception")
+    }
+    val (f, jq) = jobQueue(store, boom)
+    jq.dispatch(spark.createDataset(Seq(
+      JobRequest("segment", f.Cx, f.Cy, 0, 0, "", 0, 0))))
+    val r = jq.results.head
+    assert(!r.ok && r.status == 500 && r.error.nonEmpty)
+    Seq("segment", "pixel", "chip").foreach { e =>
+      assert(countFor(store, e) == 0, s"$e persisted after failure")
+    }
+  }
+
+  test("a save failure is compensated: touched keys end up empty") {
+    val root = Files.createTempDirectory("graft-jobq-save").toString
+    // fail the LAST of the three segment-stage writes, so the first two
+    // have already landed and must be rolled back
+    val inner = new graft.store.ParquetStore(root)
+    val store: graft.store.Store = new graft.store.Store {
+      override def write(entity: String,
+          df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
+        if (entity == "chip")
+          throw new RuntimeException("test_save_exception")
+        inner.write(entity, df, keys)
+      }
+      override def read(entity: String,
+          s: org.apache.spark.sql.SparkSession) = inner.read(entity, s)
+      override def delete(entity: String,
+          keyValues: Seq[(String, Any)]): Unit =
+        inner.delete(entity, keyValues)
+    }
+    val (f, jq) = jobQueue(store)
+    jq.dispatch(spark.createDataset(Seq(
+      JobRequest("segment", f.Cx, f.Cy, 0, 0, "", 0, 0))))
+    val r = jq.results.head
+    assert(!r.ok && r.status == 500)
+    assert(r.error.contains("test_save_exception"))
+    Seq("segment", "pixel", "chip").foreach { e =>
+      assert(countFor(store, e) == 0,
+        s"$e still holds rows after the compensating delete")
+    }
+  }
+
   test("job queue dispatches segment requests and logs errors") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-jobq").toString
