@@ -45,13 +45,33 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && eligible(cond) =>
+        if j.resolved && eligible(cond) && !hasCrossEquiKey(cond, left, right) =>
       rewrite(left, right, cond, hint).getOrElse(j)
   }
 
   /** Skip joins we already banded (fixpoint guard). */
   private def eligible(cond: Expression): Boolean =
     !cond.references.exists(_.name.startsWith(BandCol))
+
+  /** A join whose condition already carries a cross-side equality
+    * conjunct plans as a hash/sort-merge join — it was never at BNLJ
+    * risk, and banding it would only double one side through the
+    * Generate for zero benefit. The rewrite is reserved for joins the
+    * planner would otherwise nest-loop. */
+  private def hasCrossEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) => crossSide(a, b, left, right)
+      case EqualNullSafe(a, b) => crossSide(a, b, left, right)
+      case _ => false
+    }
+
+  private def crossSide(a: Expression, b: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    (sideOf(a, left, right), sideOf(b, left, right)) match {
+      case (Some(sa), Some(sb)) => sa != sb
+      case _ => false
+    }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)

@@ -54,18 +54,21 @@ object TextOps {
     * every ~100× corpus growth (halving the band-collision rate per
     * added row), keeping the candidate set sparse. sig stays the
     * signature accuracy knob; bands = sig / rowsPerBand. The desired
-    * rows-per-band is snapped DOWN to the nearest divisor of sig, so
-    * the returned band count always satisfies [[minhashLsh]]'s
+    * rows-per-band is snapped UP to the nearest divisor of sig, so the
+    * returned band count always satisfies [[minhashLsh]]'s
     * `sig % bands == 0` contract (a non-divisor row count would give
-    * fractional bands); the base grows from sig/Bands, not the default
-    * signature's constant, so non-default sig values scale coherently. */
+    * fractional bands). Snapping up, not down, keeps band count
+    * STRICTLY shrinking as the corpus crosses each growth decade
+    * (longer bands = sparser candidates — the safe direction at scale)
+    * and the base grows from sig/Bands, not the default signature's
+    * constant, so non-default sig values scale coherently. */
   def bandsFor(corpusSize: Long, sig: Int = Sig): Int = {
     val want = math.min(sig,
       math.max(1, sig / Bands) + math.max(0, (math.log10(
         math.max(1.0, corpusSize.toDouble / 100000.0)) / 2).toInt))
-    // largest divisor of sig <= want: keeps rows (and so bands)
+    // smallest divisor of sig >= want: rows (and so bands) stay
     // monotone in corpusSize, and bands always divides sig
-    val rows = (want to 1 by -1).find(sig % _ == 0).get
+    val rows = (want to sig).find(sig % _ == 0).get
     sig / rows
   }
 
@@ -130,34 +133,30 @@ object TextOps {
     * [[TextExprs.shingleHashes]] doubles as the token-hash step. */
   private val TextExprsM: Long = T.MinhashP
 
-  /** x14's vocabulary-broadcast cap (rows). A distinct-term relation
-    * under this cap broadcasts (one hash table per executor, no shuffle
-    * of the much larger tf relation); above it the broadcast hint is
-    * DROPPED and the term join becomes an ordinary shuffled join — a
-    * web-scale vocabulary must never be forced into executor memory.
-    * 4M terms × ~40 B/row ≈ 160 MB, a safe per-executor table. */
-  private[graft] val MaxBroadcastVocab = 4000000L
-
-  /** x14 body, parameterized on the broadcast cap so the fallback path
-    * is testable (PlanSpec drives it with cap = 0). The guard MEASURES
-    * the vocabulary — one cheap count over the cached, already
-    * vocabulary-sized df aggregate — instead of trusting a size
-    * estimate that an agg-over-parquet plan doesn't have. */
+  /** x14 body. The vocabulary-side join strategy is left to AQE: the
+    * df relation's true size exists only after its aggregation runs,
+    * and AQE converts the shuffled term join to a broadcast join at
+    * runtime when the BUILT vocabulary fits the broadcast threshold —
+    * the same guard the previous explicit `df.count()` implemented,
+    * with no extra job and no eager work at DataFrame-construction
+    * time (a registry query must stay lazy). A web-scale vocabulary is
+    * never forced into executor memory because nothing hints a
+    * broadcast — ScaleGuardsSpec pins that by disabling auto-broadcast
+    * and asserting the join degrades to a shuffled join with identical
+    * results. No caches either: the tf subplan feeds both consumers
+    * through one reused exchange, so repeated builds no longer
+    * accumulate cached partitions. */
   private[graft] def tfidfTop5(s: org.apache.spark.sql.SparkSession,
-      dir: String, maxBroadcastVocab: Long = MaxBroadcastVocab)
-      : org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.spread(s, dir, "documents")
       .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
     val terms = docs.select($"doc_id", explode($"tk").as("term"))
-    // cached: the df build, the guard count, and the scoring join all
-    // consume tf; without the cache the explode+agg would run thrice
     val tf = terms.groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf")).cache()
+      .agg(count(lit(1)).as("tf"))
     // df via hash-agg: the partial (map-side) agg collapses tf to
-    // vocabulary size before any exchange. Cached so the guard count
-    // and the join share one materialization.
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df")).cache()
-    val dfSide = if (df.count() <= maxBroadcastVocab) broadcast(df) else df
+    // vocabulary size before any exchange
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dfSide = df
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf
       .join(dfSide, "term")

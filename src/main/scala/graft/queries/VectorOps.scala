@@ -148,34 +148,21 @@ object VectorOps {
       .orderBy($"qid")
   }
 
+  /** Cells at or below this count are folded into the plan as a
+    * DotMatrix literal (fastest: one codegen'd loop). Above it the
+    * literal path would hit JVM constant-pool / codegen limits long
+    * before the cells ≈ √n [[cellsFor]] recommends (31k cells at n=1e9
+    * is 2M plan literals), so assignment switches to the broadcast
+    * quantizer relation below — the knob stays turnable to any size. */
+  private[graft] val MaxLiteralCells = 256
+
   /** x13 body, parameterized on the quantizer size (the scale knob). */
   private[graft] def annIvf(s: org.apache.spark.sql.SparkSession,
       dir: String, cells: Int = DefaultCells)
       : org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
-    // the bounded quantizer collect (cells x 64 doubles) — the one
-    // driver-side materialization IVF sanctions; everything after is
-    // a literal-folded projection
-    val centroids = e.filter($"vec_id" < cells)
-      .select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    // all centroid dots in ONE DotMatrix loop (bit-identical to the
-    // per-centroid DotProduct folds), then argmax via lexicographic
-    // struct max; negated cid makes ties resolve to the SMALLEST cid
-    // (matching the oracle's `ORDER BY cos DESC, cid`)
-    val centroidMatrix = centroids.map(_._2)
-    val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
-      case ((cid, _), r) => // row r of the matrix IS centroid cid
-        struct(round(element_at($"cd", r + 1), 4).as("cos"),
-          lit(-cid).as("negcid"))
-    }: _*))
-    val cellsDf = e
-      .withColumn("cd",
-        graft.functions.DotMatrix($"v", centroidMatrix))
-      .withColumn("cell", -best.getField("negcid"))
-      .drop("cd")
-      .cache()
+    val cellsDf = (if (cells <= MaxLiteralCells)
+      literalCells(e, cells) else joinCells(e, cells)).cache()
     val q = cellsDf.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
     val sc = cellsDf.join(broadcast(q),
@@ -187,6 +174,59 @@ object VectorOps {
         .cast("long"))
       .filter($"rn" <= 3)
       .orderBy($"qid", $"rn")
+  }
+
+  /** Literal-folded cell assignment: the bounded quantizer collect
+    * (cells x 64 doubles) — the one driver-side materialization IVF
+    * sanctions at small cell counts; everything after is a codegen'd
+    * projection. All centroid dots run in ONE DotMatrix loop, then
+    * argmax via lexicographic struct max; negated cid makes ties
+    * resolve to the SMALLEST cid (the oracle's `ORDER BY cos DESC,
+    * cid`). */
+  private[graft] def literalCells(e: org.apache.spark.sql.DataFrame,
+      cells: Int): org.apache.spark.sql.DataFrame = {
+    val centroids = e.filter($"vec_id" < cells)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centroidMatrix = centroids.map(_._2)
+    val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
+      case ((cid, _), r) => // row r of the matrix IS centroid cid
+        struct(round(element_at($"cd", r + 1), 4).as("cos"),
+          lit(-cid).as("negcid"))
+    }: _*))
+    e.withColumn("cd",
+        graft.functions.DotMatrix($"v", centroidMatrix))
+      .withColumn("cell", -best.getField("negcid"))
+      .drop("cd")
+  }
+
+  /** Broadcast-quantizer cell assignment for cell counts past the
+    * literal ceiling: the centroid set stays a RELATION — aggregated
+    * distributively into one array-of-structs row, broadcast, and
+    * argmax'd per vector with `aggregate`/`zip_with`. No driver
+    * collect, no plan literals, and the corpus still never shuffles
+    * (the only exchange is the one-row broadcast), so the cellsFor
+    * knob can actually be turned to √n at any n. Tie-break is
+    * bit-identical to [[literalCells]]: lexicographic max over
+    * (round(cos, 4), -cid). */
+  private[graft] def joinCells(e: org.apache.spark.sql.DataFrame,
+      cells: Int): org.apache.spark.sql.DataFrame = {
+    val quantizer = e.filter($"vec_id" < cells)
+      .select(struct($"vec_id".as("cid"), $"v".as("cv")).as("c"))
+      .agg(sort_array(collect_list($"c")).as("cents"))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"),
+      lit(Long.MinValue).as("negcid"))
+    val best = aggregate($"cents", init, (acc, c) => {
+      val cos = round(aggregate(
+        zip_with($"v", c.getField("cv"), (a, b) => a * b),
+        lit(0.0), (s0, x) => s0 + x), 4)
+      val cand = struct(cos.as("cos"), (-c.getField("cid")).as("negcid"))
+      when(cand > acc, cand).otherwise(acc)
+    })
+    e.crossJoin(broadcast(quantizer))
+      .withColumn("cell", -best.getField("negcid"))
+      .drop("cents")
   }
 
   private def sqlPlaneDot(v: String, j: Int): String =

@@ -41,16 +41,19 @@ class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
     } yield (k, t, u)).toSet
   }
 
-  test("rule rewrites the range join to a banded equi-join (no BNLJ)") {
+  test("joins that already have an equality key are NOT banded") {
+    // k-equality makes this a plain hash/sort-merge join with range
+    // residuals — never at BNLJ risk, so the rule must not pay the 2x
+    // Generate (VERDICT r4: j6 doubled its click side for nothing)
     val df = joined
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("__graft_band"), plan)
   }
 
-  test("banded join returns exactly the brute-force row set") {
+  test("equality-key range join returns exactly the brute-force row set") {
     val got = joined.as[(Long, Long, Long)].collect().toSet
     assert(got == bruteForce)
     assert(got.nonEmpty) // the fixture actually exercises matches
@@ -78,25 +81,27 @@ class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
 
   test("raw timestamp operands band through the implicit unix_micros " +
     "wrap") {
-    // same fixture, times as timestamps; the condition is written on
-    // RAW timestamps with an interval literal — no manual unix_micros
+    // pure time-range fixture (no key equality, the shape that would
+    // otherwise nest-loop); the condition is written on RAW timestamps
+    // with an interval literal — no manual unix_micros
     val pTs = probes.select($"k",
       timestamp_micros($"t" * 1000000L).as("ts"))
     val cTs = cands.select($"k".as("ck"),
       timestamp_micros($"u" * 1000000L).as("cts"))
     val df = pTs.join(cTs,
-      pTs("k") === cTs("ck") &&
-        cTs("cts") >= pTs("ts") - expr(s"INTERVAL $W SECONDS") &&
+      cTs("cts") >= pTs("ts") - expr(s"INTERVAL $W SECONDS") &&
         cTs("cts") < pTs("ts"))
-      .select($"k", unix_micros($"ts").as("t"), unix_micros($"cts").as("u"))
-    val got = df.as[(Long, Long, Long)].collect().toSet
+      .select(unix_micros($"ts").as("t"), unix_micros($"cts").as("u"))
+    val got = df.as[(Long, Long)].collect().toSet
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("__graft_band"), plan)
-    val expected = bruteForce.map { case (k, t, u) =>
-      (k, t * 1000000L, u * 1000000L)
-    }
+    val p = probes.as[(Long, Long)].collect()
+    val c = cands.as[(Long, Long)].collect()
+    val expected = (for {
+      (_, t) <- p; (_, u) <- c if u >= t - W && u < t
+    } yield (t * 1000000L, u * 1000000L)).toSet
     assert(got == expected)
   }
 

@@ -36,29 +36,44 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(counts.values.sum <= 3 * MlOps.TrainClassMax)
   }
 
-  test("x14 keeps the broadcast under the cap, drops it above " +
-    "(shuffled-join fallback)") {
-    // model the 100 TB case: no auto-broadcast, so the join strategy is
-    // exactly what the guard decides (at test scale Spark's own
-    // threshold would otherwise re-broadcast the tiny df relation)
+  test("x14 never forces a broadcast: the vocabulary join follows " +
+    "statistics and survives broadcast-off with identical results") {
+    // default config at test scale: statistics legitimately choose a
+    // broadcast of the tiny built vocabulary
+    val a = TextOps.tfidfTop5(spark, dir).collect().toSeq
+    // the 100 TB model: NOTHING fits a broadcast — because no hint
+    // forces one, the term join must degrade to a shuffled join (the
+    // old build-time df.count() guard is now the planner's job, with
+    // no extra eager action at DataFrame-construction time)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      // guard passes -> the term join is a broadcast hash join
-      val hinted = TextOps.tfidfTop5(spark, dir)
-      assert(hinted.queryExecution.sparkPlan.toString
-        .contains("BroadcastHashJoin"),
-        hinted.queryExecution.sparkPlan.toString)
-      // vocabulary over the cap -> hint dropped, shuffled join on term
-      val fallback = TextOps.tfidfTop5(spark, dir, maxBroadcastVocab = 0)
-      val p = fallback.queryExecution.sparkPlan.toString
+      val q = TextOps.tfidfTop5(spark, dir)
+      val b = q.collect().toSeq
+      val p = q.queryExecution.executedPlan.toString
+      // the one BroadcastHashJoin-free shape: term join shuffles (the
+      // broadcast(n) singleton is a nested-loop join, not a hash join)
       assert(!p.contains("BroadcastHashJoin"), p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
-      // and the fallback still computes the same result
-      val a = TextOps.tfidfTop5(spark, dir).collect().toSeq
-      val b = fallback.collect().toSeq
-      assert(a == b)
+      assert(a == b) // shuffled path is result-identical
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("x13 broadcast-quantizer fallback assigns the same cells as " +
+    "the literal fold") {
+    import spark.implicits._
+    val e = VectorOps.normalizedEmbeddings(spark, dir)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    // same quantizer, both assignment paths -> identical cell map
+    assert(cellsOf(VectorOps.literalCells(e, 64)) ==
+      cellsOf(VectorOps.joinCells(e, 64)))
+    // and the end-to-end query still runs ABOVE the literal ceiling,
+    // where the old implementation could not turn the cellsFor knob
+    val big = VectorOps.annIvf(spark, dir,
+      cells = VectorOps.MaxLiteralCells + 44)
+    assert(big.count() > 0)
   }
 
   test("LSH/IVF geometry scales with corpus size") {
