@@ -157,6 +157,84 @@ object EventStream {
             + (if (s.t2 != 0) 1 else 0) + (if (s.t3 != 0) 1 else 0))
       }
 
+  // NOT private: Spark's generated (de)serializers must reach the ctor
+  final case class CohortPair(
+      cohort: java.sql.Date, week_offset: Long, user_id: Long)
+  final case class RetentionState(cohortDays: Long, seen: Array[Long])
+
+  private implicit val cohortPairEnc: Encoder[CohortPair] =
+    Encoders.product[CohortPair]
+  private implicit val retentionStateEnc: Encoder[RetentionState] =
+    Encoders.product[RetentionState]
+
+  private def weekStartDays(ts: Timestamp): Long =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      .`with`(java.time.temporal.TemporalAdjusters
+        .previousOrSame(java.time.DayOfWeek.MONDAY))
+      .toEpochDay
+
+  /** Incremental weekly-cohort retention (streaming twin of batch e7):
+    * per user, the state holds the cohort week (week of the earliest
+    * event seen) and the set of week offsets already emitted; each
+    * event emits its (cohort, week_offset, user) triple AT MOST ONCE,
+    * so `groupBy(cohort, week_offset).count()` downstream IS e7's
+    * n_users matrix — counting plain rows equals counting distinct
+    * users because duplicates never leave the state function. State is
+    * one date plus O(active weeks) longs per user.
+    *
+    * A late event EARLIER than the current cohort re-anchors the
+    * user's cohort and re-emits the shifted offsets under the new
+    * cohort (rows already emitted under the old cohort are append
+    * facts and stay — the standard approximation of append-mode
+    * incremental retention; in-order streams match batch e7 exactly,
+    * which StreamingSpec pins cross-batch). */
+  def retentionPairs(events: Dataset[Event],
+      watermark: String = "1 hour"): Dataset[CohortPair] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RetentionState, CohortPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[RetentionState]) =>
+          def pair(cohortDays: Long, off: Long) = CohortPair(
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohortDays)),
+            off, userId)
+          val out = Vector.newBuilder[CohortPair]
+          var st = state.getOption
+          rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+            val wk = weekStartDays(e.ts)
+            st match {
+              case None =>
+                st = Some(RetentionState(wk, Array(0L)))
+                out += pair(wk, 0L)
+              case Some(s) if wk < s.cohortDays =>
+                val delta = (s.cohortDays - wk) / 7
+                val shifted = (s.seen.map(_ + delta) :+ 0L).distinct.sorted
+                st = Some(RetentionState(wk, shifted))
+                shifted.foreach(o => out += pair(wk, o))
+              case Some(s) =>
+                val off = (wk - s.cohortDays) / 7
+                if (!s.seen.contains(off)) {
+                  st = Some(s.copy(seen = (s.seen :+ off).sorted))
+                  out += pair(s.cohortDays, off)
+                }
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+
+  /** e7's aggregated cohort matrix, incrementally (Update mode): each
+    * emitted pair is unique per user, so the plain count is the
+    * distinct-user count. */
+  def retentionCounts(events: Dataset[Event],
+      watermark: String = "1 hour"): DataFrame =
+    retentionPairs(events, watermark)
+      .groupBy($"cohort", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gap` passes with no events (enforced by event-time
     * timeout against the watermark, so state size is O(active users)).

@@ -182,6 +182,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention emits each (cohort, week, user) once " +
+    "across micro-batches and reproduces the e7 matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.retentionPairs(in.toDS())
+      .writeStream.format("memory").queryName("ret")
+      .outputMode(OutputMode.Append).start()
+    val wk = 7 * 24 * 60 // minutes per week; minute 0 = Mon 2024-01-01
+    try {
+      // week 0: users 1 and 2 join the 2024-01-01 cohort
+      in.addData(ev(1, 5, 1, 1.0), ev(2, 60, 2, 1.0), ev(3, 90, 1, 1.0))
+      q.processAllAvailable()
+      // week 1 (next micro-batch): user 1 returns — state must carry
+      // the cohort across batches; user 3 starts a new cohort; user
+      // 1's second week-1 event must NOT re-emit
+      in.addData(ev(4, wk + 10, 1, 1.0), ev(5, wk + 20, 3, 1.0),
+        ev(6, wk + 30, 1, 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ret")
+        .select($"cohort".cast("string"), $"week_offset", $"user_id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(pairs == Set(
+        ("2024-01-01", 0L, 1L), ("2024-01-01", 0L, 2L),
+        ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 3L)))
+      // grouping the unique pairs IS e7's n_users matrix
+      val matrix = pairs.toSeq.groupBy(p => (p._1, p._2))
+        .view.mapValues(_.size).toMap
+      assert(matrix == Map(("2024-01-01", 0L) -> 2,
+        ("2024-01-01", 1L) -> 1, ("2024-01-08", 0L) -> 1))
+    } finally q.stop()
+  }
+
   // ---- request-validation / nothing-persisted error contract
   // (ref: test/test_A_segment.py:55-87 bad parameters -> 400 + empty
   // store; :159-194 stage exception -> 500 + empty store)
