@@ -58,7 +58,70 @@ object MlOps {
       }
   }
 
+  // ---- m4 fixed-weight scoring: the softmax forward pass is
+  // deterministic closed-form math, so with LITERAL weights the whole
+  // scoring arithmetic (dot, bias, exp, normalize, argmax) can be
+  // hash-checked against a DuckDB twin — shrinking the engine's
+  // no-oracle surface to training only. The weight doubles are
+  // generated once on the driver and embedded in BOTH plans via
+  // full-precision decimal round-trip, so the engines consume
+  // bit-identical constants.
+  private val FixedK = 10
+  private val FixedDim = 64
+  private[graft] lazy val fixedWeights: Array[Array[Double]] =
+    Array.tabulate(FixedK)(c =>
+      Array.tabulate(FixedDim)(i => math.sin(c * 31 + i * 7 + 1.0) / 8))
+  private[graft] lazy val fixedBias: Array[Double] =
+    Array.tabulate(FixedK)(_ / 100.0)
+
+  private def sqlWeightDot(c: Int): String = {
+    val w = "[" + fixedWeights(c).mkString(", ") + "]"
+    s"(list_sum(list_transform(range(1, ${FixedDim + 1}), " +
+      s"i -> v[CAST(i AS INT)] * ($w)[CAST(i AS INT)])) + ${fixedBias(c)})"
+  }
+
+  private def sqlFixedScore: String = {
+    val ls = (0 until FixedK).map(c => s"${sqlWeightDot(c)} AS l$c")
+    val names = (0 until FixedK).map(c => s"l$c")
+    val mx = s"greatest(${names.mkString(", ")})"
+    val z = names.map(n => s"exp($n - mx)").mkString(" + ")
+    val argmax = "CASE " + names.zipWithIndex
+      .map { case (n, c) => s"WHEN $n = mx THEN $c" }.mkString(" ") + " END"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |l AS (SELECT vec_id, ${ls.mkString(", ")} FROM e),
+       |m AS (SELECT *, $mx AS mx FROM l),
+       |zt AS (SELECT *, ($z) AS z FROM m)
+       |SELECT vec_id, CAST($argmax AS BIGINT) AS predicted,
+       |  round(1.0 / z, 4) AS top_prob,
+       |  round(exp(l0 - mx) / z, 4) AS p0
+       |FROM zt ORDER BY vec_id""".stripMargin
+  }
+
   val qs: Map[String, Q] = Map(
+    // ----- m4: oracle-checked batch scoring with fixed literal weights
+    "m4_score_fixed" -> Q(sqlFixedScore) { (s, dir) =>
+      import graft.StringToColumn
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val withLogits = e.withColumn("ld",
+        graft.functions.DotMatrix($"v", fixedWeights))
+      val l = (0 until FixedK).map(c =>
+        element_at($"ld", c + 1) + lit(fixedBias(c)))
+      val mx = greatest(l: _*)
+      val z = l.map(lc => exp(lc - mx)).reduce(_ + _)
+      // argmax via lexicographic struct max; negated class index makes
+      // ties resolve to the SMALLEST class, matching the SQL CASE chain
+      val predicted = -array_max(array(l.zipWithIndex.map {
+        case (lc, c) => struct(lc.as("l"), lit(-c).as("negc"))
+      }: _*)).getField("negc")
+      withLogits.select($"vec_id",
+          predicted.cast("long").as("predicted"),
+          round(lit(1.0) / z, 4).as("top_prob"),
+          round(exp(l.head - mx) / z, 4).as("p0"))
+        .orderBy($"vec_id")
+    },
+
     // ----- M1 per-key CCD change detection over event-derived series
     "m1_ccd_detect" -> Q.noOracle { (s, dir) =>
       import s.implicits._
