@@ -69,16 +69,60 @@ object Bench {
     } catch { case _: Throwable => () }
     // sorted order: Map iteration order is arbitrary and would shift
     // residual warmup between queries run-to-run / round-to-round
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    // tile-scale lifecycle: segment -> tile -> prediction over a
+    // 25-chip grid through the job queue (the reference's own suite
+    // ordering, test/test_B_tile.py:51-54), timed end to end — the
+    // per-chip partition economy at a multi-chip unit of work
+    val lifecycle = try {
+      import graft.ops.SyntheticTile
+      import graft.streaming.{JobQueue, JobRequest}
+      implicit val reqEnc =
+        org.apache.spark.sql.Encoders.product[JobRequest]
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tile-bench").toString
+      val nChips = 25
+      val jq = new JobQueue(spark, new store.ParquetStore(root),
+        ardSource = (cx, cy) => SyntheticTile.chip(spark, cx, cy),
+        auxSource = () => SyntheticTile.aux(spark, nChips),
+        classifier = new ml.GradientBoostedClassifier(
+          ml.BoostConfig(numRound = 15, numClass = 4, maxDepth = 3)))
+      jq.dispatch(spark.createDataset((0 until nChips).map(k =>
+        JobRequest("segment", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+          0, 0, "", 0, 0))))
+      jq.dispatch(spark.createDataset(Seq(
+        JobRequest("tile", 0, 0, 7, 9, "1987-07-01", 0, 0))))
+      jq.dispatch(spark.createDataset((0 until nChips).map(k =>
+        JobRequest("prediction", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+          7, 9, "", 7, 1))))
+      require(jq.results.forall(_.ok),
+        jq.results.filterNot(_.ok).take(3).toString)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+    val results = registry :+ ("t1_tile_lifecycle" -> lifecycle)
+    // second pass over the heaviest text/vector queries: warm timings
+    // separate one-time JIT/codegen warmup (which lands on whichever
+    // heavy query runs first in the cold sweep) from actual plan cost —
+    // the r4 x19/x21 "regressions" were exactly this attribution noise
+    val warmSet = Seq("x19_components", "x21_bigrams", "x14_tfidf",
+      "x6_ngram_jaccard", "x7_minhash_lsh", "x10_embed_neardup")
+    val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      n -> (System.nanoTime() - t0) / 1e9
+    })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ws = warm.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,9 +44,6 @@ object SegmentPipeline {
       ard.map(AcquiredWindow.clip(_, from, to))
     }.getOrElse(ard)
     val capped = limit.map(windowed.limit).getOrElse(windowed)
-    // F3 nodata guard (ref segment.py:178-184)
-    if (capped.isEmpty)
-      throw new IllegalStateException("No timeseries data available")
 
     val detections = detect(capped, detector).cache()
 
@@ -66,14 +63,25 @@ object SegmentPipeline {
       .agg(first($"dates").as("dates"))
       .as[ChipRecord]
 
-    // Counts FIRST: they force detection through the cache, so a
-    // detector failure surfaces before any sink is touched — the
-    // nothing-persisted half of the reference's error contract
-    // (ref: test/test_A_segment.py:159-194). The writes then stream
-    // from the cache; JobQueue compensates if a write itself fails.
+    // Counts FIRST, as ONE aggregate action over the cache: it forces
+    // detection, so a detector failure surfaces before any sink is
+    // touched — the nothing-persisted half of the reference's error
+    // contract (ref: test/test_A_segment.py:159-194) — and a single
+    // pass yields all three sink counts (at tile scale, 3 counting
+    // passes per chip would triple the read volume). The same action
+    // doubles as the F3 nodata guard (ref segment.py:178-184): zero
+    // pixels means the scan was empty. The writes then stream from the
+    // cache; JobQueue compensates if a write itself fails.
+    val c = detections
+      .toDF()
+      .agg(countDistinct(struct($"cx", $"cy")).as("chips"),
+        count(lit(1)).as("pixels"),
+        sum(size($"segments")).cast("long").as("segs"))
+      .head()
+    if (c.getLong(1) == 0L)
+      throw new IllegalStateException("No timeseries data available")
     val counts = SegmentResult(
-      chips = chips.count(), pixels = pixels.count(),
-      segments = segments.count())
+      chips = c.getLong(0), pixels = c.getLong(1), segments = c.getLong(2))
     store.write("segment", segments.toDF(), Seq("cx", "cy"))
     store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
     store.write("chip", chips.toDF(), Seq("cx", "cy"))

@@ -49,10 +49,12 @@ final class JobQueue(
     ardSource: (Long, Long) => Dataset[PixelTimeseries],
     auxSource: () => DataFrame,
     classifier: Classifier,
-    detector: ChangeDetector = HarmonicCcd()) extends Serializable {
+    detector: ChangeDetector = HarmonicCcd(),
+    parallelism: Int = 4) extends Serializable {
 
-  @volatile private var log = List.empty[JobResult]
-  def results: List[JobResult] = log
+  private var log = List.empty[JobResult]
+  def results: List[JobResult] = synchronized(log)
+  private def append(r: JobResult): Unit = synchronized { log = r :: log }
 
   /** Per-field request validation (the reference's parameters() check,
     * ref: blackmagic/blueprints/segment.py:146-163): names every
@@ -160,12 +162,33 @@ final class JobQueue(
         }
     }
 
-  /** Process one micro-batch of typed requests. */
-  def dispatch(batch: Dataset[JobRequest]): Unit =
+  /** Process one micro-batch of typed requests. Requests within a
+    * batch run on up to `parallelism` driver threads — the Spark
+    * mapping of the reference's per-request worker Pool
+    * (ref: blackmagic/__init__.py:29-30, segment.py:189-195): each
+    * request's jobs are small relative to cluster capacity, so
+    * sequential dispatch would starve the executors between the many
+    * tiny per-chip stages. Requests in one micro-batch are
+    * independent by the queue's contract (ordering exists BETWEEN
+    * batches, via the stream trigger); each writes its own key
+    * partitions, so concurrent keyed overwrites never collide. */
+  def dispatch(batch: Dataset[JobRequest]): Unit = {
     // request batches are tiny control messages (the reference's HTTP
     // bodies) — collecting them to the driver is the sanctioned pattern;
     // the DATA work each one triggers stays fully distributed.
-    batch.collect().foreach { r => log = handle(r) :: log }
+    val reqs = batch.collect()
+    if (reqs.length <= 1 || parallelism <= 1)
+      reqs.foreach(r => append(handle(r)))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, reqs.length))
+      try pool.invokeAll(java.util.Arrays.asList(reqs.map(r =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = append(handle(r))
+        }): _*)).forEach(_.get())
+      finally pool.shutdown()
+    }
+  }
 
   /** Process one micro-batch of RAW rows (any nullable schema, e.g.
     * parsed JSON requests): per-field validation runs first, and a
