@@ -61,7 +61,7 @@ object VectorOps {
     * at p planes are the low-p-bit prefix of bucket ids at p' > p
     * planes: adding planes strictly refines the partition, and the
     * candidate-pair set at p' planes is a SUBSET of the set at p —
-    * the monotonicity GeometrySpec asserts. */
+    * the monotonicity ScaleGuardsSpec asserts. */
   private[graft] val DefaultPlanes = 8
   private val Dim = 64
 
