@@ -111,7 +111,8 @@ object Bench {
     // heavy query runs first in the cold sweep) from actual plan cost —
     // the r4 x19/x21 "regressions" were exactly this attribution noise
     val warmSet = Seq("x19_components", "x21_bigrams", "x14_tfidf",
-      "x6_ngram_jaccard", "x7_minhash_lsh", "x10_embed_neardup")
+      "x6_ngram_jaccard", "x7_minhash_lsh", "x10_embed_neardup",
+      "x26_contamination", "x28_winnow", "x11_ann_lsh")
     val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
