@@ -77,6 +77,9 @@ final class GradientBoostedClassifier(
     require(rows.nonEmpty, "empty training sample")
     val d = rows(0)._2.length
     val k = cfg.numClass
+    require(rows.forall(r => r._1 >= 0 && r._1 < k),
+      s"labels must lie in [0, $k) — found ${
+        rows.iterator.map(_._1).filterNot(l => l >= 0 && l < k).next()}")
 
     // 1. seeded split (ref: train_test_split(test_size))
     val idx = new scala.util.Random(cfg.seed).shuffle(rows.indices.toVector)

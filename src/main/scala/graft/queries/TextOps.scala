@@ -21,7 +21,7 @@ import graft.functions.{TextExprs => T, TextSql => TS}
   */
 object TextOps {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Marker-token language profiles for the n-gram/langid heuristic. */

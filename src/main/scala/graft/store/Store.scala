@@ -87,7 +87,10 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
     * the key columns), union the new rows, rewrite. localCheckpoint
     * truncates lineage so the rewrite never reads the table it
     * replaces. The rewrite cost is the bucketed trade-off — this store
-    * is for scan-heavy join entities, not upsert-churn ones. */
+    * is for scan-heavy join entities, not upsert-churn ones, and the
+    * read-merge-rewrite makes it SINGLE-WRITER per entity (the
+    * partitioned stores take concurrent writers on distinct keys;
+    * JobQueue's parallel dispatch assumes those). */
   override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession

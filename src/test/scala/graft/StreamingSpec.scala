@@ -182,6 +182,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest gates quality and dedups content across " +
+    "micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = IngestStream.ingest(docs,
+      IngestStream.Gates(minTokens = 3, minAlphaRatio = 0.4,
+        maxStopRatio = 0.8), "30 minutes")
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog"
+      in.addData(
+        (1L, ts(0), good),
+        (2L, ts(1), "to be"), // too few tokens -> gated
+        (3L, ts(2), "1 2 3 4 5 6 7 8 9"), // no letters -> gated
+        (4L, ts(3), good)) // same content as doc 1 -> deduped
+      q.processAllAvailable()
+      // a later batch re-sends the same content within the watermark
+      in.addData((5L, ts(10), good),
+        (6L, ts(11), "a completely different sentence about spark"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest")
+        .select($"doc_id", $"n_tokens", $"content_key")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // exactly one survivor per content key, gates dropped 2 and 3
+      assert(rows.map(_._1).toSeq == Seq(1L, 6L), rows.toSeq)
+      assert(rows(0)._2 == 9L) // x2's token count expression
+      // the annotated columns ride along for downstream mixture/filter
+      val cols = spark.table("ingest").columns.toSet
+      assert(Set("n_tokens", "stop_ratio", "alpha_ratio",
+        "content_key").subsetOf(cols))
+    } finally q.stop()
+  }
+
   test("streaming retention emits each (cohort, week, user) once " +
     "across micro-batches and reproduces the e7 matrix") {
     implicit val sqlCtx = spark.sqlContext
