@@ -176,6 +176,48 @@ object VectorOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x29 body: IVF with multi-cell probing — the recall knob real IVF
+    * deployments turn (probing p cells costs p × one cell's refine and
+    * recovers neighbors that fell just across a cell boundary). The
+    * query side explodes its top-`nprobe` cells from the SAME literal
+    * centroid structs the corpus assignment uses; the corpus still
+    * never shuffles, and each corpus vector lives in exactly one cell,
+    * so probed candidate sets are disjoint — no dedup needed. */
+  private[graft] def annIvfProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, nprobe: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val centroids = e.filter($"vec_id" < cells)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val arr = array(centroids.toIndexedSeq.zipWithIndex.map {
+      case ((cid, _), r) =>
+        struct(round(element_at($"cd", r + 1), 4).as("cos"),
+          lit(-cid).as("negcid"))
+    }: _*)
+    val withCd = e.withColumn("cd",
+      graft.functions.DotMatrix($"v", centroids.map(_._2)))
+    val corpus = withCd
+      .withColumn("cell", -array_max(arr).getField("negcid"))
+      .drop("cd")
+      .cache()
+    // descending struct sort = best cos first, ties to smallest cid
+    val q = withCd.filter($"vec_id" < 8)
+      .withColumn("probe", explode(slice(reverse(array_sort(arr)), 1, nprobe)))
+      .select($"vec_id".as("qid"), $"v".as("qv"),
+        (-$"probe.negcid").as("qcell"))
+    val sc = corpus.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= 3)
+      .orderBy($"qid", $"rn")
+  }
+
   /** Literal-folded cell assignment: the bounded quantizer collect
     * (cells x 64 doubles) — the one driver-side materialization IVF
     * sanctions at small cell counts; everything after is a codegen'd
@@ -327,6 +369,32 @@ object VectorOps {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       annIvf(s, dir)
+    },
+
+    // ----- x29 IVF with nprobe=2: the recall knob — queries probe
+    // their TWO nearest cells; corpus assignment (and its zero-shuffle
+    // property) unchanged from x13
+    "x29_ann_nprobe" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid) AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cid AS qcell FROM asg
+         |  WHERE arn <= 2 AND vec_id < 8),
+         |sc AS (SELECT qid, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.v")}, 4) AS cos
+         |  FROM q JOIN cells m ON q.qcell = m.cell AND m.vec_id <> qid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      annIvfProbe(s, dir)
     },
 
     // ----- x15 int8 scalar quantization: per-vector symmetric quantize

@@ -76,6 +76,23 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(big.count() > 0)
   }
 
+  test("x29 probing more cells finds better-or-equal neighbors; " +
+    "nprobe=1 degenerates to x13") {
+    import spark.implicits._
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter($"rn" === 1).select($"qid", $"cos")
+        .as[(Long, Double)].collect().toMap
+    val p1 = VectorOps.annIvfProbe(spark, dir, nprobe = 1)
+    val p2 = VectorOps.annIvfProbe(spark, dir, nprobe = 2)
+    // single-probe is exactly the x13 query
+    assert(p1.collect().toSeq ==
+      VectorOps.annIvf(spark, dir).collect().toSeq)
+    // the second probe can only improve the best neighbor
+    val r1 = rank1(p1); val r2 = rank1(p2)
+    assert(r1.keySet == r2.keySet)
+    r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"query $q regressed"))
+  }
+
   test("LSH/IVF geometry scales with corpus size") {
     assert(VectorOps.planesFor(1000) == VectorOps.DefaultPlanes)
     assert(VectorOps.planesFor(1L << 30) > VectorOps.planesFor(1L << 20))
