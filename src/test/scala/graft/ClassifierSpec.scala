@@ -107,6 +107,16 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(!java.util.Arrays.equals(m5, d1), "maxDepth knob had no effect")
   }
 
+  test("gradient-boosted training is deterministic under the thread " +
+    "pool (task-retry idempotency)") {
+    // trees within a round build concurrently; the merged model must
+    // not depend on thread scheduling
+    val rows = sample()
+    def bytes() = new GradientBoostedClassifier(BoostConfig(
+      numRound = 12, maxDepth = 3, nThread = 4)).train(rows)
+    assert(java.util.Arrays.equals(bytes(), bytes()))
+  }
+
   test("random-forest pads absent classes instead of injecting rows (M4)") {
     spark
     val clf = new RandomForestSparkClassifier(numTrees = 10)

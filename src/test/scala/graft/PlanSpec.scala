@@ -117,6 +117,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("m4 fixed-weight scoring is one scan with no hash exchange") {
+    val p = finalPlanOf("m4_score_fixed")
+    // the whole forward pass (dot, bias, exp, normalize, argmax) is a
+    // codegen'd projection; only the final ORDER BY exchanges
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("x29 nprobe probes broadcast the query side, never the corpus") {
+    val p = finalPlanOf("x29_ann_nprobe")
+    // the exploded-probe query side is the BUILD side of a broadcast
+    // join on the cell key; the corpus feeds the streamed side with no
+    // corpus-wide hash exchange before the join (the only qid exchange
+    // is the per-query ranking window after candidate generation)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("Exchange hashpartitioning(cell"), p)
+  }
+
   test("a8 cube expands grouping sets before ONE aggregation exchange") {
     val p = finalPlanOf("a8_cube")
     assert(p.contains("Expand"), p)
