@@ -296,5 +296,37 @@ object EventOps {
         .select(coalesce($"event_type", lit("ALL")).as("event_type"),
           coalesce($"hr", lit(-1L)).as("hr"), $"n", $"total")
         .orderBy($"event_type", $"hr")
+    },
+
+    // ----- e8 event-time interval join: every (view, purchase) pair of
+    // the same user with the purchase inside (view, view+1h] — the
+    // batch twin of the watermarked stream-stream join
+    // (`streaming.EventStream.intervalJoin`). The condition carries the
+    // user_id equi-conjunct, so this plans as ONE hash exchange per
+    // side on user_id with the time band as a join residual — never a
+    // BNLJ (and the BandedRangeJoin rule correctly leaves it alone: it
+    // rewrites only pure range conditions). Per-user pair fan-out is
+    // bounded by activity density, the same bound the streaming twin's
+    // watermark state carries.
+    "e8_interval_join" -> Q(
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s,
+        |  round(p.value, 2) AS amount
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("puid"), $"event_id".as("purchase_id"),
+          $"ts".as("pts"), $"value")
+      v.join(p, $"user_id" === $"puid" && $"pts" > $"vts" &&
+          $"pts" <= $"vts" + expr("INTERVAL 1 HOUR"))
+        .select($"user_id", $"view_id", $"purchase_id",
+          ($"pts".cast("long") - $"vts".cast("long")).as("lag_s"),
+          round($"value", 2).as("amount"))
+        .orderBy($"user_id", $"view_id", $"purchase_id")
     })
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.StringToColumn
-import graft.functions.{TextExprs => T, TextSql => TS}
+import graft.functions.{Bloom, TextExprs => T, TextSql => TS}
 
 /** Training-data-pipeline text operators over the `documents` table
   * (BASELINE.json north star: dedup, text analysis as first-class engine
@@ -132,6 +132,16 @@ object TextOps {
   /** Rolling-hash modulus (x28) = the MinHash prime, so
     * [[TextExprs.shingleHashes]] doubles as the token-hash step. */
   private val TextExprsM: Long = T.MinhashP
+
+  /** x30 "line" unit: span length in tokens (the corpus has no
+    * newlines; a fixed token span plays the role of C4's line). */
+  private val SpanLen = 16
+
+  /** x31 decontamination key = first PrefK tokens; the reference set is
+    * the docs from these sources (the stand-in benchmark corpus). */
+  private val PrefK = 4
+  private val RefSources = Seq("src0", "src1")
+  private val RefSourcesSql = RefSources.map(s => s"'$s'").mkString(", ")
 
   /** x14 body. The vocabulary-side join strategy is left to AQE: the
     * df relation's true size exists only after its aggregation runs,
@@ -744,5 +754,96 @@ object TextOps {
           .filter(size($"tk") >= 1)
           .select($"doc_id", T.simhash($"tk", 16).as("simhash"))
           .orderBy($"doc_id")
+    },
+
+    // ----- x30 C4-style line dedup, re-expressed over fixed 16-token
+    // spans (this corpus has no newlines, so the "line" unit is a span;
+    // the shape is identical): every span that appears anywhere in the
+    // corpus keeps exactly its FIRST occurrence (min (doc_id, idx)) and
+    // every other copy is dropped, then surviving spans reassemble into
+    // documents in original order. Scale shape: the global dedup is a
+    // groupBy on span content with a min(struct) — map-side combinable,
+    // so the content exchange ships one candidate per span per task,
+    // NOT one row per occurrence (a window/row_number spelling would
+    // ship every occurrence) — then one doc_id exchange to reassemble.
+    // Two exchanges total at any corpus size.
+    "x30_span_dedup" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |ix AS (SELECT doc_id, tk,
+         |    unnest(range(0, (len(tk) + $SpanLen - 1) // $SpanLen)) AS idx
+         |  FROM tk WHERE len(tk) > 0),
+         |segs AS (SELECT doc_id, idx, array_to_string(
+         |    tk[(idx * $SpanLen + 1):(idx * $SpanLen + $SpanLen)], ' ')
+         |    AS seg FROM ix),
+         |kept AS (SELECT doc_id, idx, seg, row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, idx) AS rn FROM segs)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_deduped,
+         |  CAST(count(*) AS BIGINT) AS n_kept
+         |FROM kept WHERE rn = 1 GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nseg = floor((size($"tk") - 1) / lit(SpanLen)).cast("int")
+      Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") > 0)
+        .select($"doc_id", posexplode(transform(sequence(lit(0), nseg),
+          i => array_join(slice($"tk", i * SpanLen + 1, lit(SpanLen)), " ")))
+          .as(Seq("idx", "seg")))
+        // first occurrence per span, corpus-wide: min over the
+        // lexicographic (doc_id, idx) struct = the oracle's
+        // row_number()=1, but with map-side partial aggregation
+        .groupBy($"seg")
+        .agg(min(struct($"doc_id", $"idx")).as("f"))
+        .select($"f.doc_id".as("doc_id"), $"f.idx".as("idx"), $"seg")
+        .groupBy($"doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct($"idx", $"seg"))),
+            x => x.getField("seg")), " ").as("text_deduped"),
+          count(lit(1)).as("n_kept"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x31 benchmark decontamination with a bloom pre-filter: drop
+    // every corpus doc whose 4-token prefix key appears in the
+    // reference set (sources src0/src1 stand in for the benchmark
+    // list). EXACT semantics (the oracle is a plain NOT EXISTS) via the
+    // two-tier plan that survives a reference set too large to
+    // broadcast as a join table: (1) build a ~16-bits/key bloom of the
+    // reference keys with one distributed aggregate (functions.Bloom),
+    // (2) a map-side codegen probe splits the corpus into DEFINITELY
+    // clean (no join, no shuffle — the overwhelming majority at real fp
+    // rates) and MAYBE contaminated, (3) only the maybes (true hits +
+    // ~0.24% false positives) pay an exact anti-join on the key string.
+    // The corpus is scanned twice (two cheap map passes) but shuffled
+    // only for the maybe sliver — at 100 TB that trade is the entire
+    // point. The bloom build (count + agg on the SMALL side) runs at
+    // plan-construction time by design: it is the build side of a
+    // runtime filter, like a broadcast exchange.
+    "x31_decontam_bloom" -> Q(
+      s"""WITH tk AS (SELECT doc_id, source, array_to_string(
+         |    (${TS.wsTokens("text")})[1:$PrefK], ' ') AS p
+         |  FROM documents),
+         |ref AS (SELECT DISTINCT p FROM tk
+         |  WHERE source IN ($RefSourcesSql))
+         |SELECT t.doc_id, t.source FROM tk t
+         |WHERE t.source NOT IN ($RefSourcesSql)
+         |  AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.p = t.p)
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"source",
+        array_join(slice(T.wsTokens($"text"), 1, PrefK), " ").as("p"))
+      val ref = docs.filter($"source".isin(RefSources: _*))
+        .select($"p").distinct()
+      // build side: one count to size the filter + one aggregate to
+      // build it — both on the small reference side only
+      val bits = ref.select(Bloom.agg(Bloom.wordsFor(ref.count()))(
+        T.md5Long($"p")).as("b")).head().getSeq[Long](0).toArray
+      val probe = docs.filter(!$"source".isin(RefSources: _*))
+        .withColumn("maybe", Bloom.mightContain(bits, T.md5Long($"p")))
+      val clean = probe.filter(!$"maybe") // pure filtered scan, no join
+      val confirmed = probe.filter($"maybe") // fp-sized sliver
+        .join(ref.withColumnRenamed("p", "rp"), $"p" === $"rp", "left_anti")
+      clean.unionByName(confirmed)
+        .select($"doc_id", $"source").orderBy($"doc_id")
     })
 }

@@ -281,4 +281,32 @@ object EventStream {
           }
       }
   }
+
+  /** Watermarked stream-stream interval join (the incremental twin of
+    * batch `e8_interval_join`): views joined to same-user purchases
+    * inside (view_ts, view_ts + joinWindow]. Both sides carry a
+    * watermark AND the join condition bounds purchase time against view
+    * time, so Spark derives a state-eviction horizon for EACH side —
+    * a view is dropped from state once the purchase watermark passes
+    * view_ts + joinWindow, a purchase once the view watermark passes
+    * purchase_ts. State is O(events inside the watermark+window
+    * horizon), never the stream history; the only shuffle is the
+    * user_id hash partitioning both inputs already need.
+    */
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours",
+      joinWindow: String = "1 hour"): DataFrame = {
+    val v = views
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases
+      .select($"user_id".as("puid"), $"event_id".as("purchase_id"),
+        $"ts".as("pts"), $"value")
+      .withWatermark("pts", watermark)
+    v.join(p, expr(
+        s"user_id = puid AND pts > vts AND pts <= vts + interval $joinWindow"))
+      .select($"user_id", $"view_id", $"purchase_id",
+        ($"pts".cast("long") - $"vts".cast("long")).as("lag_s"),
+        round($"value", 2).as("amount"))
+  }
 }

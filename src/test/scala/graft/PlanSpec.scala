@@ -199,4 +199,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
     assert("Window".r.findAllIn(p).length >= 2, p)
   }
+
+  test("x30 span dedup: content groupBy with map-side partial " +
+    "aggregation, no window over occurrences") {
+    val p = finalPlanOf("x30_span_dedup")
+    // two logical exchanges (span content, then doc_id reassembly);
+    // plus the spread fan-out
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges:\n$p")
+    // the dedup must be the partial-agg min(struct) shape, not a
+    // row_number window (which would shuffle every span occurrence)
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("x31 decontamination probes the bloom in a scan-side filter " +
+    "before any join") {
+    val p = finalPlanOf("x31_decontam_bloom")
+    // the codegen probe appears as a filter condition on the corpus
+    // scan side — the map-side prune that makes the 100 TB anti-join
+    // shuffle only the maybe sliver
+    assert(p.contains("bloom_might_contain"), p)
+    // and the definite-clean branch reaches the union without a join:
+    // exactly ONE join in the whole plan (the confirm anti-join)
+    val joins = "Join LeftAnti".r.findAllIn(p).length +
+      "SortMergeJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly 1 join:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
+  test("e8 interval join plans as an equi-join on user_id with the " +
+    "time band as a residual — never a nested loop") {
+    val p = finalPlanOf("e8_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // the band rewrite must NOT have fired (equi-key already present)
+    assert(!p.contains("band"), p)
+  }
 }

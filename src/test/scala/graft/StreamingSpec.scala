@@ -394,4 +394,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(store.read("prediction", spark).count() == pred.rows)
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs views with purchases inside " +
+    "the window, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream
+      .intervalJoin(views.toDF(), purchases.toDF(),
+        watermark = "10 minutes", joinWindow = "1 hour")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: views only — nothing can join yet
+      views.addData(ev(1, 0, 1, 0.0), ev(2, 0, 2, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 0)
+      // batch 2: user 1 purchase at +30min (inside the 1h window; joins
+      // the view buffered in state from batch 1), user 2 purchase at
+      // +90min (outside the window — no pair)
+      purchases.addData(ev(10, 30, 1, 5.0), ev(11, 90, 2, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("ivj")
+        .select($"user_id", $"view_id", $"purchase_id", $"lag_s", $"amount")
+        .as[(Long, Long, Long, Long, Double)].collect().sorted
+      assert(rows.toSeq == Seq((1L, 1L, 10L, 1800L, 5.0)))
+      // a purchase at exactly the view timestamp does NOT join (strict >)
+      purchases.addData(ev(12, 0, 2, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 1)
+    } finally q.stop()
+  }
 }
