@@ -72,6 +72,35 @@ object TextOps {
     sig / rows
   }
 
+  /** Per-doc MinHash signature, one column per component (h0..h{sig-1}).
+    * Hashed shingles materialize once; the whole signature is then ONE
+    * codegen pass over the hashed array (MinHashSig), not `sig`
+    * interpreted array_min(transform) passes. Shared by x7's
+    * self-dedup and x33's incremental dedup. */
+  private def signatureDf(s: org.apache.spark.sql.SparkSession,
+      dir: String, sig: Int): org.apache.spark.sql.DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= K)
+      .select($"doc_id",
+        T.shingleHashes(T.shingles($"tk", K)).as("hs"))
+      .select($"doc_id", graft.functions.MinHashSig($"hs", sig).as("sigs"))
+      .select($"doc_id" +: (0 until sig).map(i =>
+        element_at($"sigs", i + 1).as(s"h$i")): _*)
+
+  /** Explode a signature frame into (doc_id, band, band-key) rows — the
+    * LSH bucket table (and, persisted, x33's historical index). */
+  private def bandRowsOf(sigDf: org.apache.spark.sql.DataFrame,
+      sig: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val rowsPerBand = sig / bands
+    sigDf.select($"doc_id", explode(array((0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        concat_ws("_", (0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("k"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
+  }
+
   /** x7 body, parameterized on signature size and band count: MinHash
     * signatures -> band-key collision candidates -> signature-agreement
     * refine (est_sim >= 0.25). Splitting a band in two (bands 4 -> 8 at
@@ -81,29 +110,8 @@ object TextOps {
       dir: String, sig: Int = Sig, bands: Int = Bands)
       : org.apache.spark.sql.DataFrame = {
     require(sig % bands == 0, s"bands ($bands) must divide sig ($sig)")
-    val rowsPerBand = sig / bands
-    val tk = Tables.spread(s, dir, "documents")
-      .select($"doc_id", T.wsTokens($"text").as("tk"))
-      .filter(size($"tk") >= K)
-    // materialize hashed shingles once; the whole signature is then ONE
-    // codegen pass over the hashed array (MinHashSig), not `sig`
-    // interpreted array_min(transform) passes
-    val hashed = tk.select($"doc_id",
-      T.shingleHashes(T.shingles($"tk", K)).as("hs"))
-    // cached: consumed by the band explode and both sides of the
-    // signature-agreement join
-    val sigDf = hashed
-      .select($"doc_id", graft.functions.MinHashSig($"hs", sig).as("sigs"))
-      .select($"doc_id" +: (0 until sig).map(i =>
-        element_at($"sigs", i + 1).as(s"h$i")): _*)
-      .cache()
-    val bandRows = sigDf.select($"doc_id", explode(array((0 until bands).map {
-      b =>
-        struct(lit(b).as("b"),
-          concat_ws("_", (0 until rowsPerBand)
-            .map(r => col(s"h${b * rowsPerBand + r}")): _*).as("k"))
-    }: _*)).as("bk"))
-      .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
+    val sigDf = signatureDf(s, dir, sig).cache()
+    val bandRows = bandRowsOf(sigDf, sig, bands)
     val bandsB = bandRows.select($"b".as("b2"), $"k".as("k2"),
       $"doc_id".as("doc_id2"))
     val cand = bandRows
@@ -845,5 +853,128 @@ object TextOps {
         .join(ref.withColumnRenamed("p", "rp"), $"p" === $"rp", "left_anti")
       clean.unionByName(confirmed)
         .select($"doc_id", $"source").orderBy($"doc_id")
+    },
+
+    // ----- x32 within-document repetition signals (the Gopher /
+    // MassiveText repetition filters): per doc, the fraction of 2-gram
+    // occurrences belonging to a repeated 2-gram (dup_2gram_frac) and
+    // the share of the single most frequent 2-gram (top_2gram_frac).
+    // Scale shape: ZERO shuffles — the counts come from one in-array
+    // sort + one linear `aggregate` fold per document (max run length
+    // in the sorted gram array == max gram count; run elements past
+    // the first are dup occurrences and the run head joins them once a
+    // run reaches 2), so a 100 TB corpus processes embarrassingly
+    // parallel with no (doc, gram) explode shuffle.
+    "x32_repetition" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))
+         |    AS g2 FROM tk WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot,
+         |    coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, round(maxc * 1.0 / tot, 6) AS top_2gram_frac,
+         |  round(dup * 1.0 / tot, 6) AS dup_2gram_frac,
+         |  (dup * 1.0 / tot <= 0.6 AND maxc * 1.0 / tot <= 0.2) AS keep
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = transform(sequence(lit(1), size($"tk") - 1),
+        i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1)))
+      val acc0 = struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("maxrun"), lit(0).as("dup"))
+      Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= 2)
+        .select($"doc_id", array_sort(grams).as("g"))
+        .select($"doc_id", size($"g").as("tot"),
+          aggregate($"g", acc0, (acc, x) => {
+            val ext = x === acc.getField("prev")
+            val nrun = when(ext, acc.getField("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), nrun.as("run"),
+              greatest(acc.getField("maxrun"), nrun).as("maxrun"),
+              (acc.getField("dup") +
+                when(ext && acc.getField("run") === 1, 2)
+                  .when(ext, 1).otherwise(0)).as("dup"))
+          }).as("st"))
+        .select($"doc_id",
+          round($"st.maxrun".cast("double") / $"tot", 6)
+            .as("top_2gram_frac"),
+          round($"st.dup".cast("double") / $"tot", 6).as("dup_2gram_frac"),
+          ($"st.dup".cast("double") / $"tot" <= 0.6 &&
+            $"st.maxrun".cast("double") / $"tot" <= 0.2).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- x33 incremental dedup against a historical index: the
+    // daily-ingest shape. The already-ingested corpus (doc_id even
+    // stands in for it) exists only as its persisted band-bucket table
+    // — the artifact `bandRowsOf` emits and a production pipeline
+    // stores keyed by (band, key) — and the NEW batch (doc_id odd)
+    // computes signatures, probes the index by band-key equi-join,
+    // and verifies candidates by signature agreement. Per new doc the
+    // best historical match survives (rounded-sim rank, ties to the
+    // smallest old doc). Scale shape: the historical corpus NEVER
+    // rescans or reshuffles — the index join is on (b, k) where the
+    // new side is a day's batch, not the corpus; the x7 self-join
+    // quadratic surface never appears.
+    "x33_incremental_dedup" -> Q({
+      val sigCols = (0 until Sig)
+        .map(i => s"${TS.minhash("arr", i)} AS h$i").mkString(",\n         |  ")
+      val bandSel = (0 until Bands).map { b =>
+        val ks = (0 until RowsPerBand)
+          .map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS b, concat_ws('_', $ks) AS k FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      val estSum = (0 until Sig)
+        .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${TS.shingles("tk", K)} AS arr
+         |  FROM tk WHERE len(tk) >= $K),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandSel),
+         |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT new_id, old_id,
+         |    round(($estSum) / $Sig.0, 6) AS est_sim
+         |  FROM cand JOIN sig x ON cand.new_id = x.doc_id
+         |    JOIN sig y ON cand.old_id = y.doc_id
+         |  WHERE ($estSum) / $Sig.0 >= 0.25)
+         |SELECT new_id, old_id AS dup_of, est_sim FROM (
+         |  SELECT new_id, old_id, est_sim, row_number() OVER (
+         |    PARTITION BY new_id ORDER BY est_sim DESC, old_id) AS rn
+         |  FROM scored) WHERE rn = 1
+         |ORDER BY new_id""".stripMargin
+    }) { (s, dir) =>
+      val sigDf = signatureDf(s, dir, Sig).cache()
+      val bandRows = bandRowsOf(sigDf, Sig, Bands)
+      // the persisted index side: historical docs' band buckets
+      val index = bandRows.filter($"doc_id" % 2 === 0)
+        .select($"b".as("b2"), $"k".as("k2"), $"doc_id".as("old_id"))
+      val cand = bandRows.filter($"doc_id" % 2 === 1)
+        .join(index, $"b" === $"b2" && $"k" === $"k2")
+        .select($"doc_id".as("new_id"), $"old_id").distinct()
+      val sigX = sigDf.toDF("new_id" +: (0 until Sig).map(i => s"x$i"): _*)
+      val sigY = sigDf.toDF("old_id" +: (0 until Sig).map(i => s"y$i"): _*)
+      val est = (0 until Sig)
+        .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / Sig
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"new_id").orderBy($"est_sim".desc, $"old_id")
+      cand.join(sigX, "new_id").join(sigY, "old_id")
+        .filter(est >= 0.25)
+        // rank on the ROUNDED sim so both engines break ties identically
+        .select($"new_id", $"old_id", round(est, 6).as("est_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"new_id", $"old_id".as("dup_of"), $"est_sim")
+        .orderBy($"new_id")
     })
 }

@@ -230,6 +230,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("x32 repetition signals are a pure per-row fold: no hash " +
+    "exchange anywhere") {
+    val p = finalPlanOf("x32_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), p) // no explode — the fold is in-array
+  }
+
+  test("x33 incremental dedup probes the band index with equi-joins " +
+    "only — no cartesian surface") {
+    val p = finalPlanOf("x33_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")
