@@ -112,7 +112,8 @@ object Bench {
     // the r4 x19/x21 "regressions" were exactly this attribution noise
     val warmSet = Seq("x19_components", "x21_bigrams", "x14_tfidf",
       "x6_ngram_jaccard", "x7_minhash_lsh", "x10_embed_neardup",
-      "x26_contamination", "x28_winnow", "x11_ann_lsh")
+      "x26_contamination", "x28_winnow", "x11_ann_lsh",
+      "x30_span_dedup", "x31_decontam_bloom", "x33_incremental_dedup")
     val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,10 +28,35 @@ object IngestStream {
       minAlphaRatio: Double = 0.4,
       maxStopRatio: Double = 0.8)
 
+  /** Optional decontamination stage: a bloom of reference (benchmark)
+    * keys, probed per document on the PrefK-token prefix key — the
+    * streaming twin of batch `x31_decontam_bloom`. The filter is a
+    * stateless codegen projection (the bit array rides the task
+    * closure), so it adds zero state and zero shuffle to the stream.
+    * Streams trade the batch path's exact confirm join for the bloom's
+    * fp rate (~0.24% at 16 bits/key): a false positive drops a clean
+    * doc, never admits a contaminated one — the safe direction for
+    * training data. Build the bits once per reference-list version
+    * with [[contaminationBloom]].
+    */
+  final case class Decontam(bits: Array[Long], prefK: Int = 4)
+
+  /** Build the decontamination bloom from a batch frame of reference
+    * texts (one distributed aggregate over the SMALL side). */
+  def contaminationBloom(refTexts: DataFrame, prefK: Int = 4)
+      : Array[Long] = {
+    val key = array_join(slice(T.wsTokens(col("text")), 1, prefK), " ")
+    val ref = refTexts.select(key.as("p")).distinct()
+    ref.select(graft.functions.Bloom.agg(
+        graft.functions.Bloom.wordsFor(ref.count()))(T.md5Long(col("p"))))
+      .head().getSeq[Long](0).toArray
+  }
+
   /** Transform a streaming (doc_id, ts, text) frame into the gated,
     * deduplicated, quality-annotated training stream. */
   def ingest(docs: DataFrame, gates: Gates = Gates(),
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      decontam: Option[Decontam] = None): DataFrame = {
     val tk = T.wsTokens(lower($"text"))
     val scored = docs
       .withColumn("tk", tk)
@@ -45,10 +70,15 @@ object IngestStream {
           greatest(length($"text"), lit(1)))
       .withColumn("content_key", T.md5Long($"text"))
       .drop("tk")
-    scored
+    val gated = scored
       .filter($"n_tokens" >= gates.minTokens &&
         $"alpha_ratio" >= gates.minAlphaRatio &&
         $"stop_ratio" <= gates.maxStopRatio)
+    val cleaned = decontam.fold(gated) { d =>
+      gated.filter(!graft.functions.Bloom.mightContain(d.bits,
+        T.md5Long(array_join(slice(T.wsTokens($"text"), 1, d.prefK), " "))))
+    }
+    cleaned
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
   }

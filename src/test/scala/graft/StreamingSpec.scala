@@ -217,6 +217,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest drops documents matching the decontamination " +
+    "bloom, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference list: one benchmark sentence; bloom built batch-side
+    val ref = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    val bits = IngestStream.contaminationBloom(ref)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = IngestStream.ingest(docs,
+      IngestStream.Gates(minTokens = 3, minAlphaRatio = 0.4,
+        maxStopRatio = 0.8), "30 minutes",
+      decontam = Some(IngestStream.Decontam(bits)))
+      .writeStream.format("memory").queryName("ingest_dc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // shares the reference's 4-token prefix -> contaminated
+        (1L, ts(0), "the quick brown fox is a benchmark sentence now"),
+        (2L, ts(1), "a completely different sentence about spark jobs"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_dc").select($"doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(2L), kept)
+      // decontamination adds no streaming state beyond the dedup store
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.length <= 1)
+    } finally q.stop()
+  }
+
   test("streaming retention emits each (cohort, week, user) once " +
     "across micro-batches and reproduces the e7 matrix") {
     implicit val sqlCtx = spark.sqlContext
