@@ -158,4 +158,30 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     // a pair colliding in a 4-row band collides in both 2-row halves
     assert(b4.subsetOf(b8), (b4 -- b8).toString)
   }
+
+  test("x33 incremental dedup agrees with x7's self-dedup on the " +
+    "new-vs-old slice") {
+    // x7 over the whole corpus, restricted to odd(new)/even(old)
+    // pairs, must contain every x33 match — the incremental path may
+    // never invent a pair the batch path wouldn't find, and its
+    // best-match per new doc must be the top x7 pair for that doc
+    val x7 = SparkEntry.queries("x7_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossPairs = x7.flatMap { case (d1, d2, sim) =>
+      Seq((d1, d2, sim), (d2, d1, sim)) // both orientations
+    }.filter { case (n, o, _) => n % 2 == 1 && o % 2 == 0 }
+    val best = crossPairs.groupBy(_._1).map { case (n, ps) =>
+      n -> ps.map(p => (-p._3, p._2)).min // max sim, tie -> min old id
+    }
+    val x33 = SparkEntry.queries("x33_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(x33.nonEmpty)
+    x33.foreach { case (n, o, sim) =>
+      assert(best.contains(n), s"x33 invented a match for doc $n")
+      assert(best(n) == ((-sim, o)),
+        s"doc $n: x33 picked ($o, $sim), x7 best is ${best(n)}")
+    }
+    assert(x33.map(_._1).toSet == best.keySet,
+      "x33 missed new docs that x7 matches cross-slice")
+  }
 }
