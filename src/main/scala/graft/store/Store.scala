@@ -62,6 +62,40 @@ final class ParquetStore(root: String) extends Store {
     PartitionedDelete(root, entity, keyValues)
 }
 
+/** Range-clustered variant: rows are range-partitioned and sorted on
+  * `clusterKeys` at write time, so every output file covers a DISJOINT
+  * key range and parquet's per-row-group min/max statistics become
+  * selective — a pushed range predicate (a time window over an event
+  * log, an id range over a corpus) skips whole row groups and files at
+  * scan time instead of reading and discarding. This is the data-LAYOUT
+  * lever at 100 TB: bucketing (BucketedStore) buys exchange-free joins
+  * on the key; clustering buys scan-time skipping on the range
+  * dimension — the Spark-native form of the clustering/Z-order step
+  * warehouse engines run after load. `rangeFiles` bounds files per
+  * write (the range exchange samples keys, so files are
+  * evenly-populated, not key-skewed).
+  */
+final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
+    rangeFiles: Int = 32) extends Store {
+  import org.apache.spark.sql.functions.col
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+    df.repartitionByRange(rangeFiles, clusterKeys.map(col): _*)
+      .sortWithinPartitions((keys ++ clusterKeys).map(col): _*)
+      .write
+      .partitionBy(keys: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$root/$entity")
+
+  override def read(entity: String, spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/$entity")
+
+  override def delete(entity: String,
+      keyValues: Seq[(String, Any)]): Unit =
+    PartitionedDelete(root, entity, keyValues)
+}
+
 /** Bucketed variant: rows are hash-bucketed (and sorted) on the key
   * columns at write time, so two entities written with the same keys
   * and bucket count join WITHOUT a shuffle — the physical layout

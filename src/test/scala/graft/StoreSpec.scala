@@ -3,8 +3,8 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.store.{BucketedStore, ConnectorStore, InMemoryConnector,
-  JsonStore, KeyedApi, ParquetStore, Store}
+import graft.store.{BucketedStore, ClusteredParquetStore, ConnectorStore,
+  InMemoryConnector, JsonStore, KeyedApi, ParquetStore, Store}
 
 /** Keyed store contracts (S6/S12/S13): dynamic partition overwrite
   * replaces delete+insert per key, other keys' partitions survive, and
@@ -52,7 +52,9 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       "parquet" -> new ParquetStore(s"$tmp/pq"),
       "json" -> new JsonStore(s"$tmp/js"),
       "bucketed" -> new BucketedStore(s"$tmp/bk", buckets = 4),
-      "connector" -> new ConnectorStore(new InMemoryConnector))
+      "connector" -> new ConnectorStore(new InMemoryConnector),
+      "clustered" -> new ClusteredParquetStore(s"$tmp/cl", Seq("cy"),
+        rangeFiles = 2))
     stores.foreach { case (name, store) =>
       val v1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("cx", "cy", "v")
       store.write("par", v1, Seq("cx", "cy"))
@@ -123,5 +125,34 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("clustered store writes disjoint time-range files and the range " +
+    "predicate reaches the scan") {
+    val tmp = Files.createTempDirectory("graft-clustered").toString
+    val store = new ClusteredParquetStore(s"$tmp/cl", Seq("ts"),
+      rangeFiles = 8)
+    store.write("events",
+      Tables(spark, "/root/testdata/sf0.001", "events"), Seq.empty)
+    val files = store.read("events", spark).inputFiles
+    assert(files.length >= 4, files.length.toString)
+    // per-file min/max ts pairwise disjoint — the row-group-stat
+    // precondition that lets a pushed time predicate skip whole files
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"ts").cast("long"), max($"ts").cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.toString)
+      case _ => ()
+    }
+    // and the time filter is pushed into the parquet scan
+    val q = store.read("events", spark)
+      .filter($"ts" >= lit("2024-01-10").cast("timestamp"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
+      "GreaterThanOrEqual(ts"), plan)
   }
 }
