@@ -65,6 +65,13 @@ object VectorOps {
   private[graft] val DefaultPlanes = 8
   private val Dim = 64
 
+  /** x34 PQ geometry: M subspaces of SubDim dims, CodeK codewords per
+    * book (4-bit codes), PqQueries fixed query vectors (x9's set). */
+  private val SubM = 8
+  private val SubDim = Dim / SubM
+  private val CodeK = 16
+  private val PqQueries = 8
+
   /** IVF coarse-quantizer size (x13): default centroid count. */
   private[graft] val DefaultCells = 16
 
@@ -462,5 +469,111 @@ object VectorOps {
         .select($"label", ($"pos" + 1).cast("long").as("i"),
           round($"col", 6).as("m"))
         .orderBy($"label", $"i")
+    },
+
+    // ----- x34 product-quantization ANN (asymmetric / ADC scoring):
+    // the vector-COMPRESSION scale path beyond x15's scalar int8. Each
+    // 64-dim vector encodes to M=8 subspace codes (4 bits each against
+    // a 16-codeword book), and a query scores candidates by summing 8
+    // lookup-table entries instead of a 64-wide dot — the rank stage
+    // touches 8 small ints per vector, not 512 bytes of floats, which
+    // is the 30x memory-bandwidth win PQ buys at 100 TB. Encode is 8
+    // codegen DotMatrix passes (zero shuffle, mirrors x13's literal
+    // quantizer); the LUTs are driver constants per query. Subspace
+    // dots are integerized (round(d*1e4) as int64) before any argmax/
+    // sum/rank, so candidate codes, ADC scores, and tie-breaks are
+    // bit-identical in both engines — the integer-sufficient-statistics
+    // trick m3 uses. Codebook = the first 16 corpus vectors (the same
+    // deterministic convention as x13's quantizer; production swaps in
+    // a k-means-trained book — a quality knob, not a shape change).
+    "x34_ann_pq" -> Q(
+      {
+        def subdot(vec: String): String =
+          s"CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}), " +
+            s"i -> $vec[CAST(ss.s * $SubDim + i AS INT)] * " +
+            s"cb.cv[CAST(ss.s * $SubDim + i AS INT)])) * 10000, 0) " +
+            s"AS BIGINT)"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |n AS ${sqlNormalized("e")},
+           |cb AS (SELECT vec_id AS r, v AS cv FROM n
+           |  WHERE vec_id < $CodeK),
+           |ss AS (SELECT unnest(range(0, $SubM)) AS s),
+           |cd AS (SELECT n.vec_id, ss.s, cb.r,
+           |    ${subdot("n.v")} AS d4
+           |  FROM n, cb, ss),
+           |codes AS (SELECT vec_id, s, r AS code FROM (
+           |    SELECT vec_id, s, r, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY d4 DESC, r) AS rn
+           |    FROM cd) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM n
+           |  WHERE vec_id < $PqQueries),
+           |lut AS (SELECT q.qid, ss.s, cb.r,
+           |    ${subdot("q.qv")} AS d4
+           |  FROM q, cb, ss),
+           |sc AS (SELECT l.qid, c.vec_id AS nid,
+           |    CAST(sum(l.d4) AS BIGINT) AS s4
+           |  FROM codes c JOIN lut l ON l.s = c.s AND l.r = c.code
+           |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+           |r AS (SELECT qid, nid, s4, row_number() OVER (
+           |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+           |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+           |  CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }) { (s, dir) =>
+      val e = normalized(Tables.spread(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+      // bounded driver collects: 16 codebook + 8 query vectors, all
+      // taken from the ENGINE-normalized frame so driver arithmetic
+      // starts from the exact same doubles both engines computed
+      val small = e.filter($"vec_id" < math.max(CodeK, PqQueries))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      val cb = (0 until CodeK).map(small(_)).toArray
+      def sub(v: Array[Double], ss: Int): Array[Double] =
+        java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
+      // integerized driver-side subspace dot: sequential fold (the
+      // DotProduct / list_sum order) then HALF_UP — matches both
+      // engines' round() including the away-from-zero negative case
+      // (math.round would differ there)
+      def d4(a: Array[Double], b: Array[Double]): Long = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        BigDecimal(acc * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val subCent: Array[Array[Array[Double]]] =
+        Array.tabulate(SubM)(ss => cb.map(sub(_, ss)))
+      // encode: per subspace, 16 codegen dots -> integerize -> first
+      // argmax (array_position on longs == the oracle's d4 DESC, r tie)
+      val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
+        val cd = graft.functions.DotMatrix(
+          slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
+        df.withColumn(s"c$ss",
+          array_position(
+            transform(cd, x => round(x * 10000).cast("long")),
+            array_max(transform(cd, x => round(x * 10000).cast("long")))))
+      }
+      val qids = (0 until PqQueries).map(_.toLong).toArray
+      val lut: Array[Array[Array[Long]]] = qids.map { qid =>
+        Array.tabulate(SubM)(ss =>
+          subCent(ss).map(c => d4(sub(small(qid), ss), c)))
+      }
+      // ADC: 8 literal-LUT lookups per (vector, query) — the scores
+      // array explodes to (query, score) rows without rescanning
+      val scores = array(qids.indices.map { j =>
+        (0 until SubM).map(ss =>
+          element_at(lit(lut(j)(ss)), col(s"c$ss").cast("int")))
+          .reduce(_ + _)
+      }: _*)
+      coded.select($"vec_id".as("nid"), posexplode(scores).as(Seq("qp", "s4")))
+        .withColumn("qid", element_at(lit(qids), $"qp" + 1))
+        .filter($"nid" =!= $"qid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"s4".desc, $"nid"))
+          .cast("long"))
+        .filter($"rn" <= 5)
+        .select($"qid", $"nid", round($"s4" / 10000.0, 4).as("adc"), $"rn")
+        .orderBy($"qid", $"rn")
     })
 }

@@ -246,6 +246,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x34 PQ encode/score is join-free codegen: dot_matrix passes, " +
+    "LUT sums, one rank exchange") {
+    val p = finalPlanOf("x34_ann_pq")
+    assert(p.contains("dot_matrix"), p) // encode stays in codegen
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("NestedLoop"), p)
+    // spread fan-out + the per-query rank window: nothing else shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")

@@ -159,6 +159,21 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(b4.subsetOf(b8), (b4 -- b8).toString)
   }
 
+  test("x34 PQ codes carry real signal: ADC top-5 overlaps the exact " +
+    "top-5 well above chance") {
+    val exact = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("x34_ann_pq")(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 5 results per query, and recall@5 far beyond the ~5/500 chance
+    // level (measured 13/40 with the deterministic first-16 book;
+    // a trained k-means book only raises it)
+    assert(pq.length == 40, pq.length.toString)
+    assert(pq.count(exact.contains) >= 10, s"overlap ${pq.count(exact.contains)}/40")
+  }
+
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
     "new-vs-old slice") {
     // x7 over the whole corpus, restricted to odd(new)/even(old)
