@@ -328,5 +328,42 @@ object EventOps {
           ($"pts".cast("long") - $"vts".cast("long")).as("lag_s"),
           round($"value", 2).as("amount"))
         .orderBy($"user_id", $"view_id", $"purchase_id")
+    },
+
+    // ----- e9 abandonment: views with NO same-user purchase inside
+    // (view, view+1h] — the LEFT OUTER face of e8, rolled up per user.
+    // Batch twin of `EventStream.intervalJoinOuter`, whose unmatched
+    // rows can only emit once the purchase-side watermark passes
+    // view+1h (the join's state-eviction horizon doubles as the
+    // completeness proof). Same single user_id exchange per side as
+    // e8; the anti semantics cost nothing extra.
+    "e9_abandonment" -> Q(
+      """SELECT v.user_id,
+        |  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views,
+        |  CAST(count(DISTINCT CASE WHEN p.event_id IS NULL
+        |    THEN v.event_id END) AS BIGINT) AS n_abandoned
+        |FROM events v LEFT JOIN events p ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view'
+        |GROUP BY 1 HAVING count(DISTINCT CASE WHEN p.event_id IS NULL
+        |  THEN v.event_id END) > 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("puid"), $"event_id".as("purchase_id"),
+          $"ts".as("pts"))
+      v.join(p, $"user_id" === $"puid" && $"pts" > $"vts" &&
+          $"pts" <= $"vts" + expr("INTERVAL 1 HOUR"), "left")
+        // LEFT join fans out matched views; count views as DISTINCT
+        // view ids so the rollup matches the per-view semantics
+        .groupBy($"user_id")
+        .agg(countDistinct($"view_id").as("n_views"),
+          countDistinct(when($"purchase_id".isNull, $"view_id"))
+            .as("n_abandoned"))
+        .filter($"n_abandoned" > 0)
+        .orderBy($"user_id")
     })
 }

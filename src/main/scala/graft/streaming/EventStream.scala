@@ -309,4 +309,31 @@ object EventStream {
         ($"pts".cast("long") - $"vts".cast("long")).as("lag_s"),
         round($"value", 2).as("amount"))
   }
+
+  /** LEFT OUTER stream-stream interval join (the incremental twin of
+    * batch `e9_abandonment` before its rollup): matched (view,
+    * purchase) pairs emit like [[intervalJoin]]; an UNMATCHED view
+    * emits with null purchase columns — but only once the purchase
+    * watermark passes view_ts + joinWindow, because until then a
+    * matching purchase could still arrive. The state-eviction horizon
+    * IS the completeness proof: Spark emits the null row exactly when
+    * it can promise no match exists, so downstream abandonment counts
+    * are final on arrival.
+    */
+  def intervalJoinOuter(views: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours",
+      joinWindow: String = "1 hour"): DataFrame = {
+    val v = views
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases
+      .select($"user_id".as("puid"), $"event_id".as("purchase_id"),
+        $"ts".as("pts"), $"value")
+      .withWatermark("pts", watermark)
+    v.join(p, expr(
+        s"user_id = puid AND pts > vts AND pts <= vts + interval $joinWindow"),
+        "leftOuter")
+      .select($"user_id", $"view_id", $"purchase_id",
+        ($"pts".cast("long") - $"vts".cast("long")).as("lag_s"))
+  }
 }

@@ -455,4 +455,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(spark.table("ivj").count() == 1)
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched views only after the " +
+    "watermark proves no purchase can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream
+      .intervalJoinOuter(views.toDF(), purchases.toDF(),
+        watermark = "10 minutes", joinWindow = "1 hour")
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1's view gets a purchase at +30min; user 2's never does
+      views.addData(ev(1, 0, 1, 0.0), ev(2, 0, 2, 0.0))
+      purchases.addData(ev(10, 30, 1, 5.0))
+      q.processAllAvailable()
+      // user 2's view must NOT have emitted yet: a purchase inside its
+      // window could still arrive
+      val early = spark.table("ivjo")
+        .filter($"purchase_id".isNull).count()
+      assert(early == 0, s"null row emitted before the horizon: $early")
+      // advance both watermarks far past view+window+watermark
+      views.addData(ev(3, 600, 9, 0.0))
+      purchases.addData(ev(11, 600, 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ivjo")
+        .select($"user_id", $"view_id", $"purchase_id", $"lag_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+      // user 1 matched; user 2 emitted unmatched exactly once
+      assert(rows.contains((1L, 1L, 10L)), rows.toString)
+      assert(rows.count(_ == ((2L, 2L, -1L))) == 1, rows.toString)
+    } finally q.stop()
+  }
 }
