@@ -372,5 +372,56 @@ object Relational {
       val anti = o.join(li, $"o_orderkey" === $"l_orderkey", "left_anti")
         .agg(count(lit(1)).as("n")).select(lit("no_lines").as("kind"), $"n")
       anti.unionByName(semi).orderBy($"kind")
+    },
+
+    // ----- x35 CDC merge (MERGE INTO semantics without a table
+    // format): apply a keyed changeset (updates, deletes, inserts) to
+    // a snapshot in ONE pass — snapshot LEFT JOIN changes on the key,
+    // drop D rows, overlay U values, append I rows. The changeset here
+    // derives deterministically from the snapshot (keys %13 delete —
+    // taking precedence — keys %7 reprice +1000.00, and a disjoint insert
+    // set), standing in for a day's upstream change feed. Scale shape:
+    // one key shuffle per side (zero for the snapshot when it lives in
+    // the bucketed store — the layout carries the partitioning) and
+    // the union'd inserts never join at all. This is the maintenance
+    // half of the ingest story: IngestStream appends, x35 corrects.
+    "x35_cdc_merge" -> Q(
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    round(o_totalprice + 1000.00, 2) AS new_price
+        |  FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |    round(o_totalprice * 2, 2) AS price
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    CASE WHEN ch.op = 'U' THEN ch.new_price
+        |      ELSE round(o.o_totalprice, 2) END AS price
+        |  FROM orders o LEFT JOIN ch ON o.o_orderkey = ch.k
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderkey, o_custkey, price FROM merged
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val ch = o.filter($"o_orderkey" % 13 === 0 || $"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("k"),
+          when($"o_orderkey" % 13 === 0, "D").otherwise("U").as("op"),
+          // +1000.00 / *2 (not *1.1 or /2): transforms that keep the
+          // price at 2 intrinsic decimals, so round(2) never lands on
+          // a .xx5 midpoint where Spark (decimal-string HALF_UP) and
+          // DuckDB (binary-value) rounding disagree
+          round($"o_totalprice" + 1000.00, 2).as("new_price"))
+      val ins = o.filter($"o_orderkey" % 11 === 0)
+        .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+          $"o_custkey", round($"o_totalprice" * 2, 2).as("price"))
+      o.join(ch, $"o_orderkey" === $"k", "left")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select($"o_orderkey", $"o_custkey",
+          when($"op" === "U", $"new_price")
+            .otherwise(round($"o_totalprice", 2)).as("price"))
+        .unionByName(ins)
+        .orderBy($"o_orderkey")
     })
 }
