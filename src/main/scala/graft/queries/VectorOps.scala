@@ -549,10 +549,11 @@ object VectorOps {
       val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
         val cd = graft.functions.DotMatrix(
           slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
-        df.withColumn(s"c$ss",
-          array_position(
-            transform(cd, x => round(x * 10000).cast("long")),
-            array_max(transform(cd, x => round(x * 10000).cast("long")))))
+        // bind the integerized dots once; argmax = first position of
+        // the max (the oracle's d4 DESC, r ASC tie-break)
+        df.withColumn(s"d$ss", transform(cd, x => round(x * 10000).cast("long")))
+          .withColumn(s"c$ss", array_position(col(s"d$ss"), array_max(col(s"d$ss"))))
+          .drop(s"d$ss")
       }
       val qids = (0 until PqQueries).map(_.toLong).toArray
       val lut: Array[Array[Array[Long]]] = qids.map { qid =>
