@@ -72,21 +72,27 @@ object SegmentPipeline {
     // doubles as the F3 nodata guard (ref segment.py:178-184): zero
     // pixels means the scan was empty. The writes then stream from the
     // cache; JobQueue compensates if a write itself fails.
-    val c = detections
-      .toDF()
-      .agg(countDistinct(struct($"cx", $"cy")).as("chips"),
-        count(lit(1)).as("pixels"),
-        sum(size($"segments")).cast("long").as("segs"))
-      .head()
-    if (c.getLong(1) == 0L)
-      throw new IllegalStateException("No timeseries data available")
-    val counts = SegmentResult(
-      chips = c.getLong(0), pixels = c.getLong(1), segments = c.getLong(2))
-    store.write("segment", segments.toDF(), Seq("cx", "cy"))
-    store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
-    store.write("chip", chips.toDF(), Seq("cx", "cy"))
-    detections.unpersist()
-    counts
+    // try/finally: the nodata throw, a detector failure surfacing in
+    // the count, or a failed write must all still release the cache —
+    // a long-running JobQueue answering repeated failing requests
+    // would otherwise accumulate CacheManager entries until executor
+    // storage memory is gone
+    try {
+      val c = detections
+        .toDF()
+        .agg(countDistinct(struct($"cx", $"cy")).as("chips"),
+          count(lit(1)).as("pixels"),
+          sum(size($"segments")).cast("long").as("segs"))
+        .head()
+      if (c.getLong(1) == 0L)
+        throw new IllegalStateException("No timeseries data available")
+      val counts = SegmentResult(
+        chips = c.getLong(0), pixels = c.getLong(1), segments = c.getLong(2))
+      store.write("segment", segments.toDF(), Seq("cx", "cy"))
+      store.write("pixel", pixels.toDF(), Seq("cx", "cy"))
+      store.write("chip", chips.toDF(), Seq("cx", "cy"))
+      counts
+    } finally detections.unpersist()
   }
 }
 

@@ -174,10 +174,9 @@ object TextOps {
     // df via hash-agg: the partial (map-side) agg collapses tf to
     // vocabulary size before any exchange
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val dfSide = df
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf
-      .join(dfSide, "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"term",
         round($"tf" * log($"n_docs".cast("double") / $"df"), 6)

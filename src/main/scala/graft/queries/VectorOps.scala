@@ -194,17 +194,7 @@ object VectorOps {
       dir: String, cells: Int = DefaultCells, nprobe: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
-    val centroids = e.filter($"vec_id" < cells)
-      .select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val arr = array(centroids.toIndexedSeq.zipWithIndex.map {
-      case ((cid, _), r) =>
-        struct(round(element_at($"cd", r + 1), 4).as("cos"),
-          lit(-cid).as("negcid"))
-    }: _*)
-    val withCd = e.withColumn("cd",
-      graft.functions.DotMatrix($"v", centroids.map(_._2)))
+    val (withCd, arr) = quantizerStructs(e, cells)
     val corpus = withCd
       .withColumn("cell", -array_max(arr).getField("negcid"))
       .drop("cd")
@@ -225,28 +215,37 @@ object VectorOps {
       .orderBy($"qid", $"rn")
   }
 
-  /** Literal-folded cell assignment: the bounded quantizer collect
-    * (cells x 64 doubles) — the one driver-side materialization IVF
-    * sanctions at small cell counts; everything after is a codegen'd
-    * projection. All centroid dots run in ONE DotMatrix loop, then
-    * argmax via lexicographic struct max; negated cid makes ties
-    * resolve to the SMALLEST cid (the oracle's `ORDER BY cos DESC,
-    * cid`). */
-  private[graft] def literalCells(e: org.apache.spark.sql.DataFrame,
-      cells: Int): org.apache.spark.sql.DataFrame = {
+  /** The bounded quantizer collect (cells x 64 doubles — the one
+    * driver-side materialization IVF sanctions at small cell counts)
+    * plus the per-row (round(cos, 4), -cid) struct array over ONE
+    * DotMatrix codegen pass. Shared by [[literalCells]] (argmax →
+    * cell) and [[annIvfProbe]] (sorted prefix → probe list) so the
+    * tie-break convention — negated cid resolves ties to the SMALLEST
+    * cid, the oracle's `ORDER BY cos DESC, cid` — lives in exactly one
+    * place. */
+  private def quantizerStructs(e: org.apache.spark.sql.DataFrame,
+      cells: Int): (org.apache.spark.sql.DataFrame, Column) = {
     val centroids = e.filter($"vec_id" < cells)
       .select($"vec_id", $"v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val centroidMatrix = centroids.map(_._2)
-    val best = array_max(array(centroids.toIndexedSeq.zipWithIndex.map {
+    val arr = array(centroids.toIndexedSeq.zipWithIndex.map {
       case ((cid, _), r) => // row r of the matrix IS centroid cid
         struct(round(element_at($"cd", r + 1), 4).as("cos"),
           lit(-cid).as("negcid"))
-    }: _*))
-    e.withColumn("cd",
-        graft.functions.DotMatrix($"v", centroidMatrix))
-      .withColumn("cell", -best.getField("negcid"))
+    }: _*)
+    (e.withColumn("cd",
+      graft.functions.DotMatrix($"v", centroids.map(_._2))), arr)
+  }
+
+  /** Literal-folded cell assignment: everything after the bounded
+    * quantizer collect is a codegen'd projection — all centroid dots
+    * in ONE DotMatrix loop, argmax via lexicographic struct max. */
+  private[graft] def literalCells(e: org.apache.spark.sql.DataFrame,
+      cells: Int): org.apache.spark.sql.DataFrame = {
+    val (withCd, arr) = quantizerStructs(e, cells)
+    withCd
+      .withColumn("cell", -array_max(arr).getField("negcid"))
       .drop("cd")
   }
 

@@ -31,15 +31,44 @@ trait Store extends Serializable {
 /** Partition-path delete shared by the partitioned-layout stores: the
   * key IS a directory (`entity/cx=1/cy=10`), so keyed delete is one
   * filesystem remove — no scan, no rewrite, the same O(1)-per-key
-  * economy as the reference's object-store delete at any scale. */
+  * economy as the reference's object-store delete at any scale.
+  *
+  * Key ORDER is discovered from the on-disk layout (the `k=` level
+  * names), not trusted from the caller: the connector and bucketed
+  * impls are insensitive to argument order, and a caller passing
+  * `Seq(cy -> .., cx -> ..)` against a `cx/cy` layout must delete the
+  * same partition, not silently no-op on a nonexistent path. */
 private[store] object PartitionedDelete {
   def apply(root: String, entity: String,
       keyValues: Seq[(String, Any)]): Unit = {
-    val dir = keyValues.map { case (k, v) => s"$k=$v" }.mkString("/")
-    val path = new org.apache.hadoop.fs.Path(s"$root/$entity/$dir")
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.delete(path, true) // false when absent — idempotent by contract
-    ()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val base = new org.apache.hadoop.fs.Path(s"$root/$entity")
+    val fs = base.getFileSystem(conf)
+    val kv = keyValues.toMap
+    // walk one partition chain to learn the layout's key order; fall
+    // back to the caller's order when the entity is absent/unpartitioned
+    var dir = base
+    val order = Seq.newBuilder[String]
+    var walking = fs.exists(dir)
+    while (walking) {
+      val next = try fs.listStatus(dir).find(st => st.isDirectory &&
+        st.getPath.getName.contains('='))
+      catch { case _: java.io.IOException => None }
+      next match {
+        case Some(st) =>
+          order += st.getPath.getName.takeWhile(_ != '=')
+          dir = st.getPath
+        case None => walking = false
+      }
+    }
+    val keys = {
+      val o = order.result()
+      if (o.nonEmpty && kv.keySet == o.toSet) o.map(k => k -> kv(k))
+      else keyValues
+    }
+    val part = keys.map { case (k, v) => s"$k=$v" }.mkString("/")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$entity/$part"), true)
+    () // delete returns false when absent — idempotent by contract
   }
 }
 
@@ -125,17 +154,27 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
     * read-merge-rewrite makes it SINGLE-WRITER per entity (the
     * partitioned stores take concurrent writers on distinct keys;
     * JobQueue's parallel dispatch assumes those). */
-  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
-    val spark = df.sparkSession
-    val toWrite = if (spark.catalog.tableExists(table(entity))) {
-      read(entity, spark)
-        .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(df)
-        .localCheckpoint(true)
-    } else df
-    rawWrite(entity, toWrite, keys)
-  }
+  // the read-merge-rewrite below is lost-update-prone under concurrent
+  // writers (both read, both rewrite, last overwrite wins — silently
+  // dropping the other's rows with ok=true upstream), so writes to the
+  // SAME entity serialize on a per-entity monitor. Distinct entities
+  // still write in parallel; JobQueue's parallelism=4 default is safe
+  // against this store instead of relying on a documented assumption.
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+    writeLocks.computeIfAbsent(entity, _ => new Object).synchronized {
+      import org.apache.spark.sql.functions.col
+      val spark = df.sparkSession
+      val toWrite = if (spark.catalog.tableExists(table(entity))) {
+        read(entity, spark)
+          .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(df)
+          .localCheckpoint(true)
+      } else df
+      rawWrite(entity, toWrite, keys)
+    }
 
   private def rawWrite(entity: String, df: DataFrame,
       keys: Seq[String]): Unit = {
@@ -158,18 +197,20 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
     * partitioned stores where frequent keyed deletes matter; bucketing
     * is for the scan-heavy join tables. */
   override def delete(entity: String,
-      keyValues: Seq[(String, Any)]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, not}
-    val spark = SparkSession.active
-    val cur = read(entity, spark)
-    val hit = keyValues.map { case (k, v) => col(k) === lit(v) }
-      .reduce(_ && _)
-    val keep = cur.filter(not(hit)).localCheckpoint(true)
-    val keys = entityKeys.synchronized {
-      entityKeys.getOrElse(entity, keyValues.map(_._1))
+      keyValues: Seq[(String, Any)]): Unit =
+    // same read-rewrite race as write(): serialize per entity
+    writeLocks.computeIfAbsent(entity, _ => new Object).synchronized {
+      import org.apache.spark.sql.functions.{col, lit, not}
+      val spark = SparkSession.active
+      val cur = read(entity, spark)
+      val hit = keyValues.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)
+      val keep = cur.filter(not(hit)).localCheckpoint(true)
+      val keys = entityKeys.synchronized {
+        entityKeys.getOrElse(entity, keyValues.map(_._1))
+      }
+      rawWrite(entity, keep, keys)
     }
-    rawWrite(entity, keep, keys)
-  }
 }
 
 /** Gzipped-JSON variant mirroring the reference's storage codec

@@ -36,12 +36,12 @@ final case class JobResult(kind: String, cx: Long, cy: Long,
   *  - requests missing required fields are rejected with a
   *    400-equivalent JobResult BEFORE any pipeline runs — the store is
   *    never touched;
-  *  - a pipeline failure yields a 500-equivalent JobResult and leaves
-  *    the request's key partitions EMPTY (the observable state the
-  *    reference's delete-before-write produces on failure): pipelines
-  *    materialize their results before writing, and any write that
-  *    still fails is compensated by keyed deletes of the touched
-  *    entities.
+  *  - a pipeline failure yields a 500-equivalent JobResult; if the
+  *    request had reached its save stage, its key partitions end up
+  *    EMPTY (the observable state the reference's delete-before-write
+  *    produces on a failed save) via compensating keyed deletes, and
+  *    if it failed while still reading, previously-persisted data at
+  *    those keys is left byte-for-byte untouched.
   */
 final class JobQueue(
     spark: SparkSession,
@@ -79,6 +79,19 @@ final class JobQueue(
       return Left(s"${missing.mkString(", ")} " +
         s"${if (missing.size == 1) "is a required parameter"
         else "are required parameters"}")
+    // type checks: a JSON client sending "12" where 12 is expected (or
+    // a non-string date) must get a 400 naming the field, not a
+    // ClassCastException that kills the micro-batch
+    val numeric = Seq("cx", "cy", "tx", "ty", "month", "day")
+    val badTypes = required.filter { f =>
+      val v = r.get(r.fieldIndex(f))
+      if (numeric.contains(f)) !v.isInstanceOf[Number]
+      else !v.isInstanceOf[String]
+    }
+    if (badTypes.nonEmpty)
+      return Left(s"${badTypes.mkString(", ")} " +
+        s"${if (badTypes.size == 1) "has an invalid type"
+        else "have invalid types"}")
     def lng(f: String) = if (has(f)) num(f).longValue() else 0L
     def int(f: String) = if (has(f)) num(f).intValue() else 0
     // value-range checks run in handle(), which answers 400 for them
@@ -112,22 +125,43 @@ final class JobQueue(
       case _ => Seq.empty
     }
 
+  /** Store wrapper that records whether this request's pipeline ever
+    * REACHED its write stage. Compensation must be scoped to that: the
+    * reference's delete-before-write clears a key only on the save
+    * path, so a request that fails while still reading (a missing
+    * model, an empty scan) must leave previously-persisted good data
+    * at its keys untouched — deleting on ANY exception would let a
+    * malformed retry destroy an earlier successful run's output. */
+  private final class RecordingStore(inner: Store) extends Store {
+    @volatile var wrote = false
+    override def write(entity: String, df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): Unit = {
+      wrote = true // set BEFORE delegating: a failed write still counts
+      inner.write(entity, df, keys)
+    }
+    override def read(entity: String, spark: SparkSession) =
+      inner.read(entity, spark)
+    override def delete(entity: String, keyValues: Seq[(String, Any)]): Unit =
+      inner.delete(entity, keyValues)
+  }
+
   /** Run one validated request through its pipeline. */
   private def handle(r: JobRequest): JobResult =
     domainCheck(r) match {
       case Some(err) =>
         JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = false, 0, err, 400)
       case None =>
+        val rs = new RecordingStore(store)
         try {
           r.kind match {
             case "segment" =>
               val out = SegmentPipeline.run(spark, ardSource(r.cx, r.cy),
-                store, detector)
+                rs, detector)
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true,
                 out.segments, "", 200)
             case "tile" =>
               val out = TrainingPipeline.run(spark,
-                store.read("segment", spark), auxSource(), store,
+                store.read("segment", spark), auxSource(), rs,
                 classifier, r.tx, r.ty,
                 TrainingPipeline.Params(date = r.date,
                   targetSamples = 1000000, classMin = 1, classMax = 1000000))
@@ -142,7 +176,7 @@ final class JobQueue(
               val n = PredictionPipeline.run(spark,
                 store.read("segment", spark)
                   .filter(col("cx") === r.cx && col("cy") === r.cy),
-                auxSource(), store, classifier, modelBytes, r.month, r.day)
+                auxSource(), rs, classifier, modelBytes, r.month, r.day)
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true, n, "", 200)
             case other =>
               JobResult(other, r.cx, r.cy, r.tx, r.ty, ok = false, 0,
@@ -150,10 +184,12 @@ final class JobQueue(
           }
         } catch {
           case e: Exception =>
-            // nothing-persisted: a failed request's key partitions end
-            // up empty, exactly as after the reference's delete-first +
-            // failed save (ref: test/test_A_segment.py:159-194)
-            touched(r).foreach { case (entity, keys) =>
+            // nothing-persisted: once the save stage started, a failed
+            // request's key partitions end up empty, exactly as after
+            // the reference's delete-first + failed save
+            // (ref: test/test_A_segment.py:159-194). A failure BEFORE
+            // any write leaves the store byte-for-byte untouched.
+            if (rs.wrote) touched(r).foreach { case (entity, keys) =>
               try store.delete(entity, keys)
               catch { case _: Exception => () }
             }
@@ -201,7 +237,11 @@ final class JobQueue(
           def lv(f: String) =
             if (row.schema.fieldNames.contains(f) &&
               !row.isNullAt(row.fieldIndex(f)))
-              row.getAs[Number](row.fieldIndex(f)).longValue() else 0L
+              row.get(row.fieldIndex(f)) match {
+                case n: Number => n.longValue()
+                case _ => 0L // wrong-typed field: echo 0 in the 400
+              }
+            else 0L
           val kind = if (row.schema.fieldNames.contains("kind") &&
             !row.isNullAt(row.fieldIndex("kind")))
             row.getString(row.fieldIndex("kind")) else ""
@@ -209,7 +249,7 @@ final class JobQueue(
             ok = false, 0, err, 400)
         case Right(req) => handle(req)
       }
-      log = res :: log
+      append(res)
     }
 
   /** Start the streaming dispatcher over a request stream. */

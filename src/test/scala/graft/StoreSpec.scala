@@ -127,6 +127,41 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("keyed delete honors the layout's key order, not the caller's " +
+    "argument order") {
+    val tmp = Files.createTempDirectory("graft-delorder").toString
+    val store = new ParquetStore(tmp)
+    val df = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("cx", "cy", "v")
+    store.write("seg", df, Seq("cx", "cy"))
+    // reversed key order must still address cx=1/cy=10
+    store.delete("seg", Seq("cy" -> 10L, "cx" -> 1L))
+    val left = store.read("seg", spark)
+      .select($"cx".cast("long")).as[Long].collect().toSet
+    assert(left == Set(2L), left.toString)
+  }
+
+  test("concurrent bucketed writes to one entity serialize: no lost " +
+    "updates") {
+    val tmp = Files.createTempDirectory("graft-bkconc").toString
+    val store = new BucketedStore(s"$tmp/bk", buckets = 2)
+    store.write("conc", Seq((0L, "seed")).toDF("k", "v"), Seq("k"))
+    // two writers upsert DIFFERENT keys at once; the read-merge-rewrite
+    // must not let one overwrite swallow the other
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1L to 2L).map { k =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            store.write("conc", Seq((k, s"w$k")).toDF("k", "v"), Seq("k"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val got = store.read("conc", spark)
+      .select($"k".cast("long")).as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L), got.toString)
+  }
+
   test("clustered store writes disjoint time-range files and the range " +
     "predicate reaches the scan") {
     val tmp = Files.createTempDirectory("graft-clustered").toString

@@ -351,6 +351,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a read-path failure leaves previously persisted data untouched") {
+    val root = Files.createTempDirectory("graft-jobq-read").toString
+    val store = new graft.store.ParquetStore(root)
+    val (f, jq) = jobQueue(store)
+    // an earlier successful run persisted predictions at this chip
+    store.write("prediction",
+      Seq((f.Cx, f.Cy, 0.9)).toDF("cx", "cy", "prob"), Seq("cx", "cy"))
+    // this request fails READING the (nonexistent) tile model — before
+    // any write — so compensation must NOT fire
+    jq.dispatch(spark.createDataset(Seq(
+      JobRequest("prediction", f.Cx, f.Cy, 99, 99, "", 7, 1))))
+    val r = jq.results.head
+    assert(!r.ok && r.status == 500)
+    assert(countFor(store, "prediction") == 1,
+      "pre-existing predictions destroyed by a read-path failure")
+  }
+
+  test("wrong-typed raw fields get 400, not a crashed micro-batch") {
+    val root = Files.createTempDirectory("graft-jobq-typ").toString
+    val store = new graft.store.ParquetStore(root)
+    val (_, jq) = jobQueue(store)
+    // cx arrives as a JSON string — a routine client bug
+    val raw = Seq(("segment", "12", 20L))
+      .toDF("kind", "cx", "cy")
+    jq.dispatchRaw(raw)
+    val r = jq.results.head
+    assert(!r.ok && r.status == 400, r.toString)
+    assert(r.error.contains("cx"), r.error)
+  }
+
   test("a save failure is compensated: touched keys end up empty") {
     val root = Files.createTempDirectory("graft-jobq-save").toString
     // fail the LAST of the three segment-stage writes, so the first two
