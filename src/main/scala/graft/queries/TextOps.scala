@@ -854,6 +854,70 @@ object TextOps {
         .select($"doc_id", $"source").orderBy($"doc_id")
     },
 
+    // ----- x36 LM-quality scoring (the CCNet / RedPajama perplexity
+    // filter, with the KenLM stand-in being an add-one-smoothed bigram
+    // model): train the LM on a high-quality reference slice (doc_id %
+    // 10 == 0), score every other doc by the mean conditional log-prob
+    // of its bigrams, and gate on a fixed threshold. Scale shape: the
+    // LM is VOCABULARY-sized (bigram + unigram count tables), not
+    // corpus-sized, so it rides a broadcast join; the corpus side is
+    // one explode + one doc_id aggregation. ln() differs in the last
+    // ulp across engines, so each term rounds at 6 decimals before the
+    // mean and the mean rounds at 4 before the keep comparison (the
+    // x14 round-before-rank discipline).
+    "x36_lm_quality" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> [tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)]])) AS b
+         |  FROM tk WHERE len(tk) >= 2),
+         |ref AS (SELECT b[1] AS w1, b[2] AS w2 FROM bg
+         |  WHERE doc_id % 10 = 0),
+         |lm AS (SELECT w1, w2, count(*) AS c FROM ref GROUP BY 1, 2),
+         |uni AS (SELECT w1, count(*) AS cw FROM ref GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS vs FROM ref),
+         |sc AS (SELECT g.doc_id,
+         |    round(ln((coalesce(lm.c, 0) + 1.0) /
+         |      (coalesce(uni.cw, 0) + v.vs)), 6) AS lp
+         |  FROM bg g
+         |  LEFT JOIN lm ON g.b[1] = lm.w1 AND g.b[2] = lm.w2
+         |  LEFT JOIN uni ON g.b[1] = uni.w1
+         |  CROSS JOIN v
+         |  WHERE g.doc_id % 10 <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(lp), 4) AS lm_score,
+         |  round(avg(lp), 4) >= -7.0 AS keep
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val bg = Tables.spread(s, dir, "documents")
+          .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+          .filter(size($"tk") >= 2)
+          .select($"doc_id", posexplode(transform(
+            sequence(lit(1), size($"tk") - 1),
+            i => struct(element_at($"tk", i).as("w1"),
+              element_at($"tk", i + 1).as("w2")))).as(Seq("p", "b")))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        val ref = bg.filter($"doc_id" % 10 === 0).select($"w1", $"w2")
+        val lm = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+          .withColumnRenamed("w1", "lw1").withColumnRenamed("w2", "lw2")
+        val uni = ref.groupBy($"w1").agg(count(lit(1)).as("cw"))
+          .withColumnRenamed("w1", "uw1")
+        val v = ref.agg(countDistinct($"w2").as("vs"))
+        bg.filter($"doc_id" % 10 =!= 0)
+          // LM tables are vocabulary-sized: broadcast, corpus unshuffled
+          .join(broadcast(lm), $"w1" === $"lw1" && $"w2" === $"lw2", "left")
+          .join(broadcast(uni), $"w1" === $"uw1", "left")
+          .crossJoin(broadcast(v))
+          .select($"doc_id", round(log(
+            (coalesce($"c", lit(0L)) + lit(1.0)) /
+              (coalesce($"cw", lit(0L)) + $"vs")), 6).as("lp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg($"lp"), 4).as("lm_score"))
+          .withColumn("keep", $"lm_score" >= -7.0)
+          .orderBy($"doc_id")
+    },
+
     // ----- x32 within-document repetition signals (the Gopher /
     // MassiveText repetition filters): per doc, the fraction of 2-gram
     // occurrences belonging to a repeated 2-gram (dup_2gram_frac) and

@@ -230,6 +230,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("x36 LM scoring broadcasts the vocabulary-sized model; the " +
+    "corpus shuffles only for the doc rollup") {
+    val p = finalPlanOf("x36_lm_quality")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x32 repetition signals are a pure per-row fold: no hash " +
     "exchange anywhere") {
     val p = finalPlanOf("x32_repetition")
