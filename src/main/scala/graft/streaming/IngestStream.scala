@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.StringToColumn
@@ -52,11 +52,50 @@ object IngestStream {
       .head().getSeq[Long](0).toArray
   }
 
+  /** LM-quality gate (streaming form of batch `x36_lm_quality`): an
+    * add-one bigram LM trained batch-side on a reference corpus, with
+    * docs below `minScore` mean log-prob dropped in-stream. The model
+    * rides the plan as vocabulary-sized literal maps and the score is
+    * one `aggregate` fold over the doc's bigrams — zero state, zero
+    * shuffle, exactly like a KenLM artifact broadcast to scorer nodes.
+    * Literal maps share the IVF-literal ceiling; past ~10^5 vocab
+    * entries swap in the broadcast + mapPartitions scoring shape the
+    * ML pipelines use (MlOps M3) — a packaging change, not a plan
+    * change. */
+  final case class LmGate(lp: Map[String, Double], cw: Map[String, Long],
+      vocab: Long, minScore: Double = -7.0)
+
+  /** Train the gate's bigram tables from a batch reference frame
+    * (`text` column). Collects are vocabulary-squared-bounded — the
+    * LM, like the bloom, is a small artifact built from the SMALL
+    * side. Log-probs round at 6 like x36. */
+  def lmGate(refDocs: DataFrame, minScore: Double = -7.0): LmGate = {
+    val bg = refDocs
+      .select(T.wsTokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = bg.groupBy(col("w1"), col("w2")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val cw = counts.groupBy(_._1._1).map { case (w1, xs) =>
+      w1 -> xs.map(_._2).sum
+    }
+    val v = counts.map(_._1._2).distinct.length.toLong
+    val lp = counts.map { case ((w1, w2), c) =>
+      s"$w1 $w2" -> BigDecimal(math.log((c + 1.0) / (cw(w1) + v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    LmGate(lp, cw, v, minScore)
+  }
+
   /** Transform a streaming (doc_id, ts, text) frame into the gated,
     * deduplicated, quality-annotated training stream. */
   def ingest(docs: DataFrame, gates: Gates = Gates(),
       watermark: String = "10 minutes",
-      decontam: Option[Decontam] = None): DataFrame = {
+      decontam: Option[Decontam] = None,
+      lm: Option[LmGate] = None): DataFrame = {
     val tk = T.wsTokens(lower($"text"))
     val scored = docs
       .withColumn("tk", tk)
@@ -74,8 +113,26 @@ object IngestStream {
       .filter($"n_tokens" >= gates.minTokens &&
         $"alpha_ratio" >= gates.minAlphaRatio &&
         $"stop_ratio" <= gates.maxStopRatio)
-    val cleaned = decontam.fold(gated) { d =>
-      gated.filter(!graft.functions.Bloom.mightContain(d.bits,
+    val lmGated = lm.fold(gated) { m =>
+      val tk = T.wsTokens(lower($"text"))
+      val bg = transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+      val lpMap = typedLit(m.lp)
+      val cwMap = typedLit(m.cw)
+      // seen bigram: precomputed rounded log-prob; unseen: add-one
+      // backoff against the head word's continuation count
+      val termLp = (b: Column) => coalesce(element_at(lpMap, b),
+        round(log(lit(1.0) / // unseen bigram: count 0, numerator 0+1
+          (coalesce(element_at(cwMap, substring_index(b, " ", 1)),
+            lit(0L)) + m.vocab)), 6))
+      val score = round(
+        aggregate(bg, lit(0.0), (acc, b) => acc + termLp(b)) /
+          greatest(size(bg), lit(1)), 4)
+      gated.withColumn("lm_score", score)
+        .filter(size(tk) >= 2 && $"lm_score" >= m.minScore)
+    }
+    val cleaned = decontam.fold(lmGated) { d =>
+      lmGated.filter(!graft.functions.Bloom.mightContain(d.bits,
         T.md5Long(array_join(slice(T.wsTokens($"text"), 1, d.prefK), " "))))
     }
     cleaned

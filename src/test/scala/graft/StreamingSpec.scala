@@ -217,6 +217,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest gates on LM quality: gibberish drops, " +
+    "reference-like text passes, zero extra state") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: repeated natural phrases -> seen bigrams score
+    // high; gibberish full of unseen bigrams backs off to ~ln(1/V)
+    val ref = Seq.fill(4)(
+      "the quick brown fox jumps over the lazy dog every day")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val gate = IngestStream.lmGate(ref, minScore = -1.5)
+    assert(gate.vocab > 0 && gate.lp.nonEmpty)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = IngestStream.ingest(docs,
+      IngestStream.Gates(minTokens = 3, minAlphaRatio = 0.4,
+        maxStopRatio = 0.9), "30 minutes", lm = Some(gate))
+      .writeStream.format("memory").queryName("ingest_lm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(1), "zxq vbn wklm pqrs ttuv abcd efgh ijkl mnop"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_lm").select($"doc_id", $"lm_score")
+        .as[(Long, Double)].collect().toMap
+      assert(kept.keySet == Set(1L), kept.toString)
+      assert(kept(1L) >= -1.5, kept.toString)
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.length <= 1)
+    } finally q.stop()
+  }
+
   test("streaming ingest drops documents matching the decontamination " +
     "bloom, statelessly") {
     implicit val sqlCtx = spark.sqlContext
