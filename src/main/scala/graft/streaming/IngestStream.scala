@@ -79,6 +79,8 @@ object IngestStream {
       .select(col("b.w1"), col("b.w2"))
     val counts = bg.groupBy(col("w1"), col("w2")).count().collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    require(counts.nonEmpty,
+      "LM gate needs a reference corpus with at least one bigram")
     val cw = counts.groupBy(_._1._1).map { case (w1, xs) =>
       w1 -> xs.map(_._2).sum
     }
