@@ -29,6 +29,25 @@ object TextExprs {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Adjacent token pairs as `array<struct<w1,w2>>`; docs shorter than
+    * 2 tokens produce an EMPTY array (the guard lives here, not at call
+    * sites: `sequence(1, size-1)` on a 1-token doc counts DOWN to
+    * [1, 0] and `element_at(tk, 0)` throws). Shared by the bigram
+    * stats (x32), the LM quality score (x36), and the streaming ingest
+    * LM gate, so the window construction cannot drift between batch
+    * and stream. */
+  def bigramPairs(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => struct(element_at(tokens, i).as("w1"),
+          element_at(tokens, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** The same pairs as space-joined strings (map keys / group keys). */
+  def bigrams(tokens: Column): Column =
+    transform(bigramPairs(tokens),
+      p => concat_ws(" ", p.getField("w1"), p.getField("w2")))
+
   /** Distinct word k-shingles (k consecutive tokens joined by one space);
     * docs shorter than k tokens produce no shingles. */
   def shingles(tokens: Column, k: Int): Column =

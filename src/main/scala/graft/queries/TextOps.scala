@@ -892,10 +892,7 @@ object TextOps {
         val bg = Tables.spread(s, dir, "documents")
           .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
           .filter(size($"tk") >= 2)
-          .select($"doc_id", posexplode(transform(
-            sequence(lit(1), size($"tk") - 1),
-            i => struct(element_at($"tk", i).as("w1"),
-              element_at($"tk", i + 1).as("w2")))).as(Seq("p", "b")))
+          .select($"doc_id", posexplode(T.bigramPairs($"tk")).as(Seq("p", "b")))
           .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
         val ref = bg.filter($"doc_id" % 10 === 0).select($"w1", $"w2")
         val lm = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
@@ -942,8 +939,7 @@ object TextOps {
          |  round(dup * 1.0 / tot, 6) AS dup_2gram_frac,
          |  (dup * 1.0 / tot <= 0.6 AND maxc * 1.0 / tot <= 0.2) AS keep
          |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val grams = transform(sequence(lit(1), size($"tk") - 1),
-        i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1)))
+      val grams = T.bigrams($"tk")
       val acc0 = struct(lit("").as("prev"), lit(0).as("run"),
         lit(0).as("maxrun"), lit(0).as("dup"))
       Tables.spread(s, dir, "documents")

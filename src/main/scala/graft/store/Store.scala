@@ -45,26 +45,27 @@ private[store] object PartitionedDelete {
     val base = new org.apache.hadoop.fs.Path(s"$root/$entity")
     val fs = base.getFileSystem(conf)
     val kv = keyValues.toMap
-    // walk one partition chain to learn the layout's key order; fall
-    // back to the caller's order when the entity is absent/unpartitioned
-    var dir = base
-    val order = Seq.newBuilder[String]
-    var walking = fs.exists(dir)
-    while (walking) {
-      val next = try fs.listStatus(dir).find(st => st.isDirectory &&
-        st.getPath.getName.contains('='))
-      catch { case _: java.io.IOException => None }
-      next match {
-        case Some(st) =>
-          order += st.getPath.getName.takeWhile(_ != '=')
-          dir = st.getPath
-        case None => walking = false
+    // find a COMPLETE depth-|keys| partition chain to learn the key
+    // order — a single-path walk can dead-end in an empty parent dir a
+    // prior delete left behind and silently fall back to the wrong
+    // order; searching siblings makes discovery robust to that litter.
+    // Falls back to the caller's order when the entity is absent or
+    // unpartitioned.
+    def chainOrder(dir: org.apache.hadoop.fs.Path,
+        remaining: Int): Option[List[String]] =
+      if (remaining == 0) Some(Nil)
+      else {
+        val kids = try fs.listStatus(dir).toList.filter(st =>
+          st.isDirectory && st.getPath.getName.contains('='))
+        catch { case _: java.io.IOException => Nil }
+        kids.iterator.flatMap { st =>
+          chainOrder(st.getPath, remaining - 1)
+            .map(st.getPath.getName.takeWhile(_ != '=') :: _)
+        }.nextOption()
       }
-    }
-    val keys = {
-      val o = order.result()
-      if (o.nonEmpty && kv.keySet == o.toSet) o.map(k => k -> kv(k))
-      else keyValues
+    val keys = chainOrder(base, kv.size) match {
+      case Some(o) if kv.keySet == o.toSet => o.map(k => k -> kv(k))
+      case _ => keyValues
     }
     val part = keys.map { case (k, v) => s"$k=$v" }.mkString("/")
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$entity/$part"), true)
@@ -160,7 +161,10 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
   // SAME entity serialize on a per-entity monitor. Distinct entities
   // still write in parallel; JobQueue's parallelism=4 default is safe
   // against this store instead of relying on a documented assumption.
-  private val writeLocks =
+  // @transient: bare Objects aren't serializable and the lock scope is
+  // this JVM anyway (the merge-rewrite runs on the driver); lazily
+  // re-created empty on deserialization
+  @transient private lazy val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =

@@ -72,10 +72,7 @@ object IngestStream {
   def lmGate(refDocs: DataFrame, minScore: Double = -7.0): LmGate = {
     val bg = refDocs
       .select(T.wsTokens(lower(col("text"))).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => struct(element_at(col("tk"), i).as("w1"),
-          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(explode(T.bigramPairs(col("tk"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val counts = bg.groupBy(col("w1"), col("w2")).count().collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
@@ -110,15 +107,16 @@ object IngestStream {
         length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("double") /
           greatest(length($"text"), lit(1)))
       .withColumn("content_key", T.md5Long($"text"))
-      .drop("tk")
     val gated = scored
       .filter($"n_tokens" >= gates.minTokens &&
         $"alpha_ratio" >= gates.minAlphaRatio &&
         $"stop_ratio" <= gates.maxStopRatio)
+    // the tokenized column computed for the quality gates rides through
+    // the LM stage (re-tokenizing the full text per stage is the kind
+    // of repeated regex work that adds up at 100 TB/day) and drops just
+    // before the sink
     val lmGated = lm.fold(gated) { m =>
-      val tk = T.wsTokens(lower($"text"))
-      val bg = transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+      val bg = T.bigrams($"tk") // guarded: empty for <2-token docs
       val lpMap = typedLit(m.lp)
       val cwMap = typedLit(m.cw)
       // seen bigram: precomputed rounded log-prob; unseen: add-one
@@ -131,13 +129,16 @@ object IngestStream {
         aggregate(bg, lit(0.0), (acc, b) => acc + termLp(b)) /
           greatest(size(bg), lit(1)), 4)
       gated.withColumn("lm_score", score)
-        .filter(size(tk) >= 2 && $"lm_score" >= m.minScore)
+        .filter($"n_tokens" >= 2 && $"lm_score" >= m.minScore)
     }
     val cleaned = decontam.fold(lmGated) { d =>
+      // decontam keys on RAW-case tokens (x31's convention, matching
+      // the bloom built by contaminationBloom) — not the lowered tk
       lmGated.filter(!graft.functions.Bloom.mightContain(d.bits,
         T.md5Long(array_join(slice(T.wsTokens($"text"), 1, d.prefK), " "))))
     }
     cleaned
+      .drop("tk")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
   }

@@ -67,6 +67,8 @@ final class JobQueue(
     def str(f: String) = if (has(f)) r.getString(r.fieldIndex(f)) else ""
     def num(f: String) = r.getAs[Number](r.fieldIndex(f))
     if (!has("kind")) return Left("kind is a required parameter")
+    if (!r.get(r.fieldIndex("kind")).isInstanceOf[String])
+      return Left("kind has an invalid type")
     val kind = str("kind")
     val required: Seq[String] = kind match {
       case "segment" => Seq("cx", "cy")
@@ -81,9 +83,11 @@ final class JobQueue(
         else "are required parameters"}")
     // type checks: a JSON client sending "12" where 12 is expected (or
     // a non-string date) must get a 400 naming the field, not a
-    // ClassCastException that kills the micro-batch
+    // ClassCastException that kills the micro-batch. EVERY present
+    // known field is checked, not just the required set — the request
+    // construction below reads all of them
     val numeric = Seq("cx", "cy", "tx", "ty", "month", "day")
-    val badTypes = required.filter { f =>
+    val badTypes = (numeric ++ Seq("date")).filter(has).filter { f =>
       val v = r.get(r.fieldIndex(f))
       if (numeric.contains(f)) !v.isInstanceOf[Number]
       else !v.isInstanceOf[String]
@@ -244,7 +248,11 @@ final class JobQueue(
             else 0L
           val kind = if (row.schema.fieldNames.contains("kind") &&
             !row.isNullAt(row.fieldIndex("kind")))
-            row.getString(row.fieldIndex("kind")) else ""
+            row.get(row.fieldIndex("kind")) match {
+              case s: String => s
+              case _ => "" // wrong-typed kind still answers 400
+            }
+          else ""
           JobResult(kind, lv("cx"), lv("cy"), lv("tx"), lv("ty"),
             ok = false, 0, err, 400)
         case Right(req) => handle(req)

@@ -140,6 +140,33 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(left == Set(2L), left.toString)
   }
 
+  test("reordered delete still resolves the layout after a prior " +
+    "delete leaves an empty parent dir") {
+    val tmp = Files.createTempDirectory("graft-delitter").toString
+    val store = new ParquetStore(tmp)
+    store.write("seg", Seq((1L, 10L, "a"), (2L, 30L, "b"))
+      .toDF("cx", "cy", "v"), Seq("cx", "cy"))
+    // removes cy=10 and leaves cx=1 as an empty parent (fs litter)
+    store.delete("seg", Seq("cx" -> 1L, "cy" -> 10L))
+    // order discovery must search past the empty chain, not fall back
+    store.delete("seg", Seq("cy" -> 30L, "cx" -> 2L))
+    // fully emptied: reading yields zero rows or no inferable schema
+    val n = try store.read("seg", spark).count()
+    catch { case _: Exception => 0L }
+    assert(n == 0L, n.toString)
+  }
+
+  test("a bucketed store that has written serializes (locks are " +
+    "transient)") {
+    val tmp = Files.createTempDirectory("graft-bkser").toString
+    val store = new BucketedStore(s"$tmp/bk", buckets = 2)
+    store.write("ser", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val out = new java.io.ObjectOutputStream(
+      new java.io.ByteArrayOutputStream())
+    out.writeObject(store) // must not throw NotSerializableException
+    out.close()
+  }
+
   test("concurrent bucketed writes to one entity serialize: no lost " +
     "updates") {
     val tmp = Files.createTempDirectory("graft-bkconc").toString

@@ -231,14 +231,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val in = MemoryStream[(Long, Timestamp, String)]
     val docs = in.toDF().toDF("doc_id", "ts", "text")
     val q = IngestStream.ingest(docs,
-      IngestStream.Gates(minTokens = 3, minAlphaRatio = 0.4,
+      IngestStream.Gates(minTokens = 1, minAlphaRatio = 0.4,
         maxStopRatio = 0.9), "30 minutes", lm = Some(gate))
       .writeStream.format("memory").queryName("ingest_lm")
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(
         (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
-        (2L, ts(1), "zxq vbn wklm pqrs ttuv abcd efgh ijkl mnop"))
+        (2L, ts(1), "zxq vbn wklm pqrs ttuv abcd efgh ijkl mnop"),
+        // 1-token doc: no bigrams — must drop cleanly (the guarded
+        // bigram window returns empty), never crash the query
+        (3L, ts(2), "hello"))
       q.processAllAvailable()
       val kept = spark.table("ingest_lm").select($"doc_id", $"lm_score")
         .as[(Long, Double)].collect().toMap
@@ -411,6 +414,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val r = jq.results.head
     assert(!r.ok && r.status == 400, r.toString)
     assert(r.error.contains("cx"), r.error)
+    // wrong-typed OPTIONAL field: construction reads every field, so a
+    // string tx on a segment request must 400 too, not crash
+    jq.dispatchRaw(Seq(("segment", 12L, 20L, "99"))
+      .toDF("kind", "cx", "cy", "tx"))
+    val r2 = jq.results.head
+    assert(!r2.ok && r2.status == 400 && r2.error.contains("tx"),
+      r2.toString)
+    // non-string kind
+    jq.dispatchRaw(Seq((7L, 12L, 20L)).toDF("kind", "cx", "cy"))
+    val r3 = jq.results.head
+    assert(!r3.ok && r3.status == 400 && r3.error.contains("kind"),
+      r3.toString)
   }
 
   test("a save failure is compensated: touched keys end up empty") {
