@@ -63,4 +63,16 @@ class ExprsSpec extends AnyFunSuite with SparkSpec {
       .as[String].collect()
     assert(got.toSeq == Seq("0001-01-01"))
   }
+
+  test("bigrams window is guarded: empty for short docs, adjacent " +
+    "pairs otherwise") {
+    val got = Seq("a b c d", "a", "", "x y").toDF("t")
+      .select(graft.functions.TextExprs.bigrams(
+        graft.functions.TextExprs.wsTokens($"t")).as("b"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(1).isEmpty) // 1 token: sequence(1,0) must never fire
+    assert(got(2).isEmpty) // empty text
+    assert(got(3) == Seq("x y"))
+  }
 }
