@@ -72,6 +72,79 @@ object VectorOps {
   private val CodeK = 16
   private val PqQueries = 8
 
+  /** PQ setup shared by x34 (flat ADC) and x37 (IVF-PQ): collects the
+    * codebook + query vectors (bounded, from the ENGINE-normalized
+    * frame so driver arithmetic starts from the exact doubles both
+    * engines computed), appends the 8 integerized subspace codes to
+    * every input row in one codegen projection, and builds the
+    * per-query integer LUTs. The driver-side subspace dot is a
+    * sequential fold (the DotProduct / list_sum order) rounded
+    * HALF_UP — matching both engines' round() including the
+    * away-from-zero negative case (math.round would differ there). */
+  private def pqSetup(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Array[Long],
+        Array[Array[Array[Long]]]) = {
+    val small = e.filter($"vec_id" < math.max(CodeK, PqQueries))
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cb = (0 until CodeK).map(small(_)).toArray
+    def sub(v: Array[Double], ss: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
+    def d4(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      BigDecimal(acc * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val subCent: Array[Array[Array[Double]]] =
+      Array.tabulate(SubM)(ss => cb.map(sub(_, ss)))
+    // encode: per subspace, 16 codegen dots -> integerize (bound once)
+    // -> first argmax (array_position on longs == d4 DESC, r ASC tie)
+    val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
+      val cd = graft.functions.DotMatrix(
+        slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
+      df.withColumn(s"d$ss",
+          transform(cd, x => round(x * 10000).cast("long")))
+        .withColumn(s"c$ss",
+          array_position(col(s"d$ss"), array_max(col(s"d$ss"))))
+        .drop(s"d$ss")
+    }
+    val qids = (0 until PqQueries).map(_.toLong).toArray
+    val lut: Array[Array[Array[Long]]] = qids.map { qid =>
+      Array.tabulate(SubM)(ss =>
+        subCent(ss).map(c => d4(sub(small(qid), ss), c)))
+    }
+    (coded, qids, lut)
+  }
+
+  /** ADC rank: per query, sum the 8 literal-LUT entries addressed by
+    * each row's codes, optionally restrict rows to the query's coarse
+    * cell (IVF-PQ), and keep the top k by integer score. The scores
+    * array explodes to (query, score) rows without rescanning. */
+  private def pqRank(coded: org.apache.spark.sql.DataFrame,
+      qids: Array[Long], lut: Array[Array[Array[Long]]], k: Int,
+      qcellArr: Option[Array[Long]] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val scores = array(qids.indices.map { j =>
+      (0 until SubM).map(ss =>
+        element_at(lit(lut(j)(ss)), col(s"c$ss").cast("int")))
+        .reduce(_ + _)
+    }: _*)
+    val keep = $"vec_id".as("nid") +: qcellArr.map(_ => $"cell").toSeq
+    val ex = coded
+      .select(keep :+ posexplode(scores).as(Seq("qp", "s4")): _*)
+      .withColumn("qid", element_at(lit(qids), $"qp" + 1))
+      .filter($"nid" =!= $"qid")
+    val inCell = qcellArr.fold(ex)(qc => ex.filter(
+      element_at(lit(qc), $"qp".cast("int") + 1) === $"cell"))
+    inCell
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"s4".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"nid", round($"s4" / 10000.0, 4).as("adc"), $"rn")
+  }
+
   /** IVF coarse-quantizer size (x13): default centroid count. */
   private[graft] val DefaultCells = 16
 
@@ -522,58 +595,91 @@ object VectorOps {
       }) { (s, dir) =>
       val e = normalized(Tables.spread(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-      // bounded driver collects: 16 codebook + 8 query vectors, all
-      // taken from the ENGINE-normalized frame so driver arithmetic
-      // starts from the exact same doubles both engines computed
-      val small = e.filter($"vec_id" < math.max(CodeK, PqQueries))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .toMap
-      val cb = (0 until CodeK).map(small(_)).toArray
-      def sub(v: Array[Double], ss: Int): Array[Double] =
-        java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
-      // integerized driver-side subspace dot: sequential fold (the
-      // DotProduct / list_sum order) then HALF_UP — matches both
-      // engines' round() including the away-from-zero negative case
-      // (math.round would differ there)
-      def d4(a: Array[Double], b: Array[Double]): Long = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i) * b(i); i += 1 }
-        BigDecimal(acc * 10000)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-      }
-      val subCent: Array[Array[Array[Double]]] =
-        Array.tabulate(SubM)(ss => cb.map(sub(_, ss)))
-      // encode: per subspace, 16 codegen dots -> integerize -> first
-      // argmax (array_position on longs == the oracle's d4 DESC, r tie)
-      val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
-        val cd = graft.functions.DotMatrix(
-          slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
-        // bind the integerized dots once; argmax = first position of
-        // the max (the oracle's d4 DESC, r ASC tie-break)
-        df.withColumn(s"d$ss", transform(cd, x => round(x * 10000).cast("long")))
-          .withColumn(s"c$ss", array_position(col(s"d$ss"), array_max(col(s"d$ss"))))
-          .drop(s"d$ss")
-      }
-      val qids = (0 until PqQueries).map(_.toLong).toArray
-      val lut: Array[Array[Array[Long]]] = qids.map { qid =>
-        Array.tabulate(SubM)(ss =>
-          subCent(ss).map(c => d4(sub(small(qid), ss), c)))
-      }
-      // ADC: 8 literal-LUT lookups per (vector, query) — the scores
-      // array explodes to (query, score) rows without rescanning
-      val scores = array(qids.indices.map { j =>
-        (0 until SubM).map(ss =>
-          element_at(lit(lut(j)(ss)), col(s"c$ss").cast("int")))
-          .reduce(_ + _)
-      }: _*)
-      coded.select($"vec_id".as("nid"), posexplode(scores).as(Seq("qp", "s4")))
-        .withColumn("qid", element_at(lit(qids), $"qp" + 1))
-        .filter($"nid" =!= $"qid")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"qid").orderBy($"s4".desc, $"nid"))
-          .cast("long"))
-        .filter($"rn" <= 5)
-        .select($"qid", $"nid", round($"s4" / 10000.0, 4).as("adc"), $"rn")
+      val (coded, qids, lut) = pqSetup(e)
+      pqRank(coded, qids, lut, k = 5)
         .orderBy($"qid", $"rn")
-    })
+    },
+
+    // ----- x37 IVF-PQ (the FAISS production configuration): the IVF
+    // coarse quantizer (x13) restricts each query to its cell, and PQ
+    // codes (x34) do the ranking INSIDE the cell — candidate count
+    // drops by the cell fan-out AND each candidate costs 8 LUT adds
+    // instead of a 64-wide dot. Same composed guarantees: corpus never
+    // shuffles (cell assignment + encode are one codegen projection),
+    // scores/tie-breaks integerized so both engines rank identically.
+    "x37_ann_ivfpq" -> Q(
+      {
+        def subdot(vec: String): String =
+          s"CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}), " +
+            s"i -> $vec[CAST(ss.s * $SubDim + i AS INT)] * " +
+            s"cb.cv[CAST(ss.s * $SubDim + i AS INT)])) * 10000, 0) " +
+            s"AS BIGINT)"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |n AS ${sqlNormalized("e")},
+           |c AS (SELECT vec_id AS cid, v AS cv2 FROM n
+           |  WHERE vec_id < $DefaultCells),
+           |asg AS (SELECT n.vec_id, n.v, c.cid,
+           |    row_number() OVER (PARTITION BY n.vec_id
+           |      ORDER BY round(${sqlDot("n.v", "c.cv2")}, 4) DESC, c.cid)
+           |      AS arn
+           |  FROM n CROSS JOIN c),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+           |cb AS (SELECT vec_id AS r, v AS cv FROM n
+           |  WHERE vec_id < $CodeK),
+           |ss AS (SELECT unnest(range(0, $SubM)) AS s),
+           |cd AS (SELECT n.vec_id, ss.s, cb.r, ${subdot("n.v")} AS d4
+           |  FROM n, cb, ss),
+           |codes AS (SELECT vec_id, s, r AS code FROM (
+           |    SELECT vec_id, s, r, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY d4 DESC, r) AS rn
+           |    FROM cd) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell FROM cells
+           |  WHERE vec_id < $PqQueries),
+           |lut AS (SELECT q.qid, ss.s, cb.r, ${subdot("q.qv")} AS d4
+           |  FROM q, cb, ss),
+           |sc AS (SELECT q.qid, m.vec_id AS nid,
+           |    CAST(sum(l.d4) AS BIGINT) AS s4
+           |  FROM cells m
+           |  JOIN q ON q.qcell = m.cell AND m.vec_id <> q.qid
+           |  JOIN codes c2 ON c2.vec_id = m.vec_id
+           |  JOIN lut l ON l.qid = q.qid AND l.s = c2.s AND l.r = c2.code
+           |  GROUP BY 1, 2),
+           |r AS (SELECT qid, nid, s4, row_number() OVER (
+           |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+           |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+           |  CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }) { (s, dir) => annIvfPq(s, dir) })
+
+  /** x37 body, parameterized on the coarse cell count: with cells = 1
+    * every vector shares one cell and IVF-PQ degenerates to flat PQ —
+    * the equivalence ScaleGuardsSpec pins (the x29 nprobe=1 == x13
+    * pattern, for the PQ path). */
+  private[graft] def annIvfPq(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalized(Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    // ONE codegen projection adds both the coarse cell and the 8
+    // codes to every corpus row
+    val (coded, qids, lut) = pqSetup(literalCells(e, cells))
+    // each query ranks only rows in ITS cell (cells collected for
+    // the bounded query set only)
+    val qcells = coded.filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qcellArr = qids.map(qcells)
+    pqRank(coded, qids, lut, k = k, qcellArr = Some(qcellArr))
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Flat-PQ twin of [[annIvfPq]] for the equivalence spec. */
+  private[graft] def annPqFlat(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val e = normalized(Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val (coded, qids, lut) = pqSetup(e)
+    pqRank(coded, qids, lut, k = k).orderBy($"qid", $"rn")
+  }
 }

@@ -264,6 +264,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x37 IVF-PQ stays join-free: cell + codes in one codegen " +
+    "projection, one rank exchange") {
+    val p = finalPlanOf("x37_ann_ivfpq")
+    assert(p.contains("dot_matrix"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("NestedLoop"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")

@@ -174,6 +174,17 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(pq.count(exact.contains) >= 10, s"overlap ${pq.count(exact.contains)}/40")
   }
 
+  test("x37 IVF-PQ with one cell degenerates to flat PQ exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val flat = rows(VectorOps.annPqFlat(spark, dir, k = 3))
+    val one = rows(VectorOps.annIvfPq(spark, dir, cells = 1, k = 3))
+    assert(one.nonEmpty)
+    assert(one == flat, s"ivfpq(cells=1) != flat pq")
+  }
+
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
     "new-vs-old slice") {
     // x7 over the whole corpus, restricted to odd(new)/even(old)
