@@ -72,6 +72,35 @@ object VectorOps {
   private val CodeK = 16
   private val PqQueries = 8
 
+  /** Integerized subspace dot as SQL (`ss.s` names the subspace, `cb`
+    * the codebook relation) — hoisted so the x34 and x37 oracle twins
+    * cannot drift from one another. */
+  private def sqlSubdot(vec: String): String =
+    s"CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}), " +
+      s"i -> $vec[CAST(ss.s * $SubDim + i AS INT)] * " +
+      s"cb.cv[CAST(ss.s * $SubDim + i AS INT)])) * 10000, 0) " +
+      s"AS BIGINT)"
+
+  /** Shared PQ oracle CTEs: codebook, subspaces, integerized dots,
+    * per-(vector, subspace) argmax codes. Expects a CTE `n` upstream. */
+  private def sqlPqCodes: String =
+    s"""cb AS (SELECT vec_id AS r, v AS cv FROM n
+       |  WHERE vec_id < $CodeK),
+       |ss AS (SELECT unnest(range(0, $SubM)) AS s),
+       |cd AS (SELECT n.vec_id, ss.s, cb.r,
+       |    ${sqlSubdot("n.v")} AS d4
+       |  FROM n, cb, ss),
+       |codes AS (SELECT vec_id, s, r AS code FROM (
+       |    SELECT vec_id, s, r, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY d4 DESC, r) AS rn
+       |    FROM cd) WHERE rn = 1)""".stripMargin
+
+  /** Shared PQ oracle LUT CTE; expects a CTE `q(qid, qv, ...)`. */
+  private def sqlPqLut: String =
+    s"""lut AS (SELECT q.qid, ss.s, cb.r,
+       |    ${sqlSubdot("q.qv")} AS d4
+       |  FROM q, cb, ss)""".stripMargin
+
   /** PQ setup shared by x34 (flat ADC) and x37 (IVF-PQ): collects the
     * codebook + query vectors (bounded, from the ENGINE-normalized
     * frame so driver arithmetic starts from the exact doubles both
@@ -559,43 +588,23 @@ object VectorOps {
     // deterministic convention as x13's quantizer; production swaps in
     // a k-means-trained book — a quality knob, not a shape change).
     "x34_ann_pq" -> Q(
-      {
-        def subdot(vec: String): String =
-          s"CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}), " +
-            s"i -> $vec[CAST(ss.s * $SubDim + i AS INT)] * " +
-            s"cb.cv[CAST(ss.s * $SubDim + i AS INT)])) * 10000, 0) " +
-            s"AS BIGINT)"
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |  FROM embeddings),
-           |n AS ${sqlNormalized("e")},
-           |cb AS (SELECT vec_id AS r, v AS cv FROM n
-           |  WHERE vec_id < $CodeK),
-           |ss AS (SELECT unnest(range(0, $SubM)) AS s),
-           |cd AS (SELECT n.vec_id, ss.s, cb.r,
-           |    ${subdot("n.v")} AS d4
-           |  FROM n, cb, ss),
-           |codes AS (SELECT vec_id, s, r AS code FROM (
-           |    SELECT vec_id, s, r, row_number() OVER (
-           |      PARTITION BY vec_id, s ORDER BY d4 DESC, r) AS rn
-           |    FROM cd) WHERE rn = 1),
-           |q AS (SELECT vec_id AS qid, v AS qv FROM n
-           |  WHERE vec_id < $PqQueries),
-           |lut AS (SELECT q.qid, ss.s, cb.r,
-           |    ${subdot("q.qv")} AS d4
-           |  FROM q, cb, ss),
-           |sc AS (SELECT l.qid, c.vec_id AS nid,
-           |    CAST(sum(l.d4) AS BIGINT) AS s4
-           |  FROM codes c JOIN lut l ON l.s = c.s AND l.r = c.code
-           |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
-           |r AS (SELECT qid, nid, s4, row_number() OVER (
-           |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
-           |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
-           |  CAST(rn AS BIGINT) AS rn
-           |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-      }) { (s, dir) =>
-      val e = normalized(Tables.spread(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-      val (coded, qids, lut) = pqSetup(e)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |$sqlPqCodes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |$sqlPqLut,
+         |sc AS (SELECT l.qid, c.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.r = c.code
+         |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val (coded, qids, lut) = pqSetup(normalizedEmbeddings(s, dir))
       pqRank(coded, qids, lut, k = 5)
         .orderBy($"qid", $"rn")
     },
@@ -608,49 +617,34 @@ object VectorOps {
     // shuffles (cell assignment + encode are one codegen projection),
     // scores/tie-breaks integerized so both engines rank identically.
     "x37_ann_ivfpq" -> Q(
-      {
-        def subdot(vec: String): String =
-          s"CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}), " +
-            s"i -> $vec[CAST(ss.s * $SubDim + i AS INT)] * " +
-            s"cb.cv[CAST(ss.s * $SubDim + i AS INT)])) * 10000, 0) " +
-            s"AS BIGINT)"
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |  FROM embeddings),
-           |n AS ${sqlNormalized("e")},
-           |c AS (SELECT vec_id AS cid, v AS cv2 FROM n
-           |  WHERE vec_id < $DefaultCells),
-           |asg AS (SELECT n.vec_id, n.v, c.cid,
-           |    row_number() OVER (PARTITION BY n.vec_id
-           |      ORDER BY round(${sqlDot("n.v", "c.cv2")}, 4) DESC, c.cid)
-           |      AS arn
-           |  FROM n CROSS JOIN c),
-           |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
-           |cb AS (SELECT vec_id AS r, v AS cv FROM n
-           |  WHERE vec_id < $CodeK),
-           |ss AS (SELECT unnest(range(0, $SubM)) AS s),
-           |cd AS (SELECT n.vec_id, ss.s, cb.r, ${subdot("n.v")} AS d4
-           |  FROM n, cb, ss),
-           |codes AS (SELECT vec_id, s, r AS code FROM (
-           |    SELECT vec_id, s, r, row_number() OVER (
-           |      PARTITION BY vec_id, s ORDER BY d4 DESC, r) AS rn
-           |    FROM cd) WHERE rn = 1),
-           |q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell FROM cells
-           |  WHERE vec_id < $PqQueries),
-           |lut AS (SELECT q.qid, ss.s, cb.r, ${subdot("q.qv")} AS d4
-           |  FROM q, cb, ss),
-           |sc AS (SELECT q.qid, m.vec_id AS nid,
-           |    CAST(sum(l.d4) AS BIGINT) AS s4
-           |  FROM cells m
-           |  JOIN q ON q.qcell = m.cell AND m.vec_id <> q.qid
-           |  JOIN codes c2 ON c2.vec_id = m.vec_id
-           |  JOIN lut l ON l.qid = q.qid AND l.s = c2.s AND l.r = c2.code
-           |  GROUP BY 1, 2),
-           |r AS (SELECT qid, nid, s4, row_number() OVER (
-           |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
-           |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
-           |  CAST(rn AS BIGINT) AS rn
-           |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-      }) { (s, dir) => annIvfPq(s, dir) })
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv2 FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv2")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |$sqlPqCodes,
+         |q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell FROM cells
+         |  WHERE vec_id < $PqQueries),
+         |$sqlPqLut,
+         |sc AS (SELECT q.qid, m.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM cells m
+         |  JOIN q ON q.qcell = m.cell AND m.vec_id <> q.qid
+         |  JOIN codes c2 ON c2.vec_id = m.vec_id
+         |  JOIN lut l ON l.qid = q.qid AND l.s = c2.s AND l.r = c2.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfPq(s, dir) })
 
   /** x37 body, parameterized on the coarse cell count: with cells = 1
     * every vector shares one cell and IVF-PQ degenerates to flat PQ —
@@ -659,11 +653,14 @@ object VectorOps {
   private[graft] def annIvfPq(s: org.apache.spark.sql.SparkSession,
       dir: String, cells: Int = DefaultCells, k: Int = 3)
       : org.apache.spark.sql.DataFrame = {
-    val e = normalized(Tables.spread(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val e = normalizedEmbeddings(s, dir)
     // ONE codegen projection adds both the coarse cell and the 8
-    // codes to every corpus row
-    val (coded, qids, lut) = pqSetup(literalCells(e, cells))
+    // codes to every corpus row; same literal/broadcast quantizer
+    // switch as annIvf so the cells knob stays turnable past the
+    // codegen-literal ceiling
+    val assigned = if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells)
+    val (coded, qids, lut) = pqSetup(assigned)
     // each query ranks only rows in ITS cell (cells collected for
     // the bounded query set only)
     val qcells = coded.filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
@@ -677,9 +674,7 @@ object VectorOps {
   /** Flat-PQ twin of [[annIvfPq]] for the equivalence spec. */
   private[graft] def annPqFlat(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val e = normalized(Tables.spread(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-    val (coded, qids, lut) = pqSetup(e)
+    val (coded, qids, lut) = pqSetup(normalizedEmbeddings(s, dir))
     pqRank(coded, qids, lut, k = k).orderBy($"qid", $"rn")
   }
 }
