@@ -106,10 +106,69 @@ object Bloom {
   def agg(numWords: Int)(hash: Column): Column =
     org.apache.spark.sql.functions.udaf(
       new BloomAgg(numWords), Encoders.scalaLong).apply(hash)
+
+  /** Build aggregator that sizes the filter at FINISH time: the buffer
+    * carries the build side's raw 64-bit hashes (the build side is
+    * small by contract — a benchmark list, not the corpus) and the
+    * final bloom is sized by [[wordsFor]] of the observed key count.
+    * One lazy aggregate replaces the count-job-then-build-job pair, so
+    * a query can embed the build as an ordinary broadcastable 1-row
+    * relation with NO driver-side jobs at plan-construction time — the
+    * same laziness contract as a broadcast exchange. The trade: the
+    * partial-agg shuffle ships 8 bytes/key instead of fixed-size bit
+    * arrays, acceptable exactly when the build side is the small one
+    * (use [[agg]] with a precomputed size otherwise). */
+  def sizedAgg(hash: Column): Column =
+    org.apache.spark.sql.functions.udaf(
+      SizedBloomAgg, Encoders.scalaLong).apply(hash)
+
+  /** Column-vs-column probe: bits as an `array<bigint>` COLUMN (e.g.
+    * [[sizedAgg]]'s output broadcast-joined as a 1-row relation)
+    * instead of a driver-held constant. Same addressing as
+    * [[maybe]]/[[BloomMightContain]]. */
+  def mightContain(bits: Column, hash: Column): Column =
+    ColumnBridge.column(BloomMightContainCol(
+      ColumnBridge.expression(bits), ColumnBridge.expression(hash)))
 }
 
 /** Mutable build buffer (case class so Encoders.product applies). */
 final case class BloomBuf(var bits: Array[Long])
+
+/** Growable hash buffer for the sized-at-finish build. */
+final case class BloomKeysBuf(var ks: Array[Long], var n: Int)
+
+/** Sized-at-finish bloom build: buffer the raw hashes, size the bit
+  * array from the observed count only when the aggregate finishes. */
+object SizedBloomAgg extends Aggregator[Long, BloomKeysBuf, Array[Long]] {
+
+  override def zero: BloomKeysBuf = BloomKeysBuf(new Array[Long](16), 0)
+
+  override def reduce(b: BloomKeysBuf, h: Long): BloomKeysBuf = {
+    if (b.n == b.ks.length)
+      b.ks = java.util.Arrays.copyOf(b.ks, b.ks.length * 2)
+    b.ks(b.n) = h; b.n += 1; b
+  }
+
+  override def merge(x: BloomKeysBuf, y: BloomKeysBuf): BloomKeysBuf = {
+    val out = java.util.Arrays.copyOf(x.ks, x.n + y.n)
+    System.arraycopy(y.ks, 0, out, x.n, y.n)
+    BloomKeysBuf(out, x.n + y.n)
+  }
+
+  override def finish(b: BloomKeysBuf): Array[Long] = {
+    val bits = new Array[Long](Bloom.wordsFor(b.n.toLong))
+    var i = 0
+    while (i < b.n) { Bloom.add(bits, b.ks(i)); i += 1 }
+    bits
+  }
+
+  override def bufferEncoder: Encoder[BloomKeysBuf] =
+    Encoders.product[BloomKeysBuf]
+  override def outputEncoder: Encoder[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    ExpressionEncoder[Array[Long]]()
+  }
+}
 
 /** Distributed bloom build over 64-bit hash keys. */
 final class BloomAgg(numWords: Int)
@@ -195,4 +254,65 @@ case class BloomMightContain(child: Expression, bits: Array[Long])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen probe against an `array<bigint>` bit COLUMN (vs
+  * [[BloomMightContain]]'s driver constant): the bits arrive per row —
+  * in practice one broadcast-joined row shared by every probe — and the
+  * k-probe loop reads words straight off the columnar ArrayData, no
+  * per-row array copy. Addressing is identical to [[Bloom.maybe]]. */
+case class BloomMightContainCol(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (array<bigint>, bigint), got " +
+          s"${other._1.simpleString}, ${other._2.simpleString}")
+    }
+
+  override def nullSafeEval(b: Any, h: Any): Any = {
+    val arr = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Bloom.maybe(arr.toLongArray(), h.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => {
+      val mask = ctx.freshName("mask")
+      val f = ctx.freshName("f")
+      val h1 = ctx.freshName("h1")
+      val step = ctx.freshName("step")
+      val bit = ctx.freshName("bit")
+      val i = ctx.freshName("i")
+      val ok = ctx.freshName("ok")
+      // identical splitmix64 + double-hash addressing as Bloom.fmix/
+      // Bloom.maybe — build and probe must agree bit for bit
+      s"""
+         |boolean $ok = true;
+         |long $mask = (long) $b.numElements() * 64L - 1L;
+         |long $f = $h;
+         |$f ^= $f >>> 30; $f *= 0xbf58476d1ce4e5b9L;
+         |$f ^= $f >>> 27; $f *= 0x94d049bb133111ebL;
+         |$f ^= $f >>> 31;
+         |long $h1 = $f & 0xFFFFFFFFL;
+         |long $step = ($f >>> 32) | 1L;
+         |for (int $i = 0; $i < ${Bloom.K}; $i++) {
+         |  long $bit = ($h1 + $i * $step) & $mask;
+         |  if (($b.getLong((int)($bit >>> 6)) & (1L << (int)($bit & 63L))) == 0L) {
+         |    $ok = false; break;
+         |  }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

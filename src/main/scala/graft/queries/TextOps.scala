@@ -824,9 +824,11 @@ object TextOps {
     // ~0.24% false positives) pay an exact anti-join on the key string.
     // The corpus is scanned twice (two cheap map passes) but shuffled
     // only for the maybe sliver — at 100 TB that trade is the entire
-    // point. The bloom build (count + agg on the SMALL side) runs at
-    // plan-construction time by design: it is the build side of a
-    // runtime filter, like a broadcast exchange.
+    // point. The bloom build is LAZY: a sized-at-finish aggregate
+    // (functions.SizedBloomAgg) broadcast-joined as a 1-row relation,
+    // so constructing this query fires zero Spark jobs (the x14
+    // discipline) and the build executes like any broadcast exchange,
+    // when the action runs.
     "x31_decontam_bloom" -> Q(
       s"""WITH tk AS (SELECT doc_id, source, array_to_string(
          |    (${TS.wsTokens("text")})[1:$PrefK], ' ') AS p
@@ -841,12 +843,17 @@ object TextOps {
         array_join(slice(T.wsTokens($"text"), 1, PrefK), " ").as("p"))
       val ref = docs.filter($"source".isin(RefSources: _*))
         .select($"p").distinct()
-      // build side: one count to size the filter + one aggregate to
-      // build it — both on the small reference side only
-      val bits = ref.select(Bloom.agg(Bloom.wordsFor(ref.count()))(
-        T.md5Long($"p")).as("b")).head().getSeq[Long](0).toArray
+      // build side: ONE lazy aggregate, sized at finish from the
+      // observed key count — no jobs fire until the query runs
+      val bitsDf = ref.select(Bloom.sizedAgg(T.md5Long($"p")).as("bb"))
+      // a null prefix key (empty/null text) hashes to null; coalesce
+      // sends it down the clean branch — NOT EXISTS semantics (a null
+      // probe never matches the reference set)
       val probe = docs.filter(!$"source".isin(RefSources: _*))
-        .withColumn("maybe", Bloom.mightContain(bits, T.md5Long($"p")))
+        .crossJoin(broadcast(bitsDf))
+        .withColumn("maybe", coalesce(
+          Bloom.mightContain($"bb", T.md5Long($"p")), lit(false)))
+        .drop("bb")
       val clean = probe.filter(!$"maybe") // pure filtered scan, no join
       val confirmed = probe.filter($"maybe") // fp-sized sliver
         .join(ref.withColumnRenamed("p", "rp"), $"p" === $"rp", "left_anti")

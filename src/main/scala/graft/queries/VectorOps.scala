@@ -113,9 +113,13 @@ object VectorOps {
   private def pqSetup(e: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Array[Long],
         Array[Array[Array[Long]]]) = {
-    val small = e.filter($"vec_id" < math.max(CodeK, PqQueries))
+    val need = math.max(CodeK, PqQueries)
+    val small = e.filter($"vec_id" < need)
       .select($"vec_id", $"v").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require((0 until need).forall(i => small.contains(i.toLong)),
+      s"PQ setup needs vec_ids 0..${need - 1} present (codebook + " +
+        s"query set); corpus provides only ${small.keySet.toSeq.sorted}")
     val cb = (0 until CodeK).map(small(_)).toArray
     def sub(v: Array[Double], ss: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
@@ -666,6 +670,9 @@ object VectorOps {
     val qcells = coded.filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
       .select($"vec_id", $"cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(qids.forall(qcells.contains),
+      s"IVF-PQ query set needs vec_ids ${qids.mkString(",")} in the " +
+        s"corpus; found only ${qcells.keySet.toSeq.sorted}")
     val qcellArr = qids.map(qcells)
     pqRank(coded, qids, lut, k = k, qcellArr = Some(qcellArr))
       .orderBy($"qid", $"rn")

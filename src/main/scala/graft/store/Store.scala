@@ -39,6 +39,21 @@ trait Store extends Serializable {
   * `Seq(cy -> .., cx -> ..)` against a `cx/cy` layout must delete the
   * same partition, not silently no-op on a nonexistent path. */
 private[store] object PartitionedDelete {
+
+  // discovered key order per (root, entity): the layout is fixed at
+  // write time, so one successful directory walk serves every later
+  // delete — keeping keyed delete O(1) after the first call instead
+  // of a sibling-directory search per call
+  private val orderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+
+  /** Writers call this when (re)writing an entity: a rewrite may
+    * change the partition-key order, so the discovered order is
+    * re-learned on the next delete. */
+  def invalidate(root: String, entity: String): Unit = {
+    orderCache.remove(s"$root/$entity"); ()
+  }
+
   def apply(root: String, entity: String,
       keyValues: Seq[(String, Any)]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -50,22 +65,32 @@ private[store] object PartitionedDelete {
     // prior delete left behind and silently fall back to the wrong
     // order; searching siblings makes discovery robust to that litter.
     // Falls back to the caller's order when the entity is absent or
-    // unpartitioned.
+    // unpartitioned. NonFatal (not just IOException): a connector or
+    // filesystem throwing RuntimeException during the discovery WALK
+    // must degrade to caller order, not escape a delete() that never
+    // listed directories before.
     def chainOrder(dir: org.apache.hadoop.fs.Path,
         remaining: Int): Option[List[String]] =
       if (remaining == 0) Some(Nil)
       else {
         val kids = try fs.listStatus(dir).toList.filter(st =>
           st.isDirectory && st.getPath.getName.contains('='))
-        catch { case _: java.io.IOException => Nil }
+        catch { case scala.util.control.NonFatal(_) => Nil }
         kids.iterator.flatMap { st =>
           chainOrder(st.getPath, remaining - 1)
             .map(st.getPath.getName.takeWhile(_ != '=') :: _)
         }.nextOption()
       }
-    val keys = chainOrder(base, kv.size) match {
-      case Some(o) if kv.keySet == o.toSet => o.map(k => k -> kv(k))
-      case _ => keyValues
+    val cacheKey = s"$root/$entity"
+    val cached = Option(orderCache.get(cacheKey))
+      .filter(_.toSet == kv.keySet)
+    val keys = cached.map(_.map(k => k -> kv(k))).getOrElse {
+      chainOrder(base, kv.size) match {
+        case Some(o) if kv.keySet == o.toSet =>
+          orderCache.put(cacheKey, o)
+          o.map(k => k -> kv(k))
+        case _ => keyValues
+      }
     }
     val part = keys.map { case (k, v) => s"$k=$v" }.mkString("/")
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$entity/$part"), true)
@@ -76,13 +101,15 @@ private[store] object PartitionedDelete {
 final class ParquetStore(root: String) extends Store {
   import org.apache.spark.sql.functions.col
 
-  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
+    PartitionedDelete.invalidate(root, entity)
     df.repartition(keys.map(col): _*)
       .write
       .partitionBy(keys: _*)
       .option("partitionOverwriteMode", "dynamic") // S12: overwrite == delete+insert
       .mode("overwrite")
       .parquet(s"$root/$entity")
+  }
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
@@ -109,7 +136,8 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
     rangeFiles: Int = 32) extends Store {
   import org.apache.spark.sql.functions.col
 
-  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
+    PartitionedDelete.invalidate(root, entity)
     df.repartitionByRange(rangeFiles, clusterKeys.map(col): _*)
       .sortWithinPartitions((keys ++ clusterKeys).map(col): _*)
       .write
@@ -117,6 +145,7 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$root/$entity")
+  }
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
@@ -136,15 +165,22 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
   *
   * Bucketed output requires the table catalog (`saveAsTable`); the
   * data itself lands as ordinary parquet under `root/entity`.
+  *
+  * Concurrency contract: within one JVM, writes/deletes to the same
+  * (root, entity) serialize on a companion-object lock shared by ALL
+  * instances; ACROSS JVMs the read-merge-rewrite has no coordination,
+  * so this store requires a single writing driver per entity.
   */
 final class BucketedStore(root: String, buckets: Int) extends Store {
+  import BucketedStore.{entityKeys, lockFor}
 
   private def table(entity: String) = s"graft_bkt_$entity"
 
-  // bucket columns of the last write, so delete's rewrite preserves
-  // the entity's layout even when deleting by a key subset
-  private val entityKeys =
-    scala.collection.mutable.Map.empty[String, Seq[String]]
+  // session of the most recent write/read through this instance, so
+  // delete() — whose trait signature carries no session — resolves
+  // the SAME session the entity was written with instead of trusting
+  // SparkSession.active under a multi-session driver
+  @transient @volatile private var lastSession: SparkSession = _
 
   /** S12 keyed overwrite. Bucketed files interleave keys, so this is a
     * merge: drop the incoming keys from the current table (anti-join on
@@ -158,19 +194,18 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
   // the read-merge-rewrite below is lost-update-prone under concurrent
   // writers (both read, both rewrite, last overwrite wins — silently
   // dropping the other's rows with ok=true upstream), so writes to the
-  // SAME entity serialize on a per-entity monitor. Distinct entities
-  // still write in parallel; JobQueue's parallelism=4 default is safe
-  // against this store instead of relying on a documented assumption.
-  // @transient: bare Objects aren't serializable and the lock scope is
-  // this JVM anyway (the merge-rewrite runs on the driver); lazily
-  // re-created empty on deserialization
-  @transient private lazy val writeLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+  // SAME (root, entity) serialize on a JVM-wide monitor shared by ALL
+  // BucketedStore instances pointing at that root (companion-object
+  // map — two instances over one directory still serialize). Distinct
+  // entities still write in parallel; JobQueue's parallelism=4 default
+  // is safe against this store instead of relying on a documented
+  // assumption. The lock scope is ONE JVM: across drivers this store
+  // requires a single writer per entity (see class doc).
   override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
-    writeLocks.computeIfAbsent(entity, _ => new Object).synchronized {
+    lockFor(root, entity).synchronized {
       import org.apache.spark.sql.functions.col
       val spark = df.sparkSession
+      lastSession = spark
       val toWrite = if (spark.catalog.tableExists(table(entity))) {
         read(entity, spark)
           .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -182,7 +217,7 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
 
   private def rawWrite(entity: String, df: DataFrame,
       keys: Seq[String]): Unit = {
-    entityKeys.synchronized { entityKeys(entity) = keys }
+    entityKeys.put(s"$root/$entity", keys)
     df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -191,8 +226,10 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
       .saveAsTable(table(entity))
   }
 
-  override def read(entity: String, spark: SparkSession): DataFrame =
+  override def read(entity: String, spark: SparkSession): DataFrame = {
+    lastSession = spark
     spark.table(table(entity))
+  }
 
   /** Bucketed layout trades keyed delete for exchange-free joins: rows
     * of one key live inside shared bucket files, so delete is a
@@ -202,19 +239,37 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
     * is for the scan-heavy join tables. */
   override def delete(entity: String,
       keyValues: Seq[(String, Any)]): Unit =
-    // same read-rewrite race as write(): serialize per entity
-    writeLocks.computeIfAbsent(entity, _ => new Object).synchronized {
+    // same read-rewrite race as write(): serialize per (root, entity)
+    lockFor(root, entity).synchronized {
       import org.apache.spark.sql.functions.{col, lit, not}
-      val spark = SparkSession.active
+      // the session this instance last wrote/read with; .active only
+      // as a first-use fallback (delete before any write/read)
+      val spark = Option(lastSession).getOrElse(SparkSession.active)
       val cur = read(entity, spark)
       val hit = keyValues.map { case (k, v) => col(k) === lit(v) }
         .reduce(_ && _)
       val keep = cur.filter(not(hit)).localCheckpoint(true)
-      val keys = entityKeys.synchronized {
-        entityKeys.getOrElse(entity, keyValues.map(_._1))
-      }
+      val keys = entityKeys
+        .getOrDefault(s"$root/$entity", keyValues.map(_._1))
       rawWrite(entity, keep, keys)
     }
+}
+
+object BucketedStore {
+  // shared across ALL instances in this JVM so two BucketedStores over
+  // the same root can't race the read-merge-rewrite; cross-JVM the
+  // store is single-writer-per-entity by contract
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(root: String, entity: String): Object =
+    locks.computeIfAbsent(s"$root/$entity", _ => new Object)
+
+  // bucket columns of the last write per (root, entity), so delete's
+  // rewrite preserves the entity's layout even when deleting by a key
+  // subset — shared for the same multi-instance reason as the locks
+  private val entityKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 }
 
 /** Gzipped-JSON variant mirroring the reference's storage codec
@@ -225,7 +280,8 @@ final class BucketedStore(root: String, buckets: Int) extends Store {
 final class JsonStore(root: String) extends Store {
   import org.apache.spark.sql.functions.col
 
-  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit =
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
+    PartitionedDelete.invalidate(root, entity)
     df.repartition(keys.map(col): _*)
       .write
       .partitionBy(keys: _*)
@@ -233,6 +289,7 @@ final class JsonStore(root: String) extends Store {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .json(s"$root/$entity")
+  }
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.json(s"$root/$entity")

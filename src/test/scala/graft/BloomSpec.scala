@@ -65,4 +65,26 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     val fp = keys(5, 2000).count(out(_)).toDouble / 2000
     assert(fp < 0.005, s"fp rate $fp")
   }
+
+  test("the sized-at-finish build matches the two-pass build bit for " +
+    "bit, and the column probe agrees with the constant probe") {
+    val ks = keys(6, 3000).toSeq
+    // one lazy aggregate, sized from the observed count at finish
+    val sized = ks.toDF("h").repartition(8)
+      .agg(Bloom.sizedAgg($"h").as("b"))
+      .head().getSeq[Long](0).toArray
+    val local = new Array[Long](Bloom.wordsFor(ks.length.toLong))
+    ks.foreach(Bloom.add(local, _))
+    assert(java.util.Arrays.equals(sized, local))
+    // column-vs-column probe (the broadcast-joined 1-row shape)
+    val probes = ks ++ keys(7, 2000).toSeq
+    val bitsDf = ks.toDF("h").agg(Bloom.sizedAgg($"h").as("bb"))
+    val out = probes.toDF("h")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(bitsDf))
+      .select($"h", Bloom.mightContain($"bb", $"h").as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(ks.forall(out(_)), "column probe reported an added key absent")
+    val expect = probes.map(h => h -> Bloom.maybe(local, h)).toMap
+    assert(out == expect, "column probe diverged from local maybe()")
+  }
 }

@@ -220,14 +220,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // scan side — the map-side prune that makes the 100 TB anti-join
     // shuffle only the maybe sliver
     assert(p.contains("bloom_might_contain"), p)
-    // and the definite-clean branch reaches the union without a join:
-    // exactly ONE join in the whole plan (the confirm anti-join)
+    // and the definite-clean branch reaches the union without a
+    // shuffling join: exactly ONE hash/merge join in the whole plan
+    // (the confirm anti-join) — the broadcast-nested-loop attach of
+    // the lazy 1-row bloom build side doesn't count, it ships only
+    // the bit array
     val joins = "Join LeftAnti".r.findAllIn(p).length +
       "SortMergeJoin".r.findAllIn(p).length +
       "BroadcastHashJoin".r.findAllIn(p).length +
       "ShuffledHashJoin".r.findAllIn(p).length
     assert(joins == 1, s"expected exactly 1 join:\n$p")
     assert(p.contains("Union"), p)
+  }
+
+  test("x31 construction fires no extra Spark jobs beyond the scan " +
+    "setup: the bloom build is lazy, not a construction-time action") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // parquet schema inference fires one small job per spark.read —
+    // that baseline is measured on a known-lazy single-table query
+    // (x1) and x31, reading the same table, must not exceed it (the
+    // old eager build added a count + a head on top)
+    def jobsDuring(name: String): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0)
+        SparkEntry.queries(name)(spark, dir)
+        Thread.sleep(500) // listener bus is async
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val baseline = jobsDuring("x1_tokenize")
+    val x31 = jobsDuring("x31_decontam_bloom")
+    assert(x31 <= baseline,
+      s"x31 construction fired $x31 jobs vs lazy baseline $baseline")
   }
 
   test("x36 LM scoring broadcasts the vocabulary-sized model; the " +
