@@ -151,25 +151,29 @@ object VectorOps {
   }
 
   /** ADC rank: per query, sum the 8 literal-LUT entries addressed by
-    * each row's codes, optionally restrict rows to the query's coarse
-    * cell (IVF-PQ), and keep the top k by integer score. The scores
-    * array explodes to (query, score) rows without rescanning. */
+    * each row's codes, optionally restrict rows to the query's probed
+    * coarse cellS (IVF-PQ; one entry per query = nprobe=1, several =
+    * multi-probe — each corpus vector lives in exactly ONE cell, so
+    * probed candidate sets are disjoint and need no dedup), and keep
+    * the top k by integer score. The scores array explodes to
+    * (query, score) rows without rescanning. */
   private def pqRank(coded: org.apache.spark.sql.DataFrame,
       qids: Array[Long], lut: Array[Array[Array[Long]]], k: Int,
-      qcellArr: Option[Array[Long]] = None)
+      qcellsArr: Option[Array[Array[Long]]] = None)
       : org.apache.spark.sql.DataFrame = {
     val scores = array(qids.indices.map { j =>
       (0 until SubM).map(ss =>
         element_at(lit(lut(j)(ss)), col(s"c$ss").cast("int")))
         .reduce(_ + _)
     }: _*)
-    val keep = $"vec_id".as("nid") +: qcellArr.map(_ => $"cell").toSeq
+    val keep = $"vec_id".as("nid") +: qcellsArr.map(_ => $"cell").toSeq
     val ex = coded
       .select(keep :+ posexplode(scores).as(Seq("qp", "s4")): _*)
       .withColumn("qid", element_at(lit(qids), $"qp" + 1))
       .filter($"nid" =!= $"qid")
-    val inCell = qcellArr.fold(ex)(qc => ex.filter(
-      element_at(lit(qc), $"qp".cast("int") + 1) === $"cell"))
+    val inCell = qcellsArr.fold(ex)(qc => ex.filter(array_contains(
+      element_at(typedlit(qc.map(_.toSeq).toSeq), $"qp".cast("int") + 1),
+      $"cell")))
     inCell
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"s4".desc, $"nid"))
@@ -648,7 +652,46 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annIvfPq(s, dir) })
+      (s, dir) => annIvfPq(s, dir) },
+
+    // ----- x38 IVF-PQ with nprobe=2 (FAISS's default production
+    // shape): x29's multi-cell probe list composed with x37's in-cell
+    // ADC ranking — each query ranks the PQ codes of its TWO nearest
+    // cells, recovering neighbors that fell just across a cell
+    // boundary at the cost of one extra cell's LUT sums. Candidate
+    // sets stay disjoint (a corpus vector lives in exactly one cell);
+    // the corpus still never shuffles and never rescans.
+    "x38_ann_ivfpq_nprobe" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv2 FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv2")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |$sqlPqCodes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |qp AS (SELECT vec_id AS qid, cid AS qcell FROM asg
+         |  WHERE arn <= 2 AND vec_id < $PqQueries),
+         |$sqlPqLut,
+         |sc AS (SELECT qp.qid, m.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM cells m
+         |  JOIN qp ON qp.qcell = m.cell AND m.vec_id <> qp.qid
+         |  JOIN codes c2 ON c2.vec_id = m.vec_id
+         |  JOIN lut l ON l.qid = qp.qid AND l.s = c2.s AND l.r = c2.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfPqProbe(s, dir) })
 
   /** x37 body, parameterized on the coarse cell count: with cells = 1
     * every vector shares one cell and IVF-PQ degenerates to flat PQ —
@@ -673,8 +716,42 @@ object VectorOps {
     require(qids.forall(qcells.contains),
       s"IVF-PQ query set needs vec_ids ${qids.mkString(",")} in the " +
         s"corpus; found only ${qcells.keySet.toSeq.sorted}")
-    val qcellArr = qids.map(qcells)
-    pqRank(coded, qids, lut, k = k, qcellArr = Some(qcellArr))
+    val qcellArr = qids.map(q => Array(qcells(q)))
+    pqRank(coded, qids, lut, k = k, qcellsArr = Some(qcellArr))
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x38 body: IVF-PQ with multi-cell probing — x29's recall knob
+    * composed with x37's in-cell ADC ranking. The query side probes
+    * its top-`nprobe` cells (ranked by the SAME (round(cos,4), -cid)
+    * struct sort the corpus assignment argmaxes over, so nprobe=1 is
+    * exactly [[annIvfPq]] — pinned in ScaleGuardsSpec); candidates
+    * across probed cells are disjoint by construction since each
+    * corpus vector lives in one cell. Corpus still never shuffles:
+    * cell + 8 codes ride ONE codegen projection, the probe lists are
+    * a bounded 8-row collect. */
+  private[graft] def annIvfPqProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, nprobe: Int = 2,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val (withCd, arr) = quantizerStructs(e, cells)
+    val corpus = withCd
+      .withColumn("cell", -array_max(arr).getField("negcid"))
+      .drop("cd")
+    val (coded, qids, lut) = pqSetup(corpus)
+    // descending struct sort = best cos first, ties to smallest cid —
+    // the x29 probe-list convention, evaluated engine-side
+    val probeRows = withCd.filter($"vec_id" < PqQueries)
+      .select($"vec_id",
+        transform(slice(reverse(array_sort(arr)), 1, nprobe),
+          p => -p.getField("negcid")).as("pc"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    require(qids.forall(probeRows.contains),
+      s"IVF-PQ nprobe query set needs vec_ids ${qids.mkString(",")} " +
+        s"in the corpus; found only ${probeRows.keySet.toSeq.sorted}")
+    pqRank(coded, qids, lut, k = k,
+      qcellsArr = Some(qids.map(probeRows)))
       .orderBy($"qid", $"rn")
   }
 

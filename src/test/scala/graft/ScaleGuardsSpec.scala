@@ -185,6 +185,26 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(one == flat, s"ivfpq(cells=1) != flat pq")
   }
 
+  test("x38 IVF-PQ nprobe=1 degenerates to x37 exactly; probing more " +
+    "cells only improves the best ADC neighbor") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    // single-probe is exactly the x37 query (same probe convention)
+    assert(rows(VectorOps.annIvfPqProbe(spark, dir, nprobe = 1)) ==
+      rows(VectorOps.annIvfPq(spark, dir)))
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().filter(_.getLong(3) == 1L)
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r1 = rank1(VectorOps.annIvfPqProbe(spark, dir, nprobe = 1)
+      .select("qid", "nid", "adc", "rn"))
+    val r2 = rank1(VectorOps.annIvfPqProbe(spark, dir, nprobe = 2)
+      .select("qid", "nid", "adc", "rn"))
+    assert(r1.keySet == r2.keySet)
+    r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"query $q regressed"))
+  }
+
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
     "new-vs-old slice") {
     // x7 over the whole corpus, restricted to odd(new)/even(old)
