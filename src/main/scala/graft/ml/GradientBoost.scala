@@ -35,6 +35,42 @@ final case class BoostReport(
     bestScore: Double,
     evalHistory: Array[Double])
 
+object GradientBoostedClassifier {
+
+  /** A hand-authored tree in the trainer's flat-node form: node i
+    * splits on `feature(i)` at `thr(i)` (rows with value <= thr go to
+    * `left(i)`), and `feature(i) == -1` marks a leaf whose VALUE is in
+    * `thr(i)`. */
+  final case class LiteralTree(feature: Array[Int], thr: Array[Double],
+      left: Array[Int], right: Array[Int])
+
+  /** Serialize a literal ensemble in exactly the byte format
+    * [[GradientBoostedClassifier.train]] emits (rounds × numClass
+    * trees, class-major within a round) — the seam m5 uses to
+    * oracle-check the deserialize → tree-walk → margin-accumulate →
+    * softmax scoring path against a SQL twin built from the same
+    * literals. */
+  def modelOf(d: Int, k: Int,
+      rounds: Seq[Seq[LiteralTree]]): Array[Byte] = {
+    require(rounds.forall(_.length == k),
+      s"each round needs exactly $k class trees")
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(k); out.writeInt(d); out.writeInt(rounds.length)
+    rounds.foreach(_.foreach { t =>
+      out.writeInt(t.feature.length)
+      var i = 0
+      while (i < t.feature.length) {
+        out.writeInt(t.feature(i)); out.writeDouble(t.thr(i))
+        out.writeInt(t.left(i)); out.writeInt(t.right(i))
+        i += 1
+      }
+    })
+    out.flush()
+    bos.toByteArray
+  }
+}
+
 /** M2 trainer-protocol parity: a histogram-binned multiclass
   * gradient-boosted-tree trainer replicating the reference's xgboost
   * training protocol (ref: blackmagic/blueprints/tile.py:287-331) on

@@ -98,7 +98,93 @@ object MlOps {
        |FROM zt ORDER BY vec_id""".stripMargin
   }
 
+  // ---- m5 fixed-TREE scoring: m4 oracle-checked the softmax forward
+  // pass; this closes the remaining no-oracle surface around the GBT
+  // path by scoring a LITERAL hand-authored ensemble through the real
+  // model lifecycle — GradientBoostedClassifier.modelOf serializes it
+  // in the trainer's byte format, scoreBatch deserializes and walks
+  // the trees — while the SQL twin replays the same trees as nested
+  // CASE expressions. Margin accumulation and argmax are exact (leaf
+  // values are 2-decimal literals, so distinct margins differ by
+  // >= 0.01 — never inside float epsilon); the softmax probs are
+  // compared after an explicit double->float->double round-trip in
+  // BOTH engines, which absorbs the last-ulp exp() differences.
+  private val M5K = 3
+
+  private def m5tree(fRoot: Int, fL: Int, fR: Int, tRoot: Double,
+      tL: Double, tR: Double, w: (Double, Double, Double, Double))
+      : GradientBoostedClassifier.LiteralTree =
+    GradientBoostedClassifier.LiteralTree(
+      feature = Array(fRoot, fL, fR, -1, -1, -1, -1),
+      thr = Array(tRoot, tL, tR, w._1, w._2, w._3, w._4),
+      left = Array(1, 3, 5, -1, -1, -1, -1),
+      right = Array(2, 4, 6, -1, -1, -1, -1))
+
+  /** 2 rounds x 3 classes of depth-2 trees over distinct embedding
+    * dims; thresholds sit inside the data's interquartile range so
+    * every branch is populated. */
+  private[graft] lazy val m5Trees
+      : Seq[Seq[GradientBoostedClassifier.LiteralTree]] = Seq(
+    Seq(m5tree(1, 5, 9, 0.0, -0.08, 0.08, (0.31, -0.11, 0.02, -0.27)),
+      m5tree(2, 6, 10, 0.05, 0.0, -0.05, (0.24, -0.08, 0.13, -0.19)),
+      m5tree(3, 7, 11, -0.05, 0.08, 0.0, (-0.21, 0.17, 0.29, -0.06))),
+    Seq(m5tree(13, 17, 21, 0.08, 0.0, -0.08, (0.12, -0.22, 0.33, -0.04)),
+      m5tree(14, 18, 22, 0.0, 0.05, 0.08, (-0.14, 0.26, 0.07, -0.18)),
+      m5tree(15, 19, 23, -0.08, -0.05, 0.05, (0.19, -0.09, -0.25, 0.28))))
+
+  /** The tree as a nested SQL CASE over the 1-based `v` array —
+    * generated from the SAME LiteralTree the engine scores, so the
+    * two representations cannot drift. */
+  private def sqlTree(t: GradientBoostedClassifier.LiteralTree,
+      node: Int): String =
+    if (t.feature(node) < 0) t.thr(node).toString
+    else s"(CASE WHEN v[${t.feature(node) + 1}] <= ${t.thr(node)} " +
+      s"THEN ${sqlTree(t, t.left(node))} " +
+      s"ELSE ${sqlTree(t, t.right(node))} END)"
+
+  private def sqlTreeScore: String = {
+    val ls = (0 until M5K).map(c =>
+      s"(${sqlTree(m5Trees(0)(c), 0)} + ${sqlTree(m5Trees(1)(c), 0)}) AS l$c")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |l AS (SELECT vec_id, ${ls.mkString(",\n       |  ")} FROM e),
+       |m AS (SELECT *, greatest(l0, l1, l2) AS mx FROM l),
+       |z AS (SELECT *, (exp(l0 - mx) + exp(l1 - mx) + exp(l2 - mx)) AS zz
+       |  FROM m)
+       |SELECT vec_id,
+       |  CAST(CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+       |    WHEN l1 >= l2 THEN 1 ELSE 2 END AS BIGINT) AS predicted,
+       |  round(CAST(CAST(1.0 / zz AS FLOAT) AS DOUBLE), 4) AS top_prob,
+       |  round(CAST(CAST(exp(l0 - mx) / zz AS FLOAT) AS DOUBLE), 4) AS p0
+       |FROM z ORDER BY vec_id""".stripMargin
+  }
+
   val qs: Map[String, Q] = Map(
+    // ----- m5: oracle-checked scoring of a literal tree ensemble
+    // through the serialized-model lifecycle (see m5Trees above)
+    "m5_score_trees" -> Q(sqlTreeScore) { (s, dir) =>
+      import s.implicits._
+      val data = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<float>").as("f"))
+      val model = GradientBoostedClassifier.modelOf(64, M5K, m5Trees)
+      val bc = s.sparkContext.broadcast(model)
+      val scored = data.as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val clf = new GradientBoostedClassifier()
+          it.grouped(4096).flatMap { batch =>
+            val probs = clf.scoreBatch(bc.value, batch.iterator.map(_._2))
+            batch.iterator.zip(probs).map { case ((id, _), p) =>
+              (id, p.indexOf(p.max).toLong, p.max, p(0))
+            }
+          }
+        }
+        .toDF("vec_id", "predicted", "tp", "pz")
+      scored.select($"vec_id", $"predicted",
+          round($"tp".cast("double"), 4).as("top_prob"),
+          round($"pz".cast("double"), 4).as("p0"))
+        .orderBy($"vec_id")
+    },
+
     // ----- m4: oracle-checked batch scoring with fixed literal weights
     "m4_score_fixed" -> Q(sqlFixedScore) { (s, dir) =>
       import graft.StringToColumn

@@ -348,6 +348,124 @@ object VectorOps {
       graft.functions.DotMatrix($"v", centroids.map(_._2))), arr)
   }
 
+  // ---- k-means-trained coarse quantizer (Lloyd's) -------------------
+  // The first-N-vectors convention (x13/x34's documented quality knob)
+  // upgraded to a real trained book: deterministic fixed-iteration
+  // Lloyd's as a DISTRIBUTED job — assignment is the same codegen
+  // DotMatrix argmax the IVF queries use (one pass over the corpus, no
+  // shuffle of the big side), and the centroid update aggregates EXACT
+  // integer sufficient statistics (components pre-scaled by 1e6 and
+  // floor(x+0.5)-rounded, so per-cell sums are order-independent
+  // integer-valued doubles and both engines derive bit-identical
+  // means). Empty cells keep their previous centroid. K iterations =
+  // K bounded (cells x 64 doubles) collects — the sanctioned driver
+  // materialization of a training job, like m2's sample collect.
+
+  private[graft] val KmIters = 3
+  private val KmScale = 1000000.0
+
+  /** Integerized components: floor(v_i * 1e6 + 0.5), kept as DOUBLE
+    * (integer-valued, exact under any summation order). floor(x+0.5)
+    * rather than round(): components are signed and the two engines
+    * disagree on negative-midpoint round() (the x15 discipline). */
+  private def intComps(v: Column): Column =
+    // Spark floor() returns BIGINT; cast back to double (exact for
+    // |x| <= 1e6) to match DuckDB's double floor and ArrayMean's input
+    transform(v, x => floor(x * KmScale + lit(0.5)).cast("double"))
+
+  /** Cell assignment against an ARBITRARY centroid matrix (row r =
+    * centroid r): one DotMatrix pass, argmax on (round(cos,4), -cid)
+    * — identical tie-break convention to [[quantizerStructs]]. */
+  private[graft] def assignCells(e: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    val arr = array(cent.indices.map { r =>
+      struct(round(element_at($"cd", r + 1), 4).as("cos"),
+        lit(-r.toLong).as("negcid"))
+    }: _*)
+    e.withColumn("cd", graft.functions.DotMatrix($"v", cent))
+      .withColumn("cell", -array_max(arr).getField("negcid"))
+      .drop("cd")
+  }
+
+  /** One spherical-Lloyd's round, distributed: assign, aggregate
+    * per-cell exact integer component sums (ArrayMean ships ONE
+    * (sums, n) buffer per cell per task), collect the bounded means,
+    * de-scale, and re-normalize to unit length (spherical k-means —
+    * assignment ranks TRUE cosines, not norm-biased dots). Cells with
+    * no members keep their previous (already unit) centroid. The
+    * normalization fold is the ascending sequential sum both the
+    * Column/`aggregate` form and DuckDB's list_sum replay. */
+  private def kmeansRound(iv: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]]): Array[Array[Double]] = {
+    val means = assignCells(iv, cent)
+      .groupBy($"cell")
+      .agg(graft.functions.ArrayMean.udaf($"ivd").as("m"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+      .toMap
+    Array.tabulate(cent.length)(c =>
+      means.get(c).map { m =>
+        val raw = m.map(_ / KmScale)
+        var ss = 0.0
+        var i = 0
+        while (i < raw.length) { ss += raw(i) * raw(i); i += 1 }
+        val nrm = math.sqrt(ss)
+        raw.map(_ / nrm)
+      }.getOrElse(cent(c)))
+  }
+
+  /** The trained coarse book: init = first `cells` normalized vectors
+    * (the old convention, now only a seed), then `iters` Lloyd's
+    * rounds. Feeds [[annIvfTrained]] (x40) in place of the first-N
+    * book. */
+  private[graft] def kmeansBook(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, iters: Int = KmIters)
+      : Array[Array[Double]] = {
+    val e = normalizedEmbeddings(s, dir)
+    val init = e.filter($"vec_id" < cells)
+      .select($"vec_id", $"v").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val iv = e.withColumn("ivd", intComps($"v"))
+    (1 to iters).foldLeft(init)((c, _) => kmeansRound(iv, c))
+  }
+
+  /** Shared oracle CTEs replaying the training loop: expects `n`
+    * (normalized vectors) upstream; emits `iv`, `cent0` and, per
+    * iteration t, `asg{t}` / `m{t}` (per-component exact sums) /
+    * `cent{t}` — the same assignment convention, the same
+    * (sum / n) / 1e6 division order, the same empty-cell fallback. */
+  private def sqlKmeansCtes(cells: Int, iters: Int): String = {
+    val init =
+      s"""iv AS (SELECT vec_id, v,
+         |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS ivd
+         |  FROM n),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $cells)""".stripMargin
+    val its = (1 to iters).map { t =>
+      s"""asg$t AS (SELECT iv.vec_id, iv.v, iv.ivd, c.cid,
+         |    row_number() OVER (PARTITION BY iv.vec_id
+         |      ORDER BY round(${sqlDot("iv.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM iv CROSS JOIN cent${t - 1} c),
+         |m$t AS (SELECT cid AS mcid, r.i AS i,
+         |    CAST(sum(ivd[CAST(r.i AS INT)]) AS DOUBLE) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT cid, ivd FROM asg$t WHERE arn = 1) a
+         |  CROSS JOIN range(1, ${Dim + 1}) r(i)
+         |  GROUP BY cid, r.i),
+         |cm$t AS (SELECT mcid AS cid,
+         |    list(s / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS cv0
+         |  FROM m$t GROUP BY mcid),
+         |cent$t AS (SELECT p.cid,
+         |    coalesce(list_transform(cm.cv0, x -> x /
+         |      sqrt(list_sum(list_transform(cm.cv0, y -> y * y)))),
+         |      p.cv) AS cv
+         |  FROM cent${t - 1} p LEFT JOIN cm$t cm ON cm.cid = p.cid)"""
+        .stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
   /** Literal-folded cell assignment: everything after the bounded
     * quantizer collect is a codegen'd projection — all centroid dots
     * in ONE DotMatrix loop, argmax via lexicographic struct max. */
@@ -691,7 +809,110 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annIvfPqProbe(s, dir) })
+      (s, dir) => annIvfPqProbe(s, dir) },
+
+    // ----- x39 k-means quantizer training (the ANN quality gap): the
+    // coarse book as a real Lloyd's job instead of the first-N-vectors
+    // convention. Every piece of iteration arithmetic is replayed
+    // bit-identically by the oracle — assignment on (round(cos,4),
+    // -cid), centroid update from exact integer sufficient statistics
+    // with one fixed division order — so the TRAINED CENTROIDS
+    // themselves hash-match after K iterations. Output: one row per
+    // (cell, component) with the cell's final population.
+    "x39_kmeans_train" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)}
+         |SELECT c.cid, coalesce(cn.n, CAST(0 AS BIGINT)) AS n,
+         |  CAST(ci.i AS BIGINT) AS i, c.cv[CAST(ci.i AS INT)] AS comp
+         |FROM cent$KmIters c
+         |LEFT JOIN (SELECT mcid, n FROM m$KmIters WHERE i = 1) cn
+         |  ON cn.mcid = c.cid
+         |CROSS JOIN range(1, ${Dim + 1}) ci(i)
+         |ORDER BY cid, i""".stripMargin) { (s, dir) =>
+      val e = normalizedEmbeddings(s, dir)
+      val init = e.filter($"vec_id" < DefaultCells)
+        .select($"vec_id", $"v").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val iv = e.withColumn("ivd", intComps($"v"))
+      // K-1 driver rounds; the K-th stays a lazy plan so the registry
+      // output is computed distributedly like any other query
+      val prev = (1 until KmIters).foldLeft(init)((c, _) =>
+        kmeansRound(iv, c))
+      val stats = assignCells(iv, prev)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.ArrayMean.udaf($"ivd").as("m"))
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Double]]())
+      val prevDf = s.createDataset(prev.toIndexedSeq.zipWithIndex
+          .map { case (cv, c) => (c.toLong, cv.toSeq) })
+        .toDF("pcid", "pcv")
+      val cv0 = transform($"m", x => x / KmScale)
+      val nrm = sqrt(aggregate(transform(cv0, x => x * x),
+        lit(0.0), (a, x) => a + x))
+      val cvn = transform(cv0, x => x / nrm)
+      prevDf.join(stats, $"pcid" === $"cell", "left")
+        .select($"pcid".as("cid"), coalesce($"n", lit(0L)).as("n"),
+          posexplode(coalesce(cvn, $"pcv")).as(Seq("p", "comp")))
+        .select($"cid", $"n", ($"p" + 1).cast("long").as("i"), $"comp")
+        .orderBy($"cid", $"i")
+    },
+
+    // ----- x40 IVF over the TRAINED book: x13's query shape with the
+    // x39 spherical-Lloyd's centroids in place of the first-16
+    // convention — the production IVF configuration (train once,
+    // assign + probe forever). The oracle replays training AND search.
+    // ScaleGuardsSpec pins the training win on the 500-sample
+    // statistics: corpus-wide nprobe=1 recall (true-neighbor-in-cell,
+    // 108->142/500 at sf0.01) and quantization distortion (mean cos to
+    // centroid 0.246->0.329) both beat the untrained seed; the 8-query
+    // top-3 overlap is +-3-pair noise either way at this corpus size.
+    "x40_ann_ivf_trained" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)},
+         |asgF AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN cent$KmIters c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asgF WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM cells
+         |  WHERE vec_id < 8),
+         |sc AS (SELECT qid, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.v")}, 4) AS cos
+         |  FROM q JOIN cells m ON q.cell = m.cell AND m.vec_id <> qid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      annIvfTrained(s, dir)
+    })
+
+  /** x40 body: [[annIvf]]'s search shape over the [[kmeansBook]]
+    * trained quantizer. */
+  private[graft] def annIvfTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, iters: Int = KmIters,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val book = kmeansBook(s, dir, cells, iters)
+    val asg = assignCells(normalizedEmbeddings(s, dir), book).cache()
+    val q = asg.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+    val sc = asg.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
 
   /** x37 body, parameterized on the coarse cell count: with cells = 1
     * every vector shares one cell and IVF-PQ degenerates to flat PQ —
