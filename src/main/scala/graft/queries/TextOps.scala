@@ -101,6 +101,62 @@ object TextOps {
       .select($"doc_id", $"bk.b".as("b"), $"bk.k".as("k"))
   }
 
+  /** x33's index lifecycle THROUGH the storage layer (the production
+    * shape x33 computes in-query from even doc_ids): persist the
+    * historical corpus's dedup artifacts once — the band-bucket table
+    * ([[bandRowsOf]]'s output) partitioned by band and range-clustered
+    * on the band key, and the signature table range-clustered on
+    * doc_id — so later ingest batches probe parquet, never the
+    * historical corpus. */
+  def persistDedupIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, bandStore: graft.store.Store,
+      sigStore: graft.store.Store): Unit = {
+    val hist = signatureDf(s, dir, Sig).filter($"doc_id" % 2 === 0).cache()
+    bandStore.write("band_index", bandRowsOf(hist, Sig, Bands), Seq("b"))
+    sigStore.write("sig_index", hist, Seq.empty)
+    hist.unpersist()
+    ()
+  }
+
+  /** The later-batch probe against the PERSISTED index: the new
+    * (odd-doc_id) batch computes its signatures and band keys, is
+    * BROADCAST into the persisted band table (equi-join on (b, k) —
+    * the index scan never reshuffles), and candidate verification
+    * broadcasts the enriched candidate set into the persisted
+    * signature table the same way. The only exchange in the whole
+    * plan is the final candidate-sized rank window — the historical
+    * corpus is read pruned and shuffled never, which is the 100 TB
+    * incremental-ingest contract. Result-identical to x33 (pinned in
+    * StoreSpec). */
+  private[graft] def incrementalDedupPersisted(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      bandStore: graft.store.Store, sigStore: graft.store.Store)
+      : org.apache.spark.sql.DataFrame = {
+    val newSig = signatureDf(s, dir, Sig)
+      .filter($"doc_id" % 2 === 1).cache()
+    val newBands = bandRowsOf(newSig, Sig, Bands)
+      .select($"doc_id".as("new_id"), $"b".as("b2"), $"k".as("k2"))
+    val index = bandStore.read("band_index", s)
+    val cand = index.join(broadcast(newBands),
+        $"b" === $"b2" && $"k" === $"k2")
+      .select($"new_id", $"doc_id".as("old_id")).distinct()
+    val sigX = newSig.toDF("new_id" +: (0 until Sig).map(i => s"x$i"): _*)
+    val sigY = sigStore.read("sig_index", s)
+      .toDF("old_id" +: (0 until Sig).map(i => s"y$i"): _*)
+    val est = (0 until Sig)
+      .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / Sig
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"new_id").orderBy($"est_sim".desc, $"old_id")
+    sigY.join(broadcast(cand.join(sigX, "new_id")), "old_id")
+      .filter(est >= 0.25)
+      .select($"new_id", $"old_id", round(est, 6).as("est_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"new_id", $"old_id".as("dup_of"), $"est_sim")
+      .orderBy($"new_id")
+  }
+
   /** x7 body, parameterized on signature size and band count: MinHash
     * signatures -> band-key collision candidates -> signature-agreement
     * refine (est_sim >= 0.25). Splitting a band in two (bands 4 -> 8 at

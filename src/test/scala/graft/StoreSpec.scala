@@ -217,4 +217,35 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
       "GreaterThanOrEqual(ts"), plan)
   }
+
+  test("x33's band index persists through Store and a later batch " +
+    "probes the persisted table without reshuffling the historical side") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-bandix").toString
+    // band table: partitioned by band, range-clustered on the band key
+    // (k-range row-group skipping); signature table clustered on doc_id
+    val bandStore = new ClusteredParquetStore(s"$tmp/bands", Seq("k"))
+    val sigStore = new ClusteredParquetStore(s"$tmp/sigs", Seq("doc_id"))
+    TextOps.persistDedupIndex(spark, dir, bandStore, sigStore)
+    // a "later session": the probe reads ONLY the persisted artifacts
+    // for the historical side and must reproduce x33 exactly
+    val got = TextOps.incrementalDedupPersisted(spark, dir,
+      bandStore, sigStore)
+    val expect = SparkEntry.queries("x33_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotRows.nonEmpty)
+    assert(gotRows == expect, "persisted-index probe diverged from x33")
+    // plan contract: the persisted historical tables join via
+    // BROADCAST of the new batch — no hash exchange on the index's
+    // (b, k) or the signature table's old_id anywhere in the plan
+    val p = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!"hashpartitioning\\((b|k|old_id)#".r.unanchored.matches(p),
+      s"historical side reshuffled:\n$p")
+  }
 }
