@@ -75,11 +75,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    // tile-scale lifecycle: segment -> tile -> prediction over a
-    // 25-chip grid through the job queue (the reference's own suite
-    // ordering, test/test_B_tile.py:51-54), timed end to end — the
-    // per-chip partition economy at a multi-chip unit of work
-    val lifecycle = try {
+    // tile-scale lifecycle: segment -> tile -> prediction over a chip
+    // grid through the job queue (the reference's own suite ordering,
+    // test/test_B_tile.py:51-54), timed end to end — the per-chip
+    // partition economy at a multi-chip unit of work. Run at TWO grid
+    // sizes (25 and 100 chips, env-overridable) so the round-over-round
+    // record shows wall-time scaling ~linearly in chips: per-chip jobs
+    // are independent partitions, so 4x the chips ≈ 4x the work on a
+    // fixed-core box, NOT a super-linear shuffle blowup.
+    def lifecycle(nChips: Int): Double = try {
       import graft.ops.SyntheticTile
       import graft.streaming.{JobQueue, JobRequest}
       implicit val reqEnc =
@@ -87,7 +91,6 @@ object Bench {
       val t0 = System.nanoTime()
       val root = java.nio.file.Files
         .createTempDirectory("graft-tile-bench").toString
-      val nChips = 25
       val jq = new JobQueue(spark, new store.ParquetStore(root),
         ardSource = (cx, cy) => SyntheticTile.chip(spark, cx, cy),
         auxSource = () => SyntheticTile.aux(spark, nChips),
@@ -109,15 +112,26 @@ object Bench {
         jq.results.filterNot(_.ok).take(3).toString)
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    val results = registry :+ ("t1_tile_lifecycle" -> lifecycle)
+    val t1 = lifecycle(
+      sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS", "25").toInt)
+    val t2 = lifecycle(
+      sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS_SCALE", "100").toInt)
+    val results = registry :+ ("t1_tile_lifecycle" -> t1) :+
+      ("t2_tile_lifecycle_100" -> t2)
     // second pass over the heaviest text/vector queries: warm timings
     // separate one-time JIT/codegen warmup (which lands on whichever
     // heavy query runs first in the cold sweep) from actual plan cost —
-    // the r4 x19/x21 "regressions" were exactly this attribution noise
+    // the r4 x19/x21 "regressions" were exactly this attribution noise.
+    // Covers every query whose r5 cold time exceeded ~1 s (the round-5
+    // ask: x27/x20's cold swings get a stable signal) plus the new
+    // ANN/training entries.
     val warmSet = Seq("x19_components", "x21_bigrams", "x14_tfidf",
       "x6_ngram_jaccard", "x7_minhash_lsh", "x10_embed_neardup",
       "x26_contamination", "x28_winnow", "x11_ann_lsh",
-      "x30_span_dedup", "x31_decontam_bloom", "x33_incremental_dedup")
+      "x30_span_dedup", "x31_decontam_bloom", "x33_incremental_dedup",
+      "x27_filter_report", "x20_dedup_resolve", "x29_ann_nprobe",
+      "x34_ann_pq", "x37_ann_ivfpq", "x38_ann_ivfpq_nprobe",
+      "x39_kmeans_train", "x40_ann_ivf_trained", "m2_train_score")
     val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -335,6 +335,34 @@ object TextOps {
       .select($"doc_id", explode(T.wsTokens(lower($"text"))).as("term"))
     terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       .groupBy($"term").agg(count(lit(1)).as("df")).count()
+    // x2/x27's quality-gate shapes: regex scrub, stopword-ratio HOF
+    // filter, CASE cascade + the 1-row window ratio (these were the
+    // four queries whose COLD times swung 4x in round 5 — their
+    // generated classes now warm here instead of inside whichever of
+    // them the sweep happens to hit first)
+    val wtk = T.wsTokens($"text")
+    val walpha = length(regexp_replace(lower($"text"), "[^a-z]", ""))
+      .cast("double") / length($"text")
+    val wstop = size(filter(wtk, w => w.isin(Stopwords: _*)))
+      .cast("double") / size(wtk)
+    val wstage = when(size(wtk) < 10, "a_too_short")
+      .when(walpha < 0.5, "b_low_alpha")
+      .when(wstop > 0.5, "c_high_stop")
+      .otherwise("z_kept")
+    docs.select($"doc_id", wstage.as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_docs"))
+      .withColumn("pct", round($"n_docs" / sum($"n_docs")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .count()
+    // x18's regex-extract/replace scrub shape and x20's key-shuffle +
+    // rank-window resolve shape
+    docs.select($"doc_id",
+        size(T.bpeTokens($"text")).as("nb"),
+        md5(regexp_replace($"text", "[0-9]+", "<NUM>")).as("fp"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1).count()
   }
 
   val qs: Map[String, Q] = Map(

@@ -42,6 +42,19 @@ class TileLifecycleSpec extends AnyFunSuite with SparkSpec {
     val detPlan = det.queryExecution.executedPlan.toString
     assert(!detPlan.contains("Exchange"), detPlan)
 
+    // and the property is grid-size-independent: a MULTI-chip source
+    // (the t2_tile_lifecycle_100 shape) detects with zero cross-chip
+    // exchange too — chip parallelism rides the source partitioning,
+    // so 4x/100x the chips never introduces a shuffle
+    implicit val ptsEnc =
+      org.apache.spark.sql.Encoders.product[graft.core.PixelTimeseries]
+    val grid = spark.createDataset((0 until 4).flatMap(k =>
+      SyntheticTile.chipRows(SyntheticTile.cxOf(k), SyntheticTile.Cy,
+        Side, Obs)))
+    val gridPlan = SegmentPipeline.detect(grid, HarmonicCcd())
+      .queryExecution.executedPlan.toString
+    assert(!gridPlan.contains("Exchange"), gridPlan)
+
     // A: one segment request per chip
     jq.dispatch(spark.createDataset((0 until NChips).map(k =>
       JobRequest("segment", SyntheticTile.cxOf(k), SyntheticTile.Cy,
