@@ -110,7 +110,11 @@ object VectorOps {
     * sequential fold (the DotProduct / list_sum order) rounded
     * HALF_UP — matching both engines' round() including the
     * away-from-zero negative case (math.round would differ there). */
-  private def pqSetup(e: org.apache.spark.sql.DataFrame)
+  private[graft] def subOf(v: Array[Double], ss: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
+
+  private def pqSetup(e: org.apache.spark.sql.DataFrame,
+      booksOpt: Option[Array[Array[Array[Double]]]] = None)
       : (org.apache.spark.sql.DataFrame, Array[Long],
         Array[Array[Array[Long]]]) = {
     val need = math.max(CodeK, PqQueries)
@@ -121,25 +125,41 @@ object VectorOps {
       s"PQ setup needs vec_ids 0..${need - 1} present (codebook + " +
         s"query set); corpus provides only ${small.keySet.toSeq.sorted}")
     val cb = (0 until CodeK).map(small(_)).toArray
-    def sub(v: Array[Double], ss: Int): Array[Double] =
-      java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
+    def sub(v: Array[Double], ss: Int): Array[Double] = subOf(v, ss)
     def d4(a: Array[Double], b: Array[Double]): Long = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       BigDecimal(acc * 10000)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
+    // codebook: trained per-subspace k-means books when supplied
+    // (x42), the deterministic first-CodeK convention otherwise
     val subCent: Array[Array[Array[Double]]] =
-      Array.tabulate(SubM)(ss => cb.map(sub(_, ss)))
+      booksOpt.getOrElse(Array.tabulate(SubM)(ss => cb.map(sub(_, ss))))
     // encode: per subspace, 16 codegen dots -> integerize (bound once)
-    // -> first argmax (array_position on longs == d4 DESC, r ASC tie)
+    // -> first argmax/argmin (array_position on longs == ordered-with-
+    // r-ASC-tie). The first-N convention encodes by max dot (x34's
+    // historical surface); TRAINED books encode by min L2 (classical
+    // PQ — matches the training assignment), reusing the same
+    // DotMatrix pass: ||sv||² is row-constant, so argmin of
+    // (||c||² - 2·dot) is the L2 argmin.
     val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
       val cd = graft.functions.DotMatrix(
         slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
-      df.withColumn(s"d$ss",
-          transform(cd, x => round(x * 10000).cast("long")))
-        .withColumn(s"c$ss",
-          array_position(col(s"d$ss"), array_max(col(s"d$ss"))))
+      val scores = if (booksOpt.isDefined) {
+        val n2s = subCent(ss).map(c => {
+          var acc = 0.0; var i = 0
+          while (i < c.length) { acc += c(i) * c(i); i += 1 }
+          acc
+        })
+        zip_with(cd, lit(n2s),
+          (dd, n2) => round((n2 - lit(2) * dd) * 10000).cast("long"))
+      } else transform(cd, x => round(x * 10000).cast("long"))
+      val pick = if (booksOpt.isDefined)
+        array_position(col(s"d$ss"), array_min(col(s"d$ss")))
+      else array_position(col(s"d$ss"), array_max(col(s"d$ss")))
+      df.withColumn(s"d$ss", scores)
+        .withColumn(s"c$ss", pick)
         .drop(s"d$ss")
     }
     val qids = (0 until PqQueries).map(_.toLong).toArray
@@ -461,6 +481,156 @@ object VectorOps {
          |      sqrt(list_sum(list_transform(cm.cv0, y -> y * y)))),
          |      p.cv) AS cv
          |  FROM cent${t - 1} p LEFT JOIN cm$t cm ON cm.cid = p.cid)"""
+        .stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
+  // ---- trained PQ codebooks (per-subspace k-means) ------------------
+  // x39 trains the COARSE quantizer; this trains the other half of
+  // production PQ — one codebook per subspace — as CLASSICAL PQ
+  // (Jégou et al.): assignment/encode by MIN L2 distance (integerized
+  // round((||c||² - 2·dot)·1e4) ASC, cid ASC — the ||sv||² term is
+  // constant per row and drops out of the argmin), update = plain
+  // mean, which makes each round a proper Lloyd's step with monotone
+  // L2 distortion (a max-dot assignment would punish the mean's norm
+  // shrinkage — measured distortion got WORSE that way). ADC ranking
+  // still sums dot LUTs: codes are L2-nearest codewords, the LUT
+  // entries approximate q·v — the standard MIPS-over-PQ pairing.
+  // Exact integer sufficient statistics; empty cells keep their
+  // codeword. All SubM books train together: each iteration is ONE
+  // distributed pass over the exploded (vector, subspace) frame — a
+  // broadcast of the 128 codewords, an argmin fold, one (s, cell)
+  // aggregation — not SubM separate jobs.
+
+  private[graft] val PqBookIters = 2
+
+  /** One row per (vector, subspace): the 8-dim subvector + its
+    * integerized components. */
+  private def subspaceRows(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select($"vec_id", posexplode(array((0 until SubM).map(ss =>
+        slice($"v", ss * SubDim + 1, SubDim)): _*)).as(Seq("s", "sv")))
+      .withColumn("ivd", intComps($"sv"))
+
+  private[graft] final case class SubCentRow(cs: Int, cid: Long,
+      cv: Seq[Double], n2: Double)
+
+  /** Ascending-index sum of squares — must match the oracle's
+    * list_sum(list_transform(cv, x -> x*x)) fold exactly. */
+  private def sumSq(v: Array[Double]): Double = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    ss
+  }
+
+  /** Assign every (vector, subspace) row to its codeword under the
+    * current books: broadcast the (s, cid, cv, ||cv||²) codeword
+    * relation, lexicographic struct-MIN over
+    * (round((||cv||² - 2·dot)·1e4) AS LONG, cid). */
+  private def assignSub(s: org.apache.spark.sql.SparkSession,
+      sub: org.apache.spark.sql.DataFrame,
+      books: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
+    val rows = for {
+      (b, ss) <- books.zipWithIndex.toSeq
+      (cv, c) <- b.zipWithIndex
+    } yield SubCentRow(ss, c.toLong, cv.toSeq, sumSq(cv))
+    val cents = s.createDataset(rows)
+      .groupBy($"cs")
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"n2")))
+        .as("cents"))
+    val init = struct(lit(Long.MaxValue).as("l2"),
+      lit(Long.MaxValue).as("cid"))
+    val best = aggregate($"cents", init, (acc, c) => {
+      val dotc = aggregate(
+        zip_with($"sv", c.getField("cv"), (a, b) => a * b),
+        lit(0.0), (s0, x) => s0 + x)
+      val l2i = round((c.getField("n2") - lit(2) * dotc) * 10000)
+        .cast("long")
+      val cand = struct(l2i.as("l2"), c.getField("cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    sub.join(broadcast(cents), $"s" === $"cs")
+      .withColumn("cell", best.getField("cid"))
+      .drop("cs", "cents")
+  }
+
+  /** One Lloyd's round over all subspaces (one distributed job). */
+  private def pqBooksRound(s: org.apache.spark.sql.SparkSession,
+      sub: org.apache.spark.sql.DataFrame,
+      books: Array[Array[Array[Double]]])
+      : Array[Array[Array[Double]]] = {
+    val means = assignSub(s, sub, books)
+      .groupBy($"s", $"cell")
+      .agg(graft.functions.ArrayMean.udaf($"ivd").as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt) ->
+        r.getSeq[Double](2).toArray)
+      .toMap
+    Array.tabulate(SubM)(ss => Array.tabulate(CodeK)(c =>
+      means.get((ss, c)).map(_.map(_ / KmScale))
+        .getOrElse(books(ss)(c))))
+  }
+
+  /** The trained books: seeded by the first CodeK corpus subvectors
+    * (x34's convention, now only an init), then `iters` rounds. */
+  private[graft] def pqBooksTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = PqBookIters)
+      : Array[Array[Array[Double]]] = {
+    val e = normalizedEmbeddings(s, dir)
+    val small = e.filter($"vec_id" < CodeK)
+      .select($"vec_id", $"v").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(small.length == CodeK,
+      s"PQ training needs vec_ids 0..${CodeK - 1}; found ${small.length}")
+    val init = Array.tabulate(SubM)(ss => small.map(subOf(_, ss)))
+    val sub = subspaceRows(e)
+    (1 to iters).foldLeft(init)((b, _) => pqBooksRound(s, sub, b))
+  }
+
+  /** 8-dim subspace dot in SQL, ascending-index fold (matches the
+    * engine's zip_with/aggregate order). */
+  private def sqlSubdot8(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${SubDim + 1}), " +
+      s"j -> $a[CAST(j AS INT)] * $b[CAST(j AS INT)]))"
+
+  /** Oracle CTEs replaying the PQ-codebook training: expects `n`
+    * upstream; emits `pss`/`psub`/`pcent0` and per iteration
+    * `pasg{t}`/`pm{t}`/`pcm{t}`/`pcent{t}`. */
+  private def sqlPqKmeansCtes(iters: Int): String = {
+    val init =
+      s"""pss AS (SELECT unnest(range(0, $SubM)) AS s),
+         |psub AS (SELECT n.vec_id, pss.s,
+         |    list_transform(range(1, ${SubDim + 1}),
+         |      j -> n.v[CAST(pss.s * $SubDim + j AS INT)]) AS sv
+         |  FROM n, pss),
+         |pisub AS (SELECT vec_id, s, sv,
+         |    list_transform(sv, x -> floor(x * 1000000.0 + 0.5)) AS ivd
+         |  FROM psub),
+         |pcent0 AS (SELECT s, vec_id AS cid, sv AS cv FROM pisub
+         |  WHERE vec_id < $CodeK)""".stripMargin
+    val its = (1 to iters).map { t =>
+      s"""pasg$t AS (SELECT i.vec_id, i.s, i.ivd, c.cid,
+         |    row_number() OVER (PARTITION BY i.vec_id, i.s
+         |      ORDER BY CAST(round((list_sum(list_transform(c.cv,
+         |        x -> x * x)) - 2 * ${sqlSubdot8("i.sv", "c.cv")})
+         |        * 10000, 0) AS BIGINT) ASC, c.cid) AS arn
+         |  FROM pisub i JOIN pcent${t - 1} c ON c.s = i.s),
+         |pm$t AS (SELECT s, cid AS mcid, r.i AS i,
+         |    CAST(sum(ivd[CAST(r.i AS INT)]) AS DOUBLE) AS sm,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT s, cid, ivd FROM pasg$t WHERE arn = 1) a
+         |  CROSS JOIN range(1, ${SubDim + 1}) r(i)
+         |  GROUP BY s, cid, r.i),
+         |pcm$t AS (SELECT s, mcid AS cid,
+         |    list(sm / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS cv0
+         |  FROM pm$t GROUP BY s, mcid),
+         |pcent$t AS (SELECT p.s, p.cid, coalesce(cm.cv0, p.cv) AS cv
+         |  FROM pcent${t - 1} p
+         |  LEFT JOIN pcm$t cm ON cm.s = p.s AND cm.cid = p.cid)"""
         .stripMargin
     }
     (init +: its).mkString(",\n")
@@ -892,7 +1062,107 @@ object VectorOps {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       annIvfTrained(s, dir)
-    })
+    },
+
+    // ----- x41 PQ-codebook training: the other half of production PQ
+    // (x39 trained the coarse quantizer; this trains the per-subspace
+    // codebooks). All 8 books train together — each Lloyd's iteration
+    // is ONE distributed pass over the exploded (vector, subspace)
+    // frame — and the oracle replays every iteration, hash-matching
+    // the trained codewords themselves.
+    "x41_pq_train" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlPqKmeansCtes(PqBookIters)}
+         |SELECT c.s, c.cid, coalesce(cn.n, CAST(0 AS BIGINT)) AS n,
+         |  CAST(ci.i AS BIGINT) AS i, c.cv[CAST(ci.i AS INT)] AS comp
+         |FROM pcent$PqBookIters c
+         |LEFT JOIN (SELECT s, mcid, n FROM pm$PqBookIters WHERE i = 1) cn
+         |  ON cn.s = c.s AND cn.mcid = c.cid
+         |CROSS JOIN range(1, ${SubDim + 1}) ci(i)
+         |ORDER BY c.s, c.cid, ci.i""".stripMargin) { (s, dir) =>
+      val e = normalizedEmbeddings(s, dir)
+      val small = e.filter($"vec_id" < CodeK)
+        .select($"vec_id", $"v").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      require(small.length == CodeK,
+        s"PQ training needs vec_ids 0..${CodeK - 1}")
+      val init = Array.tabulate(SubM)(ss => small.map(subOf(_, ss)))
+      val sub = subspaceRows(e)
+      // final iteration stays a lazy plan (the x39 discipline)
+      val prev = (1 until PqBookIters).foldLeft(init)((b, _) =>
+        pqBooksRound(s, sub, b))
+      val stats = assignSub(s, sub, prev)
+        .groupBy($"s", $"cell")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.ArrayMean.udaf($"ivd").as("m"))
+      implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
+      val prevDf = s.createDataset(for {
+          (b, ss) <- prev.zipWithIndex.toSeq
+          (cv, c) <- b.zipWithIndex.toSeq
+        } yield SubCentRow(ss, c.toLong, cv.toSeq, 0.0))
+        .toDF("ps", "pcid", "pcv", "pn2")
+        .drop("pn2")
+      prevDf.join(stats,
+          $"ps" === $"s" && $"pcid" === $"cell", "left")
+        .select($"ps".cast("long").as("os"), $"pcid".as("cid"),
+          coalesce($"n", lit(0L)).as("n"),
+          posexplode(coalesce(transform($"m", x => x / KmScale), $"pcv"))
+            .as(Seq("p", "comp")))
+        .select($"os".as("s"), $"cid", $"n",
+          ($"p" + 1).cast("long").as("i"), $"comp")
+        .orderBy($"s", $"cid", $"i")
+    },
+
+    // ----- x42 PQ ANN over the TRAINED books: x34's flat-ADC search
+    // with x41's codebooks in place of the first-16 convention. The
+    // encode stage is still 8 codegen DotMatrix passes over literal
+    // (now trained) codewords; the oracle replays training AND search.
+    "x42_ann_pq_trained" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlPqKmeansCtes(PqBookIters)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |qsub AS (SELECT q.qid, pss.s,
+         |    list_transform(range(1, ${SubDim + 1}),
+         |      j -> q.qv[CAST(pss.s * $SubDim + j AS INT)]) AS sv
+         |  FROM q, pss),
+         |cd2 AS (SELECT i.vec_id, i.s, c.cid AS r,
+         |    CAST(round((list_sum(list_transform(c.cv, x -> x * x))
+         |      - 2 * ${sqlSubdot8("i.sv", "c.cv")}) * 10000, 0)
+         |      AS BIGINT) AS dl2
+         |  FROM pisub i JOIN pcent$PqBookIters c ON c.s = i.s),
+         |codes2 AS (SELECT vec_id, s, r AS code FROM (
+         |    SELECT vec_id, s, r, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY dl2 ASC, r) AS rn
+         |    FROM cd2) WHERE rn = 1),
+         |lut2 AS (SELECT qs.qid, qs.s, c.cid AS r,
+         |    CAST(round(${sqlSubdot8("qs.sv", "c.cv")} * 10000, 0)
+         |      AS BIGINT) AS d4
+         |  FROM qsub qs JOIN pcent$PqBookIters c ON c.s = qs.s),
+         |sc AS (SELECT l.qid, c2.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM codes2 c2 JOIN lut2 l ON l.s = c2.s AND l.r = c2.code
+         |  WHERE c2.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annPqTrained(s, dir) })
+
+  /** x42 body: flat-ADC PQ search over [[pqBooksTrained]] books. */
+  private[graft] def annPqTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = PqBookIters, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    val books = pqBooksTrained(s, dir, iters)
+    val (coded, qids, lut) =
+      pqSetup(normalizedEmbeddings(s, dir), Some(books))
+    pqRank(coded, qids, lut, k = k).orderBy($"qid", $"rn")
+  }
 
   /** x40 body: [[annIvf]]'s search shape over the [[kmeansBook]]
     * trained quantizer. */

@@ -243,6 +243,40 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       !java.util.Arrays.equals(b, s0) }, "Lloyd's rounds were a no-op")
   }
 
+  test("x41/x42 trained PQ books: Lloyd's rounds monotonically cut " +
+    "subspace L2 distortion and the trained search keeps real signal") {
+    // classical-PQ objective: mean min-over-codewords ||sv - c||²
+    val vecs = VectorOps.normalizedEmbeddings(spark, dir).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def distortion(books: Array[Array[Array[Double]]]): Double = {
+      val per = for (v <- vecs; ss <- books.indices) yield
+        books(ss).map(l2(VectorOps.subOf(v, ss), _)).min
+      per.sum / per.length
+    }
+    val d0 = distortion(VectorOps.pqBooksTrained(spark, dir, iters = 0))
+    val d1 = distortion(VectorOps.pqBooksTrained(spark, dir, iters = 1))
+    val d2 = distortion(VectorOps.pqBooksTrained(spark, dir, iters = 2))
+    // each round is a Lloyd's step: distortion never increases, and
+    // the first round strictly improves on the first-16 seed
+    assert(d1 < d0, s"round 1 distortion $d1 >= seed $d0")
+    assert(d2 <= d1 + 1e-12, s"round 2 distortion $d2 > round 1 $d1")
+    // the trained ADC search still carries real signal vs exact x9
+    val exact = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.annPqTrained(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == 40)
+    assert(pq.count(exact.contains) >= 10,
+      s"overlap ${pq.count(exact.contains)}/40")
+  }
+
   test("x38 IVF-PQ nprobe=1 degenerates to x37 exactly; probing more " +
     "cells only improves the best ADC neighbor") {
     def rows(df: org.apache.spark.sql.DataFrame) =
