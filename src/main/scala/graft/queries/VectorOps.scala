@@ -636,6 +636,32 @@ object VectorOps {
     (init +: its).mkString(",\n")
   }
 
+  /** Shared trained-PQ search CTEs (x42 flat, x43 in-cell): the query
+    * set, its subvectors, L2-nearest codes for every corpus vector
+    * against the trained books, and per-query dot LUTs. Expects `n`
+    * and the [[sqlPqKmeansCtes]] CTEs upstream. */
+  private def sqlPqTrainedSearch: String =
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM n
+       |  WHERE vec_id < $PqQueries),
+       |qsub AS (SELECT q.qid, pss.s,
+       |    list_transform(range(1, ${SubDim + 1}),
+       |      j -> q.qv[CAST(pss.s * $SubDim + j AS INT)]) AS sv
+       |  FROM q, pss),
+       |cd2 AS (SELECT i.vec_id, i.s, c.cid AS r,
+       |    CAST(round((list_sum(list_transform(c.cv, x -> x * x))
+       |      - 2 * ${sqlSubdot8("i.sv", "c.cv")}) * 10000, 0)
+       |      AS BIGINT) AS dl2
+       |  FROM pisub i JOIN pcent$PqBookIters c ON c.s = i.s),
+       |codes2 AS (SELECT vec_id, s, r AS code FROM (
+       |    SELECT vec_id, s, r, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY dl2 ASC, r) AS rn
+       |    FROM cd2) WHERE rn = 1),
+       |lut2 AS (SELECT qs.qid, qs.s, c.cid AS r,
+       |    CAST(round(${sqlSubdot8("qs.sv", "c.cv")} * 10000, 0)
+       |      AS BIGINT) AS d4
+       |  FROM qsub qs JOIN pcent$PqBookIters c ON c.s = qs.s)"""
+      .stripMargin
+
   /** Literal-folded cell assignment: everything after the bounded
     * quantizer collect is a codegen'd projection — all centroid dots
     * in ONE DotMatrix loop, argmax via lexicographic struct max. */
@@ -1124,25 +1150,7 @@ object VectorOps {
          |  FROM embeddings),
          |n AS ${sqlNormalized("e")},
          |${sqlPqKmeansCtes(PqBookIters)},
-         |q AS (SELECT vec_id AS qid, v AS qv FROM n
-         |  WHERE vec_id < $PqQueries),
-         |qsub AS (SELECT q.qid, pss.s,
-         |    list_transform(range(1, ${SubDim + 1}),
-         |      j -> q.qv[CAST(pss.s * $SubDim + j AS INT)]) AS sv
-         |  FROM q, pss),
-         |cd2 AS (SELECT i.vec_id, i.s, c.cid AS r,
-         |    CAST(round((list_sum(list_transform(c.cv, x -> x * x))
-         |      - 2 * ${sqlSubdot8("i.sv", "c.cv")}) * 10000, 0)
-         |      AS BIGINT) AS dl2
-         |  FROM pisub i JOIN pcent$PqBookIters c ON c.s = i.s),
-         |codes2 AS (SELECT vec_id, s, r AS code FROM (
-         |    SELECT vec_id, s, r, row_number() OVER (
-         |      PARTITION BY vec_id, s ORDER BY dl2 ASC, r) AS rn
-         |    FROM cd2) WHERE rn = 1),
-         |lut2 AS (SELECT qs.qid, qs.s, c.cid AS r,
-         |    CAST(round(${sqlSubdot8("qs.sv", "c.cv")} * 10000, 0)
-         |      AS BIGINT) AS d4
-         |  FROM qsub qs JOIN pcent$PqBookIters c ON c.s = qs.s),
+         |$sqlPqTrainedSearch,
          |sc AS (SELECT l.qid, c2.vec_id AS nid,
          |    CAST(sum(l.d4) AS BIGINT) AS s4
          |  FROM codes2 c2 JOIN lut2 l ON l.s = c2.s AND l.r = c2.code
@@ -1152,7 +1160,67 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annPqTrained(s, dir) })
+      (s, dir) => annPqTrained(s, dir) },
+
+    // ----- x43 fully-trained IVF-PQ: the complete production FAISS
+    // configuration with EVERYTHING trained — x39's spherical-Lloyd's
+    // coarse book restricts each query to its cell, x41's classical-PQ
+    // codebooks rank inside the cell by dot-LUT sums. One oracle
+    // replays coarse training, codebook training, AND the search.
+    // Corpus discipline unchanged: assignment + encode ride codegen
+    // projections, the corpus never shuffles.
+    "x43_ann_ivfpq_trained" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)},
+         |asgF AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN cent$KmIters c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asgF WHERE arn = 1),
+         |${sqlPqKmeansCtes(PqBookIters)},
+         |$sqlPqTrainedSearch,
+         |qc AS (SELECT vec_id AS qid, cell AS qcell FROM cells
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT qc.qid, m.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM cells m
+         |  JOIN qc ON qc.qcell = m.cell AND m.vec_id <> qc.qid
+         |  JOIN codes2 c2 ON c2.vec_id = m.vec_id
+         |  JOIN lut2 l ON l.qid = qc.qid AND l.s = c2.s AND l.r = c2.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfPqTrained(s, dir) })
+
+  /** x43 body: trained coarse book for the cell restriction + trained
+    * PQ books for in-cell ADC ranking. With coarseCells = 1 the cell
+    * restriction is vacuous and this degenerates to [[annPqTrained]]
+    * (pinned in ScaleGuardsSpec). */
+  private[graft] def annIvfPqTrained(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      coarseCells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val coarse = kmeansBook(s, dir, coarseCells)
+    val books = pqBooksTrained(s, dir)
+    val assigned = assignCells(normalizedEmbeddings(s, dir), coarse)
+    val (coded, qids, lut) = pqSetup(assigned, Some(books))
+    val qcells = coded
+      .filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(qids.forall(qcells.contains),
+      s"IVF-PQ query set needs vec_ids ${qids.mkString(",")} in the " +
+        s"corpus; found only ${qcells.keySet.toSeq.sorted}")
+    pqRank(coded, qids, lut, k = k,
+      qcellsArr = Some(qids.map(q => Array(qcells(q)))))
+      .orderBy($"qid", $"rn")
+  }
 
   /** x42 body: flat-ADC PQ search over [[pqBooksTrained]] books. */
   private[graft] def annPqTrained(s: org.apache.spark.sql.SparkSession,

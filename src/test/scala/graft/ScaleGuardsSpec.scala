@@ -277,6 +277,19 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"overlap ${pq.count(exact.contains)}/40")
   }
 
+  test("x43 fully-trained IVF-PQ with one coarse cell degenerates to " +
+    "the flat trained-PQ search exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val one = rows(VectorOps.annIvfPqTrained(spark, dir,
+      coarseCells = 1, k = 3))
+    val flat = rows(VectorOps.annPqTrained(spark, dir, k = 3))
+    assert(one.nonEmpty)
+    assert(one == flat, "ivfpq-trained(cells=1) != flat trained PQ")
+  }
+
   test("x38 IVF-PQ nprobe=1 degenerates to x37 exactly; probing more " +
     "cells only improves the best ADC neighbor") {
     def rows(df: org.apache.spark.sql.DataFrame) =
