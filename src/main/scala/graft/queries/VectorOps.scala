@@ -1205,9 +1205,18 @@ object VectorOps {
   private[graft] def annIvfPqTrained(
       s: org.apache.spark.sql.SparkSession, dir: String,
       coarseCells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    annIvfPqWith(s, dir, kmeansBook(s, dir, coarseCells),
+      pqBooksTrained(s, dir), k)
+
+  /** The x43 SEARCH alone, over externally-supplied books — the
+    * train-once / search-forever seam ([[persistAnnBooks]] writes the
+    * books through a Store; [[annIvfPqFromStore]] feeds them back in
+    * here). */
+  private def annIvfPqWith(s: org.apache.spark.sql.SparkSession,
+      dir: String, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val coarse = kmeansBook(s, dir, coarseCells)
-    val books = pqBooksTrained(s, dir)
     val assigned = assignCells(normalizedEmbeddings(s, dir), coarse)
     val (coded, qids, lut) = pqSetup(assigned, Some(books))
     val qcells = coded
@@ -1319,5 +1328,55 @@ object VectorOps {
       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
     val (coded, qids, lut) = pqSetup(normalizedEmbeddings(s, dir))
     pqRank(coded, qids, lut, k = k).orderBy($"qid", $"rn")
+  }
+
+  // ---- trained-book lifecycle through the storage layer -------------
+  // The x33-index pattern applied to MODEL ARTIFACTS: train once,
+  // persist the (bounded) books as relations, and let every later
+  // search session read them back instead of re-training. Parquet
+  // doubles round-trip exactly, so a search over persisted books is
+  // bit-identical to one over freshly-trained books (StoreSpec).
+
+  /** Train and persist the x43 artifacts: the coarse book
+    * (`ann_coarse_book`: cid, cv) and the per-subspace PQ codebooks
+    * (`ann_pq_books`: s, cid, cv). */
+  def persistAnnBooks(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store): Unit = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
+    val coarse = kmeansBook(s, dir)
+    store.write("ann_coarse_book",
+      s.createDataset(coarse.toIndexedSeq.zipWithIndex.map {
+          case (cv, c) => SubCentRow(0, c.toLong, cv.toSeq, 0.0)
+        })
+        .toDF("ks", "cid", "cv", "n2").select($"cid", $"cv"),
+      Seq.empty)
+    val books = pqBooksTrained(s, dir)
+    store.write("ann_pq_books",
+      s.createDataset(for {
+          (b, ss) <- books.toIndexedSeq.zipWithIndex
+          (cv, c) <- b.toIndexedSeq.zipWithIndex
+        } yield SubCentRow(ss, c.toLong, cv.toSeq, 0.0))
+        .toDF("s", "cid", "cv", "n2").select($"s", $"cid", $"cv"),
+      Seq.empty)
+  }
+
+  /** A "later session's" x43: load the persisted books (bounded
+    * collects — 16×64 + 128×8 doubles) and search; no training jobs
+    * run. */
+  private[graft] def annIvfPqFromStore(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      store: graft.store.Store, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val coarse = store.read("ann_coarse_book", s)
+      .select($"cid", $"cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val pq = store.read("ann_pq_books", s)
+      .select($"s", $"cid", $"cv").collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt) ->
+        r.getSeq[Double](2).toArray).toMap
+    val books = Array.tabulate(SubM)(ss =>
+      Array.tabulate(CodeK)(c => pq((ss, c))))
+    annIvfPqWith(s, dir, coarse, books, k)
   }
 }

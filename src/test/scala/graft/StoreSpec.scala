@@ -248,4 +248,22 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(!"hashpartitioning\\((b|k|old_id)#".r.unanchored.matches(p),
       s"historical side reshuffled:\n$p")
   }
+
+  test("trained ANN books persist through Store and a later session's " +
+    "search over them is bit-identical to fresh training") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-annbooks").toString
+    val store = new ClusteredParquetStore(s"$tmp/books", Seq("cid"))
+    VectorOps.persistAnnBooks(spark, dir, store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val fromStore = rows(VectorOps.annIvfPqFromStore(spark, dir, store))
+    val fresh = rows(VectorOps.annIvfPqTrained(spark, dir))
+    assert(fromStore.nonEmpty)
+    assert(fromStore == fresh,
+      "search over persisted books diverged from fresh training")
+  }
 }
