@@ -114,7 +114,8 @@ object VectorOps {
     java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
 
   private def pqSetup(e: org.apache.spark.sql.DataFrame,
-      booksOpt: Option[Array[Array[Array[Double]]]] = None)
+      booksOpt: Option[Array[Array[Array[Double]]]] = None,
+      residualLut: Boolean = false)
       : (org.apache.spark.sql.DataFrame, Array[Long],
         Array[Array[Array[Long]]]) = {
     val need = math.max(CodeK, PqQueries)
@@ -126,12 +127,22 @@ object VectorOps {
         s"query set); corpus provides only ${small.keySet.toSeq.sorted}")
     val cb = (0 until CodeK).map(small(_)).toArray
     def sub(v: Array[Double], ss: Int): Array[Double] = subOf(v, ss)
-    def d4(a: Array[Double], b: Array[Double]): Long = {
+    def rawDot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      BigDecimal(acc * 10000)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      acc
     }
+    def i4(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // default LUT entry: integerized dot (flat/IVF ADC on raw
+    // vectors). residualLut: the NEGATED-L2 form round((2·dot -
+    // ||code||²)·1e4) — within one coarse cell q - v = r_q - r_v, so
+    // summing these and ranking DESC is exactly L2-ADC over residuals
+    // (round half-away-from-zero is symmetric, so negation commutes
+    // with the rounding in both engines).
+    def d4(a: Array[Double], b: Array[Double]): Long =
+      if (residualLut) i4((2 * rawDot(a, b) - sumSq(b)) * 10000)
+      else i4(rawDot(a, b) * 10000)
     // codebook: trained per-subspace k-means books when supplied
     // (x42), the deterministic first-CodeK convention otherwise
     val subCent: Array[Array[Array[Double]]] =
@@ -597,16 +608,17 @@ object VectorOps {
     s"list_sum(list_transform(range(1, ${SubDim + 1}), " +
       s"j -> $a[CAST(j AS INT)] * $b[CAST(j AS INT)]))"
 
-  /** Oracle CTEs replaying the PQ-codebook training: expects `n`
-    * upstream; emits `pss`/`psub`/`pcent0` and per iteration
-    * `pasg{t}`/`pm{t}`/`pcm{t}`/`pcent{t}`. */
-  private def sqlPqKmeansCtes(iters: Int): String = {
+  /** Oracle CTEs replaying the PQ-codebook training over `from` — a
+    * relation with (vec_id, v): `n` for raw vectors, `res` for x44's
+    * coarse-cell residuals. Emits `pss`/`psub`/`pcent0` and per
+    * iteration `pasg{t}`/`pm{t}`/`pcm{t}`/`pcent{t}`. */
+  private def sqlPqKmeansCtes(iters: Int, from: String = "n"): String = {
     val init =
       s"""pss AS (SELECT unnest(range(0, $SubM)) AS s),
-         |psub AS (SELECT n.vec_id, pss.s,
+         |psub AS (SELECT $from.vec_id, pss.s,
          |    list_transform(range(1, ${SubDim + 1}),
-         |      j -> n.v[CAST(pss.s * $SubDim + j AS INT)]) AS sv
-         |  FROM n, pss),
+         |      j -> $from.v[CAST(pss.s * $SubDim + j AS INT)]) AS sv
+         |  FROM $from, pss),
          |pisub AS (SELECT vec_id, s, sv,
          |    list_transform(sv, x -> floor(x * 1000000.0 + 0.5)) AS ivd
          |  FROM psub),
@@ -636,12 +648,24 @@ object VectorOps {
     (init +: its).mkString(",\n")
   }
 
-  /** Shared trained-PQ search CTEs (x42 flat, x43 in-cell): the query
-    * set, its subvectors, L2-nearest codes for every corpus vector
-    * against the trained books, and per-query dot LUTs. Expects `n`
-    * and the [[sqlPqKmeansCtes]] CTEs upstream. */
-  private def sqlPqTrainedSearch: String =
-    s"""q AS (SELECT vec_id AS qid, v AS qv FROM n
+  /** Shared trained-PQ search CTEs (x42 flat, x43 in-cell, x44
+    * residual): the query set (drawn from `from` — raw vectors or
+    * residuals), its subvectors, L2-nearest codes for every corpus
+    * vector against the trained books, and per-query dot LUTs.
+    * Expects `from` and the [[sqlPqKmeansCtes]] CTEs upstream. */
+  private def sqlPqTrainedSearch(from: String = "n",
+      residual: Boolean = false): String = {
+    // residual LUT: the negated-L2 form (see pqSetup's residualLut) —
+    // same integerization, ranking stays DESC
+    val lutExpr =
+      if (residual)
+        s"CAST(round((2 * ${sqlSubdot8("qs.sv", "c.cv")} - " +
+          s"list_sum(list_transform(c.cv, x -> x * x))) * 10000, 0) " +
+          "AS BIGINT)"
+      else
+        s"CAST(round(${sqlSubdot8("qs.sv", "c.cv")} * 10000, 0) " +
+          "AS BIGINT)"
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM $from
        |  WHERE vec_id < $PqQueries),
        |qsub AS (SELECT q.qid, pss.s,
        |    list_transform(range(1, ${SubDim + 1}),
@@ -657,10 +681,10 @@ object VectorOps {
        |      PARTITION BY vec_id, s ORDER BY dl2 ASC, r) AS rn
        |    FROM cd2) WHERE rn = 1),
        |lut2 AS (SELECT qs.qid, qs.s, c.cid AS r,
-       |    CAST(round(${sqlSubdot8("qs.sv", "c.cv")} * 10000, 0)
-       |      AS BIGINT) AS d4
+       |    $lutExpr AS d4
        |  FROM qsub qs JOIN pcent$PqBookIters c ON c.s = qs.s)"""
       .stripMargin
+  }
 
   /** Literal-folded cell assignment: everything after the bounded
     * quantizer collect is a codegen'd projection — all centroid dots
@@ -1150,7 +1174,7 @@ object VectorOps {
          |  FROM embeddings),
          |n AS ${sqlNormalized("e")},
          |${sqlPqKmeansCtes(PqBookIters)},
-         |$sqlPqTrainedSearch,
+         |${sqlPqTrainedSearch()},
          |sc AS (SELECT l.qid, c2.vec_id AS nid,
          |    CAST(sum(l.d4) AS BIGINT) AS s4
          |  FROM codes2 c2 JOIN lut2 l ON l.s = c2.s AND l.r = c2.code
@@ -1181,7 +1205,7 @@ object VectorOps {
          |  FROM n CROSS JOIN cent$KmIters c),
          |cells AS (SELECT vec_id, v, cid AS cell FROM asgF WHERE arn = 1),
          |${sqlPqKmeansCtes(PqBookIters)},
-         |$sqlPqTrainedSearch,
+         |${sqlPqTrainedSearch()},
          |qc AS (SELECT vec_id AS qid, cell AS qcell FROM cells
          |  WHERE vec_id < $PqQueries),
          |sc AS (SELECT qc.qid, m.vec_id AS nid,
@@ -1196,7 +1220,123 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annIvfPqTrained(s, dir) })
+      (s, dir) => annIvfPqTrained(s, dir) },
+
+    // ----- x44 residual IVF-PQ (FAISS's actual IVFADC formulation):
+    // PQ books train on the RESIDUALS v - centroid(cell) rather than
+    // raw vectors — residuals are smaller and roughly centered, so 4
+    // bits/subspace quantize them with far less error. Within a
+    // query's own cell q - v = r_q - r_v (the shared centroid
+    // cancels), so ranking by L2-ADC over residuals is EXACTLY
+    // cosine ranking of unit vectors, PQ-approximated; the LUT is the
+    // negated-L2 form so the integer-sum ranking stays DESC. One
+    // oracle replays coarse training, residual computation, residual
+    // codebook training, and the search.
+    "x44_ann_ivfpq_residual" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)},
+         |asgF AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN cent$KmIters c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asgF WHERE arn = 1),
+         |res AS (SELECT m.vec_id, list_transform(range(1, ${Dim + 1}),
+         |    i -> m.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v,
+         |    m.cell
+         |  FROM cells m JOIN cent$KmIters c ON c.cid = m.cell),
+         |${sqlPqKmeansCtes(PqBookIters, "res")},
+         |${sqlPqTrainedSearch("res", residual = true)},
+         |qc AS (SELECT vec_id AS qid, cell AS qcell FROM cells
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT qc.qid, m.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM cells m
+         |  JOIN qc ON qc.qcell = m.cell AND m.vec_id <> qc.qid
+         |  JOIN codes2 c2 ON c2.vec_id = m.vec_id
+         |  JOIN lut2 l ON l.qid = qc.qid AND l.s = c2.s AND l.r = c2.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfPqResidual(s, dir) })
+
+  /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
+    * every vector for its residual, train the PQ books on residual
+    * subspaces, encode + rank in-cell with the negated-L2 residual
+    * LUT. */
+  /** The residual frame (every vector replaced by v - centroid(cell),
+    * cell column preserved) plus the PQ books trained on it. */
+  private def residualSetup(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        Array[Array[Array[Double]]]) = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
+    val coarse = kmeansBook(s, dir)
+    val centDf = s.createDataset(coarse.toIndexedSeq.zipWithIndex.map {
+        case (cv, c) => SubCentRow(0, c.toLong, cv.toSeq, 0.0)
+      })
+      .toDF("ks", "ccid", "ccv", "cn2").select($"ccid", $"ccv")
+    val res = assignCells(normalizedEmbeddings(s, dir), coarse)
+      .join(broadcast(centDf), $"cell" === $"ccid")
+      .withColumn("v", zip_with($"v", $"ccv", (a, b) => a - b))
+      .drop("ccid", "ccv")
+      .cache()
+    val small = res.filter($"vec_id" < CodeK)
+      .select($"vec_id", $"v").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(small.length == CodeK,
+      s"residual PQ training needs vec_ids 0..${CodeK - 1}")
+    val init = Array.tabulate(SubM)(ss => small.map(subOf(_, ss)))
+    val sub = subspaceRows(res)
+    val books = (1 to PqBookIters).foldLeft(init)((b, _) =>
+      pqBooksRound(s, sub, b))
+    (res, books)
+  }
+
+  /** Mean squared RECONSTRUCTION error of the full vector under the
+    * trained PQ (raw path: v ≈ codewords; residual path: v ≈
+    * centroid + residual codewords — the textbook reason residual
+    * coding exists). Driver-side over the bounded test corpus; the
+    * spec metric for x44 vs x43. */
+  private[graft] def pqReconstructionError(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      residual: Boolean): Double = {
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val frame = if (residual) residualSetup(s, dir)._1
+      else normalizedEmbeddings(s, dir)
+    val books = if (residual) residualSetup(s, dir)._2
+      else pqBooksTrained(s, dir)
+    val vecs = frame.select($"vec_id", $"v").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val tot = (for (v <- vecs; ss <- books.indices) yield
+      books(ss).map(c => l2(subOf(v, ss), c)).min).sum
+    tot / vecs.length
+  }
+
+  private[graft] def annIvfPqResidual(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val (res, books) = residualSetup(s, dir)
+    val (coded, qids, lut) = pqSetup(res, Some(books),
+      residualLut = true)
+    val qcells = coded
+      .filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(qids.forall(qcells.contains),
+      s"residual IVF-PQ query set needs vec_ids ${qids.mkString(",")}")
+    pqRank(coded, qids, lut, k = k,
+      qcellsArr = Some(qids.map(q => Array(qcells(q)))))
+      .orderBy($"qid", $"rn")
+  }
 
   /** x43 body: trained coarse book for the cell restriction + trained
     * PQ books for in-cell ADC ranking. With coarseCells = 1 the cell

@@ -277,6 +277,49 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"overlap ${pq.count(exact.contains)}/40")
   }
 
+  test("x44 residual IVF-PQ ranks in-cell candidates more faithfully " +
+    "than raw-code x43 (the residual L2-ADC is the exact in-cell " +
+    "metric, PQ-approximated)") {
+    // ground truth: each query's EXACT best in-cell neighbor under
+    // the trained coarse book (same integerized-cosine tie-break as
+    // the engine). Note the win is ranking FAITHFULNESS, not
+    // reconstruction error — at this corpus scale the 16-cell coarse
+    // book captures only cos~0.33 of a unit vector's energy, so
+    // residual norms exceed 1 and residuals are no easier to
+    // quantize; what residual coding buys here is that in-cell
+    // q - v = r_q - r_v exactly, so L2-ADC over residuals targets the
+    // true cosine order while raw dot-ADC does not.
+    val book = VectorOps.kmeansBook(spark, dir)
+    val asg = VectorOps.assignCells(
+        VectorOps.normalizedEmbeddings(spark, dir), book)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byCell = asg.groupBy(_._3)
+    val exactBest = (0 until 8).map { q =>
+      val (qid, qv, qc) = asg.find(_._1 == q).get
+      val cands = byCell(qc).filter(_._1 != qid)
+      q.toLong -> cands
+        .maxBy(c => (math.rint(cos(qv, c._2) * 10000), -c._1))._1
+    }.toMap
+    def agree(df: org.apache.spark.sql.DataFrame): Int = {
+      val top = df.collect().filter(_.getLong(3) == 1L)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exactBest.count { case (q, n) => top.get(q).contains(n) }
+    }
+    val raw = agree(VectorOps.annIvfPqTrained(spark, dir)
+      .select("qid", "nid", "adc", "rn"))
+    val res = agree(VectorOps.annIvfPqResidual(spark, dir)
+      .select("qid", "nid", "adc", "rn"))
+    assert(res >= raw, s"residual rank-1 agreement $res < raw $raw")
+    assert(res >= 2, s"residual agreement $res/8 (measured 3/8)")
+  }
+
   test("x43 fully-trained IVF-PQ with one coarse cell degenerates to " +
     "the flat trained-PQ search exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
