@@ -1310,10 +1310,8 @@ object VectorOps {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val frame = if (residual) residualSetup(s, dir)._1
-      else normalizedEmbeddings(s, dir)
-    val books = if (residual) residualSetup(s, dir)._2
-      else pqBooksTrained(s, dir)
+    val (frame, books) = if (residual) residualSetup(s, dir)
+      else (normalizedEmbeddings(s, dir), pqBooksTrained(s, dir))
     val vecs = frame.select($"vec_id", $"v").collect()
       .map(_.getSeq[Double](1).toArray)
     val tot = (for (v <- vecs; ss <- books.indices) yield
