@@ -305,6 +305,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x43/x44 trained searches keep the corpus discipline: encode " +
+    "in codegen, no shuffling joins, one rank exchange") {
+    // training runs as separate bounded jobs before the search plan;
+    // the SEARCH itself must look like x37's — dot_matrix encode, no
+    // SMJ/shuffled join of the corpus (x44's residual subtraction adds
+    // one BROADCAST of the 16 centroids, which ships no corpus rows),
+    // and only the per-query rank window shuffles
+    for (name <- Seq("x43_ann_ivfpq_trained", "x44_ann_ivfpq_residual")) {
+      val p = finalPlanOf(name)
+      assert(p.contains("dot_matrix"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+        && !p.contains("NestedLoop"), s"$name:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name: expected <=1 hash exchange:\n$p")
+    }
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")
