@@ -405,9 +405,21 @@ object VectorOps {
     transform(v, x => floor(x * KmScale + lit(0.5)).cast("double"))
 
   /** Cell assignment against an ARBITRARY centroid matrix (row r =
-    * centroid r): one DotMatrix pass, argmax on (round(cos,4), -cid)
-    * — identical tie-break convention to [[quantizerStructs]]. */
+    * centroid r): a literal DotMatrix fold at small cell counts, the
+    * broadcast-relation argmax past [[MaxLiteralCells]] — the same
+    * switch (and the same reason) as the untrained
+    * [[literalCells]]/[[joinCells]] pair, so the trained-book `cells`
+    * knob is turnable to [[cellsFor]] scale without codegen /
+    * constant-pool blowup. Tie-break in BOTH arms: lexicographic max
+    * over (round(cos, 4), -cid) — identical to [[quantizerStructs]]. */
   private[graft] def assignCells(e: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame =
+    if (cent.length <= MaxLiteralCells) assignCellsLiteral(e, cent)
+    else assignCellsJoin(e, cent)
+
+  /** One DotMatrix pass, argmax on (round(cos,4), -cid) plan
+    * literals — fastest while `cent` fits the codegen ceiling. */
+  private[graft] def assignCellsLiteral(e: org.apache.spark.sql.DataFrame,
       cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
     val arr = array(cent.indices.map { r =>
       struct(round(element_at($"cd", r + 1), 4).as("cos"),
@@ -416,6 +428,37 @@ object VectorOps {
     e.withColumn("cd", graft.functions.DotMatrix($"v", cent))
       .withColumn("cell", -array_max(arr).getField("negcid"))
       .drop("cd")
+  }
+
+  private[graft] final case class CentRow(cid: Long, cv: Seq[Double])
+
+  /** Trained-book twin of [[joinCells]]: the centroid matrix becomes a
+    * LocalRelation (DATA shipped in the one-row broadcast, not plan
+    * literals — plan size and generated code stay O(1) in the cell
+    * count), aggregated into a single array-of-structs row and
+    * argmax'd per vector with the same `aggregate`/`zip_with` fold.
+    * The corpus never shuffles; the only exchange is the broadcast. */
+  private[graft] def assignCellsJoin(e: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    val s = e.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[CentRow]
+    val quantizer = s.createDataset(
+        cent.toIndexedSeq.zipWithIndex.map { case (cv, c) =>
+          CentRow(c.toLong, cv.toSeq) })
+      .select(struct($"cid", $"cv").as("c"))
+      .agg(sort_array(collect_list($"c")).as("cents"))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"),
+      lit(Long.MinValue).as("negcid"))
+    val best = aggregate($"cents", init, (acc, c) => {
+      val cos = round(aggregate(
+        zip_with($"v", c.getField("cv"), (a, b) => a * b),
+        lit(0.0), (s0, x) => s0 + x), 4)
+      val cand = struct(cos.as("cos"), (-c.getField("cid")).as("negcid"))
+      when(cand > acc, cand).otherwise(acc)
+    })
+    e.crossJoin(broadcast(quantizer))
+      .withColumn("cell", -best.getField("negcid"))
+      .drop("cents")
   }
 
   /** One spherical-Lloyd's round, distributed: assign, aggregate

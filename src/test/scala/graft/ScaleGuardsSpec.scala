@@ -76,6 +76,31 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(big.count() > 0)
   }
 
+  test("trained-book assignment: broadcast arm matches the literal " +
+    "fold exactly, and kmeansBook trains past the literal ceiling") {
+    import spark.implicits._
+    val e = VectorOps.normalizedEmbeddings(spark, dir)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    // same trained book through both arms -> identical cell map
+    val book = VectorOps.kmeansBook(spark, dir)
+    assert(cellsOf(VectorOps.assignCellsLiteral(e, book)) ==
+      cellsOf(VectorOps.assignCellsJoin(e, book)))
+    // and training itself runs ABOVE the ceiling: every Lloyd's
+    // assignment routes through the broadcast relation (300 cells >
+    // MaxLiteralCells = 256 — the old literal-only path would hit the
+    // codegen/constant-pool wall here), and the trained search stays
+    // usable end to end
+    val cells = VectorOps.MaxLiteralCells + 44
+    val big = VectorOps.kmeansBook(spark, dir, cells = cells)
+    assert(big.length == cells, big.length.toString)
+    val asg = cellsOf(VectorOps.assignCells(e, big))
+    assert(asg.size == 500 && asg.forall { case (_, c) =>
+      c >= 0 && c < cells })
+    assert(VectorOps.annIvfTrained(spark, dir, cells = cells).count() > 0)
+  }
+
   test("x29 probing more cells finds better-or-equal neighbors; " +
     "nprobe=1 degenerates to x13") {
     import spark.implicits._
