@@ -132,8 +132,12 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, dir: String,
       bandStore: graft.store.Store, sigStore: graft.store.Store)
       : org.apache.spark.sql.DataFrame = {
+    // no cache: both uses (band keys, verification signatures) are
+    // broadcast sides over the BOUNDED new batch — recomputing its
+    // signatures twice within the one execution is cheaper than
+    // pinning blocks with no post-action seam to unpersist from
     val newSig = signatureDf(s, dir, Sig)
-      .filter($"doc_id" % 2 === 1).cache()
+      .filter($"doc_id" % 2 === 1)
     val newBands = bandRowsOf(newSig, Sig, Bands)
       .select($"doc_id".as("new_id"), $"b".as("b2"), $"k".as("k2"))
     val index = bandStore.read("band_index", s)

@@ -1348,18 +1348,24 @@ object VectorOps {
   private[graft] def pqReconstructionError(
       s: org.apache.spark.sql.SparkSession, dir: String,
       residual: Boolean): Double = {
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
     val (frame, books) = if (residual) residualSetup(s, dir)
       else (normalizedEmbeddings(s, dir), pqBooksTrained(s, dir))
-    val vecs = frame.select($"vec_id", $"v").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val tot = (for (v <- vecs; ss <- books.indices) yield
-      books(ss).map(c => l2(subOf(v, ss), c)).min).sum
-    tot / vecs.length
+    // per-row Σ_ss min_c ||sv - c||², fully distributed: each
+    // subspace is one DotMatrix pass + the ||c||² literal (||sv - c||²
+    // = ||sv||² - 2·sv·c + ||c||²), min via array_min, then ONE avg
+    // aggregate — no corpus collect (the old driver-side loop read
+    // every vector back)
+    val perRow = (0 until SubM).map { ss =>
+      val sv = slice($"v", ss * SubDim + 1, SubDim)
+      val n2s = books(ss).map(sumSq)
+      array_min(zip_with(
+        graft.functions.DotMatrix(sv, books(ss)), lit(n2s),
+        (d, n2) => n2 - lit(2) * d)) +
+        graft.functions.DotProduct(sv, sv)
+    }.reduce(_ + _)
+    val err = frame.agg(avg(perRow).as("e")).collect()(0).getDouble(0)
+    if (residual) frame.unpersist()
+    err
   }
 
   private[graft] def annIvfPqResidual(
@@ -1372,6 +1378,12 @@ object VectorOps {
       .filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
       .select($"vec_id", $"cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // qcells was the cache's last eager use: training (2 Lloyd's
+    // rounds + the seed collect) amortized it; the returned search
+    // recomputes the residual projection in ONE pass rather than
+    // pinning corpus-sized blocks for the JVM lifetime (the
+    // production path is annIvfPqFromStore, which re-encodes nothing)
+    res.unpersist()
     require(qids.forall(qcells.contains),
       s"residual IVF-PQ query set needs vec_ids ${qids.mkString(",")}")
     pqRank(coded, qids, lut, k = k,
@@ -1428,7 +1440,11 @@ object VectorOps {
       dir: String, cells: Int = DefaultCells, iters: Int = KmIters,
       k: Int = 3): org.apache.spark.sql.DataFrame = {
     val book = kmeansBook(s, dir, cells, iters)
-    val asg = assignCells(normalizedEmbeddings(s, dir), book).cache()
+    // no cache: the q branch re-derives from a vec_id<8 pushdown-pruned
+    // mini-scan and the corpus branch scans once — cheaper than pinning
+    // the full assignment for the JVM lifetime (registry bodies are
+    // lazy; there is no post-action seam to unpersist from)
+    val asg = assignCells(normalizedEmbeddings(s, dir), book)
     val q = asg.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
     val sc = asg.join(broadcast(q),

@@ -388,6 +388,18 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"query $q regressed"))
   }
 
+  test("trained-ANN bodies leave no pinned cache blocks behind " +
+    "(repeated trained-family runs can't accumulate storage)") {
+    spark.sharedState.cacheManager.clearCache()
+    assert(VectorOps.annIvfTrained(spark, dir).count() > 0)
+    assert(VectorOps.annIvfPqTrained(spark, dir).count() > 0)
+    assert(VectorOps.annIvfPqResidual(spark, dir).count() > 0)
+    assert(VectorOps.pqReconstructionError(spark, dir,
+      residual = true) > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "trained-ANN run left cached blocks pinned")
+  }
+
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
     "new-vs-old slice") {
     // x7 over the whole corpus, restricted to odd(new)/even(old)
