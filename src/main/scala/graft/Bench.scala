@@ -133,7 +133,8 @@ object Bench {
       "x34_ann_pq", "x37_ann_ivfpq", "x38_ann_ivfpq_nprobe",
       "x39_kmeans_train", "x40_ann_ivf_trained", "x41_pq_train",
       "x42_ann_pq_trained", "x43_ann_ivfpq_trained",
-      "x44_ann_ivfpq_residual", "m2_train_score")
+      "x44_ann_ivfpq_residual", "x45_ann_ivfpq_residual_probe",
+      "m2_train_score")
     val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

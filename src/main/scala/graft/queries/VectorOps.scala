@@ -1306,17 +1306,84 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annIvfPqResidual(s, dir) })
+      (s, dir) => annIvfPqResidual(s, dir) },
+
+    // ----- x45 residual IVF-PQ with nprobe: the last FAISS IVFADC
+    // behavior — per-(query, probed cell) residual LUTs (q's residual
+    // differs per cell), scores offset-corrected by ||r_q^c||² so the
+    // ranked quantity is the PQ approximation of -||q - v||², which is
+    // comparable ACROSS probed cells. The oracle replays coarse
+    // training, residuals, residual-book training, probe lists, the
+    // per-(query, cell) LUTs, and the offset-corrected rank.
+    "x45_ann_ivfpq_residual_probe" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)},
+         |asgF AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN cent$KmIters c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asgF WHERE arn = 1),
+         |res AS (SELECT m.vec_id, list_transform(range(1, ${Dim + 1}),
+         |    i -> m.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v,
+         |    m.cell
+         |  FROM cells m JOIN cent$KmIters c ON c.cid = m.cell),
+         |${sqlPqKmeansCtes(PqBookIters, "res")},
+         |${sqlPqTrainedSearch("res", residual = true)},
+         |probes AS (SELECT vec_id AS qid, cid AS pcell FROM (
+         |    SELECT n.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS prn
+         |    FROM n CROSS JOIN cent$KmIters c
+         |    WHERE n.vec_id < $PqQueries) WHERE prn <= 2),
+         |qres AS (SELECT p.qid, p.pcell,
+         |    list_transform(range(1, ${Dim + 1}),
+         |      i -> n.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS qv
+         |  FROM probes p JOIN n ON n.vec_id = p.qid
+         |  JOIN cent$KmIters c ON c.cid = p.pcell),
+         |qoff AS (SELECT qid, pcell,
+         |    CAST(round(list_sum(list_transform(qv, x -> x * x))
+         |      * 10000, 0) AS BIGINT) AS off
+         |  FROM qres),
+         |qsub3 AS (SELECT q.qid, q.pcell, pss.s,
+         |    list_transform(range(1, ${SubDim + 1}),
+         |      j -> q.qv[CAST(pss.s * $SubDim + j AS INT)]) AS sv
+         |  FROM qres q, pss),
+         |lut3 AS (SELECT qs.qid, qs.pcell, qs.s, c.cid AS r,
+         |    CAST(round((2 * ${sqlSubdot8("qs.sv", "c.cv")} -
+         |      list_sum(list_transform(c.cv, x -> x * x))) * 10000, 0)
+         |      AS BIGINT) AS d4
+         |  FROM qsub3 qs JOIN pcent$PqBookIters c ON c.s = qs.s),
+         |sc AS (SELECT p.qid, m.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) - min(o.off) AS s4
+         |  FROM cells m
+         |  JOIN probes p ON p.pcell = m.cell AND m.vec_id <> p.qid
+         |  JOIN codes2 c2 ON c2.vec_id = m.vec_id
+         |  JOIN lut3 l ON l.qid = p.qid AND l.pcell = p.pcell
+         |    AND l.s = c2.s AND l.r = c2.code
+         |  JOIN qoff o ON o.qid = p.qid AND o.pcell = p.pcell
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, s4, row_number() OVER (
+         |    PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfPqResidualProbe(s, dir) })
 
   /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
     * every vector for its residual, train the PQ books on residual
     * subspaces, encode + rank in-cell with the negated-L2 residual
     * LUT. */
   /** The residual frame (every vector replaced by v - centroid(cell),
-    * cell column preserved) plus the PQ books trained on it. */
+    * cell column preserved), the PQ books trained on it, and the
+    * coarse book the residuals are relative to (x45's probe lists
+    * need it: the query's residual differs per probed cell). */
   private def residualSetup(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-        Array[Array[Array[Double]]]) = {
+        Array[Array[Array[Double]]], Array[Array[Double]]) = {
     implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
     val coarse = kmeansBook(s, dir)
     val centDf = s.createDataset(coarse.toIndexedSeq.zipWithIndex.map {
@@ -1337,7 +1404,7 @@ object VectorOps {
     val sub = subspaceRows(res)
     val books = (1 to PqBookIters).foldLeft(init)((b, _) =>
       pqBooksRound(s, sub, b))
-    (res, books)
+    (res, books, coarse)
   }
 
   /** Mean squared RECONSTRUCTION error of the full vector under the
@@ -1348,8 +1415,9 @@ object VectorOps {
   private[graft] def pqReconstructionError(
       s: org.apache.spark.sql.SparkSession, dir: String,
       residual: Boolean): Double = {
-    val (frame, books) = if (residual) residualSetup(s, dir)
-      else (normalizedEmbeddings(s, dir), pqBooksTrained(s, dir))
+    val (frame, books) = if (residual) {
+      val (r, b, _) = residualSetup(s, dir); (r, b)
+    } else (normalizedEmbeddings(s, dir), pqBooksTrained(s, dir))
     // per-row Σ_ss min_c ||sv - c||², fully distributed: each
     // subspace is one DotMatrix pass + the ||c||² literal (||sv - c||²
     // = ||sv||² - 2·sv·c + ||c||²), min via array_min, then ONE avg
@@ -1371,7 +1439,7 @@ object VectorOps {
   private[graft] def annIvfPqResidual(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int = 3)
       : org.apache.spark.sql.DataFrame = {
-    val (res, books) = residualSetup(s, dir)
+    val (res, books, _) = residualSetup(s, dir)
     val (coded, qids, lut) = pqSetup(res, Some(books),
       residualLut = true)
     val qcells = coded
@@ -1388,6 +1456,89 @@ object VectorOps {
       s"residual IVF-PQ query set needs vec_ids ${qids.mkString(",")}")
     pqRank(coded, qids, lut, k = k,
       qcellsArr = Some(qids.map(q => Array(qcells(q)))))
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x45 body: residual IVF-PQ with multi-cell probing — x44's
+    * residual LUT composed with x38's nprobe recall knob, which is
+    * exactly what FAISS IVFADC does at its default nprobe 1-64. The
+    * residual trick makes the LUT CELL-relative (q's residual differs
+    * per probed cell), so each (query, probed cell) gets its own LUT,
+    * and cross-cell scores are made comparable by subtracting the
+    * per-(query, cell) offset ||r_q^c||²: the ranked quantity is then
+    * the PQ approximation of -||q - v||² — within one cell r_q - r_v
+    * = q - v exactly, so in-cell faithfulness is x44's, and across
+    * cells the offset-corrected score is FAISS's IVFADC distance
+    * (negated). nprobe=1 reproduces x44's neighbors and ranks
+    * (ScaleGuardsSpec); the adc VALUE differs from x44 by the
+    * per-query constant ||r_q||², which cannot reorder an in-cell
+    * ranking.
+    *
+    * Scale shape: identical to x44 — the corpus never shuffles (cell
+    * + codes in one codegen projection), probe lists and LUTs are
+    * bounded driver arithmetic over 8 queries × nprobe cells, and the
+    * only exchange is the per-query rank window. */
+  private[graft] def annIvfPqResidualProbe(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val (res, books, coarse) = residualSetup(s, dir)
+    val (coded, qids, _) = pqSetup(res, Some(books), residualLut = true)
+    val qraw = normalizedEmbeddings(s, dir)
+      .filter($"vec_id" < PqQueries)
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    res.unpersist() // pqSetup's seed collect was the cache's last use
+    require(qids.forall(qraw.contains),
+      s"residual nprobe query set needs vec_ids ${qids.mkString(",")}")
+    def rawDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def i4(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // probe lists: top-nprobe cells per query by (round(cos,4) DESC,
+    // cid ASC) — the SAME convention the corpus assignment argmaxes
+    // over, so probe rank 1 IS the query's own cell
+    val probes: Array[Array[Int]] = qids.map { q =>
+      coarse.indices.map(c => (i4(rawDot(qraw(q), coarse(c)) * 10000), c))
+        .sortBy { case (d, c) => (-d, c) }
+        .take(nprobe).map(_._2).toArray
+    }
+    // per-(query, probed cell): residual r_q^c = q - cent_c, its
+    // negated-L2 LUT against the trained books, and the integerized
+    // ||r_q^c||² offset that makes scores cross-cell comparable
+    val luts: Array[Array[(Long, Array[Array[Long]], Long)]] =
+      qids.zipWithIndex.map { case (q, j) =>
+        probes(j).map { c =>
+          val rq = qraw(q).zip(coarse(c)).map { case (a, b) => a - b }
+          val lut = Array.tabulate(SubM)(ss => books(ss).map(cw =>
+            i4((2 * rawDot(subOf(rq, ss), cw) - sumSq(cw)) * 10000)))
+          (c.toLong, lut, i4(sumSq(rq) * 10000))
+        }
+      }
+    // scores: per query a CASE over its probed cells — each corpus
+    // row lives in ONE cell, so probed candidate sets are disjoint
+    // and rows outside every probed cell score null (dropped)
+    val scores = array(qids.indices.map { j =>
+      luts(j).foldLeft(lit(null).cast("long")) {
+        case (acc, (cell, lut, off)) =>
+          val sum = (0 until SubM).map(ss =>
+            element_at(lit(lut(ss)), col(s"c$ss").cast("int")))
+            .reduce(_ + _) - lit(off)
+          when($"cell" === cell, sum).otherwise(acc)
+      }
+    }: _*)
+    coded
+      .select($"vec_id".as("nid"),
+        posexplode(scores).as(Seq("qp", "s4")))
+      .withColumn("qid", element_at(lit(qids), $"qp" + 1))
+      .filter($"s4".isNotNull && $"nid" =!= $"qid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"s4".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"nid", round($"s4" / 10000.0, 4).as("adc"), $"rn")
       .orderBy($"qid", $"rn")
   }
 

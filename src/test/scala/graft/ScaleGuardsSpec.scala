@@ -394,10 +394,33 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(VectorOps.annIvfTrained(spark, dir).count() > 0)
     assert(VectorOps.annIvfPqTrained(spark, dir).count() > 0)
     assert(VectorOps.annIvfPqResidual(spark, dir).count() > 0)
+    assert(VectorOps.annIvfPqResidualProbe(spark, dir).count() > 0)
     assert(VectorOps.pqReconstructionError(spark, dir,
       residual = true) > 0)
     assert(spark.sharedState.cacheManager.isEmpty,
       "trained-ANN run left cached blocks pinned")
+  }
+
+  test("x45 residual nprobe=1 reproduces x44's neighbors and ranks " +
+    "(adc shifts by the per-query ||r_q||² constant, which cannot " +
+    "reorder an in-cell ranking); probing a second cell only improves " +
+    "the offset-corrected best neighbor") {
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val p1 = VectorOps.annIvfPqResidualProbe(spark, dir, nprobe = 1)
+    assert(ranks(p1) == ranks(VectorOps.annIvfPqResidual(spark, dir)),
+      "nprobe=1 did not degenerate to x44")
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().filter(_.getLong(3) == 1L)
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r1 = rank1(p1.select("qid", "nid", "adc", "rn"))
+    val r2 = rank1(VectorOps.annIvfPqResidualProbe(spark, dir,
+      nprobe = 2).select("qid", "nid", "adc", "rn"))
+    // the offset correction makes scores cross-cell comparable
+    // (≈ -||q - v||²), so a wider probe can only raise the best score
+    assert(r1.keySet == r2.keySet)
+    r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"query $q regressed"))
   }
 
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
