@@ -113,6 +113,49 @@ object VectorOps {
   private[graft] def subOf(v: Array[Double], ss: Int): Array[Double] =
     java.util.Arrays.copyOfRange(v, ss * SubDim, (ss + 1) * SubDim)
 
+  /** Driver-side sequential dot — the DotProduct / list_sum fold order
+    * both engines replay. */
+  private[graft] def rawDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Integerize HALF_UP — away-from-zero on negatives, matching both
+    * engines' round() (math.round would differ there). */
+  private[graft] def i4(x: Double): Long = BigDecimal(x)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** The corpus-side PQ encode: append the 8 subspace codes c0..c7 to
+    * every row of `df` in ONE codegen projection — per subspace,
+    * |book| codegen dots -> integerize (bound once) -> first
+    * argmax/argmin (array_position on longs == ordered-with-r-ASC
+    * tie). `trained = false` is the first-CodeK convention (encode by
+    * MAX dot — x34's historical surface); `trained = true` encodes by
+    * MIN L2 (classical PQ — matches the training assignment), reusing
+    * the same DotMatrix pass: ||sv||² is row-constant, so argmin of
+    * (||c||² - 2·dot) is the L2 argmin. Factored out of [[pqSetup]]
+    * so [[appendAnnCorpus]] can encode NEW batches against persisted
+    * books without touching history. */
+  private[graft] def encodeCodes(df: org.apache.spark.sql.DataFrame,
+      subCent: Array[Array[Array[Double]]], trained: Boolean)
+      : org.apache.spark.sql.DataFrame =
+    (0 until SubM).foldLeft(df) { (d, ss) =>
+      val cd = graft.functions.DotMatrix(
+        slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
+      val scores = if (trained) {
+        val n2s = subCent(ss).map(sumSq)
+        zip_with(cd, lit(n2s),
+          (dd, n2) => round((n2 - lit(2) * dd) * 10000).cast("long"))
+      } else transform(cd, x => round(x * 10000).cast("long"))
+      val pick = if (trained)
+        array_position(col(s"d$ss"), array_min(col(s"d$ss")))
+      else array_position(col(s"d$ss"), array_max(col(s"d$ss")))
+      d.withColumn(s"d$ss", scores)
+        .withColumn(s"c$ss", pick)
+        .drop(s"d$ss")
+    }
+
   private def pqSetup(e: org.apache.spark.sql.DataFrame,
       booksOpt: Option[Array[Array[Array[Double]]]] = None,
       residualLut: Boolean = false)
@@ -127,13 +170,6 @@ object VectorOps {
         s"query set); corpus provides only ${small.keySet.toSeq.sorted}")
     val cb = (0 until CodeK).map(small(_)).toArray
     def sub(v: Array[Double], ss: Int): Array[Double] = subOf(v, ss)
-    def rawDot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    def i4(x: Double): Long = BigDecimal(x)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     // default LUT entry: integerized dot (flat/IVF ADC on raw
     // vectors). residualLut: the NEGATED-L2 form round((2·dot -
     // ||code||²)·1e4) — within one coarse cell q - v = r_q - r_v, so
@@ -147,32 +183,7 @@ object VectorOps {
     // (x42), the deterministic first-CodeK convention otherwise
     val subCent: Array[Array[Array[Double]]] =
       booksOpt.getOrElse(Array.tabulate(SubM)(ss => cb.map(sub(_, ss))))
-    // encode: per subspace, 16 codegen dots -> integerize (bound once)
-    // -> first argmax/argmin (array_position on longs == ordered-with-
-    // r-ASC-tie). The first-N convention encodes by max dot (x34's
-    // historical surface); TRAINED books encode by min L2 (classical
-    // PQ — matches the training assignment), reusing the same
-    // DotMatrix pass: ||sv||² is row-constant, so argmin of
-    // (||c||² - 2·dot) is the L2 argmin.
-    val coded = (0 until SubM).foldLeft(e) { (df, ss) =>
-      val cd = graft.functions.DotMatrix(
-        slice($"v", ss * SubDim + 1, SubDim), subCent(ss))
-      val scores = if (booksOpt.isDefined) {
-        val n2s = subCent(ss).map(c => {
-          var acc = 0.0; var i = 0
-          while (i < c.length) { acc += c(i) * c(i); i += 1 }
-          acc
-        })
-        zip_with(cd, lit(n2s),
-          (dd, n2) => round((n2 - lit(2) * dd) * 10000).cast("long"))
-      } else transform(cd, x => round(x * 10000).cast("long"))
-      val pick = if (booksOpt.isDefined)
-        array_position(col(s"d$ss"), array_min(col(s"d$ss")))
-      else array_position(col(s"d$ss"), array_max(col(s"d$ss")))
-      df.withColumn(s"d$ss", scores)
-        .withColumn(s"c$ss", pick)
-        .drop(s"d$ss")
-    }
+    val coded = encodeCodes(e, subCent, trained = booksOpt.isDefined)
     val qids = (0 until PqQueries).map(_.toLong).toArray
     val lut: Array[Array[Array[Long]]] = qids.map { qid =>
       Array.tabulate(SubM)(ss =>
@@ -438,8 +449,14 @@ object VectorOps {
     * count), aggregated into a single array-of-structs row and
     * argmax'd per vector with the same `aggregate`/`zip_with` fold.
     * The corpus never shuffles; the only exchange is the broadcast. */
-  private[graft] def assignCellsJoin(e: org.apache.spark.sql.DataFrame,
-      cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+  /** Shared core of [[assignCellsJoin]] and the seeding scan's join
+    * arm: the centroid matrix as a one-row broadcast LocalRelation
+    * crossed into `e`, plus the per-vector best (round(cos,4),
+    * -cid) struct — the same lexicographic-max convention as the
+    * literal arm. */
+  private def joinBest(e: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
     val s = e.sparkSession
     implicit val enc = org.apache.spark.sql.Encoders.product[CentRow]
     val quantizer = s.createDataset(
@@ -456,8 +473,13 @@ object VectorOps {
       val cand = struct(cos.as("cos"), (-c.getField("cid")).as("negcid"))
       when(cand > acc, cand).otherwise(acc)
     })
-    e.crossJoin(broadcast(quantizer))
-      .withColumn("cell", -best.getField("negcid"))
+    (e.crossJoin(broadcast(quantizer)), best)
+  }
+
+  private[graft] def assignCellsJoin(e: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    val (j, best) = joinBest(e, cent)
+    j.withColumn("cell", -best.getField("negcid"))
       .drop("cents")
   }
 
@@ -503,18 +525,128 @@ object VectorOps {
     (1 to iters).foldLeft(init)((c, _) => kmeansRound(iv, c))
   }
 
+  /** Deterministic farthest-point (max-min, "k-means++ without the
+    * dice") seeding: seed 0 is vec_id 0's vector; every next seed is
+    * the corpus vector MINIMIZING its max rounded cosine against the
+    * seeds chosen so far (= the farthest point from the seed set on
+    * the sphere), ties to the smallest vec_id — fully deterministic,
+    * so the oracle replays seed selection exactly. Each selection is
+    * ONE distributed pass: score (literal DotMatrix at small seed
+    * counts, the [[joinBest]] broadcast relation past
+    * [[MaxLiteralCells]] — same switch, same reason as
+    * [[assignCells]]), then a map-side-combinable min(struct) carries
+    * (score, vec_id, vector) back in a single row. Standard fix for
+    * adversarial first-N seed clustering (Arthur & Vassilvitskii's
+    * k-means++ motivation; Gonzalez's 2-approximation for the max-min
+    * form). `maxLiteral` is spec-overridable so literal ≡ join arms
+    * are pinned without a 257-seed walk. */
+  private[graft] def farthestPointSeeds(e: org.apache.spark.sql.DataFrame,
+      cells: Int, maxLiteral: Int = MaxLiteralCells)
+      : Array[Array[Double]] = {
+    val first = e.filter($"vec_id" === 0L).select($"v").collect()
+    require(first.nonEmpty, "farthest-point seeding needs vec_id 0")
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      first(0).getSeq[Double](0).toArray)
+    while (seeds.length < cells) {
+      val cent = seeds.toArray
+      val scored = if (cent.length <= maxLiteral)
+        e.withColumn("mx", array_max(transform(
+          graft.functions.DotMatrix($"v", cent), x => round(x, 4))))
+      else {
+        val (j, best) = joinBest(e, cent)
+        j.withColumn("mx", best.getField("cos")).drop("cents")
+      }
+      val m = scored
+        .agg(min(struct($"mx", $"vec_id".as("vid"), $"v".as("sv"))).as("m"))
+        .select($"m.vid", $"m.sv").head()
+      seeds += m.getSeq[Double](1).toArray
+    }
+    seeds.toArray
+  }
+
+  /** The x39/x46 registry surface over an arbitrary seed: K-1 driver
+    * Lloyd's rounds, with the K-th round left a LAZY plan so the
+    * registry output is computed distributedly like any other query.
+    * Emits (cid, n, i, comp) — the trained centroids exploded to
+    * hash-comparable rows plus each cell's final member count. */
+  private def kmeansTrainFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String, init: Array[Array[Double]])
+      : org.apache.spark.sql.DataFrame = {
+    val iv = normalizedEmbeddings(s, dir).withColumn("ivd", intComps($"v"))
+    val prev = (1 until KmIters).foldLeft(init)((c, _) =>
+      kmeansRound(iv, c))
+    val stats = assignCells(iv, prev)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ArrayMean.udaf($"ivd").as("m"))
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]())
+    val prevDf = s.createDataset(prev.toIndexedSeq.zipWithIndex
+        .map { case (cv, c) => (c.toLong, cv.toSeq) })
+      .toDF("pcid", "pcv")
+    val cv0 = transform($"m", x => x / KmScale)
+    val nrm = sqrt(aggregate(transform(cv0, x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val cvn = transform(cv0, x => x / nrm)
+    prevDf.join(stats, $"pcid" === $"cell", "left")
+      .select($"pcid".as("cid"), coalesce($"n", lit(0L)).as("n"),
+        posexplode(coalesce(cvn, $"pcv")).as(Seq("p", "comp")))
+      .select($"cid", $"n", ($"p" + 1).cast("long").as("i"), $"comp")
+      .orderBy($"cid", $"i")
+  }
+
+  /** [[kmeansBook]] over the [[farthestPointSeeds]] init — the x46
+    * variant. Same Lloyd's rounds, same integer sufficient
+    * statistics; only the seed differs. */
+  private[graft] def kmeansBookSeeded(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, iters: Int = KmIters)
+      : Array[Array[Double]] = {
+    val e = normalizedEmbeddings(s, dir)
+    val init = farthestPointSeeds(e, cells)
+    val iv = e.withColumn("ivd", intComps($"v"))
+    (1 to iters).foldLeft(init)((c, _) => kmeansRound(iv, c))
+  }
+
   /** Shared oracle CTEs replaying the training loop: expects `n`
     * (normalized vectors) upstream; emits `iv`, `cent0` and, per
     * iteration t, `asg{t}` / `m{t}` (per-component exact sums) /
     * `cent{t}` — the same assignment convention, the same
     * (sum / n) / 1e6 division order, the same empty-cell fallback. */
-  private def sqlKmeansCtes(cells: Int, iters: Int): String = {
+  private def sqlKmeansCtes(cells: Int, iters: Int,
+      seeded: Boolean = false): String = {
+    // cent0: first-N convention, or the farthest-point walk unrolled
+    // (one (mx, pick, seeds) CTE triple per selection — the same
+    // (max rounded cos) ASC, vec_id ASC argmin the engine aggregates)
+    val cent0 = if (!seeded)
+      s"""cent0 AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $cells)""".stripMargin
+    else {
+      // MATERIALIZED: each sd{t} references sd{t-1} twice (carry +
+      // the mx scan) — default CTE inlining would expand the chain
+      // 2^cells-fold
+      val steps = (1 until cells).map { t =>
+        s"""mx$t AS MATERIALIZED (SELECT n.vec_id, n.v,
+           |    max(round(${sqlDot("n.v", "s.cv")}, 4)) AS mx
+           |  FROM n CROSS JOIN sd${t - 1} s GROUP BY n.vec_id, n.v),
+           |pk$t AS (SELECT vec_id, v FROM mx$t
+           |  ORDER BY mx ASC, vec_id ASC LIMIT 1),
+           |sd$t AS MATERIALIZED (SELECT * FROM sd${t - 1}
+           |  UNION ALL SELECT CAST($t AS BIGINT) AS sid, v FROM pk$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""sd0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS sid, v AS cv
+         |  FROM n WHERE vec_id = 0),
+         |$steps,
+         |cent0 AS (SELECT sid AS cid, cv FROM sd${cells - 1})"""
+        .stripMargin
+    }
     val init =
       s"""iv AS (SELECT vec_id, v,
          |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS ivd
          |  FROM n),
-         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM n
-         |  WHERE vec_id < $cells)""".stripMargin
+         |$cent0""".stripMargin
     val its = (1 to iters).map { t =>
       s"""asg$t AS (SELECT iv.vec_id, iv.v, iv.ivd, c.cid,
          |    row_number() OVER (PARTITION BY iv.vec_id
@@ -1094,35 +1226,11 @@ object VectorOps {
          |  ON cn.mcid = c.cid
          |CROSS JOIN range(1, ${Dim + 1}) ci(i)
          |ORDER BY cid, i""".stripMargin) { (s, dir) =>
-      val e = normalizedEmbeddings(s, dir)
-      val init = e.filter($"vec_id" < DefaultCells)
+      val init = normalizedEmbeddings(s, dir)
+        .filter($"vec_id" < DefaultCells)
         .select($"vec_id", $"v").collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-      val iv = e.withColumn("ivd", intComps($"v"))
-      // K-1 driver rounds; the K-th stays a lazy plan so the registry
-      // output is computed distributedly like any other query
-      val prev = (1 until KmIters).foldLeft(init)((c, _) =>
-        kmeansRound(iv, c))
-      val stats = assignCells(iv, prev)
-        .groupBy($"cell")
-        .agg(count(lit(1)).as("n"),
-          graft.functions.ArrayMean.udaf($"ivd").as("m"))
-      implicit val enc = org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders
-          .ExpressionEncoder[Seq[Double]]())
-      val prevDf = s.createDataset(prev.toIndexedSeq.zipWithIndex
-          .map { case (cv, c) => (c.toLong, cv.toSeq) })
-        .toDF("pcid", "pcv")
-      val cv0 = transform($"m", x => x / KmScale)
-      val nrm = sqrt(aggregate(transform(cv0, x => x * x),
-        lit(0.0), (a, x) => a + x))
-      val cvn = transform(cv0, x => x / nrm)
-      prevDf.join(stats, $"pcid" === $"cell", "left")
-        .select($"pcid".as("cid"), coalesce($"n", lit(0L)).as("n"),
-          posexplode(coalesce(cvn, $"pcv")).as(Seq("p", "comp")))
-        .select($"cid", $"n", ($"p" + 1).cast("long").as("i"), $"comp")
-        .orderBy($"cid", $"i")
+      kmeansTrainFrame(s, dir, init)
     },
 
     // ----- x40 IVF over the TRAINED book: x13's query shape with the
@@ -1371,7 +1479,29 @@ object VectorOps {
          |SELECT qid, nid, round(s4 / 10000.0, 4) AS adc,
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
-      (s, dir) => annIvfPqResidualProbe(s, dir) })
+      (s, dir) => annIvfPqResidualProbe(s, dir) },
+
+    // ----- x46 seeded k-means: x39's training with the deterministic
+    // farthest-point (max-min) seed in place of first-N — the standard
+    // fix for adversarial seed clustering, kept oracle-replayable by
+    // making every selection a deterministic argmin. The oracle
+    // replays the ENTIRE seed walk (15 unrolled selections) and then
+    // the same Lloyd's rounds, hash-matching the trained centroids.
+    "x46_kmeans_train_seeded" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters, seeded = true)}
+         |SELECT c.cid, coalesce(cn.n, CAST(0 AS BIGINT)) AS n,
+         |  CAST(ci.i AS BIGINT) AS i, c.cv[CAST(ci.i AS INT)] AS comp
+         |FROM cent$KmIters c
+         |LEFT JOIN (SELECT mcid, n FROM m$KmIters WHERE i = 1) cn
+         |  ON cn.mcid = c.cid
+         |CROSS JOIN range(1, ${Dim + 1}) ci(i)
+         |ORDER BY cid, i""".stripMargin) { (s, dir) =>
+      kmeansTrainFrame(s, dir,
+        farthestPointSeeds(normalizedEmbeddings(s, dir), DefaultCells))
+    })
 
   /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
     * every vector for its residual, train the PQ books on residual
@@ -1490,13 +1620,6 @@ object VectorOps {
     res.unpersist() // pqSetup's seed collect was the cache's last use
     require(qids.forall(qraw.contains),
       s"residual nprobe query set needs vec_ids ${qids.mkString(",")}")
-    def rawDot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    def i4(x: Double): Long = BigDecimal(x)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     // probe lists: top-nprobe cells per query by (round(cos,4) DESC,
     // cid ASC) — the SAME convention the corpus assignment argmaxes
     // over, so probe rank 1 IS the query's own cell
@@ -1708,13 +1831,12 @@ object VectorOps {
       Seq.empty)
   }
 
-  /** A "later session's" x43: load the persisted books (bounded
-    * collects — 16×64 + 128×8 doubles) and search; no training jobs
-    * run. */
-  private[graft] def annIvfPqFromStore(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      store: graft.store.Store, k: Int = 3)
-      : org.apache.spark.sql.DataFrame = {
+  /** Load the persisted [[persistAnnBooks]] artifacts back into driver
+    * arrays (bounded collects — 16×64 + 128×8 doubles; parquet doubles
+    * round-trip exactly). */
+  private[graft] def loadAnnBooks(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val coarse = store.read("ann_coarse_book", s)
       .select($"cid", $"cv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -1725,6 +1847,92 @@ object VectorOps {
         r.getSeq[Double](2).toArray).toMap
     val books = Array.tabulate(SubM)(ss =>
       Array.tabulate(CodeK)(c => pq((ss, c))))
+    (coarse, books)
+  }
+
+  /** A "later session's" x43: load the persisted books and search; no
+    * training jobs run. */
+  private[graft] def annIvfPqFromStore(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      store: graft.store.Store, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val (coarse, books) = loadAnnBooks(s, store)
     annIvfPqWith(s, dir, coarse, books, k)
+  }
+
+  // ---- incremental ANN corpus through the persisted books ------------
+  // The x33/x35 incremental-ingest pattern applied to the ANN CORPUS:
+  // history is persisted as its (vec_id, cell, c0..c7) codes — 9 longs
+  // per vector, not the 64-double vector — and every new batch encodes
+  // against the PERSISTED books and lands in its own `batch` partition
+  // (dynamic overwrite = idempotent batch re-ingest, the reference's
+  // delete-before-write economy). Search reads codes straight off
+  // parquet: history is never re-encoded, never re-scanned as raw
+  // vectors, and never shuffled — at 100 TB the corpus-side work for a
+  // day's ingest is ONE codegen projection over the day's batch.
+
+  /** Encode one raw batch of (vec_id, v) rows (ENGINE-normalized, the
+    * [[normalizedEmbeddings]] frame) against the persisted books and
+    * append it to the `ann_corpus` table under its own batch
+    * partition. Cell assignment and the 8 codes ride the same codegen
+    * projections the one-shot x43 uses ([[assignCells]] +
+    * [[encodeCodes]]), so a multi-batch corpus is row-identical to a
+    * one-shot encode of the union (StoreSpec pins bit-identity).
+    *
+    * Layout: partitioned (batch, cell) — a day's ingest writes
+    * cells-many tasks in parallel (partitioning by batch alone would
+    * funnel the whole day through ONE writer task), searches prune to
+    * probed cells at the DIRECTORY level, and delete-before-write
+    * drops a re-ingested batch's stale cells (dynamic overwrite alone
+    * would leave a vanished cell's old rows behind — S12's exact
+    * rationale). */
+  def appendAnnCorpus(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val (coarse, books) = loadAnnBooks(s, store)
+    val coded = encodeCodes(assignCells(batch, coarse), books,
+        trained = true)
+      .select(lit(batchId).as("batch") +: $"cell" +: $"vec_id" +:
+        (0 until SubM).map(ss => col(s"c$ss")): _*)
+    store.delete("ann_corpus", Seq("batch" -> batchId))
+    store.write("ann_corpus", coded, Seq("batch", "cell"))
+  }
+
+  /** The x43 search over the PERSISTED corpus codes: books load from
+    * the store, query vectors come from a vec_id-pruned mini-scan (the
+    * bounded 8-query set), LUTs are driver arithmetic, and the corpus
+    * side is a parquet scan of codes — zero DotMatrix work over
+    * history, the only exchange the per-query rank window. */
+  private[graft] def annIvfPqSearchStored(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      store: graft.store.Store, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, books) = loadAnnBooks(s, store)
+    // cell comes back as a PARTITION column (directory-pruned for the
+    // probed cells; inferred int) — re-widen to the engine's long
+    val coded = store.read("ann_corpus", s)
+      .withColumn("cell", $"cell".cast("long"))
+    val qids = (0 until PqQueries).map(_.toLong).toArray
+    val qv = normalizedEmbeddings(s, dir)
+      .filter($"vec_id" < PqQueries)
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(qids.forall(qv.contains),
+      s"stored-corpus search needs query vec_ids ${qids.mkString(",")}" +
+        s"; found only ${qv.keySet.toSeq.sorted}")
+    val lut: Array[Array[Array[Long]]] = qids.map { q =>
+      Array.tabulate(SubM)(ss =>
+        books(ss).map(c => i4(rawDot(subOf(qv(q), ss), c) * 10000)))
+    }
+    val qcells = coded
+      .filter($"vec_id".isin(qids.toIndexedSeq.map(Long.box): _*))
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(qids.forall(qcells.contains),
+      s"stored-corpus search needs vec_ids ${qids.mkString(",")} " +
+        s"ingested; found only ${qcells.keySet.toSeq.sorted}")
+    pqRank(coded, qids, lut, k = k,
+      qcellsArr = Some(qids.map(q => Array(qcells(q)))))
+      .orderBy($"qid", $"rn")
   }
 }

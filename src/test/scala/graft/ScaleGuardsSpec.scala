@@ -268,6 +268,47 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       !java.util.Arrays.equals(b, s0) }, "Lloyd's rounds were a no-op")
   }
 
+  test("x46 farthest-point seeding: literal and join arms agree, the " +
+    "walk actually spreads the seeds, and the seeded book holds the " +
+    "first-N book's distortion") {
+    val e = VectorOps.normalizedEmbeddings(spark, dir).cache()
+    // literal-DotMatrix and broadcast-join arms select IDENTICAL seeds
+    // (maxLiteral=2 forces the join arm from the third selection on)
+    val viaLit = VectorOps.farthestPointSeeds(e, 8)
+    val viaJoin = VectorOps.farthestPointSeeds(e, 8, maxLiteral = 2)
+    assert(viaLit.length == 8 && viaJoin.length == 8)
+    assert(viaLit.zip(viaJoin).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) },
+      "literal vs join seeding arms diverged")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // max-min objective: the farthest-point seed set is more spread
+    // than first-N — its max pairwise cosine (closest pair) is lower
+    def closestPair(cents: Array[Array[Double]]): Double = (for {
+      i <- cents.indices; j <- cents.indices if i < j
+    } yield cos(cents(i), cents(j))).max
+    val vecs = e.collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val firstN = vecs.take(VectorOps.DefaultCells)
+    val fps = VectorOps.farthestPointSeeds(e, VectorOps.DefaultCells)
+    assert(closestPair(fps) < closestPair(firstN),
+      s"seed spread ${closestPair(fps)} !< ${closestPair(firstN)}")
+    // after Lloyd's rounds the seeded book's distortion (mean max-cos
+    // to a centroid, the 500-sample statistic) does not lose to the
+    // first-N book
+    def distortion(cents: Array[Array[Double]]): Double =
+      vecs.map(v => cents.map(cos(v, _)).max).sum / vecs.length
+    val seededBook = VectorOps.kmeansBookSeeded(spark, dir)
+    val firstNBook = VectorOps.kmeansBook(spark, dir)
+    assert(distortion(seededBook) >= distortion(firstNBook),
+      s"seeded ${distortion(seededBook)} < firstN ${distortion(firstNBook)}")
+    e.unpersist()
+    ()
+  }
+
   test("x41/x42 trained PQ books: Lloyd's rounds monotonically cut " +
     "subspace L2 distortion and the trained search keeps real signal") {
     // classical-PQ objective: mean min-over-codewords ||sv - c||²

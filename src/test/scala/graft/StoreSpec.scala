@@ -266,4 +266,42 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(fromStore == fresh,
       "search over persisted books diverged from fresh training")
   }
+
+  test("incremental ANN corpus: batches encoded against persisted books " +
+    "search bit-identical to the one-shot x43, history never re-encoded") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-anncorpus").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir)
+    // day-0 history + day-1 ingest = the full corpus, encoded in two
+    // independent passes against the SAME persisted books
+    VectorOps.appendAnnCorpus(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    VectorOps.appendAnnCorpus(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val stored = VectorOps.annIvfPqSearchStored(spark, dir, store)
+    val got = rows(stored)
+    val oneShot = rows(VectorOps.annIvfPqTrained(spark, dir))
+    assert(got.nonEmpty)
+    assert(got == oneShot, "stored-corpus search diverged from one-shot x43")
+    // the search never re-encodes history: codes come straight off
+    // parquet, so the result plan carries zero DotMatrix work
+    val p = stored.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("dot_matrix"), s"corpus re-encoded:\n$p")
+    // idempotent batch re-ingest (S12 delete-before-write): rewriting
+    // batch 1 leaves batch 0's files untouched and the result unchanged
+    def batch0Files = Files.walk(
+        java.nio.file.Paths.get(s"$tmp/ann/ann_corpus/batch=0"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    val before = batch0Files
+    VectorOps.appendAnnCorpus(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    assert(batch0Files == before, "batch-1 re-ingest rewrote batch 0")
+    assert(rows(VectorOps.annIvfPqSearchStored(spark, dir, store)) == oneShot)
+  }
 }
