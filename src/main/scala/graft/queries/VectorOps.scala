@@ -756,22 +756,28 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getLong(1).toInt) ->
         r.getSeq[Double](2).toArray)
       .toMap
-    Array.tabulate(SubM)(ss => Array.tabulate(CodeK)(c =>
+    // shape-preserving (books(ss).length, not the CodeK constant) so
+    // the codebook-size knob — the recall/distortion lever a 100 TB
+    // operator actually turns — trains without touching this code
+    Array.tabulate(SubM)(ss => Array.tabulate(books(ss).length)(c =>
       means.get((ss, c)).map(_.map(_ / KmScale))
         .getOrElse(books(ss)(c))))
   }
 
-  /** The trained books: seeded by the first CodeK corpus subvectors
-    * (x34's convention, now only an init), then `iters` rounds. */
+  /** The trained books: seeded by the first `codeK` corpus subvectors
+    * (x34's convention, now only an init), then `iters` rounds.
+    * `codeK` defaults to the 4-bit [[CodeK]]; 64 = 6-bit codes, the
+    * standard FAISS upgrade path (ScaleGuardsSpec pins monotone
+    * recall/distortion in the knob). */
   private[graft] def pqBooksTrained(s: org.apache.spark.sql.SparkSession,
-      dir: String, iters: Int = PqBookIters)
+      dir: String, iters: Int = PqBookIters, codeK: Int = CodeK)
       : Array[Array[Array[Double]]] = {
     val e = normalizedEmbeddings(s, dir)
-    val small = e.filter($"vec_id" < CodeK)
+    val small = e.filter($"vec_id" < codeK)
       .select($"vec_id", $"v").collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(small.length == CodeK,
-      s"PQ training needs vec_ids 0..${CodeK - 1}; found ${small.length}")
+    require(small.length == codeK,
+      s"PQ training needs vec_ids 0..${codeK - 1}; found ${small.length}")
     val init = Array.tabulate(SubM)(ss => small.map(subOf(_, ss)))
     val sub = subspaceRows(e)
     (1 to iters).foldLeft(init)((b, _) => pqBooksRound(s, sub, b))
@@ -1698,11 +1704,13 @@ object VectorOps {
       .orderBy($"qid", $"rn")
   }
 
-  /** x42 body: flat-ADC PQ search over [[pqBooksTrained]] books. */
+  /** x42 body: flat-ADC PQ search over [[pqBooksTrained]] books.
+    * `codeK` turns the codebook-size knob end to end (train + encode +
+    * LUT widen together). */
   private[graft] def annPqTrained(s: org.apache.spark.sql.SparkSession,
-      dir: String, iters: Int = PqBookIters, k: Int = 5)
-      : org.apache.spark.sql.DataFrame = {
-    val books = pqBooksTrained(s, dir, iters)
+      dir: String, iters: Int = PqBookIters, k: Int = 5,
+      codeK: Int = CodeK): org.apache.spark.sql.DataFrame = {
+    val books = pqBooksTrained(s, dir, iters, codeK)
     val (coded, qids, lut) =
       pqSetup(normalizedEmbeddings(s, dir), Some(books))
     pqRank(coded, qids, lut, k = k).orderBy($"qid", $"rn")
