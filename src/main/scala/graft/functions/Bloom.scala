@@ -141,15 +141,33 @@ final case class BloomKeysBuf(var ks: Array[Long], var n: Int)
   * array from the observed count only when the aggregate finishes. */
 object SizedBloomAgg extends Aggregator[Long, BloomKeysBuf, Array[Long]] {
 
+  /** Enforced form of the small-build-side contract: the buffer holds
+    * raw 8 B/key hashes, so a caller pointing this at a LARGE side
+    * would grow buffers toward executor OOM — fail fast with a pointer
+    * to the fixed-size [[Bloom.agg]] instead. 1<<24 keys = 128 MB per
+    * buffer, far above any sane build list and far below heap;
+    * overridable for tests / unusual deployments. */
+  private[graft] val MaxKeys: Int =
+    sys.props.getOrElse("graft.bloom.sizedMaxKeys", (1 << 24).toString).toInt
+
+  private def guard(n: Int): Unit =
+    require(n <= MaxKeys,
+      s"SizedBloomAgg buffered $n keys (cap $MaxKeys): the sized-at-" +
+        "finish build is for SMALL build sides; use Bloom.agg(numWords) " +
+        "with a precomputed size for large ones " +
+        "(-Dgraft.bloom.sizedMaxKeys overrides the cap)")
+
   override def zero: BloomKeysBuf = BloomKeysBuf(new Array[Long](16), 0)
 
   override def reduce(b: BloomKeysBuf, h: Long): BloomKeysBuf = {
+    guard(b.n + 1)
     if (b.n == b.ks.length)
       b.ks = java.util.Arrays.copyOf(b.ks, b.ks.length * 2)
     b.ks(b.n) = h; b.n += 1; b
   }
 
   override def merge(x: BloomKeysBuf, y: BloomKeysBuf): BloomKeysBuf = {
+    guard(x.n + y.n)
     val out = java.util.Arrays.copyOf(x.ks, x.n + y.n)
     System.arraycopy(y.ks, 0, out, x.n, y.n)
     BloomKeysBuf(out, x.n + y.n)

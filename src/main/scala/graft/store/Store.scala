@@ -174,7 +174,17 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
 final class BucketedStore(root: String, buckets: Int) extends Store {
   import BucketedStore.{entityKeys, lockFor}
 
-  private def table(entity: String) = s"graft_bkt_$entity"
+  // the catalog table name carries the ROOT (hashed — table names are
+  // identifier-restricted): named by entity alone, two instances with
+  // different roots but the same entity name would mutate and repoint
+  // ONE shared catalog table, silently orphaning the earlier root's
+  // data. With root in the name, the (root, entity) lock scope matches
+  // the named resource exactly.
+  private def table(entity: String) = {
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root))
+    s"graft_bkt_${h}_$entity"
+  }
 
   // session of the most recent write/read through this instance, so
   // delete() — whose trait signature carries no session — resolves

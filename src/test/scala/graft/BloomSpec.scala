@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.Bloom
+import graft.functions.{Bloom, BloomKeysBuf, SizedBloomAgg}
 
 /** Bloom filter contract (functions.Bloom): the build/probe pair that
   * makes x31's decontamination anti-join exact — a key that was added
@@ -86,5 +86,21 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(ks.forall(out(_)), "column probe reported an added key absent")
     val expect = probes.map(h => h -> Bloom.maybe(local, h)).toMap
     assert(out == expect, "column probe diverged from local maybe()")
+  }
+
+  test("the sized build enforces its small-build-side contract: " +
+    "exceeding the key cap fails fast instead of growing toward OOM") {
+    // buffers with a CLAIMED count at the cap trip the guard without
+    // allocating cap-sized arrays — the guard fires before any growth
+    val full = BloomKeysBuf(new Array[Long](4), SizedBloomAgg.MaxKeys)
+    val one = BloomKeysBuf(new Array[Long](4), 1)
+    val e1 = intercept[IllegalArgumentException](
+      SizedBloomAgg.reduce(full, 42L))
+    assert(e1.getMessage.contains("Bloom.agg"),
+      "error must point callers at the fixed-size build")
+    intercept[IllegalArgumentException](SizedBloomAgg.merge(full, one))
+    // under the cap both paths still work
+    val ok = SizedBloomAgg.reduce(SizedBloomAgg.zero, 7L)
+    assert(SizedBloomAgg.merge(ok, SizedBloomAgg.zero).n == 1)
   }
 }

@@ -267,6 +267,21 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       "search over persisted books diverged from fresh training")
   }
 
+  test("bucketed stores with different roots and one entity name keep " +
+    "separate catalog tables") {
+    val tmp = Files.createTempDirectory("graft-bkt-roots").toString
+    val a = new BucketedStore(s"$tmp/a", buckets = 2)
+    val b = new BucketedStore(s"$tmp/b", buckets = 2)
+    a.write("ent", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    b.write("ent", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    // with the catalog table named by entity alone, b's saveAsTable
+    // repoints the shared table and orphans a's data
+    def got(s: BucketedStore) = s.read("ent", spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got(a) == Set((1L, "a")), "root a's entity was repointed")
+    assert(got(b) == Set((2L, "b")))
+  }
+
   test("incremental ANN corpus: batches encoded against persisted books " +
     "search bit-identical to the one-shot x43, history never re-encoded") {
     import graft.queries.VectorOps
