@@ -83,7 +83,10 @@ object Bench {
     // record shows wall-time scaling ~linearly in chips: per-chip jobs
     // are independent partitions, so 4x the chips ≈ 4x the work on a
     // fixed-core box, NOT a super-linear shuffle blowup.
-    def lifecycle(nChips: Int): Double = try {
+    // Returns (wall, segment, tile, prediction) seconds — the stage
+    // splits make round-over-round lifecycle regressions attributable
+    // to a stage instead of one opaque wall number.
+    def lifecycle(nChips: Int): (Double, Double, Double, Double) = try {
       import graft.ops.SyntheticTile
       import graft.streaming.{JobQueue, JobRequest}
       implicit val reqEnc =
@@ -100,24 +103,33 @@ object Bench {
         // of them to keep all cores fed (measured 28.5s -> 10.9s at
         // par 4 -> 16 on local[32])
         parallelism = math.max(4, cpus.toInt / 2))
-      jq.dispatch(spark.createDataset((0 until nChips).map(k =>
-        JobRequest("segment", SyntheticTile.cxOf(k), SyntheticTile.Cy,
-          0, 0, "", 0, 0))))
-      jq.dispatch(spark.createDataset(Seq(
-        JobRequest("tile", 0, 0, 7, 9, "1987-07-01", 0, 0))))
-      jq.dispatch(spark.createDataset((0 until nChips).map(k =>
-        JobRequest("prediction", SyntheticTile.cxOf(k), SyntheticTile.Cy,
-          7, 9, "", 7, 1))))
+      def timed(f: => Unit): Double = {
+        val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+      }
+      val seg = timed(jq.dispatch(spark.createDataset(
+        (0 until nChips).map(k =>
+          JobRequest("segment", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+            0, 0, "", 0, 0)))))
+      val tile = timed(jq.dispatch(spark.createDataset(Seq(
+        JobRequest("tile", 0, 0, 7, 9, "1987-07-01", 0, 0)))))
+      val pred = timed(jq.dispatch(spark.createDataset(
+        (0 until nChips).map(k =>
+          JobRequest("prediction", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+            7, 9, "", 7, 1)))))
       require(jq.results.forall(_.ok),
         jq.results.filterNot(_.ok).take(3).toString)
-      (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => -1.0 }
+      ((System.nanoTime() - t0) / 1e9, seg, tile, pred)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
     val t1 = lifecycle(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS", "25").toInt)
     val t2 = lifecycle(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS_SCALE", "100").toInt)
-    val results = registry :+ ("t1_tile_lifecycle" -> t1) :+
-      ("t2_tile_lifecycle_100" -> t2)
+    val results = registry :+ ("t1_tile_lifecycle" -> t1._1) :+
+      ("t2_tile_lifecycle_100" -> t2._1)
+    def stageJson(t: (Double, Double, Double, Double)): String =
+      s"""{"segment":${t._2},"tile":${t._3},"prediction":${t._4}}"""
+    val stages =
+      s"""{"t1":${stageJson(t1)},"t2":${stageJson(t2)}}"""
     // second pass over the heaviest text/vector queries: warm timings
     // separate one-time JIT/codegen warmup (which lands on whichever
     // heavy query runs first in the cold sweep) from actual plan cost —
@@ -134,7 +146,7 @@ object Bench {
       "x39_kmeans_train", "x40_ann_ivf_trained", "x41_pq_train",
       "x42_ann_pq_trained", "x43_ann_ivfpq_trained",
       "x44_ann_ivfpq_residual", "x45_ann_ivfpq_residual_probe",
-      "m2_train_score")
+      "x46_kmeans_train_seeded", "m2_train_score")
     val warm = warmSet.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -145,7 +157,7 @@ object Bench {
     val ws = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
