@@ -249,6 +249,61 @@ object TextOps {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** x47 body: BM25 document ranking (the Robertson/Lucene formula —
+    * the retrieval scorer between x14's tfidf and a trained ranker).
+    * The query set is drawn from the corpus itself: each of docs 0..3
+    * is a query whose terms are its distinct tokens, scored against
+    * every OTHER document.
+    *
+    * Exactness discipline: the score is a SUM over query terms, and
+    * float sums are partition-order-dependent — so each per-term
+    * contribution is integerized FIRST (`floor(c*1e6 + 0.5)`, positive
+    * contributions so midpoint-safe), making the groupBy sum exact-
+    * integer and order-independent in both engines (x34/m3 convention).
+    *
+    * Scale shape: tf/df are the x14 aggregates (map-side partials
+    * collapse to vocabulary size before any exchange); the postings
+    * join is shuffle-on-term with the query list as the SMALL side
+    * (AQE broadcasts it when it fits, same guard as x14's df join);
+    * one final groupBy(qid, doc) + per-query window. No all-pairs
+    * scan: only documents sharing a term with the query are scored —
+    * exactly an inverted-index retrieval. */
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+    val dl = docs.select($"doc_id", size($"tk").cast("long").as("dl"))
+    val terms = docs.select($"doc_id", explode($"tk").as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").cast("double").as("sum_dl"))
+    val qt = tf.filter($"doc_id" < 4).select($"doc_id".as("qid"), $"term")
+    // k1 = 1.2, b = 0.75; constants appear as the SAME decimal
+    // literals in the oracle (never k1+1 computed — 1.2+1.0 need not
+    // round to the double nearest 2.2)
+    val contrib = tf.join(qt, "term").filter($"doc_id" =!= $"qid")
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5)))
+          + lit(1.0)))
+      .withColumn("nrm",
+        lit(1.2) * (lit(0.25) + (lit(0.75) *
+          ($"dl" / ($"sum_dl" / $"n_docs")))))
+      .withColumn("ci",
+        floor((($"idf" * (($"tf" * lit(2.2)) / ($"tf" + $"nrm"))))
+          * lit(1000000.0) + lit(0.5)))
+    val sc = contrib.groupBy($"qid", $"doc_id")
+      .agg(sum($"ci").as("bm25"))
+    sc.withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
     * intersection counts -> Jaccard >= 0.5. */
@@ -644,6 +699,39 @@ object TextOps {
          |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) {
       (s, dir) => tfidfTop5(s, dir)
+    },
+
+    // ----- x47 BM25 retrieval: Robertson/Lucene scoring of every
+    // candidate document (inverted-index semantics — only docs sharing
+    // a term with the query are scored) for 4 corpus-drawn queries.
+    // Per-term contributions integerized BEFORE the sum so the score
+    // aggregation is order-independent exact integers in both engines.
+    "x47_bm25" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |dlr AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)
+         |    AS sum_dl FROM dlr),
+         |qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 4),
+         |co AS (SELECT qt.qid, tf.doc_id,
+         |    CAST(floor((ln((((n_docs - df) + 0.5) / (df + 0.5)) + 1.0)
+         |      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 *
+         |        (dl / (sum_dl / n_docs)))))))) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS ci
+         |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
+         |  JOIN df ON df.term = tf.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id
+         |  CROSS JOIN st),
+         |sc AS (SELECT qid, doc_id, CAST(sum(ci) AS BIGINT) AS bm25
+         |  FROM co GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, bm25, row_number() OVER (
+         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+         |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => bm25TopK(s, dir)
     },
 
     // ----- x24 RAG chunking: overlapping sliding token windows

@@ -1507,6 +1507,66 @@ object VectorOps {
          |ORDER BY cid, i""".stripMargin) { (s, dir) =>
       kmeansTrainFrame(s, dir,
         farthestPointSeeds(normalizedEmbeddings(s, dir), DefaultCells))
+    },
+
+    // ----- x48 SQ8 scalar quantization: per-dim [min, max] is the
+    // whole training; 8-bit codes, asymmetric search (raw query ×
+    // dequantized corpus). The oracle replays the per-dim stats, the
+    // integer encode, the dequantize, and the rank.
+    "x48_ann_sq8" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |mm AS (SELECT i, min(v[CAST(i AS INT)]) AS mn,
+         |    max(v[CAST(i AS INT)]) AS mx
+         |  FROM n CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY i),
+         |bb AS (SELECT list(mn ORDER BY i) AS vmn,
+         |    list(mx - mn ORDER BY i) AS vr FROM mm),
+         |vh AS (SELECT vec_id, list_transform(range(1, ${Dim + 1}),
+         |    i -> vmn[CAST(i AS INT)] + (((CASE
+         |      WHEN vr[CAST(i AS INT)] = 0 THEN 0.0
+         |      ELSE floor((((v[CAST(i AS INT)] - vmn[CAST(i AS INT)])
+         |        / vr[CAST(i AS INT)]) * 255) + 0.5) END)
+         |      / 255) * vr[CAST(i AS INT)])) AS vhat
+         |  FROM n CROSS JOIN bb),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT qid, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.vhat")}, 4) AS sq8
+         |  FROM q, vh m WHERE m.vec_id <> qid),
+         |r AS (SELECT qid, nid, sq8, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sq8 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, sq8, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annSq8(s, dir)
+    },
+
+    // ----- x49 SemDeDup-style semantic dedup: cluster (x13's
+    // deterministic cells), pair WITHIN cells at cosine ≥ 0.4 (x10's
+    // threshold), keep the min-vec_id representative of every near-dup
+    // relation — the published cluster-then-dedup recipe that makes
+    // embedding dedup tractable at corpus scale.
+    "x49_semantic_dedup" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id
+         |    AND round(${sqlDot("a.v", "b.v")}, 4) >= 0.4)
+         |SELECT m.vec_id, m.cell FROM cells m
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped d
+         |  WHERE d.vec_id = m.vec_id)
+         |ORDER BY vec_id""".stripMargin) {
+      (s, dir) => semanticDedup(s, dir)
     })
 
   /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
@@ -1942,5 +2002,86 @@ object VectorOps {
     pqRank(coded, qids, lut, k = k,
       qcellsArr = Some(qids.map(q => Array(qcells(q)))))
       .orderBy($"qid", $"rn")
+  }
+
+  // ---------------------------------------------------------------
+  // x48 SQ8 scalar quantization (FAISS IndexScalarQuantizer family —
+  // the remaining quantization index alongside flat/IVF/PQ/IVFPQ/
+  // residual): per-dim [min, max] over the corpus is the entire
+  // "training" (one distributed agg whose map-side partials collapse
+  // to Dim rows, then a bounded Dim-row collect), codes are 8-bit
+  // floor(((x - mn) / range) * 255 + 0.5), and search is asymmetric —
+  // the raw query against the DEQUANTIZED corpus. Codes are exact
+  // integers from bit-identical IEEE doubles in both engines, so the
+  // oracle replays encode + dequantize + rank hash-exactly.
+  // ---------------------------------------------------------------
+
+  /** Per-dim (min, range) of the normalized corpus — the SQ8 training
+    * statistics. Bounded collect: exactly Dim rows. */
+  private[graft] def sq8Stats(e: org.apache.spark.sql.DataFrame)
+      : (Array[Double], Array[Double]) = {
+    val mm = e.select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(mm.length == Dim, s"sq8 stats: ${mm.length} dims, want $Dim")
+    (mm.map(_._2), mm.map(t => t._3 - t._2))
+  }
+
+  /** x48 body: 8-bit codes + dequantized brute-force search. The
+    * per-dim constants are literal arrays (2·Dim doubles — far below
+    * any codegen ceiling), so encode and dequantize are one codegen
+    * projection each; the only exchange is the per-query rank window
+    * over the broadcast query set (x9's shape). */
+  private[graft] def annSq8(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val (mn, rg) = sq8Stats(e)
+    // constant dims (range 0) encode to 0 and dequantize back to mn
+    val codes = zip_with(
+      zip_with($"v", lit(mn), (x, m) => x - m), lit(rg),
+      (d, r) => when(r === 0d, lit(0.0))
+        .otherwise(floor(((d / r) * lit(255d)) + lit(0.5d))
+          .cast("double")))
+    val vh = e.withColumn("codes", codes)
+      .withColumn("vhat", zip_with(
+        zip_with($"codes", lit(rg), (c, r) => (c / lit(255d)) * r),
+        lit(mn), (t, m) => m + t))
+      .select($"vec_id", $"vhat")
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val sc = vh.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"vhat"), 4).as("sq8"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"sq8".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x49 body: SemDeDup-style semantic dedup — coarse cells from the
+    * x13 deterministic quantizer, in-cell cosine pairs ≥ threshold,
+    * and the min-vec_id survivor rule (x5/x30's first-occurrence
+    * discipline applied in embedding space). Never all-pairs: the
+    * candidate join is within-cell only (the published SemDeDup recipe
+    * — cluster, then dedup inside clusters), so pair work scales with
+    * the cell size distribution, not n², and the cells knob turns to
+    * √n through the same literal/broadcast switch as x13. */
+  private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, threshold: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    val c = (if (cells <= MaxLiteralCells)
+      literalCells(normalizedEmbeddings(s, dir), cells)
+    else joinCells(normalizedEmbeddings(s, dir), cells)).cache()
+    val c2 = c.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"cell".as("cell2"))
+    val dropped = c.join(c2, $"cell" === $"cell2" &&
+        $"vec_id" < $"vec_id2" &&
+        round(dot($"v", $"v2"), 4) >= threshold)
+      .select($"vec_id2".as("vec_id")).distinct()
+    c.join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+      .orderBy($"vec_id")
   }
 }

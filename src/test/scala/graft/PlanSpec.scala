@@ -326,6 +326,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x48 SQ8 broadcasts the query side and only the rank window " +
+    "shuffles — encode/dequantize never move the corpus") {
+    val p = finalPlanOf("x48_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("dot_product"), p) // the score is codegen
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
+  }
+
   test("x43/x44 trained searches keep the corpus discipline: encode " +
     "in codegen, no shuffling joins, one rank exchange") {
     // training runs as separate bounded jobs before the search plan;

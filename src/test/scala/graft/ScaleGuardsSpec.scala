@@ -526,4 +526,68 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(x33.map(_._1).toSet == best.keySet,
       "x33 missed new docs that x7 matches cross-slice")
   }
+
+  test("x48 SQ8: the 8-bit dequantized search keeps near-exact recall " +
+    "vs x9 brute force (quantization error at 8 bits is far below the " +
+    "neighbor gaps)") {
+    def pairs(n: String) = SparkEntry.queries(n)(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("x9_cosine_knn")
+    val sq8 = pairs("x48_ann_sq8")
+    assert(sq8.size == 40)
+    val overlap = sq8.count(exact.contains)
+    assert(overlap >= 35, s"sq8 overlap $overlap/40 vs exact")
+  }
+
+  test("x49 semantic dedup: survivors and dropped partition the " +
+    "corpus, the min-id member of every cell always survives, and " +
+    "raising the threshold only shrinks the dropped set") {
+    val n = spark.read
+      .parquet(s"$dir/embeddings.parquet").count()
+    def survivors(t: Double): Set[Long] =
+      VectorOps.semanticDedup(spark, dir, threshold = t)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s04 = survivors(0.4)
+    val s09 = survivors(0.9)
+    assert(s04.size <= n && s04.nonEmpty)
+    // dropped(0.9) ⊆ dropped(0.4): a ≥0.9 pair is a ≥0.4 pair
+    assert(s04.subsetOf(s09), "survivors must grow with the threshold")
+    assert(s09.size <= n)
+    // the min-id member of any cell can never be dropped (droppers
+    // need a SMALLER id in the same cell) — spot-check the global min
+    assert(s04.contains(0L), "vec 0 can never be dropped")
+    // the result frame's cells are consistent with the x13 quantizer:
+    // survivors joined back to the full assignment agree on cell
+    val asg = VectorOps.semanticDedup(spark, dir, threshold = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.size == n, "threshold 2.0 (cos max 1) must drop nothing")
+    val out = VectorOps.semanticDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    out.foreach { case (v, c) =>
+      assert(asg(v) == c, s"vec $v cell drifted: $c vs ${asg(v)}")
+    }
+  }
+
+  test("x47 BM25: four corpus-drawn queries, five integer-exact-" +
+    "scored results each, self excluded, positive scores") {
+    val r = SparkEntry.queries("x47_bm25")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(r.length == 20)
+    r.foreach { case (qid, doc, bm25, rn) =>
+      assert(doc != qid, s"query $qid retrieved itself")
+      assert(bm25 > 0, s"($qid, $doc) non-positive score")
+      assert(rn >= 1 && rn <= 5)
+    }
+    // ranks are dense and ordered by the integer score per query
+    r.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 5L),
+        s"ranks not dense: ${g.toSeq}")
+      assert(sorted.map(-_._3).toSeq == sorted.map(-_._3).sorted.toSeq,
+        s"scores not descending: ${g.toSeq}")
+    }
+  }
 }
