@@ -304,6 +304,34 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Shared CTE chain for the BM25 score (x47, and x50's sparse arm),
+    * ending in `bmr(qid, doc_id, bm25, rn)` — unlimited rank, callers
+    * slice. MUST mirror [[bm25TopK]]'s expression order exactly. */
+  private[graft] val sqlBm25Ctes: String =
+    s"""tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+       |  FROM documents),
+       |dlr AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+       |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)
+       |    AS sum_dl FROM dlr),
+       |qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 4),
+       |co AS (SELECT qt.qid, tf.doc_id,
+       |    CAST(floor((ln((((n_docs - df) + 0.5) / (df + 0.5)) + 1.0)
+       |      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 *
+       |        (dl / (sum_dl / n_docs)))))))) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS ci
+       |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
+       |  JOIN df ON df.term = tf.term
+       |  JOIN dlr ON dlr.doc_id = tf.doc_id
+       |  CROSS JOIN st),
+       |bsc AS (SELECT qid, doc_id, CAST(sum(ci) AS BIGINT) AS bm25
+       |  FROM co GROUP BY 1, 2),
+       |bmr AS (SELECT qid, doc_id, bm25, row_number() OVER (
+       |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+       |  FROM bsc)""".stripMargin
+
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
     * intersection counts -> Jaccard >= 0.5. */
@@ -707,30 +735,9 @@ object TextOps {
     // Per-term contributions integerized BEFORE the sum so the score
     // aggregation is order-independent exact integers in both engines.
     "x47_bm25" -> Q(
-      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
-         |  FROM documents),
-         |dlr AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
-         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)
-         |    AS sum_dl FROM dlr),
-         |qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 4),
-         |co AS (SELECT qt.qid, tf.doc_id,
-         |    CAST(floor((ln((((n_docs - df) + 0.5) / (df + 0.5)) + 1.0)
-         |      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 *
-         |        (dl / (sum_dl / n_docs)))))))) * 1000000.0 + 0.5)
-         |      AS BIGINT) AS ci
-         |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
-         |  JOIN df ON df.term = tf.term
-         |  JOIN dlr ON dlr.doc_id = tf.doc_id
-         |  CROSS JOIN st),
-         |sc AS (SELECT qid, doc_id, CAST(sum(ci) AS BIGINT) AS bm25
-         |  FROM co GROUP BY 1, 2),
-         |r AS (SELECT qid, doc_id, bm25, row_number() OVER (
-         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+      s"""WITH ${sqlBm25Ctes}
          |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
-         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+         |FROM bmr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => bm25TopK(s, dir)
     },
 

@@ -1517,18 +1517,7 @@ object VectorOps {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |n AS ${sqlNormalized("e")},
-         |mm AS (SELECT i, min(v[CAST(i AS INT)]) AS mn,
-         |    max(v[CAST(i AS INT)]) AS mx
-         |  FROM n CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY i),
-         |bb AS (SELECT list(mn ORDER BY i) AS vmn,
-         |    list(mx - mn ORDER BY i) AS vr FROM mm),
-         |vh AS (SELECT vec_id, list_transform(range(1, ${Dim + 1}),
-         |    i -> vmn[CAST(i AS INT)] + (((CASE
-         |      WHEN vr[CAST(i AS INT)] = 0 THEN 0.0
-         |      ELSE floor((((v[CAST(i AS INT)] - vmn[CAST(i AS INT)])
-         |        / vr[CAST(i AS INT)]) * 255) + 0.5) END)
-         |      / 255) * vr[CAST(i AS INT)])) AS vhat
-         |  FROM n CROSS JOIN bb),
+         |${sqlSq8Vh("n")},
          |q AS (SELECT vec_id AS qid, v AS qv FROM n
          |  WHERE vec_id < $PqQueries),
          |sc AS (SELECT qid, m.vec_id AS nid,
@@ -1567,6 +1556,66 @@ object VectorOps {
          |  WHERE d.vec_id = m.vec_id)
          |ORDER BY vec_id""".stripMargin) {
       (s, dir) => semanticDedup(s, dir)
+    },
+
+    // ----- x50 hybrid retrieval: RRF fusion of the BM25 sparse arm
+    // and the dense cosine arm over the shared doc/vec id space. Arm
+    // contributions floor(1e6/(60+rank)) are exact integers, so the
+    // fused ranking is float-tolerance-free in both engines.
+    "x50_rrf_fusion" -> Q(
+      s"""WITH ${TextOps.sqlBm25Ctes},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |dq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 4),
+         |dsc AS (SELECT qid, n.vec_id AS doc_id,
+         |    round(${sqlDot("qv", "n.v")}, 4) AS cos
+         |  FROM dq, n WHERE n.vec_id <> qid),
+         |dr AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn_d
+         |  FROM dsc),
+         |sp AS (SELECT qid, doc_id, rn AS rn_s FROM bmr WHERE rn <= 20),
+         |de AS (SELECT qid, doc_id, rn_d FROM dr WHERE rn_d <= 20),
+         |fu AS (SELECT coalesce(sp.qid, de.qid) AS qid,
+         |    coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         |    (coalesce(CAST(floor(1000000.0 / (60 + rn_s)) AS BIGINT), 0)
+         |     + coalesce(CAST(floor(1000000.0 / (60 + rn_d)) AS BIGINT),
+         |       0)) AS rrf
+         |  FROM sp FULL OUTER JOIN de
+         |    ON sp.qid = de.qid AND sp.doc_id = de.doc_id),
+         |r AS (SELECT qid, doc_id, rrf, row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn FROM fu)
+         |SELECT qid, doc_id, rrf, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => rrfFusion(s, dir)
+    },
+
+    // ----- x51 IVF-SQ8: coarse cells restrict each query to its own
+    // cell; in-cell candidates score through the dequantized 8-bit
+    // codes — the FAISS IndexIVFScalarQuantizer composition of x13+x48.
+    "x51_ann_ivf_sq8" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |${sqlSq8Vh("cells", "cell,")},
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM cells
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT qid, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.vhat")}, 4) AS sq8
+         |  FROM q JOIN vh m ON q.cell = m.cell AND m.vec_id <> qid),
+         |r AS (SELECT qid, nid, sq8, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sq8 DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, sq8, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfSq8(s, dir)
     })
 
   /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
@@ -2028,6 +2077,38 @@ object VectorOps {
     (mm.map(_._2), mm.map(t => t._3 - t._2))
   }
 
+  /** The SQ8 encode→dequantize column over `$"v"`: constant dims
+    * (range 0) encode to 0 and dequantize back to mn. Shared by x48
+    * (flat) and x51 (IVF-restricted). */
+  private def sq8Dequant(mn: Array[Double], rg: Array[Double])
+      : Column = {
+    val codes = zip_with(
+      zip_with($"v", lit(mn), (x, m) => x - m), lit(rg),
+      (d, r) => when(r === 0d, lit(0.0))
+        .otherwise(floor(((d / r) * lit(255d)) + lit(0.5d))
+          .cast("double")))
+    zip_with(
+      zip_with(codes, lit(rg), (c, r) => (c / lit(255d)) * r),
+      lit(mn), (t, m) => m + t)
+  }
+
+  /** SQL twin of [[sq8Dequant]]: per-dim stats over `n`, then the
+    * dequantized `vhat` over relation `$src` (which must provide
+    * vec_id + v; `extra` names further columns to carry through). */
+  private def sqlSq8Vh(src: String, extra: String = ""): String =
+    s"""mm AS (SELECT i, min(v[CAST(i AS INT)]) AS mn,
+       |    max(v[CAST(i AS INT)]) AS mx
+       |  FROM n CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY i),
+       |bb AS (SELECT list(mn ORDER BY i) AS vmn,
+       |    list(mx - mn ORDER BY i) AS vr FROM mm),
+       |vh AS (SELECT vec_id, $extra list_transform(range(1, ${Dim + 1}),
+       |    i -> vmn[CAST(i AS INT)] + (((CASE
+       |      WHEN vr[CAST(i AS INT)] = 0 THEN 0.0
+       |      ELSE floor((((v[CAST(i AS INT)] - vmn[CAST(i AS INT)])
+       |        / vr[CAST(i AS INT)]) * 255) + 0.5) END)
+       |      / 255) * vr[CAST(i AS INT)])) AS vhat
+       |  FROM $src CROSS JOIN bb)""".stripMargin
+
   /** x48 body: 8-bit codes + dequantized brute-force search. The
     * per-dim constants are literal arrays (2·Dim doubles — far below
     * any codegen ceiling), so encode and dequantize are one codegen
@@ -2037,16 +2118,7 @@ object VectorOps {
       dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
     val (mn, rg) = sq8Stats(e)
-    // constant dims (range 0) encode to 0 and dequantize back to mn
-    val codes = zip_with(
-      zip_with($"v", lit(mn), (x, m) => x - m), lit(rg),
-      (d, r) => when(r === 0d, lit(0.0))
-        .otherwise(floor(((d / r) * lit(255d)) + lit(0.5d))
-          .cast("double")))
-    val vh = e.withColumn("codes", codes)
-      .withColumn("vhat", zip_with(
-        zip_with($"codes", lit(rg), (c, r) => (c / lit(255d)) * r),
-        lit(mn), (t, m) => m + t))
+    val vh = e.withColumn("vhat", sq8Dequant(mn, rg))
       .select($"vec_id", $"vhat")
     val q = e.filter($"vec_id" < PqQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"))
@@ -2083,5 +2155,71 @@ object VectorOps {
     c.join(dropped, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cell")
       .orderBy($"vec_id")
+  }
+
+  /** x50 body: hybrid retrieval — reciprocal-rank fusion (RRF) of the
+    * BM25 sparse arm (x47's scorer, top-`depth`) and the dense cosine
+    * arm (x9's ranking restricted to the same 4 queries, top-`depth`).
+    * vec_id keys the same documents as doc_id (the testdata tables
+    * share the id space). Each arm contributes floor(1e6 / (60 + rank))
+    * — an exact integer in both engines, so the fused score needs no
+    * float tolerance; a doc found by only one arm scores that arm only
+    * (full-outer semantics, the standard RRF treatment).
+    *
+    * Scale shape: both arms are top-depth PER QUERY (bounded rows per
+    * query), so the fusion join is querycount×depth rows a side —
+    * driver-independent, trivially partitioned by qid. */
+  private[graft] def rrfFusion(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5, depth: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val sparse = TextOps.bm25TopK(s, dir, k = depth)
+      .select($"qid", $"doc_id", $"rn".as("rn_s"))
+    val e = normalizedEmbeddings(s, dir)
+    val q = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val dsc = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("doc_id"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    val dense = dsc.withColumn("rn_d", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rn_d" <= depth)
+      .select($"qid", $"doc_id", $"rn_d")
+    def arm(rn: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(60) + rn)), lit(0L))
+    val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        (arm($"rn_s") + arm($"rn_d")).as("rrf"))
+    fused.withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x51 body: IVF-SQ8 (FAISS IndexIVFScalarQuantizer) — x13's coarse
+    * cells restrict each query to its own cell, x48's dequantized
+    * codes score the in-cell candidates. Same plan discipline as both
+    * parents: assignment + encode in one projection over the corpus,
+    * query side broadcast, one rank exchange. */
+  private[graft] def annIvfSq8(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val (mn, rg) = sq8Stats(e)
+    val cd = (if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells))
+      .withColumn("vhat", sq8Dequant(mn, rg))
+    val q = cd.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+    val sc = cd.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"vhat"), 4).as("sq8"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"sq8".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
   }
 }

@@ -338,6 +338,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x51 IVF-SQ8 keeps both parents' discipline: cells + codes in " +
+    "one corpus projection, query side broadcast, one rank exchange") {
+    val p = finalPlanOf("x51_ann_ivf_sq8")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("dot_product"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
+  }
+
   test("x43/x44 trained searches keep the corpus discipline: encode " +
     "in codegen, no shuffling joins, one rank exchange") {
     // training runs as separate bounded jobs before the search plan;

@@ -569,6 +569,52 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x51 IVF-SQ8 with one cell degenerates to the flat SQ8 search " +
+    "exactly; at the default geometry it stays in-cell-faithful to " +
+    "exact x13") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sq8", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val one = rows(VectorOps.annIvfSq8(spark, dir, cells = 1, k = 3))
+    val flat = rows(VectorOps.annSq8(spark, dir, k = 3))
+    assert(one.nonEmpty)
+    assert(one == flat, "ivf-sq8(cells=1) != flat sq8")
+    // same candidate sets as exact x13 (identical cells), ranking
+    // through 8-bit dequantized scores — near-identical neighbors
+    def pairs(n: String) = SparkEntry.queries(n)(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("x13_ann_ivf")
+    val sq = pairs("x51_ann_ivf_sq8")
+    assert(sq.size == exact.size)
+    val overlap = sq.count(exact.contains)
+    assert(overlap >= sq.size - 4,
+      s"ivf-sq8 overlap $overlap/${sq.size} vs exact in-cell")
+  }
+
+  test("x50 RRF fusion: every fused score is a sum of valid arm " +
+    "contributions, ranks are dense, self is excluded") {
+    val r = SparkEntry.queries("x50_rrf_fusion")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.length == 20 && r.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    // permitted values: one arm at rank 1..20, or two arms at any
+    // rank pair — all integer-exact by construction
+    val arm = (1 to 20).map(rk => 1000000L / (60 + rk)).toSet
+    val both = (for (a <- arm; b <- arm) yield a + b)
+    r.foreach { case (qid, doc, rrf, rn) =>
+      assert(doc != qid)
+      assert(arm.contains(rrf) || both.contains(rrf),
+        s"($qid, $doc) rrf $rrf is not a valid arm sum")
+      assert(rn >= 1 && rn <= 5)
+    }
+    r.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).toSeq.sorted == (1L to 5L),
+        s"ranks not dense: ${g.toSeq}")
+    }
+  }
+
   test("x47 BM25: four corpus-drawn queries, five integer-exact-" +
     "scored results each, self excluded, positive scores") {
     val r = SparkEntry.queries("x47_bm25")(spark, dir)
