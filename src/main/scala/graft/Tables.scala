@@ -26,13 +26,20 @@ object Tables {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
-    // rejects by default; read nanos as long and floor to micros (the
-    // same truncation DuckDB applies on read).
+    // events.parquet has shipped with two physical ts encodings across
+    // testdata generations: TIMESTAMP(NANOS) (which the Spark reader
+    // rejects by default — read nanos as long, floor to micros, the
+    // same truncation DuckDB applies on read) and plain TIMESTAMP(US)
+    // (which arrives as TIMESTAMP_NTZ). Normalize BOTH to the session
+    // TimestampType so every downstream query sees one ts type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    } else df
   }
 }

@@ -72,6 +72,10 @@ object VectorOps {
   private val CodeK = 16
   private val PqQueries = 8
 
+  /** x52 refine geometry: ADC shortlist size per query before the
+    * exact re-rank (FAISS IndexRefineFlat's k_factor × k). */
+  private val RefineK = 20
+
   /** Integerized subspace dot as SQL (`ss.s` names the subspace, `cb`
     * the codebook relation) — hoisted so the x34 and x37 oracle twins
     * cannot drift from one another. */
@@ -1616,7 +1620,67 @@ object VectorOps {
          |SELECT qid, nid, sq8, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => annIvfSq8(s, dir)
+    },
+
+    // ----- x52 PQ + exact refine (FAISS IndexRefineFlat): the flat-PQ
+    // ADC pass produces a RefineK-deep shortlist per query (cheap — 8
+    // LUT adds per candidate), then ONLY the shortlist rows are
+    // re-scored with the exact 64-wide cosine and re-ranked. This is
+    // the standard production recall-recovery knob: the final order is
+    // exact within the shortlist, so top-k recall dominates raw PQ
+    // ranking whenever the true neighbors survive the shortlist.
+    // Scale shape: the shortlist (|queries|·RefineK ids) broadcasts
+    // against a second corpus scan — the expensive exact dots run on
+    // that sliver only, the corpus never shuffles, and the only
+    // exchange is pqRank's bounded rank window.
+    "x52_ann_pq_refine" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |$sqlPqCodes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |$sqlPqLut,
+         |sc AS (SELECT l.qid, c.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.r = c.code
+         |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |sl AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY s4 DESC, nid) AS rn FROM sc)
+         |  WHERE rn <= $RefineK),
+         |ex AS (SELECT sl.qid, sl.nid,
+         |    round(${sqlDot("q.qv", "m.v")}, 4) AS cos
+         |  FROM sl JOIN q ON q.qid = sl.qid
+         |  JOIN n m ON m.vec_id = sl.nid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM ex)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annPqRefine(s, dir)
     })
+
+  /** x52 body: flat-PQ ADC shortlist (RefineK per query, x34's exact
+    * machinery) re-ranked by the exact cosine of the raw normalized
+    * vectors. Both joins broadcast the tiny side (the shortlist ids,
+    * then the 8 query vectors); the corpus is scanned, never
+    * shuffled. */
+  private def annPqRefine(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val (coded, qids, lut) = pqSetup(e)
+    val sl = pqRank(coded, qids, lut, k = RefineK).select($"qid", $"nid")
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("rqid"), $"v".as("qv"))
+    e.join(broadcast(sl), $"vec_id" === $"nid")
+      .join(broadcast(q), $"qid" === $"rqid")
+      .select($"qid", $"nid", round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"qid", $"rn")
+  }
 
   /** x44 body: residual IVF-PQ — coarse-assign (trained book), swap
     * every vector for its residual, train the PQ books on residual

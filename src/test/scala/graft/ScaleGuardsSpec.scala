@@ -199,6 +199,39 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(pq.count(exact.contains) >= 10, s"overlap ${pq.count(exact.contains)}/40")
   }
 
+  test("x52 exact refine dominates raw PQ ranking: recall@5 vs exact " +
+    "x9 is >= x34's, and every refined list is the exact-cosine order " +
+    "of a shortlist superset of it") {
+    val exact = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(key: String) = SparkEntry.queries(key)(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pq = pairs("x34_ann_pq")
+    val rf = pairs("x52_ann_pq_refine")
+    assert(rf.length == 40, rf.length.toString)
+    // the refine step re-orders a 20-deep ADC shortlist by the exact
+    // cosine, so any true neighbor that survives the shortlist ranks
+    // correctly — recall can only improve over raw 5-deep ADC
+    val (pqR, rfR) = (pq.count(exact.contains), rf.count(exact.contains))
+    assert(rfR >= pqR, s"refine recall $rfR < raw PQ recall $pqR")
+    // and within each query the refined list keeps x9's exact relative
+    // order for every neighbor both lists contain (the refine scoring
+    // IS the exact scoring, restricted to the ADC shortlist)
+    val exactRank = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rfRanked = SparkEntry.queries("x52_ann_pq_refine")(spark, dir)
+      .select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rfRanked.groupBy(_._1).foreach { case (_, ns) =>
+      val kept = ns.sortBy(_._3).flatMap(p => exactRank.get((p._1, p._2)))
+      assert(kept.sameElements(kept.sorted),
+        s"refined order disagrees with exact order: ${kept.toSeq}")
+    }
+  }
+
   test("x37 IVF-PQ with one cell degenerates to flat PQ exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "adc", "rn").collect()
