@@ -76,6 +76,13 @@ object VectorOps {
     * exact re-rank (FAISS IndexRefineFlat's k_factor × k). */
   private val RefineK = 20
 
+  /** x53 MMR geometry: relevance-ranked candidate pool size, selections
+    * per query, and the λ = 0.7 tradeoff encoded as INTEGER weights
+    * (7·rel − 3·maxSim) so both engines score in exact long
+    * arithmetic. */
+  private val PoolK = 12
+  private val MmrK = 5
+
   /** Integerized subspace dot as SQL (`ss.s` names the subspace, `cb`
     * the codebook relation) — hoisted so the x34 and x37 oracle twins
     * cannot drift from one another. */
@@ -1658,7 +1665,119 @@ object VectorOps {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => annPqRefine(s, dir)
+    },
+
+    // ----- x53 MMR diversified retrieval: greedy maximal marginal
+    // relevance over a relevance-ranked pool — the standard
+    // result-diversification step in RAG retrieval (λ·rel −
+    // (1−λ)·max-sim-to-selected, λ = 0.7 as integer weights 7/3 so the
+    // walk is exact long arithmetic in both engines). The corpus-sized
+    // work (exact relevance scan + PoolK rank) is distributed; the
+    // greedy walk runs on the 96-row pool, unrolled CTE-for-CTE in the
+    // oracle. Output: the MmrK selections per query in selection
+    // order.
+    "x53_mmr_diversify" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT q.qid, n.vec_id AS nid,
+         |    CAST(round(${sqlDot("q.qv", "n.v")} * 10000, 0) AS BIGINT)
+         |      AS rel4,
+         |    n.v AS v
+         |  FROM q, n WHERE n.vec_id <> q.qid),
+         |pool AS (SELECT qid, nid, rel4, v FROM (
+         |    SELECT qid, nid, rel4, v, row_number() OVER (
+         |      PARTITION BY qid ORDER BY rel4 DESC, nid) AS rn FROM sc)
+         |  WHERE rn <= $PoolK),
+         |pp AS (SELECT a.qid, a.nid AS n1, b.nid AS n2,
+         |    CAST(round(${sqlDot("a.v", "b.v")} * 10000, 0) AS BIGINT)
+         |      AS sim4
+         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid),
+         |$sqlMmrCtes
+         |SELECT s.qid, s.nid, s.step, p.rel4
+         |FROM sel$MmrK s JOIN pool p ON p.qid = s.qid AND p.nid = s.nid
+         |ORDER BY s.qid, s.step""".stripMargin) {
+      (s, dir) => mmrDiversify(s, dir)
     })
+
+  /** The x53 greedy-selection oracle CTEs: sel1 picks the relevance
+    * argmax; each later step scores every unselected pool candidate as
+    * 7·rel4 − 3·max(sim4 to the selected set) and picks the argmax
+    * (nid ASC tiebreak) — the classic MMR recurrence, unrolled so
+    * DuckDB replays the exact walk. Expects CTEs `pool(qid, nid,
+    * rel4, v)` and `pp(qid, n1, n2, sim4)` upstream. */
+  private def sqlMmrCtes: String = {
+    val b = new StringBuilder
+    b ++= s"""sel1 AS (SELECT qid, nid, CAST(1 AS BIGINT) AS step FROM (
+             |    SELECT qid, nid, row_number() OVER (
+             |      PARTITION BY qid ORDER BY rel4 DESC, nid) AS rn
+             |    FROM pool) WHERE rn = 1)""".stripMargin
+    for (t <- 2 to MmrK) {
+      val prev = s"sel${t - 1}"
+      b ++= s""",
+               |cand$t AS (SELECT p.qid, p.nid, p.rel4, max(x.sim4) AS ms
+               |  FROM pool p
+               |  JOIN pp x ON x.qid = p.qid AND x.n1 = p.nid
+               |  JOIN $prev s ON s.qid = x.qid AND s.nid = x.n2
+               |  LEFT JOIN $prev d ON d.qid = p.qid AND d.nid = p.nid
+               |  WHERE d.nid IS NULL
+               |  GROUP BY 1, 2, 3),
+               |sel$t AS (SELECT qid, nid, step FROM $prev UNION ALL
+               |  SELECT qid, nid, CAST($t AS BIGINT) AS step FROM (
+               |    SELECT qid, nid, row_number() OVER (
+               |      PARTITION BY qid ORDER BY 7 * rel4 - 3 * ms DESC, nid)
+               |      AS rn
+               |    FROM cand$t) WHERE rn = 1)""".stripMargin
+    }
+    b.toString
+  }
+
+  /** x53 body: MMR (maximal marginal relevance) diversified top-k.
+    * The DISTRIBUTED part is the part that touches the corpus: exact
+    * relevance scoring against the broadcast query set and the
+    * per-query PoolK rank window (one bounded exchange). The greedy
+    * walk then runs on the collected pool — bounded by construction at
+    * PqQueries·PoolK = 96 rows — in the same exact-integer arithmetic
+    * the oracle unrolls (7·rel4 − 3·maxSim4, nid-ASC ties), the
+    * established training-replay discipline. */
+  private def mmrDiversify(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val pool = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v") * 10000).cast("long").as("rel4"), $"v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rel4".desc, $"nid")))
+      .filter($"rn" <= PoolK)
+    val rows = pool.select($"qid", $"nid", $"rel4", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Double](3).toArray))
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (qid, cands) =>
+      val byNid = cands.map(c => c._2 -> c).toMap
+      def sim4(a: Long, b: Long): Long =
+        i4(rawDot(byNid(a)._4, byNid(b)._4) * 10000)
+      val first = cands.maxBy(c => (c._3, -c._2))
+      val sel = scala.collection.mutable.ArrayBuffer(first._2)
+      for (_ <- 2 to MmrK) {
+        val pick = cands.filterNot(c => sel.contains(c._2))
+          .map { c =>
+            val ms = sel.map(sn => sim4(c._2, sn)).max
+            (c._2, 7L * c._3 - 3L * ms)
+          }
+          .maxBy { case (nid, sc) => (sc, -nid) }
+        sel += pick._1
+      }
+      sel.zipWithIndex.map { case (nid, i) =>
+        (qid, nid, (i + 1).toLong, byNid(nid)._3)
+      }
+    }.sortBy(r => (r._1, r._3))
+    import s.implicits._
+    out.toDF("qid", "nid", "step", "rel4")
+  }
 
   /** x52 body: flat-PQ ADC shortlist (RefineK per query, x34's exact
     * machinery) re-ranked by the exact cosine of the raw normalized

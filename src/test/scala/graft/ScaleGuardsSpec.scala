@@ -232,6 +232,42 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x53 MMR actually diversifies: step 1 is the exact rank-1 " +
+    "neighbor, and the selected set's mean pairwise cosine is below " +
+    "the plain top-5's") {
+    import org.apache.spark.sql.Row
+    val exact1 = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .filter(col("rn") === 1).select("qid", "nid").collect()
+      .map { case Row(q: Long, n: Long) => q -> n }.toMap
+    val mmr = SparkEntry.queries("x53_mmr_diversify")(spark, dir)
+      .select("qid", "nid", "step").collect()
+      .map { case Row(q: Long, n: Long, st: Long) => (q, n, st) }
+    mmr.filter(_._3 == 1L).foreach { case (q, n, _) =>
+      assert(exact1(q) == n, s"step 1 of qid $q is not the exact top-1")
+    }
+    // diversification: within each query, the average pairwise cosine
+    // among MMR picks must not exceed the average among the top-5 by
+    // pure relevance (x9) — otherwise the diversity term did nothing
+    val vecs = VectorOps.normalizedEmbeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def meanPair(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids; b <- ids if a < b)
+        yield vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+      ps.sum / ps.length
+    }
+    val top5 = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid").collect()
+      .map { case Row(q: Long, n: Long) => (q, n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val sel = mmr.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val (dSel, dTop) = sel.keys.toSeq.sorted.map { q =>
+      (meanPair(sel(q)), meanPair(top5(q)))
+    }.unzip
+    assert(dSel.sum <= dTop.sum + 1e-9,
+      s"MMR mean pairwise cosine ${dSel.sum} > top-5's ${dTop.sum}")
+  }
+
   test("x37 IVF-PQ with one cell degenerates to flat PQ exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "adc", "rn").collect()
