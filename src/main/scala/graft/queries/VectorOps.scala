@@ -35,7 +35,7 @@ object VectorOps {
     * candidate pair downstream costs a single fold (cosine == dot of
     * unit vectors) instead of three. The SQL oracle normalizes with the
     * same expression order, keeping results engine-exact. */
-  private def normalized(e: org.apache.spark.sql.DataFrame) =
+  private[graft] def normalized(e: org.apache.spark.sql.DataFrame) =
     e.withColumn("nrm", sqrt(dot($"v", $"v")))
       .select($"vec_id", transform($"v", x => x / $"nrm").as("v"))
 

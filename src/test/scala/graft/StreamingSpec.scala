@@ -566,4 +566,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows.count(_ == ((2L, 2L, -1L))) == 1, rows.toString)
     } finally q.stop()
   }
+
+  test("ANN ingest stream: micro-batches encode against the persisted " +
+    "books and the stored-corpus search matches one-shot x43") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-annstream").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    // raw rows exactly as a feed would deliver them (float embeddings;
+    // AnnIngest casts + normalizes per batch)
+    val raw = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIngest.start(in.toDF().toDF("vec_id", "embedding"),
+      store, s"$tmp/ckpt")
+    try {
+      // day 0: even ids; day 1: odd ids — two independent micro-batches
+      in.addData(raw.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val got = rows(VectorOps.annIvfPqSearchStored(spark, dir, store))
+    assert(got.nonEmpty)
+    assert(got == rows(VectorOps.annIvfPqTrained(spark, dir)),
+      "streamed-corpus search diverged from one-shot x43")
+    // both micro-batches landed as their own partitions (the
+    // delete-before-write unit)
+    val batches = store.read("ann_corpus", spark)
+      .select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
+  }
 }
