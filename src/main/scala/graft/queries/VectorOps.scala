@@ -2198,6 +2198,46 @@ object VectorOps {
     store.write("ann_corpus", coded, Seq("batch", "cell"))
   }
 
+  /** Compact the persisted ANN corpus: fold every `batch` partition
+    * into ONE consolidated history batch. Daily ingest through
+    * [[appendAnnCorpus]] accumulates a partition (and ≥1 file) per
+    * batch, so after N days every search opens N× the files for the
+    * same rows — the classic small-file tax, and the thing that
+    * actually degrades a 100 TB corpus over a year of ingest.
+    * Compaction rewrites all codes into `intoBatch` (one file per cell
+    * via the store's repartition-on-keys write) and drops the source
+    * batches.
+    *
+    * Staging discipline: the consolidated copy lands in a STAGING
+    * entity first, then the source partitions are dropped, then the
+    * staged rows are moved into place — at no point does a write read
+    * the files it is replacing (writing batch=`intoBatch` directly
+    * would lazily scan that same partition mid-overwrite). Search
+    * results are invariant under compaction because `batch` is purely
+    * the ingest idempotency unit — the search never consults it
+    * (StoreSpec pins bit-identity). Run as the corpus's offline
+    * maintenance job, not under a concurrent writer. */
+  def compactAnnCorpus(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, intoBatch: Long = 0L): Unit = {
+    val cur = store.read("ann_corpus", s)
+    // bounded collect: one row per ingested batch
+    val batches = cur.select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.length <= 1 && batches.headOption.forall(_ == intoBatch))
+      return // already compact
+    store.write("ann_corpus_stage",
+      cur.withColumn("batch", lit(intoBatch))
+        .withColumn("cell", $"cell".cast("long")),
+      Seq("batch", "cell"))
+    batches.foreach(b => store.delete("ann_corpus", Seq("batch" -> b)))
+    store.write("ann_corpus",
+      store.read("ann_corpus_stage", s)
+        .withColumn("batch", lit(intoBatch))
+        .withColumn("cell", $"cell".cast("long")),
+      Seq("batch", "cell"))
+    store.delete("ann_corpus_stage", Seq.empty)
+  }
+
   /** The x43 search over the PERSISTED corpus codes: books load from
     * the store, query vectors come from a vec_id-pruned mini-scan (the
     * bounded 8-query set), LUTs are driver arithmetic, and the corpus

@@ -326,6 +326,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x52 PQ refine: the corpus is scanned, never shuffled — the " +
+    "shortlist and query sides broadcast, and only the rank windows " +
+    "exchange") {
+    val p = finalPlanOf("x52_ann_pq_refine")
+    // both refine joins carry the tiny side as a broadcast
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("dot_matrix"), p) // ADC encode is codegen
+    assert(p.contains("dot_product"), p) // exact re-rank is codegen
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"), p)
+    // two rank windows (ADC shortlist + exact re-rank), nothing else
+    // hash-exchanges; both windows partition on the 8-row qid domain
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+  }
+
+  test("x53 MMR: pool selection broadcasts the query side and spends " +
+    "one rank exchange; the corpus never shuffles") {
+    import graft.queries.VectorOps
+    // the distributed stage of the MMR body is the pool selection;
+    // its plan is the x9 shape (broadcast + one window exchange). The
+    // registry body then collects the 96-row pool, so assert on the
+    // pool frame the body builds rather than the final 40-row local
+    // result.
+    val e = VectorOps.normalizedEmbeddings(spark, dir)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(VectorOps.dot(col("qv"), col("v")) * 10000)
+          .cast("long").as("rel4"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel4").desc,
+          col("nid"))))
+      .filter(col("rn") <= 12)
+    pool.collect() // materialize so AQE finalizes
+    val p = pool.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
+  }
+
   test("x48 SQ8 broadcasts the query side and only the rank window " +
     "shuffles — encode/dequantize never move the corpus") {
     val p = finalPlanOf("x48_ann_sq8")

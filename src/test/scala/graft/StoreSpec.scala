@@ -319,4 +319,49 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(batch0Files == before, "batch-1 re-ingest rewrote batch 0")
     assert(rows(VectorOps.annIvfPqSearchStored(spark, dir, store)) == oneShot)
   }
+
+  test("ANN corpus compaction folds N ingest batches into one " +
+    "partition: search bit-identical, small-file count collapses, " +
+    "staging cleaned up, re-run a no-op") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-anncompact").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir)
+    // a week of daily ingests (7 batch partitions over the corpus)
+    (0 until 7).foreach(b => VectorOps.appendAnnCorpus(spark,
+      n.filter($"vec_id" % 7 === b), b.toLong, store))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    def parquetFiles = Files.walk(
+        java.nio.file.Paths.get(s"$tmp/ann/ann_corpus"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    val before = rows(VectorOps.annIvfPqSearchStored(spark, dir, store))
+    val filesBefore = parquetFiles.length
+    VectorOps.compactAnnCorpus(spark, store)
+    val batches = store.read("ann_corpus", spark)
+      .select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(batches == Seq(0L), batches.mkString(","))
+    assert(rows(VectorOps.annIvfPqSearchStored(spark, dir, store))
+      == before, "compaction changed search results")
+    val filesAfter = parquetFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    // the staging entity is gone
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$tmp/ann/ann_corpus_stage")))
+    // already-compact corpora are left untouched (early return)
+    val stamp = parquetFiles.sorted.toSeq.map(f =>
+      f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    VectorOps.compactAnnCorpus(spark, store)
+    val stamp2 = parquetFiles.sorted.toSeq.map(f =>
+      f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    assert(stamp2 == stamp, "no-op compaction rewrote files")
+  }
 }
