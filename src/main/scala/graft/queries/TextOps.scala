@@ -802,6 +802,52 @@ object TextOps {
         .orderBy($"doc_id", $"epoch")
     },
 
+    // ----- x54 temperature-weighted mixture design (the GPT-3 /
+    // LLaMA multinomial source weighting): per-source sampling share
+    // w_i ∝ n_i^α with α = 0.5 — up-weighting small curated sources
+    // against the web crawl — plus each source's boost over its
+    // natural share. x25 APPLIES a mixture; this query DERIVES one
+    // from the corpus. One partial-aggregated groupBy over the corpus
+    // (shuffle carries one row per source), then pure arithmetic
+    // against the broadcast 1-row totals. Determinism: sqrt is
+    // IEEE-correctly-rounded in both engines, so integerize sqrt
+    // FIRST (round ·1e6) and derive shares from the exact integer
+    // total — no cross-row double summation anywhere.
+    "x54_temperature_mixture" -> Q(
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_total
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT source, n_docs, chars_total,
+         |    CAST(round(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS s6
+         |  FROM c),
+         |t AS (SELECT CAST(sum(s6) AS BIGINT) AS tot,
+         |    CAST(sum(n_docs) AS BIGINT) AS totd FROM s),
+         |u AS (SELECT s.source, s.n_docs, s.chars_total,
+         |    CAST(round(1000000.0 * s.s6 / t.tot, 0) AS BIGINT)
+         |      AS share6,
+         |    CAST(round(1000000.0 * s.n_docs / t.totd, 0) AS BIGINT)
+         |      AS natural6
+         |  FROM s, t)
+         |SELECT source, n_docs, chars_total, share6, natural6,
+         |  round(share6 * 1.0 / natural6, 4) AS boost
+         |FROM u ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars_total"))
+        .withColumn("s6", round(sqrt($"n_docs") * 1000000).cast("long"))
+      val t = c.agg(sum($"s6").as("tot"), sum($"n_docs").as("totd"))
+      c.crossJoin(broadcast(t))
+        .withColumn("share6",
+          round(lit(1000000.0) * $"s6" / $"tot").cast("long"))
+        .withColumn("natural6",
+          round(lit(1000000.0) * $"n_docs" / $"totd").cast("long"))
+        .select($"source", $"n_docs", $"chars_total", $"share6",
+          $"natural6",
+          round($"share6" * lit(1.0) / $"natural6", 4).as("boost"))
+        .orderBy($"source")
+    },
+
     // ----- x26 benchmark contamination check: 3-shingle containment of
     // each corpus doc against a (small) benchmark set. The benchmark
     // shingle index is BROADCAST — the 100 TB corpus side never

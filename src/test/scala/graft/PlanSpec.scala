@@ -374,6 +374,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange:\n$p")
   }
 
+  test("x47 BM25 never goes cartesian: posting-list joins are all " +
+    "equi-joins and the corpus-stat side broadcasts") {
+    val p = finalPlanOf("x47_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row corpus stats ride a broadcast, never a shuffle join
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // inverted-index scoring legitimately exchanges on term/doc_id/qid
+    // (tf, df, contributions, rank) — pin the count so a regression
+    // that adds an extra shuffle fails loudly
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 7, s"expected <=7 hash exchanges:\n$p")
+  }
+
+  test("x49 semantic dedup pairs only within cells: the pair join is " +
+    "an equi-join on cell, never cartesian or nested-loop") {
+    val p = finalPlanOf("x49_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x54 mixture design is one corpus aggregation plus broadcast " +
+    "totals — the corpus shuffles one row per source, nothing more") {
+    val p = finalPlanOf("x54_temperature_mixture")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // two groupBy(source) exchanges (the shares branch and the totals
+    // branch re-derive from the scan), each carrying one row per source
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+  }
+
   test("x48 SQ8 broadcasts the query side and only the rank window " +
     "shuffles — encode/dequantize never move the corpus") {
     val p = finalPlanOf("x48_ann_sq8")
