@@ -160,7 +160,9 @@ object Bench {
       "x39_kmeans_train", "x40_ann_ivf_trained", "x41_pq_train",
       "x42_ann_pq_trained", "x43_ann_ivfpq_trained",
       "x44_ann_ivfpq_residual", "x45_ann_ivfpq_residual_probe",
-      "x46_kmeans_train_seeded", "m2_train_score")
+      "x46_kmeans_train_seeded", "x47_bm25", "x50_rrf_fusion",
+      "x51_ann_ivf_sq8", "x52_ann_pq_refine", "x53_mmr_diversify",
+      "x55_corpus_prep", "m2_train_score")
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()

@@ -848,6 +848,91 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // ----- x55 corpus-prep pipeline: the END-TO-END batch composition
+    // a training-data run actually executes — quality gates (x2's
+    // metrics at IngestStream's default thresholds) → first-occurrence
+    // exact dedup (x5's 8-token content key, one map-side-combinable
+    // min_by exchange) → benchmark decontamination (x26's 3-shingle
+    // containment against the held-out doc_id%20 slice) — as ONE
+    // oracle-checked query. Each stage is an already-oracle-green
+    // operator composed unchanged, so the pipeline is pinned stage by
+    // stage AND end to end (the streaming twin is IngestStream).
+    // Scale: the gates are a pure projection, dedup shuffles one row
+    // per content key, and decontamination broadcasts the small
+    // benchmark shingle index — the corpus never reshuffles after the
+    // dedup exchange.
+    "x55_corpus_prep" -> Q(
+      s"""WITH t AS (SELECT doc_id, text, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id, tk,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    round(len(list_filter(tk, w -> w IN ($StopwordsSql)))
+         |      / len(tk), 6) AS stop_ratio,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / length(text), 6) AS alpha_ratio
+         |  FROM t),
+         |g AS (SELECT * FROM q WHERE n_tokens >= 5
+         |  AND alpha_ratio >= 0.4 AND stop_ratio <= 0.8
+         |  AND doc_id % 20 <> 0),
+         |k AS (SELECT doc_id, n_tokens, stop_ratio, alpha_ratio, tk,
+         |    md5(array_to_string(tk[1:8], ' ')) AS key FROM g),
+         |surv AS (SELECT min(doc_id) AS doc_id,
+         |    min_by(n_tokens, doc_id) AS n_tokens,
+         |    min_by(stop_ratio, doc_id) AS stop_ratio,
+         |    min_by(alpha_ratio, doc_id) AS alpha_ratio,
+         |    min_by(tk, doc_id) AS tk
+         |  FROM k GROUP BY key),
+         |sh AS (SELECT DISTINCT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |  FROM surv WHERE len(tk) >= $K)),
+         |bench AS (SELECT DISTINCT doc_id AS bd, ${TS.md5Long("s")} AS h
+         |  FROM (SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |    FROM t WHERE doc_id % 20 = 0 AND len(tk) >= $K)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |bad AS (SELECT DISTINCT cd FROM (
+         |    SELECT sh.doc_id AS cd, bd, count(*) AS i
+         |    FROM sh JOIN bench USING (h) GROUP BY 1, 2) ov
+         |  JOIN sz ON ov.cd = sz.doc_id WHERE i / n >= 0.2)
+         |SELECT doc_id, n_tokens, stop_ratio, alpha_ratio
+         |FROM surv WHERE doc_id NOT IN (SELECT cd FROM bad)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tkc = T.wsTokens($"text")
+      val nStop = size(filter(tkc, w => w.isin(Stopwords: _*)))
+        .cast("double")
+      val nTok = size(tkc)
+      val q = Tables.spread(s, dir, "documents").select($"doc_id",
+        tkc.as("tk"),
+        nTok.cast("long").as("n_tokens"),
+        round(nStop / nTok, 6).as("stop_ratio"),
+        round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
+          .cast("double") / length($"text"), 6).as("alpha_ratio"))
+      val g = q.filter($"n_tokens" >= 5 && $"alpha_ratio" >= 0.4 &&
+        $"stop_ratio" <= 0.8 && $"doc_id" % 20 =!= 0)
+      val surv = g
+        .withColumn("key", md5(concat_ws(" ", slice($"tk", 1, 8))))
+        .groupBy($"key")
+        .agg(min($"doc_id").as("doc_id"),
+          min_by($"n_tokens", $"doc_id").as("n_tokens"),
+          min_by($"stop_ratio", $"doc_id").as("stop_ratio"),
+          min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"),
+          min_by($"tk", $"doc_id").as("tk"))
+      val sh = surv.filter(size($"tk") >= K)
+        .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+        .select($"doc_id", T.md5Long($"s").as("h")).distinct()
+      val bench = q.filter($"doc_id" % 20 === 0 && size($"tk") >= K)
+        .select($"doc_id".as("bd"), explode(T.shingles($"tk", K)).as("s"))
+        .select($"bd", T.md5Long($"s").as("h")).distinct()
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val bad = sh.join(broadcast(bench), "h")
+        .groupBy($"doc_id".as("cd"), $"bd").agg(count(lit(1)).as("i"))
+        .join(sz.select($"doc_id".as("cd"), $"n"), "cd")
+        .filter($"i" / $"n" >= 0.2)
+        .select($"cd").distinct()
+      surv.join(bad, surv("doc_id") === bad("cd"), "left_anti")
+        .select($"doc_id", $"n_tokens", $"stop_ratio", $"alpha_ratio")
+        .orderBy($"doc_id")
+    },
+
     // ----- x26 benchmark contamination check: 3-shingle containment of
     // each corpus doc against a (small) benchmark set. The benchmark
     // shingle index is BROADCAST — the 100 TB corpus side never
