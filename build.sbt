@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // the engine generates hundreds of whole-stage-codegen classes
+  // (literal LUTs, DotMatrix loops); the JVM's default 240 MB code
+  // cache can fill late in a long session, silently disabling the JIT
+  // and turning warm queries interpreted-slow
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -126,18 +126,23 @@ object Bench {
         jq.results.filterNot(_.ok).take(3).toString)
       ((System.nanoTime() - t0) / 1e9, seg, tile, pred)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
-    // the registry sweep leaves cached blocks and heap residue behind
-    // (several registry bodies cache frames their lazy results still
-    // reference, so they have no in-body unpersist seam); evict before
-    // the lifecycle phase so t1/t2 measure the lifecycle, not the
-    // sweep's GC shadow — isolated-vs-after-sweep measured 41 s vs
-    // 88-134 s on t2 before this
-    try { spark.catalog.clearCache(); System.gc() }
-    catch { case _: Throwable => () }
+    // Phase isolation: each sweep leaves cached blocks and heap
+    // residue behind (several registry bodies cache frames their lazy
+    // results still reference, so they have no in-body unpersist
+    // seam); evict at every phase boundary so each phase measures its
+    // own plans, not the previous phase's GC shadow — t2 measured
+    // 88-134 s after the sweep vs 41 s isolated before this, and warm
+    // timings ran ABOVE cold after the 100-chip lifecycle.
+    def isolate(): Unit =
+      try { spark.catalog.clearCache(); System.gc() }
+      catch { case _: Throwable => () }
+    isolate()
     val t1 = lifecycle(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS", "25").toInt)
+    isolate()
     val t2 = lifecycle(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS_SCALE", "100").toInt)
+    isolate()
     val results = registry :+ ("t1_tile_lifecycle" -> t1._1) :+
       ("t2_tile_lifecycle_100" -> t2._1)
     def stageJson(t: (Double, Double, Double, Double)): String =

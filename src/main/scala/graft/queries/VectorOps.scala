@@ -1667,6 +1667,70 @@ object VectorOps {
       (s, dir) => annPqRefine(s, dir)
     },
 
+    // ----- x56 ANN recall report: the index-evaluation step a real
+    // deployment runs BEFORE switching search paths — recall@5 of the
+    // IVF cell restriction (x13) and the flat-PQ ADC ranking (x34)
+    // against the exact brute-force top-5 (x9), computed in-engine as
+    // one query. Counts are exact integers (semi-join hits / totals),
+    // so the report is hash-exact; the oracle replays all three
+    // pipelines and the same joins. Scale shape: each arm is the
+    // already-audited plan (broadcast query side, one rank exchange);
+    // the report joins act on 40-row frames.
+    "x56_ann_recall_report" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |exsc AS (SELECT qid, n.vec_id AS nid,
+         |    round(${sqlDot("qv", "n.v")}, 4) AS cos
+         |  FROM q, n WHERE n.vec_id <> qid),
+         |ex AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
+         |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM exsc) WHERE rn <= 5),
+         |c AS (SELECT vec_id AS cid, v AS cv2 FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv2")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |q2 AS (SELECT vec_id AS qid, v AS qv, cell FROM cells
+         |  WHERE vec_id < $PqQueries),
+         |ivfsc AS (SELECT q2.qid, m.vec_id AS nid,
+         |    round(${sqlDot("q2.qv", "m.v")}, 4) AS cos
+         |  FROM q2 JOIN cells m ON q2.cell = m.cell
+         |    AND m.vec_id <> q2.qid),
+         |ivf AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
+         |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM ivfsc) WHERE rn <= 5),
+         |$sqlPqCodes,
+         |$sqlPqLut,
+         |pqsc AS (SELECT l.qid, c2.vec_id AS nid,
+         |    CAST(sum(l.d4) AS BIGINT) AS s4
+         |  FROM codes c2 JOIN lut l ON l.s = c2.s AND l.r = c2.code
+         |  WHERE c2.vec_id <> l.qid GROUP BY 1, 2),
+         |pq AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
+         |    OVER (PARTITION BY qid ORDER BY s4 DESC, nid) AS rn
+         |  FROM pqsc) WHERE rn <= 5),
+         |rep AS (
+         |  SELECT 'ivf' AS method,
+         |    (SELECT count(*) FROM ivf JOIN ex
+         |      ON ivf.qid = ex.qid AND ivf.nid = ex.nid) AS hits,
+         |    (SELECT count(*) FROM ivf) AS total
+         |  UNION ALL
+         |  SELECT 'pq' AS method,
+         |    (SELECT count(*) FROM pq JOIN ex
+         |      ON pq.qid = ex.qid AND pq.nid = ex.nid) AS hits,
+         |    (SELECT count(*) FROM pq) AS total)
+         |SELECT method, CAST(hits AS BIGINT) AS hits,
+         |  CAST(total AS BIGINT) AS total,
+         |  round(hits * 1.0 / total, 4) AS recall
+         |FROM rep ORDER BY method""".stripMargin) {
+      (s, dir) => annRecallReport(s, dir)
+    },
+
     // ----- x53 MMR diversified retrieval: greedy maximal marginal
     // relevance over a relevance-ranked pool — the standard
     // result-diversification step in RAG retrieval (λ·rel −
@@ -1777,6 +1841,43 @@ object VectorOps {
     }.sortBy(r => (r._1, r._3))
     import s.implicits._
     out.toDF("qid", "nid", "step", "rel4")
+  }
+
+  /** x56 body: recall@5 of the IVF cell restriction and the flat-PQ
+    * ADC ranking against the exact top-5 — each arm the
+    * already-plan-audited shape, the report a pair of semi-join counts
+    * over 40-row frames. */
+  private def annRecallReport(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    def top5(sc: org.apache.spark.sql.DataFrame, score: String)
+        : org.apache.spark.sql.DataFrame =
+      sc.withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy(col(score).desc, $"nid")))
+        .filter($"rn" <= 5).select($"qid", $"nid")
+    val exact = top5(e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos")), "cos")
+    val cellsDf = literalCells(e, DefaultCells)
+    val q2 = cellsDf.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+    val ivf = top5(cellsDf.join(broadcast(q2),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos")), "cos")
+    val (coded, qids, lut) = pqSetup(e)
+    val pq = pqRank(coded, qids, lut, k = 5).select($"qid", $"nid")
+    def report(m: String, approx: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      approx.join(exact, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(approx.agg(count(lit(1)).as("total")))
+        .select(lit(m).as("method"), $"hits", $"total",
+          round($"hits" * lit(1.0) / $"total", 4).as("recall"))
+    report("ivf", ivf).union(report("pq", pq)).orderBy($"method")
   }
 
   /** x52 body: flat-PQ ADC shortlist (RefineK per query, x34's exact
