@@ -1705,6 +1705,15 @@ object VectorOps {
          |ivf AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
          |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
          |  FROM ivfsc) WHERE rn <= 5),
+         |qp AS (SELECT a.vec_id AS qid, a.cid AS pcell FROM asg a
+         |  WHERE a.vec_id < $PqQueries AND a.arn <= 2),
+         |iv2sc AS (SELECT qp.qid, m.vec_id AS nid,
+         |    round(${sqlDot("q.qv", "m.v")}, 4) AS cos
+         |  FROM qp JOIN q ON q.qid = qp.qid
+         |  JOIN cells m ON m.cell = qp.pcell AND m.vec_id <> qp.qid),
+         |ivf2 AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
+         |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM iv2sc) WHERE rn <= 5),
          |$sqlPqCodes,
          |$sqlPqLut,
          |pqsc AS (SELECT l.qid, c2.vec_id AS nid,
@@ -1719,6 +1728,11 @@ object VectorOps {
          |    (SELECT count(*) FROM ivf JOIN ex
          |      ON ivf.qid = ex.qid AND ivf.nid = ex.nid) AS hits,
          |    (SELECT count(*) FROM ivf) AS total
+         |  UNION ALL
+         |  SELECT 'ivf_nprobe2' AS method,
+         |    (SELECT count(*) FROM ivf2 JOIN ex
+         |      ON ivf2.qid = ex.qid AND ivf2.nid = ex.nid) AS hits,
+         |    (SELECT count(*) FROM ivf2) AS total
          |  UNION ALL
          |  SELECT 'pq' AS method,
          |    (SELECT count(*) FROM pq JOIN ex
@@ -1868,6 +1882,19 @@ object VectorOps {
         $"cell" === $"qcell" && $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
         round(dot($"qv", $"v"), 4).as("cos")), "cos")
+    // nprobe=2 arm: probe lists from the same struct sort the corpus
+    // assignment argmaxes over (the x29 convention)
+    val (withCd, arr) = quantizerStructs(e, DefaultCells)
+    val corpus = withCd
+      .withColumn("cell", -array_max(arr).getField("negcid")).drop("cd")
+    val probeDf = withCd.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"),
+        transform(slice(reverse(array_sort(arr)), 1, 2),
+          p => -p.getField("negcid")).as("pc"))
+    val ivf2 = top5(corpus.join(broadcast(probeDf),
+        array_contains($"pc", $"cell") && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos")), "cos")
     val (coded, qids, lut) = pqSetup(e)
     val pq = pqRank(coded, qids, lut, k = 5).select($"qid", $"nid")
     def report(m: String, approx: org.apache.spark.sql.DataFrame)
@@ -1877,7 +1904,8 @@ object VectorOps {
         .crossJoin(approx.agg(count(lit(1)).as("total")))
         .select(lit(m).as("method"), $"hits", $"total",
           round($"hits" * lit(1.0) / $"total", 4).as("recall"))
-    report("ivf", ivf).union(report("pq", pq)).orderBy($"method")
+    report("ivf", ivf).union(report("ivf_nprobe2", ivf2))
+      .union(report("pq", pq)).orderBy($"method")
   }
 
   /** x52 body: flat-PQ ADC shortlist (RefineK per query, x34's exact
