@@ -268,6 +268,40 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"MMR mean pairwise cosine ${dSel.sum} > top-5's ${dTop.sum}")
   }
 
+  test("x55 corpus-prep invariants: every survivor passes all gates, " +
+    "is not a benchmark doc, and no two survivors share a content key " +
+    "- and the pipeline actually dropped something") {
+    import org.apache.spark.sql.Row
+    import graft.functions.{TextExprs => T}
+    val surv = SparkEntry.queries("x55_corpus_prep")(spark, dir)
+      .collect().map { case Row(id: Long, nt: Long, sr: Double,
+        ar: Double) => (id, nt, sr, ar) }
+    assert(surv.nonEmpty)
+    surv.foreach { case (id, nt, sr, ar) =>
+      assert(nt >= 5 && ar >= 0.4 && sr <= 0.8,
+        s"survivor $id violates a gate: tokens=$nt stop=$sr alpha=$ar")
+      assert(id % 20 != 0, s"benchmark doc $id survived")
+    }
+    // first-occurrence dedup held: content keys are unique among
+    // survivors (recomputed from the raw docs with the x5 expression)
+    val ids = surv.map(_._1)
+    val keys = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select(md5(concat_ws(" ",
+        slice(T.wsTokens(col("text")), 1, 8))).as("key"))
+      .collect().map(_.getString(0))
+    assert(keys.length == keys.distinct.length,
+      "two survivors share a content key")
+    // and the dedup/decontam stages did real work: fewer survivors
+    // than gate-passing non-benchmark docs
+    val passers = SparkEntry.queries("x2_quality")(spark, dir)
+      .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.4 &&
+        col("stop_ratio") <= 0.8 && col("doc_id") % 20 =!= 0)
+      .count()
+    assert(surv.length < passers,
+      s"nothing dropped: ${surv.length} survivors of $passers passers")
+  }
+
   test("x37 IVF-PQ with one cell degenerates to flat PQ exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "adc", "rn").collect()
