@@ -933,6 +933,76 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ----- x57 cross-source overlap matrix: for every source pair,
+    // how many exact content keys (x5's 8-token fingerprint) appear in
+    // BOTH — the governance report that catches a crawl source leaking
+    // into a curated one (or an eval set) before training. Scale
+    // shape: distinct (source, key) first (one partial-agged
+    // exchange), then the pair join is key-to-key equi (inverted-index
+    // style, skew-bounded by how many sources share a key — ≤
+    // |sources|², never corpus²); output is a ≤|sources|² matrix.
+    "x57_source_overlap" -> Q(
+      s"""WITH k AS (SELECT DISTINCT source,
+         |    md5(array_to_string((${TS.wsTokens("text")})[1:8], ' '))
+         |      AS key
+         |  FROM documents)
+         |SELECT k1.source AS src_a, k2.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS shared_keys
+         |FROM k k1 JOIN k k2 ON k1.key = k2.key
+         |  AND k1.source < k2.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val k = Tables.spread(s, dir, "documents")
+        .select($"source",
+          md5(concat_ws(" ", slice(T.wsTokens($"text"), 1, 8)))
+            .as("key"))
+        .distinct()
+      val k2 = k.select($"source".as("src_b"), $"key".as("key2"))
+      k.join(k2, $"key" === $"key2" && $"source" < $"src_b")
+        .groupBy($"source".as("src_a"), $"src_b")
+        .agg(count(lit(1)).as("shared_keys"))
+        .orderBy($"src_a", $"src_b")
+    },
+
+    // ----- x58 length-bucket batching report: docs assigned to
+    // power-of-two token-length buckets (the standard padding-
+    // minimization strategy for sequence batching), with per-bucket
+    // fill efficiency (real tokens / padded capacity) — the numbers a
+    // batching pipeline reads to choose its bucket edges. Bucket edges
+    // are a fixed CASE ladder (no float log2, whose last-ulp behavior
+    // at exact powers of two differs between engines). Pure
+    // projection + one partial-agged exchange carrying one row per
+    // bucket.
+    "x58_length_buckets" -> Q(
+      s"""WITH t AS (SELECT doc_id, len(${TS.wsTokens("text")}) AS n
+         |  FROM documents),
+         |b AS (SELECT doc_id, n,
+         |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         |      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+         |      WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+         |      ELSE 1024 END AS cap
+         |  FROM t)
+         |SELECT CAST(cap AS BIGINT) AS bucket_cap,
+         |  CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens,
+         |  CAST(count(*) * cap AS BIGINT) AS capacity,
+         |  round(sum(n) * 1.0 / (count(*) * cap), 4) AS fill
+         |FROM b GROUP BY cap ORDER BY bucket_cap""".stripMargin) {
+      (s, dir) =>
+      val n = size(T.wsTokens($"text")).cast("long")
+      val cap = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L)
+        .when(n <= 256, 256L).when(n <= 512, 512L).otherwise(1024L)
+      Tables(s, dir, "documents")
+        .select(n.as("n"), cap.as("cap"))
+        .groupBy($"cap")
+        .agg(count(lit(1)).as("docs"), sum($"n").as("tokens"))
+        .select($"cap".as("bucket_cap"), $"docs", $"tokens",
+          ($"docs" * $"cap").as("capacity"),
+          round($"tokens" * lit(1.0) / ($"docs" * $"cap"), 4)
+            .as("fill"))
+        .orderBy($"bucket_cap")
+    },
+
     // ----- x26 benchmark contamination check: 3-shingle containment of
     // each corpus doc against a (small) benchmark set. The benchmark
     // shingle index is BROADCAST — the 100 TB corpus side never
