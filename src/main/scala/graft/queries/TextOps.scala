@@ -1003,6 +1003,37 @@ object TextOps {
         .orderBy($"bucket_cap")
     },
 
+    // ----- x59 deterministic hash split: the reproducible
+    // train/val/test assignment production data pipelines use instead
+    // of seeded randomSplit (whose assignment depends on JVM, row
+    // order, and partitioning): bucket = md5(doc_id ‖ salt) mod 100 →
+    // [0,80) train, [80,90) val, rest test. Re-running on the same
+    // corpus — on any engine — yields the same assignment, which is
+    // what makes eval sets stable across reprocessing. Pure
+    // projection + one 3-row aggregate.
+    "x59_hash_split" -> Q(
+      s"""WITH t AS (SELECT doc_id,
+         |    ${TS.md5Long("CAST(doc_id AS VARCHAR) || '_split'")} % 100
+         |      AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS docs,
+         |  round(count(*) * 1.0 / (SELECT count(*) FROM t), 4) AS share
+         |FROM t GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      val b = T.md5Long(
+        concat($"doc_id".cast("string"), lit("_split"))) % 100
+      val t = Tables(s, dir, "documents").select($"doc_id", b.as("b"))
+      val n = t.agg(count(lit(1)).as("n_all"))
+      t.select(when($"b" < 80, "train").when($"b" < 90, "val")
+          .otherwise("test").as("split"))
+        .groupBy($"split").agg(count(lit(1)).as("docs"))
+        .crossJoin(broadcast(n))
+        .select($"split", $"docs",
+          round($"docs" * lit(1.0) / $"n_all", 4).as("share"))
+        .orderBy($"split")
+    },
+
     // ----- x26 benchmark contamination check: 3-shingle containment of
     // each corpus doc against a (small) benchmark set. The benchmark
     // shingle index is BROADCAST — the 100 TB corpus side never

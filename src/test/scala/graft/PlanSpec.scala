@@ -406,6 +406,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
   }
 
+  test("x57 source overlap: the pair join is key-equi after a " +
+    "distinct, never cartesian; x58/x59 are single-aggregation plans") {
+    val p57 = finalPlanOf("x57_source_overlap")
+    assert(!p57.contains("CartesianProduct") &&
+      !p57.contains("BroadcastNestedLoopJoin"), p57)
+    val p58 = finalPlanOf("x58_length_buckets")
+    assert(!p58.contains("Join"), p58) // pure projection + agg
+    val p59 = finalPlanOf("x59_hash_split")
+    assert(!p59.contains("CartesianProduct") &&
+      !p59.contains("SortMergeJoin"), p59) // totals ride a broadcast
+  }
+
   test("x48 SQ8 broadcasts the query side and only the rank window " +
     "shuffles — encode/dequantize never move the corpus") {
     val p = finalPlanOf("x48_ann_sq8")
