@@ -1123,45 +1123,42 @@ object TextOps {
     // inlines the token-hash array into every gram reference —
     // O(n_tokens * md5) per ELEMENT. Windows keep md5 linear and
     // codegen'd.)
-    "x28_winnow" -> Q({
-      val B = 33L; val M = TextExprsM
-      val gram = s"(th[CAST(i AS INT)] * ${B * B * B} + " +
-        s"th[CAST(i + 1 AS INT)] * ${B * B} + " +
-        s"th[CAST(i + 2 AS INT)] * $B + th[CAST(i + 3 AS INT)]) % $M"
-      s"""WITH t AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
-         |  FROM documents),
-         |h AS (SELECT doc_id, list_transform(tk, s ->
-         |    ${TS.md5Long("s")} % $M) AS th
-         |  FROM t WHERE len(tk) >= 8),
-         |g AS (SELECT doc_id, list_transform(range(1, len(th) - 2),
-         |    i -> $gram) AS grams FROM h),
-         |f AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(grams) - 3),
-         |    i -> list_min(grams[CAST(i AS INT) : CAST(i + 4 AS INT)])))
-         |    AS fps FROM g)
-         |SELECT doc_id, unnest(fps) AS fp FROM f
-         |ORDER BY doc_id, fp""".stripMargin
-    }) { (s, dir) =>
-      val B = 33L; val M = TextExprsM
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"pos")
-      Tables.spread(s, dir, "documents")
-        .select($"doc_id", T.wsTokens($"text").as("tk"))
-        .filter(size($"tk") >= 8)
-        .select($"doc_id", posexplode($"tk").as(Seq("pos", "tok")))
-        .withColumn("th", T.md5Long($"tok") % M)
-        .withColumn("g",
-          when(lead($"th", 3).over(byDoc).isNotNull,
-            ($"th" * (B * B * B) + lead($"th", 1).over(byDoc) * (B * B) +
-              lead($"th", 2).over(byDoc) * B + lead($"th", 3).over(byDoc))
-              % M))
-        .withColumn("fp",
-          when(lead($"g", 4).over(byDoc).isNotNull,
-            min($"g").over(byDoc.rowsBetween(0, 4))))
-        .filter($"fp".isNotNull)
-        .groupBy($"doc_id", $"fp").agg(count(lit(1)))
-        .select($"doc_id", $"fp")
-        .orderBy($"doc_id", $"fp")
+    "x28_winnow" -> Q(
+      s"""WITH $sqlWinnowCtes
+         |SELECT doc_id, fp FROM fpr
+         |ORDER BY doc_id, fp""".stripMargin) { (s, dir) =>
+      winnowFps(s, dir).orderBy($"doc_id", $"fp")
+    },
+
+    // ----- x60 winnowed-fingerprint overlap pairs (the MOSS /
+    // plagiarism-detection pipeline, and the substring-level member of
+    // the near-dup family): doc pairs sharing >= 2 winnowed rolling-
+    // hash fingerprints — i.e. sharing verbatim token RUNS, which
+    // MinHash/SimHash (bag-of-shingles) can miss and which catches
+    // boilerplate/quotation reuse. Scale shape: x28's fingerprints are
+    // already winnowed (≈1/4 the gram count), the hot-fingerprint
+    // df-cap bounds the join fan-out exactly like x6's shingle cap,
+    // and the pair join is fp-equi — never corpus².
+    "x60_winnow_overlap" -> Q(
+      s"""WITH $sqlWinnowCtes,
+         |hot AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fpr
+         |    GROUP BY 1) WHERE c <= $DfCap),
+         |cap AS (SELECT fpr.doc_id, fpr.fp FROM fpr JOIN hot USING (fp))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val fps = winnowFps(s, dir)
+      val hot = fps.groupBy($"fp").agg(count(lit(1)).as("c"))
+        .filter($"c" <= DfCap).select($"fp")
+      val cap = fps.join(hot, "fp")
+      val b2 = cap.select($"doc_id".as("d2"), $"fp".as("fp2"))
+      cap.select($"doc_id".as("d1"), $"fp")
+        .join(b2, $"fp" === $"fp2" && $"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 2)
+        .orderBy($"d1", $"d2")
     },
 
     // ----- x8 SimHash: 16-bit token-vote signature per document
@@ -1458,4 +1455,53 @@ object TextOps {
         .select($"new_id", $"old_id".as("dup_of"), $"est_sim")
         .orderBy($"new_id")
     })
+
+  /** Shared winnow oracle CTEs ending in `fpr(doc_id, fp)` — distinct
+    * winnowed fingerprints per doc (x28's relation; x60 builds its
+    * pair matcher on the same chain so the two can't drift). */
+  private def sqlWinnowCtes: String = {
+    val B = 33L; val M = TextExprsM
+    val gram = s"(th[CAST(i AS INT)] * ${B * B * B} + " +
+      s"th[CAST(i + 1 AS INT)] * ${B * B} + " +
+      s"th[CAST(i + 2 AS INT)] * $B + th[CAST(i + 3 AS INT)]) % $M"
+    s"""t AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(tk, s ->
+       |    ${TS.md5Long("s")} % $M) AS th
+       |  FROM t WHERE len(tk) >= 8),
+       |g AS (SELECT doc_id, list_transform(range(1, len(th) - 2),
+       |    i -> $gram) AS grams FROM h),
+       |f AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(grams) - 3),
+       |    i -> list_min(grams[CAST(i AS INT) : CAST(i + 4 AS INT)])))
+       |    AS fps FROM g),
+       |fpr AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+  }
+
+  /** Per-doc DISTINCT winnowed fingerprints (x28's relation, shared
+    * with x60's cross-doc matcher so the two can't drift): 4-gram
+    * rolling hashes over md5 token hashes, window-of-5 minima,
+    * distinct per doc. Two window passes on one doc_id exchange. */
+  private[graft] def winnowFps(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val B = 33L; val M = TextExprsM
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= 8)
+      .select($"doc_id", posexplode($"tk").as(Seq("pos", "tok")))
+      .withColumn("th", T.md5Long($"tok") % M)
+      .withColumn("g",
+        when(lead($"th", 3).over(byDoc).isNotNull,
+          ($"th" * (B * B * B) + lead($"th", 1).over(byDoc) * (B * B) +
+            lead($"th", 2).over(byDoc) * B + lead($"th", 3).over(byDoc))
+            % M))
+      .withColumn("fp",
+        when(lead($"g", 4).over(byDoc).isNotNull,
+          min($"g").over(byDoc.rowsBetween(0, 4))))
+      .filter($"fp".isNotNull)
+      .groupBy($"doc_id", $"fp").agg(count(lit(1)))
+      .select($"doc_id", $"fp")
+  }
 }
