@@ -213,7 +213,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       // the annotated columns ride along for downstream mixture/filter
       val cols = spark.table("ingest").columns.toSet
       assert(Set("n_tokens", "stop_ratio", "alpha_ratio",
-        "content_key").subsetOf(cols))
+        "content_key", "split").subsetOf(cols))
+      // the split stamp is x59's deterministic assignment: re-deriving
+      // it from doc_id alone reproduces what the stream assigned
+      val splits = spark.table("ingest")
+        .select($"doc_id", $"split").as[(Long, String)].collect()
+      splits.foreach { case (id, sp) =>
+        val b = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${id}_split".getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString, 16) % 100
+        val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+        assert(sp == want, s"doc $id split $sp != $want")
+      }
     } finally q.stop()
   }
 
