@@ -268,9 +268,12 @@ object TextOps {
     * one final groupBy(qid, doc) + per-query window. No all-pairs
     * scan: only documents sharing a term with the query are scored —
     * exactly an inverted-index retrieval. */
-  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The BM25 building blocks shared by x47, x50's sparse arm, and
+    * x61's PRF rounds: (tf, df, dl, corpus stats) frames. */
+  private def bm25Parts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val docs = Tables.spread(s, dir, "documents")
       .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
     val dl = docs.select($"doc_id", size($"tk").cast("long").as("dl"))
@@ -279,23 +282,35 @@ object TextOps {
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val st = dl.agg(count(lit(1)).as("n_docs"),
       sum($"dl").cast("double").as("sum_dl"))
+    (tf, df, dl, st)
+  }
+
+  /** Append the integerized BM25 term-doc contribution `ci` to a frame
+    * carrying (tf, df, dl, n_docs, sum_dl). k1 = 1.2, b = 0.75; the
+    * constants appear as the SAME decimal literals in the oracle
+    * (never k1+1 computed — 1.2+1.0 need not round to the double
+    * nearest 2.2). */
+  private def withCi(joined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = joined
+    .withColumn("idf",
+      log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5)))
+        + lit(1.0)))
+    .withColumn("nrm",
+      lit(1.2) * (lit(0.25) + (lit(0.75) *
+        ($"dl" / ($"sum_dl" / $"n_docs")))))
+    .withColumn("ci",
+      floor((($"idf" * (($"tf" * lit(2.2)) / ($"tf" + $"nrm"))))
+        * lit(1000000.0) + lit(0.5)))
+
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, df, dl, st) = bm25Parts(s, dir)
     val qt = tf.filter($"doc_id" < 4).select($"doc_id".as("qid"), $"term")
-    // k1 = 1.2, b = 0.75; constants appear as the SAME decimal
-    // literals in the oracle (never k1+1 computed — 1.2+1.0 need not
-    // round to the double nearest 2.2)
-    val contrib = tf.join(qt, "term").filter($"doc_id" =!= $"qid")
+    val contrib = withCi(tf.join(qt, "term").filter($"doc_id" =!= $"qid")
       .join(df, "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(st))
-      .withColumn("idf",
-        log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5)))
-          + lit(1.0)))
-      .withColumn("nrm",
-        lit(1.2) * (lit(0.25) + (lit(0.75) *
-          ($"dl" / ($"sum_dl" / $"n_docs")))))
-      .withColumn("ci",
-        floor((($"idf" * (($"tf" * lit(2.2)) / ($"tf" + $"nrm"))))
-          * lit(1000000.0) + lit(0.5)))
+      .crossJoin(broadcast(st)))
     val sc = contrib.groupBy($"qid", $"doc_id")
       .agg(sum($"ci").as("bm25"))
     sc.withColumn("rn", row_number().over(Window.partitionBy($"qid")
@@ -304,9 +319,60 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
-  /** Shared CTE chain for the BM25 score (x47, and x50's sparse arm),
-    * ending in `bmr(qid, doc_id, bm25, rn)` — unlimited rank, callers
-    * slice. MUST mirror [[bm25TopK]]'s expression order exactly. */
+  /** x61 body: RM3-style pseudo-relevance feedback. Round 1 is x47's
+    * BM25; the top-`fbK` docs per query become the feedback set; the
+    * `expK` highest-weight NEW terms from those docs (weight = summed
+    * integerized BM25 contribution within the feedback set — exact
+    * longs, so expansion-term selection is engine-identical) join the
+    * query; round 2 re-scores with the expanded term set. Same scale
+    * shape as x47 twice: posting-list equi-joins, broadcast corpus
+    * stats, one rank exchange per round. */
+  private[graft] def prfExpand(s: org.apache.spark.sql.SparkSession,
+      dir: String, fbK: Int = 3, expK: Int = 2, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, df, dl, st) = bm25Parts(s, dir)
+    val qt = tf.filter($"doc_id" < 4).select($"doc_id".as("qid"), $"term")
+    def scores(q: org.apache.spark.sql.DataFrame) =
+      withCi(tf.join(q, "term").filter($"doc_id" =!= $"qid")
+        .join(df, "term").join(dl, "doc_id").crossJoin(broadcast(st)))
+        .groupBy($"qid", $"doc_id").agg(sum($"ci").as("bm25"))
+    val fb = scores(qt)
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")))
+      .filter($"rn" <= fbK).select($"qid", $"doc_id")
+    // candidate expansion terms: every term of a feedback doc that is
+    // NOT already a term of that query
+    val cand = tf.join(fb, "doc_id")
+      .join(qt.select($"qid".as("q0"), $"term".as("t0")),
+        $"qid" === $"q0" && $"term" === $"t0", "left_anti")
+    val ew = withCi(cand.join(df, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(st)))
+      .groupBy($"qid", $"term").agg(sum($"ci").as("w"))
+    val exp = ew.withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"w".desc, $"term")))
+      .filter($"rn" <= expK).select($"qid", $"term")
+    scores(qt.unionByName(exp))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"doc_id", $"bm25".as("bm25_prf"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** The integerized BM25 term-doc contribution as SQL — ONE
+    * definition shared by x47's chain and both of x61's rounds.
+    * Expects tf/df/dl/n_docs/sum_dl in scope. */
+  private val sqlCi: String =
+    """CAST(floor((ln((((n_docs - df) + 0.5) / (df + 0.5)) + 1.0)
+      |      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 *
+      |        (dl / (sum_dl / n_docs)))))))) * 1000000.0 + 0.5)
+      |      AS BIGINT)""".stripMargin
+
+  /** Shared CTE chain for the BM25 score (x47, x50's sparse arm, and
+    * x61's round 1), ending in `bmr(qid, doc_id, bm25, rn)` —
+    * unlimited rank, callers slice. MUST mirror [[bm25TopK]]'s
+    * expression order exactly. */
   private[graft] val sqlBm25Ctes: String =
     s"""tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
        |  FROM documents),
@@ -318,10 +384,7 @@ object TextOps {
        |    AS sum_dl FROM dlr),
        |qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 4),
        |co AS (SELECT qt.qid, tf.doc_id,
-       |    CAST(floor((ln((((n_docs - df) + 0.5) / (df + 0.5)) + 1.0)
-       |      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 *
-       |        (dl / (sum_dl / n_docs)))))))) * 1000000.0 + 0.5)
-       |      AS BIGINT) AS ci
+       |    $sqlCi AS ci
        |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
        |  JOIN df ON df.term = tf.term
        |  JOIN dlr ON dlr.doc_id = tf.doc_id
@@ -739,6 +802,49 @@ object TextOps {
          |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
          |FROM bmr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => bm25TopK(s, dir)
+    },
+
+    // ----- x61 pseudo-relevance-feedback expansion (RM3-style): the
+    // top-3 BM25 docs per query feed back their 2 highest-weight NEW
+    // terms (weight = summed integerized BM25 contribution within the
+    // feedback set — exact longs, so term selection is
+    // engine-identical), and round 2 re-scores the expanded query.
+    // The classic recall-recovery move in sparse retrieval. Scale
+    // shape: x47's posting-list equi-join chain run twice + one tiny
+    // term-weight aggregation; corpus stats broadcast, one rank
+    // exchange per round.
+    "x61_prf_expansion" -> Q(
+      s"""WITH ${sqlBm25Ctes},
+         |fb AS (SELECT qid, doc_id FROM bmr WHERE rn <= 3),
+         |cw AS (SELECT fb.qid, tf.term,
+         |    CAST(sum($sqlCi) AS BIGINT) AS w
+         |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+         |  JOIN df ON df.term = tf.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id
+         |  CROSS JOIN st
+         |  LEFT JOIN qt q0 ON q0.qid = fb.qid AND q0.term = tf.term
+         |  WHERE q0.term IS NULL
+         |  GROUP BY 1, 2),
+         |expn AS (SELECT qid, term FROM (SELECT qid, term, row_number()
+         |    OVER (PARTITION BY qid ORDER BY w DESC, term) AS rn
+         |  FROM cw) WHERE rn <= 2),
+         |qt2 AS (SELECT qid, term FROM qt UNION ALL
+         |  SELECT qid, term FROM expn),
+         |co2 AS (SELECT qt2.qid, tf.doc_id,
+         |    $sqlCi AS ci
+         |  FROM tf JOIN qt2 ON tf.term = qt2.term
+         |    AND tf.doc_id <> qt2.qid
+         |  JOIN df ON df.term = tf.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id
+         |  CROSS JOIN st),
+         |b2 AS (SELECT qid, doc_id, CAST(sum(ci) AS BIGINT) AS bm25_prf
+         |  FROM co2 GROUP BY 1, 2),
+         |r2 AS (SELECT qid, doc_id, bm25_prf, row_number() OVER (
+         |    PARTITION BY qid ORDER BY bm25_prf DESC, doc_id) AS rn
+         |  FROM b2)
+         |SELECT qid, doc_id, bm25_prf, CAST(rn AS BIGINT) AS rn
+         |FROM r2 WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => prfExpand(s, dir)
     },
 
     // ----- x24 RAG chunking: overlapping sliding token windows
