@@ -302,6 +302,28 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"nothing dropped: ${surv.length} survivors of $passers passers")
   }
 
+  test("x61 PRF actually expands: every doc ranked in both rounds " +
+    "scores at least its round-1 BM25 (contributions are nonnegative " +
+    "and the expanded query is a superset), and the feedback changed " +
+    "at least one ranking") {
+    import org.apache.spark.sql.Row
+    val r1 = SparkEntry.queries("x47_bm25")(spark, dir)
+      .select("qid", "doc_id", "bm25").collect()
+      .map { case Row(q: Long, d: Long, s: Long) => (q, d) -> s }.toMap
+    val r2 = SparkEntry.queries("x61_prf_expansion")(spark, dir)
+      .select("qid", "doc_id", "bm25_prf").collect()
+      .map { case Row(q: Long, d: Long, s: Long) => (q, d) -> s }.toMap
+    assert(r2.nonEmpty)
+    val shared = r1.keySet.intersect(r2.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(r2(k) >= r1(k),
+        s"expanded score shrank for $k: ${r1(k)} -> ${r2(k)}")
+    }
+    assert(r1.keySet != r2.keySet,
+      "PRF left every top-5 list unchanged — expansion did nothing")
+  }
+
   test("x37 IVF-PQ with one cell degenerates to flat PQ exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "adc", "rn").collect()
