@@ -79,6 +79,19 @@ object TextExprs {
     * (+1 / -1) votes from each token's hash bit b is positive. Tokens
     * are md5-hashed ONCE (not once per bit), then all vote counters
     * update in a single codegen pass ([[SimHashBits]]). */
+  /** Deterministic train/val/test assignment from the doc id alone
+    * (x59's convention): bucket = md5(id ‖ "_split") mod 100 →
+    * [0,80) train, [80,90) val, rest test. ONE definition shared by
+    * the batch query, the streaming ingest stamp, and the stability
+    * spec, so the assignment can never drift between surfaces. */
+  def splitOf(docId: Column): Column = {
+    val b = md5Long(org.apache.spark.sql.functions.concat(
+      docId.cast("string"),
+      org.apache.spark.sql.functions.lit("_split"))) % 100
+    org.apache.spark.sql.functions.when(b < 80, "train")
+      .when(b < 90, "val").otherwise("test")
+  }
+
   def simhash(tokens: Column, bits: Int): Column =
     SimHashBits(transform(tokens, t => md5Long(t)), bits)
 }

@@ -1127,12 +1127,10 @@ object TextOps {
          |  CAST(count(*) AS BIGINT) AS docs,
          |  round(count(*) * 1.0 / (SELECT count(*) FROM t), 4) AS share
          |FROM t GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
-      val b = T.md5Long(
-        concat($"doc_id".cast("string"), lit("_split"))) % 100
-      val t = Tables(s, dir, "documents").select($"doc_id", b.as("b"))
+      val t = Tables(s, dir, "documents")
+        .select($"doc_id", T.splitOf($"doc_id").as("split"))
       val n = t.agg(count(lit(1)).as("n_all"))
-      t.select(when($"b" < 80, "train").when($"b" < 90, "val")
-          .otherwise("test").as("split"))
+      t.select($"split")
         .groupBy($"split").agg(count(lit(1)).as("docs"))
         .crossJoin(broadcast(n))
         .select($"split", $"docs",

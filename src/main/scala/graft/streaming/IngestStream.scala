@@ -140,14 +140,10 @@ object IngestStream {
     cleaned
       .drop("tk")
       // deterministic split assignment at ingest (batch x59's
-      // convention): md5(doc_id ‖ salt) mod 100 — reproducible across
-      // re-ingests, engines, and partitionings, so eval membership is
-      // stable no matter when a doc arrived
-      .withColumn("split", {
-        val b = T.md5Long(
-          concat($"doc_id".cast("string"), lit("_split"))) % 100
-        when(b < 80, "train").when(b < 90, "val").otherwise("test")
-      })
+      // convention, the SAME T.splitOf definition): reproducible
+      // across re-ingests, engines, and partitionings, so eval
+      // membership is stable no matter when a doc arrived
+      .withColumn("split", T.splitOf($"doc_id"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
   }

@@ -302,6 +302,25 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"nothing dropped: ${surv.length} survivors of $passers passers")
   }
 
+  test("x59 split assignment is append-stable: every doc keeps its " +
+    "assignment as the corpus grows (the property hash splits exist " +
+    "for, which seeded randomSplit does not have)") {
+    import graft.functions.{TextExprs => T}
+    def asg(d: String) = graft.Tables(spark, d, "documents")
+      .select(col("doc_id"), T.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = asg("/root/testdata/sf0.001")
+    val big = asg(dir) // sf0.01 — a strict superset corpus
+    val shared = small.keySet.intersect(big.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { id =>
+      assert(small(id) == big(id),
+        s"doc $id changed split: ${small(id)} -> ${big(id)}")
+    }
+    // and the assignment is a real partition of the corpus
+    assert(big.values.toSet == Set("train", "val", "test"))
+  }
+
   test("x61 PRF actually expands: every doc ranked in both rounds " +
     "scores at least its round-1 BM25 (contributions are nonnegative " +
     "and the expanded query is a superset), and the feedback changed " +
