@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full registry: Spark impl + optional DuckDB oracle per query. */
   def all: Map[String, Q] =
     Relational.qs ++ DateOps.qs ++ TextOps.qs ++ VectorOps.qs ++
-      EventOps.qs ++ MiscOps.qs ++ MlOps.qs ++ SeqOps.qs
+      EventOps.qs ++ MiscOps.qs ++ MlOps.qs ++ SeqOps.qs ++ TokenOps.qs ++
+      SketchOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -102,11 +102,15 @@ object TextExprs {
 object TextSql {
 
   /** 48-bit md5-prefix integer of expression `e` (exact: every partial
-    * sum < 2^48 is exactly representable in the double list_sum). */
+    * sum < 2^48 is exactly representable in the double list_sum). The
+    * lambda variable is deliberately obscure: DuckDB resolves an outer
+    * column with the lambda variable's name INTO the lambda body
+    * (capture), silently corrupting the hash — a plain `j` here broke
+    * the first CMS draft, whose queries carry a `j` column. */
   def md5Long(e: String): String =
-    s"CAST(list_sum(list_transform(range(1,13), j -> " +
-      s"(strpos('0123456789abcdef', substr(md5($e), CAST(j AS INT), 1)) - 1)" +
-      s" * power(16, 12 - j))) AS BIGINT)"
+    s"CAST(list_sum(list_transform(range(1,13), md5j_ -> " +
+      s"(strpos('0123456789abcdef', substr(md5($e), CAST(md5j_ AS INT), 1))" +
+      s" - 1) * power(16, 12 - md5j_))) AS BIGINT)"
 
   def minhash(shingleVar: String, i: Int): String =
     s"list_min(list_transform($shingleVar, s -> " +

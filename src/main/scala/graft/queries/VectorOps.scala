@@ -76,6 +76,20 @@ object VectorOps {
     * exact re-rank (FAISS IndexRefineFlat's k_factor × k). */
   private val RefineK = 20
 
+  /** x65 JL geometry: projected dimensionality and shortlist depth.
+    * Declared BEFORE the qs map — the oracle SQL interpolates them at
+    * object init, and a val declared after the map would still be 0
+    * there. The shortlist is deliberately deeper than x52's RefineK:
+    * the testdata embeddings are near-uniform random, so neighbor
+    * margins (rank-5 cos ≈ 0.05 above the bulk) sit BELOW the JL
+    * distortion noise at any useful compression — recall@shortlist
+    * grows with K, not with projected width (measured: 8/40 at K=20
+    * for widths 16 THROUGH 64, 19/40 at K=100, width-independent).
+    * Real text embeddings cluster, widening margins; K is the recall
+    * knob either way. */
+  private val JlDim = 16
+  private val JlShortK = 100
+
   /** x53 MMR geometry: relevance-ranked candidate pool size, selections
     * per query, and the λ = 0.7 tradeoff encoded as INTEGER weights
     * (7·rel − 3·maxSim) so both engines score in exact long
@@ -1667,6 +1681,53 @@ object VectorOps {
       (s, dir) => annPqRefine(s, dir)
     },
 
+    // ----- x65 Johnson–Lindenstrauss random-projection ANN: project the
+    // 64-dim corpus to JlDim=16 dims through a deterministic ±1 sign
+    // matrix (one codegen DotMatrix pass — the same constant-matrix
+    // machinery as the LSH planes and IVF assignment), shortlist
+    // RefineK candidates per query by PROJECTED cosine, then re-rank
+    // the sliver by exact cosine (x52's refine shape). The projected
+    // dots are exact integers (components integerized before
+    // projection; unit-norm input bounds every partial sum below 2^53),
+    // so the shortlist is engine-identical, and the exact re-rank
+    // erases the projection's distance distortion for the final order.
+    // Scale: the 4× narrower projected corpus is the only thing the
+    // rank exchange carries; queries and shortlists broadcast; the
+    // corpus itself is scanned twice, shuffled never.
+    "x65_ann_jl_refine" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |pj AS (SELECT vec_id, v, list_transform(range(0, $JlDim), jk_ ->
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), ji_ ->
+         |      floor(v[CAST(ji_ AS INT)] * 1000000.0 + 0.5) *
+         |      (CASE WHEN sin(jk_ * 1009 + ji_ * 17.0) >= 0
+         |        THEN 1 ELSE -1 END))) AS DOUBLE)) AS pv
+         |  FROM n),
+         |pn AS (SELECT vec_id, v, pv, sqrt(${sqlDot("pv", "pv")}) AS pnm
+         |  FROM pj),
+         |q AS (SELECT vec_id AS qid, pv AS qpv, pnm AS qpn FROM pn
+         |  WHERE vec_id < $PqQueries),
+         |sc AS (SELECT qid, p.vec_id AS nid,
+         |    round(${sqlDot("qpv", "p.pv")} / (qpn * p.pnm), 4) AS pcos
+         |  FROM q, pn p WHERE p.vec_id <> qid),
+         |sl AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY pcos DESC, nid) AS rn FROM sc)
+         |  WHERE rn <= $JlShortK),
+         |q2 AS (SELECT vec_id AS rqid, v AS qv FROM n
+         |  WHERE vec_id < $PqQueries),
+         |ex AS (SELECT sl.qid, sl.nid,
+         |    round(${sqlDot("q2.qv", "m.v")}, 4) AS cos
+         |  FROM sl JOIN q2 ON q2.rqid = sl.qid
+         |  JOIN n m ON m.vec_id = sl.nid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM ex)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annJlRefine(s, dir)
+    },
+
     // ----- x56 ANN recall report: the index-evaluation step a real
     // deployment runs BEFORE switching search paths — recall@5 of the
     // IVF cell restriction (x13) and the flat-PQ ADC ranking (x34)
@@ -1922,6 +1983,43 @@ object VectorOps {
       .select($"vec_id".as("rqid"), $"v".as("qv"))
     e.join(broadcast(sl), $"vec_id" === $"nid")
       .join(broadcast(q), $"qid" === $"rqid")
+      .select($"qid", $"nid", round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x65: JL projection sign matrix. Entry (k, i) is +1 iff
+    * sin(k*1009 + i*17) ≥ 0 — the same deterministic-trig convention as
+    * the LSH planes, evaluated symbolically by the oracle and baked as
+    * literals here. */
+  private[graft] def jlMatrix: Array[Array[Double]] =
+    Array.tabulate(JlDim)(k => (1 to Dim).map(i =>
+      if (math.sin(k * 1009 + i * 17.0) >= 0) 1.0 else -1.0).toArray)
+
+  /** x65 body: integerize components (exact projected dots), one
+    * DotMatrix pass to 16 dims, projected-cosine shortlist of RefineK,
+    * exact-cosine re-rank of the sliver. */
+  private[graft] def annJlRefine(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val pe = e
+      .withColumn("pv", graft.functions.DotMatrix(intComps($"v"), jlMatrix))
+      .withColumn("pnm", sqrt(dot($"pv", $"pv")))
+    val q = pe.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("qid"), $"pv".as("qpv"), $"pnm".as("qpn"))
+    val sl = pe.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qpv", $"pv") / ($"qpn" * $"pnm"), 4).as("pcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"pcos".desc, $"nid")))
+      .filter($"rn" <= JlShortK).select($"qid", $"nid")
+    val qv = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("rqid"), $"v".as("qv"))
+    e.join(broadcast(sl), $"vec_id" === $"nid")
+      .join(broadcast(qv), $"qid" === $"rqid")
       .select($"qid", $"nid", round(dot($"qv", $"v"), 4).as("cos"))
       .withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))

@@ -342,6 +342,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
   }
 
+  test("x65 JL refine: one dot_matrix projection pass, broadcast query " +
+    "and shortlist sides, corpus never shuffles") {
+    val p = finalPlanOf("x65_ann_jl_refine")
+    assert(p.contains("dot_matrix"), p) // the JL projection is codegen
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"), p)
+    // two rank windows (projected shortlist + exact re-rank)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges:\n$p")
+  }
+
   test("x53 MMR: pool selection broadcasts the query side and spends " +
     "one rank exchange; the corpus never shuffles") {
     import graft.queries.VectorOps

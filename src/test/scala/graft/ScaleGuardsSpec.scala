@@ -232,6 +232,28 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x65 JL refine: recall@5 well above shortlist-chance level, and " +
+    "the refined order is the exact-cosine order (refine property)") {
+    val exactRank = SparkEntry.queries("x9_cosine_knn")(spark, dir)
+      .select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val jl = SparkEntry.queries("x65_ann_jl_refine")(spark, dir)
+      .select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(jl.length == 40, jl.length.toString)
+    // measured 19/40 at the 100-deep shortlist on the near-uniform
+    // testdata (chance for a 100-of-499 shortlist ≈ 1/5 of top-5 = 8);
+    // floor leaves headroom for geometry tweaks
+    val hits = jl.count(t => exactRank.contains((t._1, t._2)))
+    assert(hits >= 14, s"recall $hits/40")
+    // within each query the final list keeps x9's exact relative order
+    // — the re-rank scoring IS the exact scoring on the shortlist
+    jl.groupBy(_._1).foreach { case (_, ns) =>
+      val kept = ns.sortBy(_._3).flatMap(t => exactRank.get((t._1, t._2)))
+      assert(kept.sameElements(kept.sorted), kept.toSeq.toString)
+    }
+  }
+
   test("x53 MMR actually diversifies: step 1 is the exact rank-1 " +
     "neighbor, and the selected set's mean pairwise cosine is below " +
     "the plain top-5's") {

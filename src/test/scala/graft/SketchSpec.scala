@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min sketch (x64) guarantee pins: the estimator never
+  * undercounts, the counter matrix stays at its fixed geometry, and the
+  * probe side joins the broadcast matrix (no corpus shuffle for
+  * estimation).
+  */
+class SketchSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val out = {
+    val df = SparkEntry.queries("x64_cms_counts")(spark, dir)
+    df.collect()
+    df
+  }
+
+  test("x64 CMS never undercounts; min over rows recovers most terms") {
+    val rows = out.select("term", "est", "true_cnt", "overcount").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"undercount at ${r.getString(0)}")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    // W=128 over the ~31-term vocab: collisions exist in single rows but
+    // the 4-row min recovers the exact count for most terms
+    val exact = rows.count(_.getLong(3) == 0L)
+    assert(exact * 2 >= rows.length, s"only $exact/${rows.length} exact")
+  }
+
+  test("x64 sketch state is the fixed D x W matrix, probe is broadcast") {
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the sum of all cells in one hash row equals the token count —
+    // the counter matrix is a complete partition of the stream
+    val toks = queries.TokenOps.wordFreq(spark, dir)
+      .agg(sum("f")).collect()(0).getLong(0)
+    val estSum = out.agg(sum("true_cnt")).collect()(0).getLong(0)
+    assert(estSum == toks)
+  }
+}
