@@ -24,7 +24,79 @@ object EventOps {
     * no values-discovery job. */
   private val EventTypes = Seq("view", "click", "purchase", "signup", "error")
 
+  /** x66 graph geometry: co-activity window width (10 min, in micros),
+    * minimum shared windows for an edge, and PageRank power-iteration
+    * count (each round is one unrolled oracle CTE level). Declared
+    * before the qs map — the oracle interpolates at object init. */
+  private val CoWinMicros = 600000000L
+  private val CoMinShared = 3
+  private val PrIters = 3
+
   val qs: Map[String, Q] = Map(
+    // ----- x66 PageRank power iterations over the user co-activity
+    // graph: users are linked when they share >= CoMinShared distinct
+    // 10-minute activity windows — the same bounded pair-join shape as
+    // the x57 overlap matrix (distinct (user, window) first; pair work
+    // scales with window occupancy, never users²). Three damped power
+    // iterations in EXACT integer arithmetic: ranks start at 1e6, each
+    // round a node keeps 0.15e6 and receives floor(85·r/(100·deg)) per
+    // in-edge — no float division anywhere, so the unrolled oracle is
+    // engine-identical bit for bit. The result ranks "hub" users (the
+    // influence/centrality signal audience analytics derives from
+    // co-occurrence). Scale shape: per round one join keyed on src +
+    // one contribution agg keyed on dst, both map-side combinable —
+    // textbook Pregel message passing as DataFrames; a deep iteration
+    // count adds lineage checkpoints every ~10 rounds, and the edge +
+    // degree frame builds once and is reused by every round.
+    "x66_graph_pagerank" -> Q(
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    epoch_us(ts) // $CoWinMicros AS w FROM events),
+         |cp AS (SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM uw a JOIN uw b ON a.w = b.w AND a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $CoMinShared),
+         |edges AS (SELECT u1 AS src, u2 AS dst FROM cp
+         |  UNION ALL SELECT u2, u1 FROM cp),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+         |  GROUP BY 1),
+         |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${(1 to PrIters).map { i =>
+          val p = i - 1
+          s"""r$i AS (SELECT e.dst AS n,
+             |    CAST(150000 + sum((85 * r.r) // (100 * d.deg))
+             |      AS BIGINT) AS r
+             |  FROM edges e JOIN r$p r ON r.n = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")}
+         |SELECT n AS user_id, r AS pr, CAST(row_number() OVER (
+         |    ORDER BY r DESC, n) AS BIGINT) AS rn
+         |FROM r$PrIters ORDER BY rn""".stripMargin) { (s, dir) =>
+      val uw = Tables(s, dir, "events")
+        .select($"user_id",
+          expr(s"unix_micros(ts) div $CoWinMicros").as("w"))
+        .distinct()
+      val cp = uw.as("a").join(uw.as("b"),
+          col("a.w") === col("b.w") &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= CoMinShared)
+        .select($"u1", $"u2")
+      val edges = cp.union(cp.select($"u2", $"u1")).toDF("src", "dst")
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src")
+      var r = deg.select($"src".as("n"), lit(1000000L).as("r"))
+      (1 to PrIters).foreach { _ =>
+        r = ed.join(r, $"src" === $"n")
+          .select($"dst", expr("(85 * r) div (100 * deg)").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+          .select($"dst".as("n"), (lit(150000L) + $"s").as("r"))
+      }
+      r.select($"n".as("user_id"), $"r".as("pr"))
+        .withColumn("rn", row_number()
+          .over(Window.orderBy($"pr".desc, $"user_id")).cast("long"))
+        .orderBy($"rn")
+    },
     // ----- e1 tumbling-window aggregate (streaming twin: watermark+window)
     "e1_window_agg" -> Q(
       """SELECT date_trunc('hour', ts) AS win, event_type,
