@@ -43,6 +43,24 @@ object SketchOps {
   private def bucketSql(d: String, term: String): String =
     s"${TS.md5Long(s"CAST($d AS VARCHAR) || ':' || $term")} % $W"
 
+  /** The corpus token stream of a documents frame. */
+  private[graft] def tokensOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(regexp_extract_all(lower($"text"),
+      lit("[a-z]+"), lit(0))).as("w"))
+
+  /** The CMS counter build over a token frame — ONE definition shared by
+    * the batch query (x64) and the streaming twin
+    * ([[graft.streaming.SketchStream]]), so the two matrices cannot
+    * drift. Works unchanged on a streaming frame: the groupBy state IS
+    * the D×W matrix (bounded regardless of stream length). */
+  private[graft] def cmsCounters(toks: org.apache.spark.sql.DataFrame) = {
+    val bucket = T.md5Long(concat($"d".cast("string"), lit(":"), $"w")).%(W)
+    toks
+      .select($"w", explode(sequence(lit(0), lit(D - 1))).as("d"))
+      .select($"d", bucket.as("b"))
+      .groupBy($"d", $"b").agg(count(lit(1)).as("c"))
+  }
+
   val qs: Map[String, Q] = Map(
     // ----- x64 count-min-sketch frequency estimates: build the D×W
     // counter matrix from the token stream, then estimate every vocab
@@ -64,16 +82,11 @@ object SketchOps {
          |SELECT w AS term, est, true_cnt, est - true_cnt AS overcount
          |FROM est JOIN tru USING (w) ORDER BY term""".stripMargin) {
       (s, dir) =>
-        val toks = Tables.spread(s, dir, "documents")
-          .select(explode(regexp_extract_all(lower($"text"),
-            lit("[a-z]+"), lit(0))).as("w"))
+        val toks = tokensOf(Tables.spread(s, dir, "documents"))
         val bucket = T.md5Long(concat($"d".cast("string"), lit(":"), $"w"))
           .%(W)
-        // sketch build: fixed 256-cell shuffle, token stream never moves
-        val cnt = toks
-          .select($"w", explode(sequence(lit(0), lit(D - 1))).as("d"))
-          .select($"d", bucket.as("b"))
-          .groupBy($"d", $"b").agg(count(lit(1)).as("c"))
+        // sketch build: fixed 512-cell shuffle, token stream never moves
+        val cnt = cmsCounters(toks)
         val tru = toks.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
         val est = tru
           .select($"w", explode(sequence(lit(0), lit(D - 1))).as("d"))

@@ -1,0 +1,26 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming count-min sketch: the x64 counter build run incrementally
+  * over a document stream. The definition is SHARED with the batch
+  * query (`SketchOps.cmsCounters`), so the streaming matrix is
+  * bit-identical to a batch build over the same documents — the
+  * batch/stream twin discipline of the e-series, applied to a sketch.
+  *
+  * Why this is the right streaming shape: the aggregation state IS the
+  * D×W counter matrix — at most 512 rows no matter how much stream has
+  * passed, so there is no watermark to manage and no state growth; each
+  * micro-batch folds its token counts into the matrix exactly like the
+  * CMS merge rule (counters add). Run in Complete output mode to expose
+  * the live matrix (512 rows — trivially re-emittable), or probe the
+  * in-memory sink table for heavy-hitter estimates mid-stream.
+  */
+object SketchStream {
+
+  /** Incremental CMS counters of a streaming documents frame (needs a
+    * `text` column). */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    graft.queries.SketchOps.cmsCounters(
+      graft.queries.SketchOps.tokensOf(docs))
+}

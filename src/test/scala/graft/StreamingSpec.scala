@@ -618,4 +618,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(0)).sorted
     assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
   }
+  test("streaming CMS matrix is bit-identical to the batch build and " +
+    "its state never exceeds the D x W geometry") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick red fox runs past the sleepy cat"),
+      (2L, "a slow green turtle walks under the busy bridge"),
+      (3L, "the lazy dog sleeps while the quick fox watches"),
+      (4L, "every quick animal outruns the slow turtle easily"))
+    val in = MemoryStream[(Long, String)]
+    val q = SketchStream.cmsCounters(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms")
+        .select($"d", $"b", $"c").as[(Int, Long, Long)].collect().toSet
+      val batch = queries.SketchOps.cmsCounters(
+          queries.SketchOps.tokensOf(
+            docs.toDF("doc_id", "text")))
+        .select($"d", $"b", $"c").as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // bounded-state guarantee: at most D x W counter cells, however
+      // long the stream runs
+      assert(streamed.size <= queries.SketchOps.D * queries.SketchOps.W)
+      val total = streamed.toSeq.filter(_._1 == 0).map(_._3).sum
+      val words = docs.map(_._2.split(" ").length).sum
+      assert(total == words, s"row-0 mass $total != $words tokens")
+    } finally q.stop()
+  }
 }
