@@ -670,6 +670,79 @@ object TextOps {
           .limit(20)
     },
 
+    // ----- x67 windowed co-occurrence lift (PMI numerator as an EXACT
+    // integer): unordered word pairs within a ±2-token window, scored by
+    // lift = P(a,b) / (P(a)·P(b)) in parts-per-million — the corpus
+    // association statistic embedding/phrase pipelines derive (PMI is
+    // ln(lift); ln is monotone, so ranking by integer lift IS ranking
+    // by PMI with zero float risk — the same reason BM25/RRF integerize
+    // before ranking). Pair extraction is per-doc array windowing
+    // (offsets 1 and 2), NOT a positional self-join: zero shuffle
+    // before the pair aggregation; word counts and the two scalar
+    // totals broadcast. lift_ppm = n_pair·Nw²·1e6 div (N·n_a·n_b) —
+    // every intermediate < 2^63 at any corpus scale where counts fit
+    // int64 relative to the 1e6 scale.
+    "x67_pmi_cooccur" -> Q(
+      s"""WITH tk AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z]+') AS tk
+         |  FROM documents),
+         |px AS (${Seq(1, 2).map { o =>
+          // one branch per offset: DuckDB's binder cannot resolve an
+          // unnest(range(...)) whose bound references a joined column
+          s"""SELECT tk[CAST(i AS INT)] AS a, tk[CAST(i + $o AS INT)] AS b
+             |  FROM (SELECT tk, unnest(range(1, len(tk) + 1 - $o)) AS i
+             |    FROM tk)""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")}),
+         |pr AS (SELECT least(a, b) AS w1, greatest(a, b) AS w2
+         |  FROM px WHERE a <> b),
+         |np AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM pr GROUP BY 1, 2),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+         |  SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pr) AS np_all,
+         |  (SELECT CAST(sum(n_w) AS BIGINT) FROM wc) AS nw_all),
+         |sc AS (SELECT w1, w2, n_pair,
+         |    (n_pair * nw_all * nw_all * 1000000)
+         |      // (np_all * a.n_w * b.n_w) AS lift_ppm
+         |  FROM np JOIN wc a ON a.w = np.w1 JOIN wc b ON b.w = np.w2
+         |  CROSS JOIN tot WHERE n_pair >= 5)
+         |SELECT w1, w2, n_pair, lift_ppm, CAST(row_number() OVER (
+         |    ORDER BY lift_ppm DESC, w1, w2) AS BIGINT) AS rn
+         |FROM sc ORDER BY rn LIMIT 20""".stripMargin) { (s, dir) =>
+      val tk = Tables.spread(s, dir, "documents")
+        .select(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))
+          .as("tk"))
+      val emptyPairs = array().cast(
+        "array<struct<a:string,b:string>>")
+      val pr = Seq(1, 2).map { o =>
+        tk.select(explode(when(size($"tk") > o,
+            transform(sequence(lit(1), size($"tk") - o),
+              i => struct(element_at($"tk", i).as("a"),
+                element_at($"tk", i + o).as("b"))))
+          .otherwise(emptyPairs)).as("p"))
+      }.reduce(_ union _)
+        .select(least($"p.a", $"p.b").as("w1"),
+          greatest($"p.a", $"p.b").as("w2"))
+        .filter($"w1" =!= $"w2")
+      val np = pr.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+      val wc = tk.select(explode($"tk").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n_w"))
+      val tot = pr.agg(count(lit(1)).as("np_all"))
+        .crossJoin(wc.agg(sum($"n_w").as("nw_all")))
+      np.join(broadcast(wc.select($"w".as("w1"), $"n_w".as("na"))), "w1")
+        .join(broadcast(wc.select($"w".as("w2"), $"n_w".as("nb"))), "w2")
+        .crossJoin(broadcast(tot))
+        .filter($"n_pair" >= 5)
+        .select($"w1", $"w2", $"n_pair",
+          expr("(n_pair * nw_all * nw_all * 1000000)" +
+            " div (np_all * na * nb)").as("lift_ppm"))
+        .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"lift_ppm".desc, $"w1", $"w2"))
+          .cast("long"))
+        .orderBy($"rn").limit(20)
+    },
+
     // ----- x20 dedup resolution: keep the BEST doc per duplicate
     // cluster (longest text, doc_id tiebreak) — the canonical-selection
     // step that follows pair/cluster finding in a dedup pipeline (x5

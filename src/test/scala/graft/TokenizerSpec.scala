@@ -78,6 +78,23 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
     assert(nTok >= nWords) // at least one token per word
   }
 
+  test("x67 PMI lift: integer ranking, positive association on top") {
+    val rows = SparkEntry.queries("x67_pmi_cooccur")(spark, dir)
+      .select("w1", "w2", "n_pair", "lift_ppm", "rn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._3 >= 5))
+    // rn follows lift_ppm descending (integer ranking, no float ties)
+    val byRn = rows.sortBy(_._5).map(_._4)
+    assert(byRn.sameElements(byRn.sorted.reverse), byRn.toSeq.toString)
+    // the top association is far above independence (lift 1e6 = the
+    // two words co-occur exactly as often as chance predicts)
+    assert(rows.minBy(_._5)._4 > 1000000L)
+    // unordered normal form: w1 < w2 everywhere
+    assert(rows.forall(t => t._1 < t._2))
+  }
+
   test("x63 plan: corpus side joins the vocab via broadcast, one rollup agg") {
     val df = SparkEntry.queries("x63_bpe_encode")(spark, dir)
     df.collect()
