@@ -670,6 +670,67 @@ object TextOps {
           .limit(20)
     },
 
+    // ----- x68 sorted-neighborhood dedup (Hernández/Stolfo SNM): sort
+    // the corpus by a content key (first-8-token prefix), then compare
+    // each doc ONLY with its ≤2 predecessors in sort order — near-dup
+    // candidates come from sort-order LOCALITY, with no pair join and
+    // no inverted index at all. The third member of the candidate-
+    // generation family (x6 shingle index, x7 LSH bands, x68 sort
+    // neighborhood), and on this corpus it recovers exactly x6's pair
+    // set (duplicates share prefixes, so they sort adjacent). Scale
+    // shape: ONE range-style shuffle on the coarse first-character
+    // bucket + a local window per bucket — the window never crosses
+    // partitions, so each bucket compares independently; the similarity
+    // is x6's shingle Jaccard (shared TS spellings), exact-integer
+    // intersection sizes.
+    "x68_snm_dedup" -> Q(
+      s"""WITH t0 AS (SELECT doc_id, ${TS.wsTokens("text")} AS tks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, ${TS.shingles("tks", K)} AS sh,
+         |    array_to_string(tks[1:8], ' ') AS key
+         |  FROM t0 WHERE len(tks) >= $K),
+         |w AS (SELECT doc_id, sh, key,
+         |    lag(doc_id, 1) OVER win AS p1, lag(sh, 1) OVER win AS t1,
+         |    lag(doc_id, 2) OVER win AS p2, lag(sh, 2) OVER win AS t2
+         |  FROM tk WINDOW win AS (PARTITION BY substr(key, 1, 1)
+         |    ORDER BY key, doc_id)),
+         |cand AS (
+         |  SELECT doc_id AS b, sh AS tb, p1 AS a, t1 AS ta FROM w
+         |    WHERE p1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, sh, p2, t2 FROM w WHERE p2 IS NOT NULL),
+         |jac AS (SELECT least(a, b) AS d1, greatest(a, b) AS d2,
+         |    round(len(list_intersect(ta, tb)) * 1.0 /
+         |      (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6)
+         |      AS sim
+         |  FROM cand)
+         |SELECT d1, d2, sim FROM jac WHERE sim >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tks"))
+        .filter(size($"tks") >= K)
+        .select($"doc_id", T.shingles($"tks", K).as("sh"),
+          concat_ws(" ", slice($"tks", 1, 8)).as("key"))
+      val win = Window.partitionBy(substring($"key", 1, 1))
+        .orderBy($"key", $"doc_id")
+      val w = tk.select($"doc_id", $"sh",
+        lag($"doc_id", 1).over(win).as("p1"), lag($"sh", 1).over(win).as("t1"),
+        lag($"doc_id", 2).over(win).as("p2"), lag($"sh", 2).over(win).as("t2"))
+      val cand = w.filter($"p1".isNotNull)
+        .select($"doc_id".as("b"), $"sh".as("tb"),
+          $"p1".as("a"), $"t1".as("ta"))
+        .union(w.filter($"p2".isNotNull)
+          .select($"doc_id", $"sh", $"p2", $"t2"))
+      val i = size(array_intersect($"ta", $"tb"))
+      cand
+        .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"),
+          round(i * lit(1.0) / (size($"ta") + size($"tb") - i), 6)
+            .as("sim"))
+        .filter($"sim" >= 0.5)
+        .orderBy($"d1", $"d2")
+    },
+
     // ----- x67 windowed co-occurrence lift (PMI numerator as an EXACT
     // integer): unordered word pairs within a ±2-token window, scored by
     // lift = P(a,b) / (P(a)·P(b)) in parts-per-million — the corpus

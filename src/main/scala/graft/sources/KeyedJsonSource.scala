@@ -8,7 +8,8 @@ import java.util.zip.GZIPInputStream
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -32,8 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    file.
   *  - '''Column pruning''': the reader materializes only the requested
   *    columns (a `value`-less count never decodes payloads).
-  *  - All filters are also returned as residuals, so Spark re-evaluates
-  *    them post-scan — pruning can only skip, never change results.
+  *  - '''Residual discipline''': key-only predicates are decided
+  *    EXACTLY by the listing (all rows in a file share its key pair),
+  *    so they are fully handled at the scan; everything else returns
+  *    as a residual for Spark to re-evaluate — pruning can only skip,
+  *    never change results.
+  *  - '''Aggregate pushdown''': COUNT(*) / COUNT(col) grouped by key
+  *    columns collapses the scan to one pre-aggregated row per file
+  *    (line count, no JSON decode); Spark's final aggregate merges the
+  *    partials, and the exact residual discipline above is what lets
+  *    the aggregation sink below key filters.
   *
   * Usage: `spark.read.format("graft-keyed").load(dir)`.
   */
@@ -100,6 +109,26 @@ object KeyedJsonSource {
   }
   private def isKey(a: String) =
     a.equalsIgnoreCase("cx") || a.equalsIgnoreCase("cy")
+
+  /** Whether directory pruning evaluates this filter EXACTLY (every row
+    * in a file shares the file's key pair, so a key-only predicate
+    * decided at the listing needs no post-scan re-evaluation). Only
+    * such filters may be dropped from the residual set — and only when
+    * every comparison value is a number the pruner can read. */
+  def exactlyHandled(f: Filter): Boolean = {
+    def num(a: Any): Boolean = a.isInstanceOf[Number]
+    f match {
+      case EqualTo(a, x) => isKey(a) && num(x)
+      case In(a, xs) => isKey(a) && xs.forall(num)
+      case GreaterThan(a, x) => isKey(a) && num(x)
+      case GreaterThanOrEqual(a, x) => isKey(a) && num(x)
+      case LessThan(a, x) => isKey(a) && num(x)
+      case LessThanOrEqual(a, x) => isKey(a) && num(x)
+      case And(l, r) => exactlyHandled(l) && exactlyHandled(r)
+      case Or(l, r) => exactlyHandled(l) && exactlyHandled(r)
+      case _ => false
+    }
+  }
 }
 
 final class KeyedJsonTable(path: String) extends Table with SupportsRead {
@@ -113,21 +142,125 @@ final class KeyedJsonTable(path: String) extends Table with SupportsRead {
 }
 
 final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pruning: Array[Filter] = Array.empty
   private var required: StructType = KeyedJsonSource.Schema
+  private var aggGroupKeys: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(KeyedJsonSource.prunable)
-    filters // everything stays a residual: pruning only ever skips files
+    // key-only predicates are decided EXACTLY at the directory listing
+    // (all rows in a file share its key pair) — dropping them from the
+    // residual set is what lets Spark push an aggregation below them;
+    // everything else stays a residual so pruning can only skip,
+    // never change results
+    filters.filterNot(KeyedJsonSource.exactlyHandled)
   }
   override def pushedFilters(): Array[Filter] = pruning
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = KeyedJsonScan(path, pruning, required)
+  /** COUNT(*) (and COUNT(col) over this source's non-nullable columns)
+    * grouped by any subset of the key columns pushes down: the reader
+    * then emits ONE pre-aggregated row per file — a line count, no row
+    * materialization — and Spark's final aggregate merges the partial
+    * counts (partial pushdown: `supportCompletePushDown` stays false,
+    * one file per (cx, cy) is not guaranteed). The same shape parquet's
+    * metadata-count pushdown has, expressed over the keyed JSON
+    * layout. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val keysOk = aggregation.groupByExpressions.forall {
+      case f: NamedReference => f.fieldNames.length == 1 &&
+        (f.fieldNames()(0).equalsIgnoreCase("cx") ||
+          f.fieldNames()(0).equalsIgnoreCase("cy"))
+      case _ => false
+    }
+    // every column is non-nullable, so COUNT(col) == COUNT(*)
+    val aggsOk = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct
+        case _ => false
+      }
+    if (keysOk && aggsOk) {
+      aggGroupKeys = Some(aggregation.groupByExpressions.toSeq.map {
+        case f: NamedReference => f.fieldNames()(0).toLowerCase
+      })
+      aggCount = aggregation.aggregateExpressions.length
+      true
+    } else false
+  }
+  private var aggCount = 0
+
+  override def build(): Scan = aggGroupKeys match {
+    case Some(keys) => KeyedJsonCountScan(path, pruning, keys, aggCount)
+    case None => KeyedJsonScan(path, pruning, required)
+  }
+}
+
+/** Pre-aggregated count scan: one row per surviving file, carrying the
+  * file's key columns and its (non-empty) line count — no JSON decode,
+  * no per-row materialization. Spark's final aggregate sums these
+  * partials. */
+final case class KeyedJsonCountScan(path: String, pruning: Array[Filter],
+    groupKeys: Seq[String], nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    groupKeys.map(k => StructField(k, LongType, nullable = false)) ++
+      (0 until nCounts).map(i =>
+        StructField(s"count_$i", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-keyed path=$path, PrunedBy: ${pruning.mkString("[", ", ", "]")}" +
+      s", PushedAggregation: [COUNT(*) group by ${groupKeys.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    KeyedJsonScan(path, pruning, KeyedJsonSource.Schema)
+      .planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedJsonCountReaderFactory(groupKeys.toArray, nCounts)
+}
+
+final class KeyedJsonCountReaderFactory(groupKeys: Array[String],
+    nCounts: Int) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KeyedFilePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+
+      override def next(): Boolean = !done
+
+      override def get(): InternalRow = {
+        done = true
+        val fis = new FileInputStream(p.file)
+        val stream =
+          if (p.file.endsWith(".gz")) new GZIPInputStream(fis) else fis
+        val in = new BufferedReader(
+          new InputStreamReader(stream, StandardCharsets.UTF_8))
+        try {
+          var n = 0L
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) n += 1
+            line = in.readLine()
+          }
+          InternalRow.fromSeq(groupKeys.toSeq.map {
+            case "cx" => p.cx
+            case "cy" => p.cy
+          } ++ Seq.fill(nCounts)(n))
+        } finally in.close()
+      }
+
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class KeyedFilePartition(cx: Long, cy: Long, file: String)

@@ -60,4 +60,37 @@ class KeyedSourceSpec extends AnyFunSuite with SparkSpec {
       from_json($"value", PayloadSchema).getField("v") === "e")
     assert(f.count() == 1)
   }
+
+  test("COUNT(*) group-by-key pushes into the scan: one partial row per " +
+    "file, no payload decode, results exact") {
+    val df = read.groupBy($"cx", $"cy").count()
+    val got = df.as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 2L), (1L, 20L, 2L), (2L, 10L, 2L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+  }
+
+  test("global count() pushes too, and composes with exact key pruning") {
+    val all = read.count()
+    assert(all == 6L)
+    val df = read.filter($"cx" === 1L).groupBy($"cy").count()
+    assert(df.as[(Long, Long)].collect().toSet == Set((10L, 2L), (20L, 2L)))
+    val plan = df.queryExecution.executedPlan.toString
+    // the aggregation pushed BELOW the exactly-handled key filter: the
+    // plan carries both the pruning filter and the pushed count
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("PrunedBy"), plan)
+  }
+
+  test("aggregates the source cannot compute stay in Spark (sum, avg, " +
+    "distinct count)") {
+    val s = read
+      .select($"cx", from_json($"value", PayloadSchema)
+        .getField("px").as("px"))
+      .groupBy($"cx").agg(sum($"px").as("s"))
+    assert(s.as[(Long, Long)].collect().toSet ==
+      Set((1L, 406L), (2L, 209L)))
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), plan)
+  }
 }

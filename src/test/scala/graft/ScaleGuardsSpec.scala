@@ -232,6 +232,26 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x68 SNM dedup: sort-order locality recovers the inverted-index " +
+    "pair set with no pair join") {
+    def pairs(key: String) = SparkEntry.queries(key)(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snm = pairs("x68_snm_dedup")
+    val idx = pairs("x6_ngram_jaccard")
+    // on this corpus duplicates share their 8-token prefix, so every
+    // x6 pair sorts adjacent and SNM finds all of them; SNM can never
+    // invent a pair below the threshold, so equality is the exact pin
+    assert(snm == idx, s"snm ${snm.size} vs index ${idx.size}")
+    // and the plan has NO join operator at all — candidates come from
+    // the sort, not from an index or a cross product
+    val df = SparkEntry.queries("x68_snm_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x65 JL refine: recall@5 well above shortlist-chance level, and " +
     "the refined order is the exact-cosine order (refine property)") {
     val exactRank = SparkEntry.queries("x9_cosine_knn")(spark, dir)
