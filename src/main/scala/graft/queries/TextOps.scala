@@ -454,6 +454,110 @@ object TextOps {
       .select($"d1", $"d2", jac.as("jacv"))
   }
 
+  /** Shared LM-scored bigram frame for x36 / x72: an add-one-smoothed
+    * bigram LM trained on the reference slice (doc_id % 10 == 0), every
+    * OTHER doc's bigrams scored as (doc_id, p, lp) — p the bigram's
+    * position, lp its conditional log-prob rounded at 6 decimals (the
+    * cross-engine ln() ulp guard). The LM tables are VOCABULARY-sized
+    * (bigram + unigram counts) and ride broadcast joins, so the corpus
+    * side never shuffles before its per-doc aggregation. ONE definition
+    * for both the mean filter (x36) and the Min-K% tail filter (x72),
+    * so the model and scoring arithmetic cannot drift between them. */
+  private[graft] def lmScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bg = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", posexplode(T.bigramPairs($"tk")).as(Seq("p", "b")))
+      .select($"doc_id", $"p", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val ref = bg.filter($"doc_id" % 10 === 0).select($"w1", $"w2")
+    val lm = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .withColumnRenamed("w1", "lw1").withColumnRenamed("w2", "lw2")
+    val uni = ref.groupBy($"w1").agg(count(lit(1)).as("cw"))
+      .withColumnRenamed("w1", "uw1")
+    val v = ref.agg(countDistinct($"w2").as("vs"))
+    bg.filter($"doc_id" % 10 =!= 0)
+      // LM tables are vocabulary-sized: broadcast, corpus unshuffled
+      .join(broadcast(lm), $"w1" === $"lw1" && $"w2" === $"lw2", "left")
+      .join(broadcast(uni), $"w1" === $"uw1", "left")
+      .crossJoin(broadcast(v))
+      .select($"doc_id", $"p".cast("long").as("p"), round(log(
+        (coalesce($"c", lit(0L)) + lit(1.0)) /
+          (coalesce($"cw", lit(0L)) + $"vs")), 6).as("lp"))
+  }
+
+  /** SQL twin of [[lmScored]]: CTE chain ending in
+    * `lsc(doc_id, p, lp)`. Shared by the x36 and x72 oracles. */
+  private[graft] val sqlLmCtes: String =
+    s"""lmtk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+       |  FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> {'p': i, 'w1': tk[CAST(i AS INT)],
+       |          'w2': tk[CAST(i + 1 AS INT)]})) AS b
+       |  FROM lmtk WHERE len(tk) >= 2),
+       |ref AS (SELECT b['w1'] AS w1, b['w2'] AS w2 FROM bg
+       |  WHERE doc_id % 10 = 0),
+       |lm AS (SELECT w1, w2, count(*) AS c FROM ref GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*) AS cw FROM ref GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w2) AS vs FROM ref),
+       |lsc AS (SELECT g.doc_id, CAST(g.b['p'] AS BIGINT) AS p,
+       |    round(ln((coalesce(lm.c, 0) + 1.0) /
+       |      (coalesce(uni.cw, 0) + vv.vs)), 6) AS lp
+       |  FROM bg g
+       |  LEFT JOIN lm ON g.b['w1'] = lm.w1 AND g.b['w2'] = lm.w2
+       |  LEFT JOIN uni ON g.b['w1'] = uni.w1
+       |  CROSS JOIN vv
+       |  WHERE g.doc_id % 10 <> 0)""".stripMargin
+
+  /** x70 body: PPJoin-style prefix-filtered EXACT set-similarity join
+    * (Chaudhuri/Xiao's prefix-filtering principle) at Jaccard >= `t`
+    * over the K-shingle sets. Each doc orders its shingles rarest-first
+    * (global df ASC, hash ASC — exact integers, engine-identical) and
+    * indexes only its PREFIX of length n - ceil(t*n) + 1: two sets with
+    * Jaccard >= t MUST collide inside their prefixes, so candidate
+    * generation from the prefix postings alone is LOSSLESS — unlike
+    * LSH (x7) or sorted neighborhoods (x68), nothing is missed, and
+    * unlike the full inverted index (x6) the postings carry only the
+    * rarest ~(1-t) of each doc's shingles, exactly the tokens with the
+    * SHORTEST posting lists. The symmetric length filter
+    * (t*max(|x|,|y|) <= min(|x|,|y|)) prunes candidates before
+    * verification; verification then joins the candidate pairs back to
+    * the full per-doc hash arrays and computes exact Jaccard via one
+    * in-row array intersection (no further shuffle of the postings).
+    * At 100 TB this is the standard exact-dedup join: prefix postings
+    * shrink the index ~2x at t=0.5 AND skip the frequent-shingle
+    * hot keys entirely, while candidates stay provably complete. */
+  private[graft] def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, t: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tks"))
+      .filter(size($"tks") >= K)
+      .select($"doc_id",
+        transform(T.shingles($"tks", K), x => T.md5Long(x)).as("hs"))
+    val sh = tk.select($"doc_id", explode($"hs").as("h"))
+    val dfc = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val ord = sh.join(dfc, "h")
+      .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"h")))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val pre = ord.filter($"pos" <= $"n" - ceil($"n" * t) + 1)
+    val cand = pre.select($"doc_id".as("d1"), $"h", $"n".as("n1"))
+      .join(pre.select($"doc_id".as("d2"), $"h".as("h2"), $"n".as("n2")),
+        $"h" === $"h2" && $"d1" < $"d2" &&
+          greatest($"n1", $"n2") * t <= least($"n1", $"n2"))
+      .select($"d1", $"d2").distinct()
+    val i = size(array_intersect($"h1", $"h2"))
+    cand
+      .join(tk.select($"doc_id".as("v1"), $"hs".as("h1")), $"d1" === $"v1")
+      .join(tk.select($"doc_id".as("v2"), $"hs".as("h2")), $"d2" === $"v2")
+      .select($"d1", $"d2",
+        (i / (size($"h1") + size($"h2") - i)).as("jacv"))
+      .filter($"jacv" >= t)
+      .select($"d1", $"d2", round($"jacv", 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** Bench warmup: run the shingle/hash/window/self-join stage shapes
     * on a ~1k-doc subset. The per-stage generated code depends only on
     * the operators inside each exchange-bounded stage, so these stages
@@ -729,6 +833,42 @@ object TextOps {
             .as("sim"))
         .filter($"sim" >= 0.5)
         .orderBy($"d1", $"d2")
+    },
+
+    // ----- x70 PPJoin prefix-filtered exact similarity join: the
+    // LOSSLESS member of the candidate-generation family (x6 full
+    // inverted index, x7 LSH bands, x68 sort neighborhood, x70 prefix
+    // postings) — docs index only their rarest n-ceil(t*n)+1 shingles,
+    // two sets at Jaccard >= t provably collide there, and the
+    // symmetric length filter prunes before exact array-intersect
+    // verification. See [[ppjoinPairs]] for the 100 TB analysis.
+    "x70_ppjoin" -> Q(
+      s"""WITH t0 AS (SELECT doc_id, ${TS.wsTokens("text")} AS tks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, list_transform(${TS.shingles("tks", K)},
+         |    ppjs_ -> ${TS.md5Long("ppjs_")}) AS hs
+         |  FROM t0 WHERE len(tks) >= $K),
+         |sh AS (SELECT doc_id, unnest(hs) AS h FROM tk),
+         |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         |ord AS (SELECT sh.doc_id, sh.h,
+         |    row_number() OVER (PARTITION BY sh.doc_id
+         |      ORDER BY dfc.df, sh.h) AS pos,
+         |    count(*) OVER (PARTITION BY sh.doc_id) AS n
+         |  FROM sh JOIN dfc ON sh.h = dfc.h),
+         |pre AS (SELECT doc_id, h, n FROM ord
+         |  WHERE pos <= n - ceil(n * 0.5) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+         |    AND greatest(a.n, b.n) * 0.5 <= least(a.n, b.n)),
+         |ver AS (SELECT d1, d2,
+         |    len(list_intersect(x.hs, y.hs)) AS i,
+         |    len(x.hs) AS na, len(y.hs) AS nb
+         |  FROM cand JOIN tk x ON cand.d1 = x.doc_id
+         |    JOIN tk y ON cand.d2 = y.doc_id)
+         |SELECT d1, d2, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+         |FROM ver WHERE i * 1.0 / (na + nb - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      ppjoinPairs(s, dir)
     },
 
     // ----- x67 windowed co-occurrence lift (PMI numerator as an EXACT
@@ -1523,53 +1663,61 @@ object TextOps {
     // mean and the mean rounds at 4 before the keep comparison (the
     // x14 round-before-rank discipline).
     "x36_lm_quality" -> Q(
-      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
-         |  FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |    i -> [tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)]])) AS b
-         |  FROM tk WHERE len(tk) >= 2),
-         |ref AS (SELECT b[1] AS w1, b[2] AS w2 FROM bg
-         |  WHERE doc_id % 10 = 0),
-         |lm AS (SELECT w1, w2, count(*) AS c FROM ref GROUP BY 1, 2),
-         |uni AS (SELECT w1, count(*) AS cw FROM ref GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w2) AS vs FROM ref),
-         |sc AS (SELECT g.doc_id,
-         |    round(ln((coalesce(lm.c, 0) + 1.0) /
-         |      (coalesce(uni.cw, 0) + v.vs)), 6) AS lp
-         |  FROM bg g
-         |  LEFT JOIN lm ON g.b[1] = lm.w1 AND g.b[2] = lm.w2
-         |  LEFT JOIN uni ON g.b[1] = uni.w1
-         |  CROSS JOIN v
-         |  WHERE g.doc_id % 10 <> 0)
+      s"""WITH $sqlLmCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(avg(lp), 4) AS lm_score,
          |  round(avg(lp), 4) >= -7.0 AS keep
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+         |FROM lsc GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val bg = Tables.spread(s, dir, "documents")
-          .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
-          .filter(size($"tk") >= 2)
-          .select($"doc_id", posexplode(T.bigramPairs($"tk")).as(Seq("p", "b")))
-          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-        val ref = bg.filter($"doc_id" % 10 === 0).select($"w1", $"w2")
-        val lm = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-          .withColumnRenamed("w1", "lw1").withColumnRenamed("w2", "lw2")
-        val uni = ref.groupBy($"w1").agg(count(lit(1)).as("cw"))
-          .withColumnRenamed("w1", "uw1")
-        val v = ref.agg(countDistinct($"w2").as("vs"))
-        bg.filter($"doc_id" % 10 =!= 0)
-          // LM tables are vocabulary-sized: broadcast, corpus unshuffled
-          .join(broadcast(lm), $"w1" === $"lw1" && $"w2" === $"lw2", "left")
-          .join(broadcast(uni), $"w1" === $"uw1", "left")
-          .crossJoin(broadcast(v))
-          .select($"doc_id", round(log(
-            (coalesce($"c", lit(0L)) + lit(1.0)) /
-              (coalesce($"cw", lit(0L)) + $"vs")), 6).as("lp"))
+        lmScored(s, dir)
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             round(avg($"lp"), 4).as("lm_score"))
           .withColumn("keep", $"lm_score" >= -7.0)
           .orderBy($"doc_id")
+    },
+
+    // ----- x72 Min-K% prob membership check (Shi et al.'s
+    // memorization / contamination detector, with x36's bigram LM as
+    // the reference model): per scored doc, average ONLY the k = 20%
+    // least-likely bigram log-probs — a document whose WORST tokens
+    // are still well-modeled is likely present in (or near) the
+    // model's training slice. Selection is engine-deterministic: lp is
+    // rounded at 6 before ranking and ties break on bigram position
+    // (the x14 round-before-rank discipline); x36 and x72 share ONE
+    // scored-bigram relation ([[lmScored]] / `lsc`), so the LM and
+    // gate arithmetic cannot drift between the mean filter and the
+    // tail filter. Scale shape: x36's exactly — broadcast
+    // vocabulary-sized LM tables, corpus unshuffled until the per-doc
+    // window + aggregation pair (both partitioned on doc_id, one
+    // exchange total).
+    "x72_mink_prob" -> Q(
+      s"""WITH $sqlLmCtes,
+         |kk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(greatest(1, ceil(count(*) * 0.2)) AS BIGINT) AS k
+         |  FROM lsc GROUP BY 1),
+         |rr AS (SELECT doc_id, lp, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY lp, p) AS rn FROM lsc),
+         |mk AS (SELECT rr.doc_id, kk.n_bigrams, kk.k,
+         |    round(avg(lp), 4) AS mink_score
+         |  FROM rr JOIN kk ON rr.doc_id = kk.doc_id
+         |  WHERE rr.rn <= kk.k GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_bigrams, k, mink_score,
+         |  mink_score >= -7.0 AS suspect
+         |FROM mk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = lmScored(s, dir)
+      val kk = sc.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          greatest(lit(1L), ceil(count(lit(1)) * 0.2).cast("long")).as("k"))
+      sc.withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"lp", $"p")))
+        .join(kk, "doc_id")
+        .filter($"rn" <= $"k")
+        .groupBy($"doc_id", $"n_bigrams", $"k")
+        .agg(round(avg($"lp"), 4).as("mink_score"))
+        .withColumn("suspect", $"mink_score" >= -7.0)
+        .orderBy($"doc_id")
     },
 
     // ----- x32 within-document repetition signals (the Gopher /

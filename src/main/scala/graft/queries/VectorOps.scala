@@ -95,6 +95,18 @@ object VectorOps {
     * (7·rel − 3·maxSim) so both engines score in exact long
     * arithmetic. */
   private val PoolK = 12
+
+  /** x69 graded-eval constants. Per-rank DCG discount weights
+    * floor(1e6/log2(r+1) + 0.5) — computed ONCE on the driver and baked
+    * into both engines' plans as the same integer literals, so the DCG
+    * sum is exact long arithmetic with no cross-engine log2 risk. The
+    * ideal DCG is a compile-time constant because the ground truth
+    * always carries exactly NdcgK graded docs (rel NdcgK..1). */
+  private val NdcgK = 5
+  private[graft] val NdcgW: Seq[Long] = (1 to NdcgK).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private[graft] val NdcgIdcg: Long =
+    NdcgW.zipWithIndex.map { case (w, i) => w * (NdcgK - i) }.sum
   private val MmrK = 5
 
   /** Integerized subspace dot as SQL (`ss.s` names the subspace, `cb`
@@ -1583,6 +1595,47 @@ object VectorOps {
       (s, dir) => semanticDedup(s, dir)
     },
 
+    // ----- x71 density-based pruning (SSL-prototypes): per-cell
+    // prototype from exact integer sufficient statistics, prune the
+    // 30% most prototypical per cell, keep the hard examples. The
+    // curation COMPLEMENT of x49 (which drops near-identical pairs).
+    // See [[densityPrune]] for the 100 TB analysis.
+    "x71_density_prune" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |ic AS (SELECT cell, unnest(list_transform(range(1, len(v) + 1),
+         |    i -> {'d': i, 'c': floor(v[CAST(i AS INT)] * 1000000.0
+         |      + 0.5)})) AS dc
+         |  FROM cells),
+         |stats AS (SELECT cell, CAST(dc['d'] AS BIGINT) AS d,
+         |    sum(dc['c']) AS sc, count(*) AS nc
+         |  FROM ic GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(sc / (nc * 1000000.0) ORDER BY d)
+         |    AS cm
+         |  FROM stats GROUP BY 1),
+         |sc2 AS (SELECT m.vec_id, m.cell,
+         |    round(${sqlDot("m.v", "cent.cm")}, 4) AS proto
+         |  FROM cells m JOIN cent ON m.cell = cent.cell),
+         |r AS (SELECT vec_id, cell, proto,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY proto DESC, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cell) AS csize
+         |  FROM sc2)
+         |SELECT vec_id, cell, proto, CAST(rn AS BIGINT) AS rn,
+         |  rn > ceil(csize * 0.3) AS keep
+         |FROM r ORDER BY vec_id""".stripMargin) {
+      (s, dir) => densityPrune(s, dir)
+    },
+
     // ----- x50 hybrid retrieval: RRF fusion of the BM25 sparse arm
     // and the dense cosine arm over the shared doc/vec id space. Arm
     // contributions floor(1e6/(60+rank)) are exact integers, so the
@@ -1806,6 +1859,58 @@ object VectorOps {
       (s, dir) => annRecallReport(s, dir)
     },
 
+    // ----- x69 graded retrieval eval: NDCG@5 + MRR of the BM25 sparse
+    // arm and the IVF dense arm against the exact-cosine ranking as
+    // graded truth — x56's order-aware sibling. Exact integer DCG via
+    // driver-baked per-rank weights; see [[retrievalNdcg]].
+    "x69_retrieval_ndcg" -> Q({
+      val wCase = NdcgW.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH ${TextOps.sqlBm25Ctes},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 4),
+         |exsc AS (SELECT qid, n.vec_id AS nid,
+         |    round(${sqlDot("qv", "n.v")}, 4) AS cos
+         |  FROM q, n WHERE n.vec_id <> qid),
+         |ex AS (SELECT qid, nid, CAST(${NdcgK + 1} - xrn AS BIGINT) AS rel
+         |  FROM (SELECT qid, nid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, nid) AS xrn
+         |    FROM exsc) WHERE xrn <= $NdcgK),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1),
+         |q2 AS (SELECT vec_id AS qid, v AS qv, cell FROM cells
+         |  WHERE vec_id < 4),
+         |ivfsc AS (SELECT q2.qid, m.vec_id AS nid,
+         |    round(${sqlDot("q2.qv", "m.v")}, 4) AS cos
+         |  FROM q2 JOIN cells m ON q2.cell = m.cell
+         |    AND m.vec_id <> q2.qid),
+         |ivfr AS (SELECT qid, nid, rn FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid) AS rn
+         |  FROM ivfsc) WHERE rn <= $NdcgK),
+         |arms AS (SELECT 'bm25' AS method, qid, doc_id AS nid, rn
+         |    FROM bmr WHERE rn <= $NdcgK
+         |  UNION ALL SELECT 'ivf', qid, nid, rn FROM ivfr),
+         |ev AS (SELECT method, a.qid,
+         |    CAST(sum((CASE a.rn $wCase ELSE 0 END)
+         |      * coalesce(ex.rel, 0)) AS BIGINT) AS dcg,
+         |    min(CASE WHEN ex.rel > 0 THEN a.rn END) AS fr
+         |  FROM arms a LEFT JOIN ex ON ex.qid = a.qid AND ex.nid = a.nid
+         |  GROUP BY 1, 2)
+         |SELECT method, qid, dcg,
+         |  dcg * 1000000 // $NdcgIdcg AS ndcg_ppm,
+         |  coalesce(CAST(floor(1000000.0 / fr) AS BIGINT), 0) AS rr_ppm
+         |FROM ev ORDER BY method, qid""".stripMargin
+    }) { (s, dir) => retrievalNdcg(s, dir) },
+
     // ----- x53 MMR diversified retrieval: greedy maximal marginal
     // relevance over a relevance-ranked pool — the standard
     // result-diversification step in RAG retrieval (λ·rel −
@@ -1967,6 +2072,102 @@ object VectorOps {
           round($"hits" * lit(1.0) / $"total", 4).as("recall"))
     report("ivf", ivf).union(report("ivf_nprobe2", ivf2))
       .union(report("pq", pq)).orderBy($"method")
+  }
+
+  /** x69 body: graded retrieval evaluation — NDCG@5 and MRR of the
+    * BM25 sparse arm (x47's scorer) and the IVF dense arm against the
+    * exact-cosine dense ranking as graded ground truth (rel = 6 − exact
+    * rank for the exact top-5, 0 otherwise). x56 reports set-overlap
+    * recall for the ANN family; this is its ORDER-AWARE sibling over
+    * the retrieval arms, the metric pair (NDCG/MRR) an offline search
+    * eval actually tracks. All arithmetic is exact integers: per-rank
+    * discount weights are driver-baked literals ([[NdcgW]]), rel values
+    * are small ints, so dcg is an exact long sum, ndcg_ppm an integer
+    * division by the constant ideal DCG, and rr_ppm = floor(1e6/rank).
+    * Scale shape: every arm is top-5 PER QUERY (bounded rows), the
+    * truth join is (qid, nid)-keyed on those bounded sets, and the
+    * corpus-sized work (exact scan, cell scan, postings joins) reuses
+    * the parents' plans unchanged — broadcast query sides, one rank
+    * exchange each. */
+  private def retrievalNdcg(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val q = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val ex = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("xrn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"xrn" <= NdcgK)
+      .select($"qid", $"nid",
+        (lit(NdcgK + 1) - $"xrn").cast("long").as("rel"))
+    val cd = literalCells(e, DefaultCells)
+    val q2 = cd.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"))
+    val ivf = cd.join(broadcast(q2),
+        $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= NdcgK)
+      .select(lit("ivf").as("method"), $"qid", $"nid", $"rn")
+    val bm = TextOps.bm25TopK(s, dir, NdcgK)
+      .select(lit("bm25").as("method"), $"qid", $"doc_id".as("nid"), $"rn")
+    val w = NdcgW.zipWithIndex.foldRight(lit(0L)) { case ((wv, i), els) =>
+      when($"rn" === (i + 1), lit(wv)).otherwise(els)
+    }
+    bm.unionByName(ivf)
+      .join(ex, Seq("qid", "nid"), "left")
+      .select($"method", $"qid", $"rn", coalesce($"rel", lit(0L)).as("rel"))
+      .groupBy($"method", $"qid")
+      .agg(sum(w * $"rel").as("dcg"),
+        min(when($"rel" > 0, $"rn")).as("fr"))
+      .select($"method", $"qid", $"dcg",
+        expr(s"dcg * 1000000 div $NdcgIdcg").as("ndcg_ppm"),
+        coalesce(floor(lit(1000000.0) / $"fr").cast("long"), lit(0L))
+          .as("rr_ppm"))
+      .orderBy($"method", $"qid")
+  }
+
+  /** x71 body: density-based data pruning (the SSL-prototypes /
+    * SemDeDup-sibling curation step): cluster the corpus with the
+    * deterministic coarse cells, compute each cell's mean vector from
+    * EXACT integer sufficient statistics (the x39 Lloyd's discipline —
+    * components pre-scaled by 1e6 and floor(x+0.5)-rounded, so per-cell
+    * sums are order-independent and both engines derive bit-identical
+    * means), score every vector by its cosine to its own cell's
+    * prototype, and PRUNE the most prototypical `p` fraction per cell —
+    * keeping the hard, informative examples (the opposite tail from
+    * x49, which drops near-duplicate pairs). Scale shape: assignment is
+    * the one-pass codegen DotMatrix argmax (no corpus shuffle); the
+    * sufficient statistics collapse map-side to cells x dims rows; the
+    * prototype table is cells-sized and broadcasts back; the only
+    * corpus-keyed exchange is the per-cell rank window. */
+  private[graft] def densityPrune(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, p: Double = 0.3)
+      : org.apache.spark.sql.DataFrame = {
+    val cd = (if (cells <= MaxLiteralCells)
+      literalCells(normalizedEmbeddings(s, dir), cells)
+    else joinCells(normalizedEmbeddings(s, dir), cells))
+    val stats = cd
+      .select($"cell", posexplode(intComps($"v")).as(Seq("d", "c")))
+      .groupBy($"cell", $"d")
+      .agg(sum($"c").as("sc"), count(lit(1)).as("nc"))
+    val cent = stats.groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"d", $"sc", $"nc"))),
+        x => x.getField("sc") / (x.getField("nc") * KmScale)).as("cm"))
+    val byCell = Window.partitionBy($"cell")
+    cd.join(broadcast(cent), "cell")
+      .select($"vec_id", $"cell", round(dot($"v", $"cm"), 4).as("proto"))
+      .withColumn("rn", row_number()
+        .over(byCell.orderBy($"proto".desc, $"vec_id")).cast("long"))
+      .withColumn("csize", count(lit(1)).over(byCell))
+      .select($"vec_id", $"cell", $"proto", $"rn",
+        ($"rn" > ceil($"csize" * p)).as("keep"))
+      .orderBy($"vec_id")
   }
 
   /** x52 body: flat-PQ ADC shortlist (RefineK per query, x34's exact

@@ -471,6 +471,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x70/x71/x72 plan shapes: prefix join is key-equi (never " +
+    "cartesian), prototype/LM tables ride broadcasts, assignment " +
+    "stays codegen") {
+    // x70: candidate generation joins prefix postings on the shingle
+    // hash; verification joins candidate ids back to the doc arrays —
+    // every join key-equi, nothing nested-loop/cartesian
+    val p70 = finalPlanOf("x70_ppjoin")
+    assert(!p70.contains("CartesianProduct") &&
+      !p70.contains("BroadcastNestedLoopJoin"), p70)
+    // x71: cell assignment is the one-pass codegen DotMatrix; the
+    // cells-sized prototype table broadcasts back onto the corpus —
+    // no shuffling join anywhere
+    val p71 = finalPlanOf("x71_density_prune")
+    assert(p71.contains("dot_matrix"), p71)
+    assert(p71.contains("BroadcastHashJoin"), p71)
+    assert(!p71.contains("SortMergeJoin") &&
+      !p71.contains("ShuffledHashJoin") &&
+      !p71.contains("CartesianProduct"), p71)
+    // x72: the vocabulary-sized LM tables must broadcast (the corpus
+    // side shuffles only on doc_id for its window/aggregation pair)
+    val p72 = finalPlanOf("x72_mink_prob")
+    assert(p72.contains("BroadcastHashJoin"), p72)
+    assert(!p72.contains("SortMergeJoin") &&
+      !p72.contains("CartesianProduct"), p72)
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")

@@ -822,4 +822,82 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
         s"scores not descending: ${g.toSeq}")
     }
   }
+
+  test("x70 PPJoin is LOSSLESS: prefix-filtered candidates recover " +
+    "exactly the full inverted-index pair set, values included") {
+    def rows(key: String) = SparkEntry.queries(key)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the prefix-filtering principle guarantees candidate completeness
+    // at Jaccard >= t (unlike x7's LSH or x68's sort locality, which
+    // only recover the set on corpora where dups collide/sort close) —
+    // so x70 must equal x6 EXACTLY, jaccard values and all (the x6
+    // df-cap is a no-op at this corpus size)
+    val pp = rows("x70_ppjoin")
+    val idx = rows("x6_ngram_jaccard")
+    assert(pp == idx, s"ppjoin ${pp.size} vs index ${idx.size}")
+    assert(pp.nonEmpty)
+  }
+
+  test("x71 density pruning: per-cell prune counts match the ceil " +
+    "contract and the pruned tail is the prototypical one") {
+    val r = SparkEntry.queries("x71_density_prune")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3), x.getBoolean(4)))
+    // the corpus partitions: every vector appears exactly once
+    assert(r.map(_._1).distinct.length == r.length)
+    r.groupBy(_._2).values.foreach { cell =>
+      val n = cell.length
+      val cut = math.ceil(n * 0.3).toLong
+      // pruned = EXACTLY the rank prefix (the most prototypical rows)
+      val pruned = cell.filter(!_._5)
+      assert(pruned.length == cut, s"cell size $n pruned ${pruned.length}")
+      assert(pruned.map(_._4).toSet == (1L to cut).toSet)
+      // prototypicality direction: every pruned row scores >= every
+      // kept row (up to rank ties broken by vec_id)
+      val minPruned = pruned.map(_._3).min
+      val kept = cell.filter(_._5)
+      assert(kept.forall(_._3 <= minPruned),
+        s"kept row more prototypical than a pruned one in cell ${cell.head._2}")
+    }
+  }
+
+  test("x72 Min-K% prob: the worst-k tail mean never exceeds the " +
+    "full-doc mean, over the same scored population as x36") {
+    import spark.implicits._
+    val mink = SparkEntry.queries("x72_mink_prob")(spark, dir)
+      .select("doc_id", "mink_score").as[(Long, Double)].collect().toMap
+    val lm = SparkEntry.queries("x36_lm_quality")(spark, dir)
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(mink.keySet == lm.keySet, "x72 and x36 score different docs")
+    // mean of the bottom 20% <= mean of all bigrams; the two sides
+    // round independently at 4, hence the 1e-4 slack
+    mink.foreach { case (d, mk) =>
+      assert(mk <= lm(d) + 1e-4, s"doc $d mink $mk > lm ${lm(d)}")
+    }
+    // and the tail is strictly harsher for at least most docs (equality
+    // only when a doc's bigrams all score identically)
+    assert(mink.count { case (d, mk) => mk < lm(d) } > mink.size / 2)
+  }
+
+  test("x69 retrieval eval: the dense IVF arm shows high graded " +
+    "agreement with the exact ranking; NDCG stays in [0, 1e6] and " +
+    "MRR/DCG vanish together") {
+    val r = SparkEntry.queries("x69_retrieval_ndcg")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.map(t => (t._1, t._2)).toSet ==
+      (for (m <- Set("bm25", "ivf"); q <- 0L to 3L) yield (m, q)))
+    r.foreach { case (m, q, dcg, ndcg, rr) =>
+      assert(ndcg >= 0 && ndcg <= 1000000L, s"($m,$q) ndcg $ndcg")
+      assert((dcg == 0) == (rr == 0), s"($m,$q) dcg $dcg rr $rr")
+    }
+    // the IVF arm ranks by TRUE cosine within the probed cell, so its
+    // graded agreement with the exact order is high by construction
+    // (measured 829k-1000k ppm on this corpus; floor leaves headroom)
+    r.filter(_._1 == "ivf").foreach { case (_, q, _, ndcg, rr) =>
+      assert(ndcg >= 700000L, s"ivf q$q ndcg $ndcg")
+      assert(rr == 1000000L, s"ivf q$q rr $rr")
+    }
+  }
 }
