@@ -270,18 +270,44 @@ object TextOps {
     * exactly an inverted-index retrieval. */
   /** The BM25 building blocks shared by x47, x50's sparse arm, and
     * x61's PRF rounds: (tf, df, dl, corpus stats) frames. */
+  /** The BM25 lexical frame: (doc_id, tk) lower-cased whitespace
+    * tokens. ONE definition shared by the batch retrieval family and
+    * the streaming index-maintenance twin. */
+  private[graft] def tokenized(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+
+  /** Per-term document frequency over a tokenized frame. Defined as a
+    * direct per-doc-distinct explode + term count (NOT via the tf
+    * table), so the partial aggregation collapses to vocabulary size
+    * map-side with no (doc, term) exchange — and so the SAME expression
+    * runs as an incremental streaming aggregation
+    * ([[graft.streaming.SparseIndexStream]]), whose state is the
+    * vocabulary-sized df table itself. */
+  private[graft] def termDf(tk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tk.select(explode(array_distinct($"tk")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+
+  /** Corpus totals (n_docs, sum_dl) over a tokenized frame — the other
+    * half of the BM25 index statistics; 1-row aggregate, streamable
+    * with 1-row state. */
+  private[graft] def corpusTotals(tk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tk.select(size($"tk").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"dl").cast("double").as("sum_dl"))
+
   private def bm25Parts(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val docs = Tables.spread(s, dir, "documents")
-      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+    val docs = tokenized(Tables.spread(s, dir, "documents"))
     val dl = docs.select($"doc_id", size($"tk").cast("long").as("dl"))
     val terms = docs.select($"doc_id", explode($"tk").as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val st = dl.agg(count(lit(1)).as("n_docs"),
-      sum($"dl").cast("double").as("sum_dl"))
+    val df = termDf(docs)
+    val st = corpusTotals(docs)
     (tf, df, dl, st)
   }
 

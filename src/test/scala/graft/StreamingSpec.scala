@@ -651,4 +651,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(total == words, s"row-0 mass $total != $words tokens")
     } finally q.stop()
   }
+
+  test("streaming sparse-index stats (df + corpus totals) are " +
+    "bit-identical to the batch BM25 statistics over the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog"),
+      (1L, "the quick red fox runs past the sleepy cat"),
+      (2L, "a slow green turtle walks under the busy bridge"),
+      (3L, "the lazy dog sleeps while the quick fox watches"),
+      (4L, "every quick animal outruns the slow turtle easily"))
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val qDf = SparseIndexStream.termDf(src)
+      .writeStream.format("memory").queryName("sidx_df")
+      .outputMode(OutputMode.Complete).start()
+    val qSt = SparseIndexStream.corpusTotals(src)
+      .writeStream.format("memory").queryName("sidx_st")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.take(2): _*)
+      qDf.processAllAvailable(); qSt.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      qDf.processAllAvailable(); qSt.processAllAvailable()
+      val batchTk = queries.TextOps.tokenized(docs.toDF("doc_id", "text"))
+      val streamedDf = spark.table("sidx_df")
+        .as[(String, Long)].collect().toSet
+      val batchDf = queries.TextOps.termDf(batchTk)
+        .as[(String, Long)].collect().toSet
+      assert(streamedDf == batchDf)
+      // state bound: exactly the vocabulary, nothing more
+      assert(streamedDf.size == batchDf.size)
+      // df semantics: "the" appears in every doc but counts once each
+      assert(streamedDf.contains(("the", 5L)))
+      val streamedSt = spark.table("sidx_st")
+        .as[(Long, Double)].collect().toSeq
+      val batchSt = queries.TextOps.corpusTotals(batchTk)
+        .as[(Long, Double)].collect().toSeq
+      assert(streamedSt == batchSt)
+      assert(streamedSt == Seq((5L,
+        docs.map(_._2.split(" ").length).sum.toDouble)))
+    } finally { qDf.stop(); qSt.stop() }
+  }
 }
