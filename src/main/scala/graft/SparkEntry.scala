@@ -15,7 +15,7 @@ object SparkEntry {
   def all: Map[String, Q] =
     Relational.qs ++ DateOps.qs ++ TextOps.qs ++ VectorOps.qs ++
       EventOps.qs ++ MiscOps.qs ++ MlOps.qs ++ SeqOps.qs ++ TokenOps.qs ++
-      SketchOps.qs
+      SketchOps.qs ++ SelectOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -31,6 +31,41 @@ object EventOps {
   private val CoWinMicros = 600000000L
   private val CoMinShared = 3
   private val PrIters = 3
+  private val LpIters = 3
+
+  /** Shared SQL CTEs for the user co-activity graph — `edges(src,
+    * dst)` (symmetric) and `deg(src, deg)`. ONE definition for x66
+    * (PageRank) and x78 (label propagation), so the two link-analysis
+    * operators cannot drift on what the graph IS. */
+  private val sqlCoEdgeCtes: String =
+    s"""uw AS (SELECT DISTINCT user_id,
+       |    epoch_us(ts) // $CoWinMicros AS w FROM events),
+       |cp AS (SELECT a.user_id AS u1, b.user_id AS u2
+       |  FROM uw a JOIN uw b ON a.w = b.w AND a.user_id < b.user_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoMinShared),
+       |edges AS (SELECT u1 AS src, u2 AS dst FROM cp
+       |  UNION ALL SELECT u2, u1 FROM cp),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+       |  GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[sqlCoEdgeCtes]]: the symmetric co-activity edge
+    * list. Distinct (user, window) first, so pair work scales with
+    * window occupancy — never users². */
+  private[graft] def coEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val uw = Tables(s, dir, "events")
+      .select($"user_id",
+        expr(s"unix_micros(ts) div $CoWinMicros").as("w"))
+      .distinct()
+    val cp = uw.as("a").join(uw.as("b"),
+        col("a.w") === col("b.w") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= CoMinShared)
+      .select($"u1", $"u2")
+    cp.union(cp.select($"u2", $"u1")).toDF("src", "dst")
+  }
 
   val qs: Map[String, Q] = Map(
     // ----- x66 PageRank power iterations over the user co-activity
@@ -49,15 +84,7 @@ object EventOps {
     // count adds lineage checkpoints every ~10 rounds, and the edge +
     // degree frame builds once and is reused by every round.
     "x66_graph_pagerank" -> Q(
-      s"""WITH uw AS (SELECT DISTINCT user_id,
-         |    epoch_us(ts) // $CoWinMicros AS w FROM events),
-         |cp AS (SELECT a.user_id AS u1, b.user_id AS u2
-         |  FROM uw a JOIN uw b ON a.w = b.w AND a.user_id < b.user_id
-         |  GROUP BY 1, 2 HAVING count(*) >= $CoMinShared),
-         |edges AS (SELECT u1 AS src, u2 AS dst FROM cp
-         |  UNION ALL SELECT u2, u1 FROM cp),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
-         |  GROUP BY 1),
+      s"""WITH $sqlCoEdgeCtes,
          |r0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${(1 to PrIters).map { i =>
           val p = i - 1
@@ -71,18 +98,7 @@ object EventOps {
          |SELECT n AS user_id, r AS pr, CAST(row_number() OVER (
          |    ORDER BY r DESC, n) AS BIGINT) AS rn
          |FROM r$PrIters ORDER BY rn""".stripMargin) { (s, dir) =>
-      val uw = Tables(s, dir, "events")
-        .select($"user_id",
-          expr(s"unix_micros(ts) div $CoWinMicros").as("w"))
-        .distinct()
-      val cp = uw.as("a").join(uw.as("b"),
-          col("a.w") === col("b.w") &&
-            col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
-        .agg(count(lit(1)).as("shared"))
-        .filter($"shared" >= CoMinShared)
-        .select($"u1", $"u2")
-      val edges = cp.union(cp.select($"u2", $"u1")).toDF("src", "dst")
+      val edges = coEdges(s, dir)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val ed = edges.join(deg, "src")
       var r = deg.select($"src".as("n"), lit(1000000L).as("r"))
@@ -96,6 +112,50 @@ object EventOps {
         .withColumn("rn", row_number()
           .over(Window.orderBy($"pr".desc, $"user_id")).cast("long"))
         .orderBy($"rn")
+    },
+
+    // ----- x78 label-propagation communities (Raghavan et al.) over
+    // the SAME co-activity graph as x66 (one shared edge definition):
+    // every node starts as its own community, then LpIters synchronous
+    // rounds of "adopt the most frequent neighbor label" with a fully
+    // deterministic argmax (count DESC, label ASC — no randomized
+    // tie-break, so the unrolled oracle is engine-identical). Scale
+    // shape: per round ONE join keyed on src + one (dst, label) count
+    // + one per-dst argmax window sharing the count's partitioning —
+    // the same Pregel-as-DataFrames economy as x66, no global state,
+    // labels are just longs. Deep iteration counts would checkpoint
+    // lineage every ~10 rounds like x66's note.
+    "x78_label_prop" -> Q(
+      s"""WITH $sqlCoEdgeCtes,
+         |l0 AS (SELECT src AS n, src AS lbl FROM deg),
+         |${(1 to LpIters).map { i =>
+          val p = i - 1
+          s"""l$i AS (SELECT n, lbl FROM (
+             |  SELECT e.dst AS n, l.lbl AS lbl, row_number() OVER (
+             |      PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl)
+             |      AS rr
+             |    FROM edges e JOIN l$p l ON l.n = e.src
+             |    GROUP BY e.dst, l.lbl) WHERE rr = 1)""".stripMargin
+        }.mkString(",\n")}
+         |SELECT l.n AS user_id, l.lbl AS community,
+         |  CAST(count(*) OVER (PARTITION BY l.lbl) AS BIGINT)
+         |    AS community_size
+         |FROM l$LpIters l ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val edges = coEdges(s, dir)
+      var l = edges.select($"src".as("n"), $"src".as("lbl")).distinct()
+      (1 to LpIters).foreach { _ =>
+        l = edges.join(l, $"n" === $"src")
+          .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
+          .withColumn("rr", row_number().over(Window.partitionBy($"dst")
+            .orderBy($"c".desc, $"lbl")))
+          .filter($"rr" === 1)
+          .select($"dst".as("n"), $"lbl")
+      }
+      l.withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy($"lbl")).cast("long"))
+        .select($"n".as("user_id"), $"lbl".as("community"),
+          $"community_size")
+        .orderBy($"user_id")
     },
     // ----- e1 tumbling-window aggregate (streaming twin: watermark+window)
     "e1_window_agg" -> Q(

@@ -386,6 +386,74 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x75 body: WAND-style upper-bound-pruned top-k BM25 — PROVABLY
+    * lossless (the result rows are pinned identical to x47's in
+    * ScaleGuardsSpec). The index-time statistic is the impact-ordered-
+    * index insight (Anh & Moffat): the BM25 term-doc contribution `ci`
+    * is query-INDEPENDENT, so each term's maximum contribution
+    * ub(term) = max_d ci(term, d) is a vocabulary-sized table computed
+    * once and broadcast. Per query: (1) a cheap exact threshold θ0 =
+    * the k-th best exact score among docs matching the query's RAREST
+    * term (min df — the shortest postings list; a subset's k-th best
+    * never exceeds the corpus's, so θ0 ≤ θ_true); (2) every candidate
+    * doc's upper bound Σ ub(matched terms) ≥ its true score, so docs
+    * with ubsum < θ0 CANNOT reach the top k and are dropped before the
+    * rank; (3) survivors rank exactly as x47. At 100 TB the rank
+    * window — a global per-query sort — sees only the survivor sliver
+    * instead of every candidate, and a scorer with an expensive exact
+    * stage (proximity, reranking features) runs on that sliver only.
+    * The output carries the per-query candidate/pruned counts as
+    * governance columns. */
+  private[graft] def bm25Wand(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, df, dl, st) = bm25Parts(s, dir)
+    // index-time: per-(term, doc) contribution + per-term upper bound
+    val allCi = withCi(tf.join(df, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(st)))
+      .select($"term", $"doc_id", $"ci".cast("long").as("ci"))
+      .cache()
+    val ub = allCi.groupBy($"term").agg(max($"ci").as("ub"))
+    val qt = tf.filter($"doc_id" < 4).select($"doc_id".as("qid"), $"term")
+    // rarest term per query: min (df, term) — exact integers, so the
+    // choice is engine-identical
+    val rare = qt.join(df, "term")
+      .groupBy($"qid").agg(min(struct($"df", $"term")).as("mt"))
+      .select($"qid", $"mt.term".as("rterm"))
+    // candidate contributions (the postings join — shared by seed
+    // scoring and pruning)
+    val cand = qt.join(allCi, "term").filter($"doc_id" =!= $"qid")
+    // θ0: k-th best exact score over the rarest-term posting's docs
+    val seed = rare.join(
+      allCi.select($"term".as("rterm"), $"doc_id"), "rterm")
+      .filter($"doc_id" =!= $"qid").select($"qid", $"doc_id")
+    val seedSc = cand.join(seed, Seq("qid", "doc_id"), "left_semi")
+      .groupBy($"qid", $"doc_id").agg(sum($"ci").as("sc"))
+    val theta = seedSc
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"sc".desc, $"doc_id")))
+      .groupBy($"qid")
+      .agg(coalesce(max(when($"rn" === k, $"sc")), lit(0L)).as("theta"))
+    // one (qid, doc) rollup carrying BOTH the upper bound and the
+    // exact score; the prune fires before the rank exchange
+    val agg = cand.join(broadcast(ub), "term")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"ub").as("ubs"), sum($"ci").as("bm25"))
+      .join(broadcast(theta), "qid")
+      .cache()
+    val cnts = agg.groupBy($"qid").agg(
+      count(lit(1)).as("cand_docs"),
+      sum(when($"ubs" >= $"theta", 0L).otherwise(1L)).as("pruned_docs"))
+    agg.filter($"ubs" >= $"theta")
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .join(broadcast(cnts), "qid")
+      .select($"qid", $"doc_id", $"bm25", $"rn", $"cand_docs",
+        $"pruned_docs")
+      .orderBy($"qid", $"rn")
+  }
+
   /** The integerized BM25 term-doc contribution as SQL — ONE
     * definition shared by x47's chain and both of x61's rounds.
     * Expects tf/df/dl/n_docs/sum_dl in scope. */
@@ -1102,6 +1170,54 @@ object TextOps {
          |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
          |FROM bmr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => bm25TopK(s, dir)
+    },
+
+    // ----- x75 WAND-style upper-bound-pruned BM25 (see [[bm25Wand]]):
+    // per-term max contributions prune sub-threshold docs before the
+    // rank; the top-k rows are provably identical to x47's, and the
+    // cand/pruned counts expose the prune rate. The oracle replays the
+    // ub table, the rarest-term threshold walk, and the prune.
+    "x75_bm25_wand" -> Q(
+      s"""WITH ${sqlBm25Ctes},
+         |aci AS (SELECT tf.term, tf.doc_id, $sqlCi AS ci
+         |  FROM tf JOIN df ON df.term = tf.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id CROSS JOIN st),
+         |ub AS (SELECT term, max(ci) AS ub FROM aci GROUP BY 1),
+         |rare AS (SELECT qid, term AS rterm FROM (
+         |  SELECT qt.qid, qt.term, row_number() OVER (PARTITION BY
+         |      qt.qid ORDER BY df.df, qt.term) AS rr
+         |    FROM qt JOIN df USING (term)) WHERE rr = 1),
+         |cand AS (SELECT qt.qid, a.doc_id, a.term, a.ci
+         |  FROM qt JOIN aci a USING (term) WHERE a.doc_id <> qt.qid),
+         |seed AS (SELECT r.qid, a.doc_id FROM rare r
+         |  JOIN aci a ON a.term = r.rterm WHERE a.doc_id <> r.qid),
+         |seedsc AS (SELECT c.qid, c.doc_id,
+         |    CAST(sum(c.ci) AS BIGINT) AS sc
+         |  FROM cand c JOIN seed sd
+         |    ON c.qid = sd.qid AND c.doc_id = sd.doc_id
+         |  GROUP BY 1, 2),
+         |th AS (SELECT qid, coalesce(max(CASE WHEN rr = 5 THEN sc END),
+         |    0) AS theta
+         |  FROM (SELECT qid, sc, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sc DESC, doc_id) AS rr FROM seedsc)
+         |  GROUP BY 1),
+         |agg AS (SELECT c.qid, c.doc_id, CAST(sum(ub.ub) AS BIGINT)
+         |      AS ubs, CAST(sum(c.ci) AS BIGINT) AS bm25, th.theta
+         |  FROM cand c JOIN ub ON ub.term = c.term
+         |  JOIN th ON th.qid = c.qid
+         |  GROUP BY 1, 2, th.theta),
+         |cnts AS (SELECT qid, CAST(count(*) AS BIGINT) AS cand_docs,
+         |    CAST(sum(CASE WHEN ubs >= theta THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS pruned_docs
+         |  FROM agg GROUP BY 1),
+         |wrk AS (SELECT qid, doc_id, bm25, row_number() OVER (
+         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM agg WHERE ubs >= theta)
+         |SELECT wrk.qid, wrk.doc_id, wrk.bm25, CAST(wrk.rn AS BIGINT)
+         |    AS rn, cnts.cand_docs, cnts.pruned_docs
+         |FROM wrk JOIN cnts USING (qid) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => bm25Wand(s, dir)
     },
 
     // ----- x61 pseudo-relevance-feedback expansion (RM3-style): the

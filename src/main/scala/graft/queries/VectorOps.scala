@@ -943,6 +943,163 @@ object VectorOps {
       .drop("cents")
   }
 
+  /** x76 body: "all-but-the-top" embedding-space diagnostics (Mu &
+    * Viswanath 2018) — the corpus mean and the dominant principal
+    * direction of the centered embeddings, the two statistics that
+    * post-processing removes to fix embedding anisotropy before any
+    * cosine-based dedup/retrieval runs. Exact-integer discipline
+    * end to end so the oracle replays it bit for bit:
+    *
+    *  - components quantize to milli-units (round(x·1000) — longs);
+    *  - the mean rounds per-dim via floor(s/n + 0.5) (64 longs);
+    *  - the 64×64 centered scatter matrix C = Σ c·cᵀ accumulates as
+    *    EXACT longs (the per-row outer product explodes to (i, j, p)
+    *    triples; partial aggregation collapses to the fixed 4096 cells
+    *    map-side — the CMS build shape, nothing corpus-sized
+    *    shuffles);
+    *  - 16 deterministic power-iteration rounds on the collected C
+    *    (bounded 4096-entry collect — the quantizer-collect
+    *    discipline): w ← C·w in long arithmetic, renormalized to
+    *    ±10000 via floor(wp·10000/max|wp| + 0.5) — double division is
+    *    IEEE-exact-rounded, hence engine-identical.
+    *
+    * At 100 TB: one corpus pass for the mean, one for the scatter
+    * (both map-side-combined to ≤4096 cells), a driver iteration on a
+    * 64×64 matrix — the same cost profile as training the x39 coarse
+    * book, and the output (64 rows) is the artifact a production run
+    * would persist beside the ANN books. */
+  /** Milli-quantized integer embeddings (the x76/x77 input relation). */
+  private def quantizedEmbeddings(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.spread(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("q"))
+
+  /** The (mean, top-direction) statistics behind [[topDirection]]:
+    * two distributed passes (per-dim sums; the 4096-cell scatter
+    * matrix), one bounded collect each, then the deterministic driver
+    * iteration. Shared by x76 (reports them) and x77 (removes them). */
+  private[graft] def topDirStats(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 16): (Array[Long], Array[Long]) = {
+    val qe = quantizedEmbeddings(s, dir)
+    val sm = qe.select(posexplode($"q").as(Seq("p", "x")))
+      .groupBy($"p").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val n = sm.head._2._2
+    val mu: Array[Long] = Array.tabulate(Dim)(i =>
+      math.floor(sm(i)._1 * 1.0 / n + 0.5).toLong)
+    val muLit = typedLit(mu.toSeq)
+    val cc = transform($"q",
+      (x, i) => x - element_at(muLit, (i + lit(1)).cast("int")))
+    // scatter matrix: per-row outer product -> fixed 4096-cell agg
+    val cm = qe.select(explode(flatten(transform(cc, (x, i) =>
+        transform(cc, (y, j) => struct(i.as("i"), j.as("j"),
+          (x * y).as("p")))))).as("e"))
+      .select($"e.i", $"e.j", $"e.p")
+      .groupBy($"i", $"j").agg(sum($"p").as("v"))
+      .collect()
+    val c = Array.ofDim[Long](Dim, Dim)
+    cm.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var w = Array.fill(Dim)(10000L)
+    for (_ <- 1 to iters) {
+      val wp = Array.tabulate(Dim)(i =>
+        (0 until Dim).map(j => c(i)(j) * w(j)).sum)
+      val mx = wp.map(math.abs).max
+      w = wp.map(v =>
+        if (mx == 0L) 0L
+        else math.floor(v * 10000.0 / mx + 0.5).toLong)
+    }
+    (mu, w)
+  }
+
+  private[graft] def topDirection(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 16): org.apache.spark.sql.DataFrame = {
+    val (mu, w) = topDirStats(s, dir, iters)
+    import s.implicits._
+    s.createDataset((0 until Dim).map(i => (i.toLong, mu(i), w(i))))
+      .toDF("dim", "mu_milli", "comp")
+  }
+
+  /** x77 body: "all-but-the-top" POST-PROCESSED space — each vector
+    * mean-removed and projected off the x76 dominant direction, in
+    * EXACT integer arithmetic: v' = c·‖w‖² − (c·w)·w (the projection
+    * removal scaled by ‖w‖², which cosine ranking is invariant to).
+    * By construction v'·w = (c·w)‖w‖² − (c·w)‖w‖² = 0 EXACTLY — the
+    * orthogonality pin ScaleGuardsSpec asserts. All components stay
+    * ≤ ~2e13, exactly representable as doubles for the downstream
+    * cosine fold. */
+  private[graft] def postprocessed(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (mu, w) = topDirStats(s, dir)
+    val muL = typedLit(mu.toSeq)
+    val wL = typedLit(w.toSeq)
+    val w2 = w.map(x => x * x).sum
+    quantizedEmbeddings(s, dir)
+      .select($"vec_id", transform($"q",
+        (x, i) => x - element_at(muL, (i + lit(1)).cast("int"))).as("c"))
+      .withColumn("cw", aggregate(zip_with($"c", wL, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select($"vec_id", transform($"c",
+        (x, i) => (x * lit(w2) - $"cw" *
+          element_at(wL, (i + lit(1)).cast("int"))).cast("double"))
+        .as("v"))
+  }
+
+  /** x77 search: x9's exact cosine top-k, in the post-processed space. */
+  private[graft] def abttSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = normalized(postprocessed(s, dir))
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** SQL twin of the whole [[topDirStats]] chain — quantize, mean,
+    * center, scatter matrix, 16 unrolled power rounds — ending in
+    * `mu(i, m)` and `w16(i, w)`. MATERIALIZED CTEs: the round chain
+    * references each p$r twice (max + renormalize), which would
+    * otherwise inline exponentially (2^16 scans — DuckDB ran out of
+    * file descriptors before it ran out of patience). Shared by the
+    * x76 and x77 oracles. */
+  private def sqlTopDirCtes: String =
+    s"""qe AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |sm AS (SELECT i, CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM qe CROSS JOIN dims GROUP BY i),
+       |mu AS MATERIALIZED (SELECT i, CAST(floor(s * 1.0 / n + 0.5)
+       |    AS BIGINT) AS m FROM sm),
+       |ce AS (SELECT qe.vec_id, mu.i, q[CAST(mu.i AS INT)] - mu.m
+       |    AS c
+       |  FROM qe CROSS JOIN mu),
+       |cm AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.c * b.c) AS BIGINT) AS v
+       |  FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |w0 AS (SELECT i, CAST(10000 AS BIGINT) AS w FROM dims),
+       |${(1 to 16).map(sqlPowerRound).mkString(",\n")}""".stripMargin
+
+  /** SQL twin of one [[topDirStats]] power-iteration round: CTEs
+    * p$r/x$r/w$r from w${r-1} over scatter matrix `cm(i, j, v)`. */
+  private def sqlPowerRound(r: Int): String =
+    s"""p$r AS MATERIALIZED (SELECT cm.i, CAST(sum(cm.v * w${r - 1}.w) AS BIGINT)
+       |    AS wp
+       |  FROM cm JOIN w${r - 1} ON cm.j = w${r - 1}.i GROUP BY 1),
+       |x$r AS (SELECT max(abs(wp)) AS mx FROM p$r),
+       |w$r AS (SELECT i, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(wp * 10000.0 / mx + 0.5) AS BIGINT) END AS w
+       |  FROM p$r CROSS JOIN x$r)""".stripMargin
+
   private def sqlPlaneDot(v: String, j: Int): String =
     s"list_sum(list_transform(range(1, len($v) + 1), " +
       s"i -> $v[CAST(i AS INT)] * sin(${j * 997} + i * 13)))"
@@ -954,6 +1111,54 @@ object VectorOps {
     }.mkString("(", " + ", ")")
 
   val qs: Map[String, Q] = Map(
+    // ----- x76 "all-but-the-top" diagnostics (see [[topDirection]]):
+    // corpus mean + dominant principal direction of the centered
+    // embeddings via 4 integer-exact power-iteration rounds over the
+    // distributed 64x64 scatter matrix. The oracle rebuilds the
+    // scatter matrix and unrolls every iteration.
+    "x76_embed_topdir" -> Q(
+      s"""WITH $sqlTopDirCtes
+         |SELECT mu.i - 1 AS dim, mu.m AS mu_milli, w16.w AS comp
+         |FROM mu JOIN w16 USING (i) ORDER BY dim""".stripMargin) {
+      (s, dir) => topDirection(s, dir)
+    },
+
+    // ----- x77 post-processed cosine search (see [[postprocessed]] /
+    // [[abttSearch]]): x9's exact top-k in the all-but-the-top space —
+    // mean removed, dominant direction projected out in exact integer
+    // arithmetic, then the standard normalize/dot/round-4-rank
+    // discipline. The oracle replays the x76 chain, the projection
+    // removal, and the search.
+    "x77_abtt_search" -> Q(
+      s"""WITH $sqlTopDirCtes,
+         |mua AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |wa AS (SELECT list(w ORDER BY i) AS wl FROM w16),
+         |wtwo AS (SELECT CAST(list_sum(list_transform(wl, x -> x * x))
+         |    AS BIGINT) AS w2 FROM wa),
+         |pc AS (SELECT vec_id, list_transform(range(1, ${Dim + 1}),
+         |    i -> q[CAST(i AS INT)] - ml[CAST(i AS INT)]) AS c
+         |  FROM qe CROSS JOIN mua),
+         |pw AS (SELECT vec_id, c,
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> c[CAST(i AS INT)] * wl[CAST(i AS INT)]))
+         |      AS BIGINT) AS cw
+         |  FROM pc CROSS JOIN wa),
+         |pp AS (SELECT vec_id, list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(c[CAST(i AS INT)] * w2 - cw * wl[CAST(i AS INT)]
+         |      AS DOUBLE)) AS v
+         |  FROM pw CROSS JOIN wtwo CROSS JOIN wa),
+         |n2 AS ${sqlNormalized("pp")},
+         |q2 AS (SELECT vec_id AS qid, v AS qv FROM n2 WHERE vec_id < 8),
+         |sc2 AS (SELECT qid, n2.vec_id AS nid,
+         |    round(${sqlDot("qv", "v")}, 4) AS cos
+         |  FROM q2, n2 WHERE n2.vec_id <> qid),
+         |r2 AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc2)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r2 WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => abttSearch(s, dir)
+    },
+
     // ----- x9 brute-force cosine top-k: broadcast queries x corpus scan
     "x9_cosine_knn" -> Q(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -497,6 +497,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       !p72.contains("CartesianProduct"), p72)
   }
 
+  test("x73/x74/x75 selection/retrieval plans: model tables ride " +
+    "broadcasts, the corpus never sort-merge-joins or goes cartesian") {
+    // x73: the B=64 λ table broadcasts; the raw pool's only shuffles
+    // are its aggregations
+    val p73 = finalPlanOf("x73_dsir_weights")
+    assert(p73.contains("BroadcastHashJoin"), p73)
+    assert(!p73.contains("SortMergeJoin") &&
+      !p73.contains("ShuffledHashJoin") &&
+      !p73.contains("CartesianProduct"), p73)
+    // x74: class fan-out is a broadcast nested loop over |classes|
+    // rows; the class x vocab likelihood table broadcast-hash-joins
+    val p74 = finalPlanOf("x74_nb_classifier")
+    assert(p74.contains("BroadcastHashJoin"), p74)
+    assert(!p74.contains("SortMergeJoin") &&
+      !p74.contains("CartesianProduct"), p74)
+    // x75: ub/θ/count tables all broadcast back onto the candidate
+    // frame; the postings joins are key-equi
+    val p75 = finalPlanOf("x75_bm25_wand")
+    assert(p75.contains("BroadcastHashJoin"), p75)
+    assert(!p75.contains("CartesianProduct"), p75)
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")

@@ -900,4 +900,141 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       assert(rr == 1000000L, s"ivf q$q rr $rr")
     }
   }
+
+  test("x75 WAND pruning is LOSSLESS: the pruned top-k rows equal " +
+    "x47's exactly, and the upper-bound prune fires on every query") {
+    val wand = SparkEntry.queries("x75_bm25_wand")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    val full = SparkEntry.queries("x47_bm25")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+    // identical (qid, doc, score, rank) rows — θ0 ≤ θ_true and
+    // ubsum ≥ score guarantee no true top-k doc is ever pruned
+    assert(wand.map(t => (t._1, t._2, t._3, t._4)).toSet == full)
+    // the prune is real work saved, not a no-op: every query drops a
+    // nonzero slice of its candidates before the rank exchange
+    wand.groupBy(_._1).foreach { case (qid, g) =>
+      val (cand, pruned) = (g.head._5, g.head._6)
+      assert(g.forall(t => t._5 == cand && t._6 == pruned))
+      assert(pruned > 0 && pruned < cand,
+        s"q$qid pruned $pruned of $cand")
+    }
+  }
+
+  test("x73 DSIR weights score only the raw pool, and keep is exactly " +
+    "the positive-weight slice") {
+    val r = SparkEntry.queries("x73_dsir_weights")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))
+    assert(r.nonEmpty)
+    r.foreach { case (doc, nTok, w, keep) =>
+      assert(doc % 10 != 0, s"reference doc $doc scored itself")
+      assert(nTok > 0)
+      assert(keep == (w > 0), s"doc $doc keep/weight disagree")
+    }
+    // the target slice pulls SOME docs above the pool (nonempty keeps)
+    // without passing everything — the resampling signal exists
+    val keeps = r.count(_._4)
+    assert(keeps > 0 && keeps < r.length, s"keeps $keeps of ${r.length}")
+  }
+
+  test("x74 NB classifier: scores exactly the held-out docs, predicts " +
+    "only trained classes, and beats chance on lang") {
+    import graft.functions.{TextExprs => T}
+    import spark.implicits._
+    val r = SparkEntry.queries("x74_nb_classifier")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getBoolean(4)))
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang", T.wsTokens(lower($"text")).as("tk"),
+        T.splitOf($"doc_id").as("sp"))
+    val held = docs.filter($"sp" =!= "train" && size($"tk") > 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val trainLangs = docs.filter($"sp" === "train")
+      .select($"lang").distinct().as[String].collect().toSet
+    assert(r.map(_._1).toSet == held, "scored set != held-out set")
+    r.foreach { case (d, actual, pred, correct) =>
+      assert(trainLangs.contains(pred), s"doc $d predicted unseen $pred")
+      assert(correct == (actual == pred))
+    }
+    val acc = r.count(_._4).toDouble / r.length
+    assert(acc > 1.0 / trainLangs.size + 0.05,
+      s"accuracy $acc no better than chance over ${trainLangs.size}")
+  }
+
+  test("x76 top direction: unit-normalized output, exact integer mean, " +
+    "and a 17th power round no longer moves the direction") {
+    val r = SparkEntry.queries("x76_embed_topdir")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 64 && r.map(_._1).toSet == (0L to 63L).toSet)
+    assert(r.map(t => math.abs(t._3)).max == 10000L,
+      "direction not normalized to +/-10000")
+    // mean replay: mu_milli is floor(sum/n + 0.5) of the milli-quantized
+    // components, recomputed here independently from the raw parquet
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(64) { i =>
+      val s = vecs.map(v => math.round(v(i) * 1000)).sum
+      math.floor(s * 1.0 / n + 0.5).toLong
+    }
+    assert(r.sortBy(_._1).map(_._2).toSeq == mu.toSeq, "mean mismatch")
+    // convergence: the 16-round direction and the 17-round direction are
+    // the same ray (deterministic corpus — pinned, not flaky)
+    val w17 = graft.queries.VectorOps.topDirection(spark, dir, iters = 17)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
+      .map(_._2.toDouble)
+    val w16 = r.sortBy(_._1).map(_._3.toDouble)
+    val cos = w16.lazyZip(w17).map(_ * _).sum /
+      (math.sqrt(w16.map(x => x * x).sum) *
+        math.sqrt(w17.map(x => x * x).sum))
+    assert(cos >= 0.999, s"power iteration not converged: cos $cos")
+  }
+
+  test("x77 post-processed vectors are EXACTLY orthogonal to the " +
+    "removed direction, and the search output is well-formed") {
+    val (_, w) = VectorOps.topDirStats(spark, dir)
+    val vp = VectorOps.postprocessed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(vp.length == 500)
+    // v' . w == 0 exactly: the components are exact longs stored in
+    // doubles, so the BigInt replay is the true integer dot product
+    vp.foreach { case (id, v) =>
+      val dotW = v.lazyZip(w).map((x, wi) =>
+        BigInt(x.toLong) * BigInt(wi)).sum
+      assert(dotW == 0, s"vec $id residual projection $dotW")
+      assert(v.forall(x => x == math.rint(x)), s"vec $id non-integer")
+    }
+    val r = SparkEntry.queries("x77_abtt_search")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3)))
+    assert(r.length == 40)
+    assert(r.map(_._1).toSet == (0L to 7L).toSet)
+    r.foreach { case (qid, nid, _, rn) =>
+      assert(nid != qid); assert(rn >= 1 && rn <= 5)
+    }
+  }
+
+  test("x78 label propagation: every community label is one of its " +
+    "members, labels come from the graph, and sizes add up") {
+    import spark.implicits._
+    val r = SparkEntry.queries("x78_label_prop")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val nodes = graft.queries.EventOps.coEdges(spark, dir)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(r.map(_._1).toSet == nodes, "labeled set != graph nodes")
+    // labels are node ids from the same graph (propagation never
+    // invents a label)
+    assert(r.map(_._2).toSet.subsetOf(nodes))
+    // community_size is consistent with the actual label multiplicity
+    val sizes = r.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    r.foreach { case (u, c, sz) =>
+      assert(sz == sizes(c), s"user $u community $c size $sz") }
+    // propagation actually merged communities: fewer labels than nodes
+    assert(sizes.size < nodes.size, s"${sizes.size} of ${nodes.size}")
+  }
 }
