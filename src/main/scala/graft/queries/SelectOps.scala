@@ -40,6 +40,25 @@ object SelectOps {
   private def bucketSql(term: String): String =
     s"${TS.md5Long(term)} % $B"
 
+  /** The hashed-feature bucket stream of a documents frame. */
+  private[graft] def bucketed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select($"doc_id", explode(T.wsTokens(lower($"text"))).as("w"))
+      .select($"doc_id", (T.md5Long($"w") % B).as("b"))
+
+  /** The DSIR model state: per-bucket token counts for the target
+    * slice (doc_id % 10 == 0) and the raw pool — B rows total. ONE
+    * definition shared by the batch query (x73) and the streaming twin
+    * ([[graft.streaming.SelectStream]]): as a streaming aggregation
+    * its state IS this B-row table (bounded regardless of stream
+    * length, no watermark), and each micro-batch folds in map-side —
+    * so a streamed model is bit-identical to a batch rebuild. */
+  private[graft] def dsirCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bucketed(docs).groupBy($"b").agg(
+      sum(when($"doc_id" % 10 === 0, 1L).otherwise(0L)).as("ct"),
+      sum(when($"doc_id" % 10 =!= 0, 1L).otherwise(0L)).as("cr"))
+
   val qs: Map[String, Q] = Map(
     // ----- x73 DSIR importance weights: bucket every token's 48-bit
     // hash into B=64 features, estimate add-one-smoothed bucket
@@ -75,15 +94,11 @@ object SelectOps {
          |FROM bk JOIN lam ON bk.b = lam.b
          |WHERE bk.doc_id % 10 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val bk = Tables.spread(s, dir, "documents")
-        .select($"doc_id",
-          explode(T.wsTokens(lower($"text"))).as("w"))
-        .select($"doc_id", (T.md5Long($"w") % B).as("b"))
+      val docs = Tables.spread(s, dir, "documents")
+      val bk = bucketed(docs)
       // ONE corpus pass for both slice distributions (B-sized result,
-      // partial-aggregated map-side)
-      val cnt = bk.groupBy($"b").agg(
-        sum(when($"doc_id" % 10 === 0, 1L).otherwise(0L)).as("ct"),
-        sum(when($"doc_id" % 10 =!= 0, 1L).otherwise(0L)).as("cr"))
+      // partial-aggregated map-side) — the shared streamable build
+      val cnt = dsirCounts(docs)
       val tot = cnt.agg(sum($"ct").as("n_t"), sum($"cr").as("n_r"))
       val lam = s.range(B).select($"id".as("b"))
         .join(cnt, Seq("b"), "left").crossJoin(tot)

@@ -344,6 +344,45 @@ object VectorOps {
       .orderBy($"qid")
   }
 
+  /** x79 body: multi-probe LSH (Lv et al. 2007) — each query probes
+    * its own bucket PLUS the buckets reached by flipping its `flips`
+    * weakest plane bits (smallest |margin| = |round(plane dot, 4)|,
+    * tie on plane index — the x14 round-before-rank discipline, so
+    * probe selection is engine-identical). The standard recall-
+    * recovery move for hash-bucketed ANN WITHOUT growing the table
+    * count: near-boundary queries look across the boundary they
+    * almost crossed. Scale shape: the corpus stays bucketed exactly
+    * as x11 (one DotMatrix pass, shuffle on bucket only); the probe
+    * fan-out multiplies only the 8-row QUERY side, which broadcasts —
+    * candidates stay disjoint because buckets partition the corpus. */
+  private[graft] def annLshMultiprobe(s: org.apache.spark.sql.SparkSession,
+      dir: String, planes: Int = DefaultPlanes, flips: Int = 2,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val b = bucketed(normalizedEmbeddings(s, dir), planes)
+    val powLit = typedLit((0 until planes).map(1L << _))
+    val q0 = normalizedEmbeddings(s, dir).filter($"vec_id" < 8)
+      .withColumn("pd",
+        graft.functions.DotMatrix($"v", planeMatrix(planes)))
+      .withColumn("bkt", bucketOf($"pd", planes))
+    val margins = array((0 until planes).map(j =>
+      struct(abs(round(element_at($"pd", j + 1), 4)).as("m"),
+        lit(j).as("j"))): _*)
+    val probes = array_union(array($"bkt"),
+      transform(slice(array_sort(margins), 1, flips),
+        f => $"bkt".bitwiseXOR(
+          element_at(powLit, f.getField("j") + lit(1)))))
+    val qp = q0.select($"vec_id".as("qid"), $"v".as("qv"),
+      explode(probes).as("pbkt"))
+    b.join(broadcast(qp), $"pbkt" === $"bkt" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** Cells at or below this count are folded into the plan as a
     * DotMatrix literal (fastest: one codegen'd loop). Above it the
     * literal path would hit JVM constant-pool / codegen limits long
@@ -1214,6 +1253,42 @@ object VectorOps {
          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |SELECT qid, nid, cos FROM r WHERE rn = 1 ORDER BY qid""".stripMargin) {
       (s, dir) => annLsh(s, dir)
+    },
+
+    // ----- x79 multi-probe LSH (see [[annLshMultiprobe]]): queries
+    // additionally probe the buckets across their 2 weakest plane
+    // boundaries. The oracle replays the margins, the probe set, and
+    // the search; candidate disjointness comes free from buckets
+    // partitioning the corpus.
+    "x79_lsh_multiprobe" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bkt FROM n),
+         |qn AS (SELECT vec_id AS qid, v AS qv, bkt FROM b
+         |  WHERE vec_id < 8),
+         |pj AS (SELECT unnest(range(0, $DefaultPlanes)) AS j),
+         |qd AS (SELECT qid, j, abs(round(list_sum(list_transform(
+         |      range(1, ${Dim + 1}),
+         |      i -> qv[CAST(i AS INT)] * sin(j * 997 + i * 13))), 4))
+         |    AS m
+         |  FROM qn CROSS JOIN pj),
+         |fl AS (SELECT qid, j FROM (SELECT qid, j, row_number() OVER (
+         |    PARTITION BY qid ORDER BY m, j) AS rr FROM qd)
+         |  WHERE rr <= 2),
+         |pr AS (SELECT qid, bkt AS pbkt FROM qn
+         |  UNION SELECT fl.qid,
+         |    xor(qn.bkt, CAST(power(2, fl.j) AS BIGINT))
+         |  FROM fl JOIN qn USING (qid)),
+         |sc AS (SELECT pr.qid, b.vec_id AS nid,
+         |    round(${sqlDot("qn.qv", "b.v")}, 4) AS cos
+         |  FROM pr JOIN qn USING (qid)
+         |  JOIN b ON b.bkt = pr.pbkt AND b.vec_id <> pr.qid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annLshMultiprobe(s, dir)
     },
 
     // ----- x13 IVF-bucketed ANN: coarse quantizer = the first 16

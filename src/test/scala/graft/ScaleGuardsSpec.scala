@@ -1019,6 +1019,27 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x79 multi-probe LSH only widens the x11 candidate set: every " +
+    "single-probe query keeps a best neighbor at least as close") {
+    val mp = SparkEntry.queries("x79_lsh_multiprobe")(spark, dir)
+      .collect().filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sp = graft.queries.VectorOps.annLsh(spark, dir).collect()
+      .filter(_.getLong(0) < 8)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the own bucket is always probed, so x11's candidates are a
+    // subset: every x11-answerable query is answerable and its rank-1
+    // cosine can only improve
+    sp.keySet.foreach { q =>
+      assert(mp.contains(q), s"query $q lost its own bucket")
+      assert(mp(q) >= sp(q), s"query $q regressed: ${mp(q)} < ${sp(q)}")
+    }
+    // and the extra probes actually recover something on this corpus
+    assert(mp.size >= sp.size)
+    assert(mp.exists { case (q, c) => !sp.contains(q) || c > sp(q) },
+      "multi-probe never improved any query")
+  }
+
   test("x78 label propagation: every community label is one of its " +
     "members, labels come from the graph, and sizes add up") {
     import spark.implicits._

@@ -693,4 +693,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         docs.map(_._2.split(" ").length).sum.toDouble)))
     } finally { qDf.stop(); qSt.stop() }
   }
+
+  test("streaming DSIR model (bucket counts) is bit-identical to the " +
+    "batch build and its state never exceeds B buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 0 and 10 land in the target slice (doc_id % 10 == 0), the
+    // rest in the raw pool — both slices cross the batch boundary
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick red fox runs past the sleepy cat"),
+      (10L, "a slow green turtle walks under the busy bridge"),
+      (3L, "the lazy dog sleeps while the quick fox watches"),
+      (4L, "every quick animal outruns the slow turtle easily"))
+    val in = MemoryStream[(Long, String)]
+    val q = SelectStream.dsirCounts(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = queries.SelectOps.dsirCounts(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // bounded-state guarantee: at most B bucket rows however long
+      // the stream runs
+      assert(streamed.size <= queries.SelectOps.B)
+      // both slices accumulated mass across batch boundaries
+      val (tMass, rMass) = (streamed.toSeq.map(_._2).sum,
+        streamed.toSeq.map(_._3).sum)
+      assert(tMass == docs.filter(_._1 % 10 == 0)
+        .map(_._2.split(" ").length).sum)
+      assert(rMass == docs.filter(_._1 % 10 != 0)
+        .map(_._2.split(" ").length).sum)
+    } finally q.stop()
+  }
 }
