@@ -54,8 +54,13 @@ object SelectOps {
     * length, no watermark), and each micro-batch folds in map-side —
     * so a streamed model is bit-identical to a batch rebuild. */
   private[graft] def dsirCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = dsirCountsOf(bucketed(docs))
+
+  /** [[dsirCounts]] over an already-bucketed frame (lets x73 share one
+    * tokenize+hash pass between the model build and the probe). */
+  private[graft] def dsirCountsOf(bk: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    bucketed(docs).groupBy($"b").agg(
+    bk.groupBy($"b").agg(
       sum(when($"doc_id" % 10 === 0, 1L).otherwise(0L)).as("ct"),
       sum(when($"doc_id" % 10 =!= 0, 1L).otherwise(0L)).as("cr"))
 
@@ -95,10 +100,12 @@ object SelectOps {
          |WHERE bk.doc_id % 10 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val docs = Tables.spread(s, dir, "documents")
-      val bk = bucketed(docs)
+      // cached: the model build and the scoring probe share one
+      // tokenize + md5 pass (the expensive part of both)
+      val bk = bucketed(docs).cache()
       // ONE corpus pass for both slice distributions (B-sized result,
       // partial-aggregated map-side) — the shared streamable build
-      val cnt = dsirCounts(docs)
+      val cnt = dsirCountsOf(bk)
       val tot = cnt.agg(sum($"ct").as("n_t"), sum($"cr").as("n_r"))
       val lam = s.range(B).select($"id".as("b"))
         .join(cnt, Seq("b"), "left").crossJoin(tot)

@@ -386,6 +386,18 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** The SimHash fingerprint relation (doc_id, simhash) — ONE
+    * signature definition shared by x8 (16-bit report) and the x81
+    * Hamming dedup join (32-bit: the pair space needs the wider code —
+    * at 16 bits this tiny-vocab corpus collapses thousands of docs
+    * onto identical fingerprints). */
+  private[graft] def simhashed(s: org.apache.spark.sql.SparkSession,
+      dir: String, bits: Int = 16): org.apache.spark.sql.DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+      .select($"doc_id", T.simhash($"tk", bits).as("simhash"))
+
   /** x75 body: WAND-style upper-bound-pruned top-k BM25 — PROVABLY
     * lossless (the result rows are pinned identical to x47's in
     * ScaleGuardsSpec). The index-time statistic is the impact-ordered-
@@ -1687,12 +1699,51 @@ object TextOps {
          |  FROM documents)
          |SELECT doc_id, ${TS.simhash("tk", 16)} AS simhash
          |FROM tk WHERE len(tk) >= 1 ORDER BY doc_id""".stripMargin) {
-      (s, dir) =>
-        Tables.spread(s, dir, "documents")
-          .select($"doc_id", T.wsTokens($"text").as("tk"))
-          .filter(size($"tk") >= 1)
-          .select($"doc_id", T.simhash($"tk", 16).as("simhash"))
-          .orderBy($"doc_id")
+      (s, dir) => simhashed(s, dir).orderBy($"doc_id")
+    },
+
+    // ----- x81 SimHash near-dup pairs at Hamming <= 3 (Manku/Jain/
+    // Das Sarma's web-crawl dedup, over x8's fingerprints — ONE shared
+    // signature definition): the pigeonhole split of the 16-bit hash
+    // into 4 bands of 4 bits guarantees two hashes within Hamming 3
+    // agree EXACTLY on at least one band, so band-equi candidates are
+    // LOSSLESS — the x70 prefix-filter insight applied to fingerprint
+    // space; verification is one popcount(xor) per distinct candidate
+    // pair. Scale shape: candidates come from |bands| equi-joins on
+    // (band, chunk) — never an all-pairs or a Hamming-ball
+    // enumeration; the verify predicate is pure integer codegen.
+    "x81_simhash_dedup" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${TS.simhash("tk", 32)} AS h
+         |  FROM tk WHERE len(tk) >= 1),
+         |bnd AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS chunk
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.h AS h1,
+         |    c.doc_id AS d2, c.h AS h2
+         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.chunk = c.chunk
+         |    AND a.doc_id < c.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS ham
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sh = simhashed(s, dir, bits = 32)
+        .withColumnRenamed("simhash", "h")
+      val bnd = sh.select($"doc_id", $"h",
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select($"doc_id", $"h", $"b",
+          expr("shiftright(h, 8 * b) & 255").as("chunk"))
+      val cand = bnd.join(bnd
+          .select($"doc_id".as("d2"), $"h".as("h2"), $"b".as("b2"),
+            $"chunk".as("chunk2")),
+          $"b" === $"b2" && $"chunk" === $"chunk2" && $"doc_id" < $"d2")
+        .select($"doc_id".as("d1"), $"h".as("h1"), $"d2", $"h2")
+        .distinct()
+      cand
+        .withColumn("ham",
+          bit_count($"h1".bitwiseXOR($"h2")).cast("long"))
+        .filter($"ham" <= 3)
+        .select($"d1", $"d2", $"ham")
+        .orderBy($"d1", $"d2")
     },
 
     // ----- x30 C4-style line dedup, re-expressed over fixed 16-token

@@ -1019,16 +1019,25 @@ object VectorOps {
     * two distributed passes (per-dim sums; the 4096-cell scatter
     * matrix), one bounded collect each, then the deterministic driver
     * iteration. Shared by x76 (reports them) and x77 (removes them). */
-  private[graft] def topDirStats(s: org.apache.spark.sql.SparkSession,
-      dir: String, iters: Int = 16): (Array[Long], Array[Long]) = {
-    val qe = quantizedEmbeddings(s, dir)
-    val sm = qe.select(posexplode($"q").as(Seq("p", "x")))
+  /** Per-dim rounded mean of the milli-quantized embeddings (64
+    * longs, one distributed pass + bounded collect). Shared by the
+    * x76/x77 direction chain and the x80 binary codes. */
+  private[graft] def muMilli(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Long] = {
+    val sm = quantizedEmbeddings(s, dir)
+      .select(posexplode($"q").as(Seq("p", "x")))
       .groupBy($"p").agg(sum($"x").as("s"), count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2))).toMap
     val n = sm.head._2._2
-    val mu: Array[Long] = Array.tabulate(Dim)(i =>
+    Array.tabulate(Dim)(i =>
       math.floor(sm(i)._1 * 1.0 / n + 0.5).toLong)
+  }
+
+  private[graft] def topDirStats(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 16): (Array[Long], Array[Long]) = {
+    val qe = quantizedEmbeddings(s, dir)
+    val mu = muMilli(s, dir)
     val muLit = typedLit(mu.toSeq)
     val cc = transform($"q",
       (x, i) => x - element_at(muLit, (i + lit(1)).cast("int")))
@@ -1086,6 +1095,46 @@ object VectorOps {
         .as("v"))
   }
 
+  /** x80 body: binary-code ANN — the cheapest quantization tier (1
+    * bit/dim, 64x smaller than float32): each CENTERED component's
+    * sign becomes one code bit (centering by the shared x76 mean
+    * balances the bits — raw signs of an uncentered corpus can
+    * collapse to one value), packed into two 32-bit halves so every
+    * value stays positive in both engines; search ranks by Hamming
+    * distance = popcount(xor) over the halves — pure integer
+    * arithmetic end to end, hash-exact with NO rounding discipline
+    * needed. Scale shape: the corpus scan reads 2 longs per vector
+    * (the packed index IS the compressed corpus), queries broadcast,
+    * one rank exchange. */
+  private[graft] def binaryCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val muL = typedLit(muMilli(s, dir).toSeq)
+    def half(c: Column, lo: Int): Column =
+      (lo until lo + 32).map(i =>
+        when(element_at(c, i + 1) > 0, lit(1L << (i - lo)))
+          .otherwise(lit(0L))).reduce(_ + _)
+    quantizedEmbeddings(s, dir)
+      .select($"vec_id", transform($"q",
+        (x, i) => x - element_at(muL, (i + lit(1)).cast("int"))).as("c"))
+      .select($"vec_id", half($"c", 0).as("lo"), half($"c", 32).as("hi"))
+  }
+
+  private[graft] def annBinary(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val b = binaryCodes(s, dir)
+    val q = b.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"lo".as("qlo"), $"hi".as("qhi"))
+    b.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (bit_count($"lo".bitwiseXOR($"qlo")) +
+          bit_count($"hi".bitwiseXOR($"qhi"))).cast("long").as("ham"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"ham", $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** x77 search: x9's exact cosine top-k, in the post-processed space. */
   private[graft] def abttSearch(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -1109,7 +1158,10 @@ object VectorOps {
     * otherwise inline exponentially (2^16 scans — DuckDB ran out of
     * file descriptors before it ran out of patience). Shared by the
     * x76 and x77 oracles. */
-  private def sqlTopDirCtes: String =
+  /** SQL twin of [[quantizedEmbeddings]] + [[muMilli]]: CTEs ending in
+    * `qe(vec_id, q)` and `mu(i, m)`. Shared by x76/x77 (direction
+    * chain) and x80 (binary codes). */
+  private def sqlMuCtes: String =
     s"""qe AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x ->
        |    CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -1118,7 +1170,10 @@ object VectorOps {
        |    count(*) AS n
        |  FROM qe CROSS JOIN dims GROUP BY i),
        |mu AS MATERIALIZED (SELECT i, CAST(floor(s * 1.0 / n + 0.5)
-       |    AS BIGINT) AS m FROM sm),
+       |    AS BIGINT) AS m FROM sm)""".stripMargin
+
+  private def sqlTopDirCtes: String =
+    s"""$sqlMuCtes,
        |ce AS (SELECT qe.vec_id, mu.i, q[CAST(mu.i AS INT)] - mu.m
        |    AS c
        |  FROM qe CROSS JOIN mu),
@@ -1289,6 +1344,35 @@ object VectorOps {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => annLshMultiprobe(s, dir)
+    },
+
+    // ----- x80 binary-code ANN (see [[binaryCodes]] / [[annBinary]]):
+    // 1-bit-per-dim sign codes of the mean-centered embeddings, packed
+    // into two 32-bit halves; Hamming ranking via popcount(xor) — the
+    // whole search is integer arithmetic, no rounding discipline
+    // needed. The oracle replays the mean, the packing, and the rank.
+    "x80_ann_binary" -> Q(
+      s"""WITH $sqlMuCtes,
+         |mua AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |bc AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN q[CAST(i AS INT)] - ml[CAST(i AS INT)] > 0
+         |      THEN power(2, i - 1) ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(33, ${Dim + 1}), i ->
+         |      CASE WHEN q[CAST(i AS INT)] - ml[CAST(i AS INT)] > 0
+         |      THEN power(2, i - 33) ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM qe CROSS JOIN mua),
+         |qb AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bc
+         |  WHERE vec_id < 8),
+         |sc AS (SELECT qid, bc.vec_id AS nid,
+         |    CAST(bit_count(xor(bc.lo, qlo))
+         |      + bit_count(xor(bc.hi, qhi)) AS BIGINT) AS ham
+         |  FROM qb CROSS JOIN bc WHERE bc.vec_id <> qid),
+         |r AS (SELECT qid, nid, ham, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham, nid) AS rn FROM sc)
+         |SELECT qid, nid, ham, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annBinary(s, dir)
     },
 
     // ----- x13 IVF-bucketed ANN: coarse quantizer = the first 16

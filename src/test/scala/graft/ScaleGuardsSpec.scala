@@ -1040,6 +1040,40 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       "multi-probe never improved any query")
   }
 
+  test("x80 binary codes carry signal: Hamming ranks are monotone and " +
+    "every best neighbor sits well below the random-code expectation") {
+    val r = SparkEntry.queries("x80_ann_binary")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.length == 24 && r.map(_._1).toSet == (0L to 7L).toSet)
+    r.foreach { case (qid, nid, ham, _) =>
+      assert(nid != qid); assert(ham >= 0 && ham <= 64) }
+    r.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._4)
+      assert(s.map(_._4).toSeq == (1L to 3L))
+      assert(s.map(_._3).toSeq == s.map(_._3).sorted.toSeq,
+        s"hamming not monotone in rank: $s")
+      // random 64-bit codes expect Hamming 32 (sd 4); a signal-bearing
+      // sign code keeps the best neighbor several sd below that
+      assert(s.head._3 < 28, s"rank-1 hamming ${s.head._3} ~ random")
+    }
+  }
+
+  test("x81 pigeonhole candidates are LOSSLESS: band-equi pairs " +
+    "recover the brute-force Hamming<=3 pair set exactly") {
+    val r = SparkEntry.queries("x81_simhash_dedup")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val hashes = graft.queries.TextOps.simhashed(spark, dir, bits = 32)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- hashes; (d2, h2) <- hashes if d1 < d2
+      ham = java.lang.Long.bitCount(h1 ^ h2) if ham <= 3
+    } yield (d1, d2, ham.toLong)).toSet
+    assert(r.toSet == brute,
+      s"${(brute -- r.toSet).size} missed, ${(r.toSet -- brute).size} extra")
+    assert(r.nonEmpty)
+  }
+
   test("x78 label propagation: every community label is one of its " +
     "members, labels come from the graph, and sizes add up") {
     import spark.implicits._
