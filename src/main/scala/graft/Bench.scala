@@ -167,7 +167,16 @@ object Bench {
       "x44_ann_ivfpq_residual", "x45_ann_ivfpq_residual_probe",
       "x46_kmeans_train_seeded", "x47_bm25", "x50_rrf_fusion",
       "x51_ann_ivf_sq8", "x52_ann_pq_refine", "x53_mmr_diversify",
-      "x55_corpus_prep", "m2_train_score")
+      "x55_corpus_prep", "m2_train_score",
+      // round-7 additions: every new query whose cold sweep exceeded
+      // ~1.5 s at sf0.1, so the warm section stays the full heavy set
+      "x56_ann_recall_report", "x60_winnow_overlap", "x61_prf_expansion",
+      "x62_bpe_train", "x63_bpe_encode", "x64_cms_counts",
+      "x66_graph_pagerank", "x67_pmi_cooccur", "x69_retrieval_ndcg",
+      "x70_ppjoin", "x71_density_prune", "x72_mink_prob",
+      "x73_dsir_weights", "x74_nb_classifier", "x75_bm25_wand",
+      "x76_embed_topdir", "x77_abtt_search", "x78_label_prop",
+      "x81_simhash_dedup")
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()

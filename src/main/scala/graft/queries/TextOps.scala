@@ -636,18 +636,24 @@ object TextOps {
   private[graft] def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
       dir: String, t: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the md5-per-shingle projection is the expensive stage
+    // and has THREE consumers (the postings explode and both sides of
+    // the verification join) — the jaccardPairs discipline
     val tk = Tables.spread(s, dir, "documents")
       .select($"doc_id", T.wsTokens($"text").as("tks"))
       .filter(size($"tks") >= K)
       .select($"doc_id",
         transform(T.shingles($"tks", K), x => T.md5Long(x)).as("hs"))
+      .cache()
     val sh = tk.select($"doc_id", explode($"hs").as("h"))
     val dfc = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val ord = sh.join(dfc, "h")
       .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"h")))
       .withColumn("n", count(lit(1)).over(byDoc))
-    val pre = ord.filter($"pos" <= $"n" - ceil($"n" * t) + 1)
+    // cached: both sides of the prefix self-join reuse one
+    // df-join + window pass
+    val pre = ord.filter($"pos" <= $"n" - ceil($"n" * t) + 1).cache()
     val cand = pre.select($"doc_id".as("d1"), $"h", $"n".as("n1"))
       .join(pre.select($"doc_id".as("d2"), $"h".as("h2"), $"n".as("n2")),
         $"h" === $"h2" && $"d1" < $"d2" &&
