@@ -125,6 +125,70 @@ object SelectOps {
         .orderBy($"doc_id")
     },
 
+    // ----- x83 source-divergence matrix: Jensen-Shannon divergence
+    // between every source pair's token distributions, measured over
+    // the SAME B=64 hashed-feature buckets as x73 (the bounded-state
+    // trick: raw-vocabulary JSD needs the open vocab per pair; hashed
+    // buckets cap the distribution support at B for ANY corpus, which
+    // is how production drift monitors run it). Per-(pair, bucket)
+    // contributions integerize to micro-nats BEFORE the sum (the x36
+    // ln discipline), so the matrix is hash-exact. Zero-count buckets
+    // contribute only through the OTHER side's p·ln(2) term — the
+    // dense sources × buckets frame makes that explicit rather than
+    // dropping the rows. Scale shape: the corpus sees one explode +
+    // one (source, bucket) aggregation; everything after is
+    // (sources × B)-sized arithmetic.
+    "x83_source_divergence" -> Q(
+      s"""WITH tk AS (SELECT source,
+         |    unnest(${TS.wsTokens("lower(text)")}) AS w FROM documents),
+         |bk AS (SELECT source, ${bucketSql("w")} AS b FROM tk),
+         |cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM bk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM bk GROUP BY 1),
+         |dense AS (SELECT tot.source, bb.b, tot.n,
+         |    coalesce(cnt.c, 0) AS c
+         |  FROM tot CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
+         |  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.b = bb.b),
+         |pr AS (SELECT a.source AS s1, x.source AS s2, a.b,
+         |    a.c * 1.0 / a.n AS p, x.c * 1.0 / x.n AS q
+         |  FROM dense a JOIN dense x
+         |    ON a.b = x.b AND a.source < x.source),
+         |ct AS (SELECT s1, s2,
+         |    (CASE WHEN p > 0 THEN CAST(round(500000.0 * p *
+         |      ln(2.0 * p / (p + q))) AS BIGINT) ELSE 0 END)
+         |    + (CASE WHEN q > 0 THEN CAST(round(500000.0 * q *
+         |      ln(2.0 * q / (p + q))) AS BIGINT) ELSE 0 END) AS t
+         |  FROM pr)
+         |SELECT s1, s2, CAST(sum(t) AS BIGINT) AS jsd_micro
+         |FROM ct GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin) {
+      (s, dir) =>
+        val bk = Tables.spread(s, dir, "documents")
+          .select($"source", explode(T.wsTokens(lower($"text"))).as("w"))
+          .select($"source", (T.md5Long($"w") % B).as("b"))
+        val cnt = bk.groupBy($"source", $"b").agg(count(lit(1)).as("c"))
+        val tot = bk.groupBy($"source").agg(count(lit(1)).as("n"))
+        val dense = tot.crossJoin(s.range(B).select($"id".as("b")))
+          .join(cnt, Seq("source", "b"), "left")
+          .select($"source", $"b", $"n",
+            coalesce($"c", lit(0L)).as("c"))
+        val pr = dense.select($"source".as("s1"), $"b",
+            ($"c" * lit(1.0) / $"n").as("p"))
+          .join(dense.select($"source".as("s2"), $"b".as("b2"),
+            ($"c" * lit(1.0) / $"n").as("q")),
+            $"b" === $"b2" && $"s1" < $"s2")
+        val t =
+          when($"p" > 0, round(lit(500000.0) * $"p" *
+            log(lit(2.0) * $"p" / ($"p" + $"q"))).cast("long"))
+            .otherwise(0L) +
+          when($"q" > 0, round(lit(500000.0) * $"q" *
+            log(lit(2.0) * $"q" / ($"p" + $"q"))).cast("long"))
+            .otherwise(0L)
+        pr.select($"s1", $"s2", t.as("t"))
+          .groupBy($"s1", $"s2").agg(sum($"t").as("jsd_micro"))
+          .orderBy($"s1", $"s2")
+    },
+
     // ----- x74 trained-classifier filtering: add-one multinomial
     // Naive Bayes over whitespace tokens, trained on the x59
     // deterministic train split (md5 bucket < 80), predicting `lang`;

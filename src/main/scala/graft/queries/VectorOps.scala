@@ -1106,17 +1106,56 @@ object VectorOps {
     * needed. Scale shape: the corpus scan reads 2 longs per vector
     * (the packed index IS the compressed corpus), queries broadcast,
     * one rank exchange. */
+  /** One packed 32-bit half of a centered component array's sign bits. */
+  private def packHalf(c: Column, lo: Int): Column =
+    (lo until lo + 32).map(i =>
+      when(element_at(c, i + 1) > 0, lit(1L << (i - lo)))
+        .otherwise(lit(0L))).reduce(_ + _)
+
   private[graft] def binaryCodes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val muL = typedLit(muMilli(s, dir).toSeq)
-    def half(c: Column, lo: Int): Column =
-      (lo until lo + 32).map(i =>
-        when(element_at(c, i + 1) > 0, lit(1L << (i - lo)))
-          .otherwise(lit(0L))).reduce(_ + _)
     quantizedEmbeddings(s, dir)
       .select($"vec_id", transform($"q",
         (x, i) => x - element_at(muL, (i + lit(1)).cast("int"))).as("c"))
-      .select($"vec_id", half($"c", 0).as("lo"), half($"c", 32).as("hi"))
+      .select($"vec_id", packHalf($"c", 0).as("lo"),
+        packHalf($"c", 32).as("hi"))
+  }
+
+  /** x82 body: IVF + binary codes — the coarse-cell restriction of
+    * x13 paired with x80's Hamming tier, completing the quantization ×
+    * IVF matrix (flat/IVF × PQ / SQ8 / binary). ONE corpus projection
+    * computes the cell AND the packed code halves (no corpus-corpus
+    * join); queries probe their own cell and rank in-cell candidates
+    * by popcount — the cheapest per-candidate scoring of any family
+    * member, over the smallest candidate set. cells=1 degenerates to
+    * the flat x80 search exactly (pinned in ScaleGuardsSpec). */
+  private[graft] def annIvfBinary(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val muL = typedLit(muMilli(s, dir).toSeq)
+    val base = Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("raw"))
+      .withColumn("qm", transform($"raw", x => round(x * 1000).cast("long")))
+      .withColumn("cc", transform($"qm",
+        (x, i) => x - element_at(muL, (i + lit(1)).cast("int"))))
+      .withColumn("nrm", sqrt(dot($"raw", $"raw")))
+      .select($"vec_id", transform($"raw", x => x / $"nrm").as("v"),
+        packHalf($"cc", 0).as("lo"), packHalf($"cc", 32).as("hi"))
+    val cellsDf = (if (cells <= MaxLiteralCells) literalCells(base, cells)
+      else joinCells(base, cells)).drop("v").cache()
+    val q = cellsDf.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"lo".as("qlo"), $"hi".as("qhi"),
+        $"cell".as("qcell"))
+    cellsDf.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (bit_count($"lo".bitwiseXOR($"qlo")) +
+          bit_count($"hi".bitwiseXOR($"qhi"))).cast("long").as("ham"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"ham", $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
   }
 
   private[graft] def annBinary(s: org.apache.spark.sql.SparkSession,
@@ -1373,6 +1412,46 @@ object VectorOps {
          |SELECT qid, nid, ham, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => annBinary(s, dir)
+    },
+
+    // ----- x82 IVF + binary codes (see [[annIvfBinary]]): x13's cell
+    // restriction over x80's Hamming tier. The oracle replays the
+    // mean, the packing, the x13 cell assignment, and the in-cell rank.
+    "x82_ann_ivf_binary" -> Q(
+      s"""WITH $sqlMuCtes,
+         |mua AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |bc AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN q[CAST(i AS INT)] - ml[CAST(i AS INT)] > 0
+         |      THEN power(2, i - 1) ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(33, ${Dim + 1}), i ->
+         |      CASE WHEN q[CAST(i AS INT)] - ml[CAST(i AS INT)] > 0
+         |      THEN power(2, i - 33) ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM qe CROSS JOIN mua),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |c AS (SELECT vec_id AS cid, v AS cv FROM n
+         |  WHERE vec_id < $DefaultCells),
+         |asg AS (SELECT n.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE arn = 1),
+         |cb AS (SELECT bc.vec_id, cells.cell, bc.lo, bc.hi
+         |  FROM bc JOIN cells USING (vec_id)),
+         |qb AS (SELECT vec_id AS qid, cell, lo AS qlo, hi AS qhi
+         |  FROM cb WHERE vec_id < 8),
+         |sc AS (SELECT qid, cb.vec_id AS nid,
+         |    CAST(bit_count(xor(cb.lo, qlo))
+         |      + bit_count(xor(cb.hi, qhi)) AS BIGINT) AS ham
+         |  FROM qb JOIN cb ON cb.cell = qb.cell AND cb.vec_id <> qid),
+         |r AS (SELECT qid, nid, ham, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham, nid) AS rn FROM sc)
+         |SELECT qid, nid, ham, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annIvfBinary(s, dir)
     },
 
     // ----- x13 IVF-bucketed ANN: coarse quantizer = the first 16

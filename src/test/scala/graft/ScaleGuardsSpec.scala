@@ -1059,6 +1059,44 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x82 IVF-binary with one cell degenerates to the flat x80 " +
+    "search exactly, and the default-cell search is well-formed") {
+    val flat = SparkEntry.queries("x80_ann_binary")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val one = graft.queries.VectorOps.annIvfBinary(spark, dir, cells = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(one == flat, "cells=1 is not the flat binary search")
+    val ivf = SparkEntry.queries("x82_ann_ivf_binary")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(ivf.map(_._1).toSet == (0L to 7L).toSet)
+    ivf.foreach { case (qid, nid, ham, rn) =>
+      assert(nid != qid); assert(ham >= 0 && ham <= 64)
+      assert(rn >= 1 && rn <= 3)
+    }
+    // in-cell Hamming can only be >= the flat corpus-wide minimum
+    val flatBest = flat.groupBy(_.head).view
+      .mapValues(_.map(_(2).asInstanceOf[Long]).min).toMap
+    ivf.filter(_._4 == 1).foreach { case (qid, _, ham, _) =>
+      assert(ham >= flatBest(qid), s"q$qid in-cell beat the corpus") }
+  }
+
+  test("x83 JSD matrix: all source pairs, values inside [0, ln2], " +
+    "and near-identical distributions sit near zero") {
+    val r = SparkEntry.queries("x83_source_divergence")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val sources = (r.map(_._1) ++ r.map(_._2)).toSet
+    assert(r.length == sources.size * (sources.size - 1) / 2,
+      s"${r.length} pairs for ${sources.size} sources")
+    r.foreach { case (s1, s2, j) =>
+      assert(s1 < s2)
+      // JSD in nats is bounded by ln 2 = 0.693147...; the micro-nat
+      // integerization can overshoot by at most B rounding half-ulps
+      val bb = graft.queries.SelectOps.B
+      assert(j >= -bb && j <= 693148 + bb, s"($s1, $s2) jsd $j")
+    }
+  }
+
   test("x81 pigeonhole candidates are LOSSLESS: band-equi pairs " +
     "recover the brute-force Hamming<=3 pair set exactly") {
     val r = SparkEntry.queries("x81_simhash_dedup")(spark, dir)
