@@ -67,6 +67,34 @@ object EventOps {
     cp.union(cp.select($"u2", $"u1")).toDF("src", "dst")
   }
 
+  /** The x66 PageRank loop, parameterized on depth: per round one
+    * src-keyed join + one dst-keyed contribution agg in exact integer
+    * arithmetic. Iterative DataFrame loops grow the logical plan
+    * linearly and the optimizer re-walks it quadratically, so past a
+    * handful of rounds the DRIVER becomes the bottleneck — every
+    * `checkpointEvery` rounds the rank frame localCheckpoints, which
+    * cuts the lineage to a materialized RDD and keeps analysis cost
+    * O(checkpoint interval) no matter the depth (the deep-iteration
+    * discipline ScaleGuardsSpec pins: checkpointed ranks are
+    * bit-identical to the unbroken-lineage loop). */
+  private[graft] def pagerank(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int, checkpointEvery: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = coEdges(s, dir)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var r = deg.select($"src".as("n"), lit(1000000L).as("r"))
+    (1 to iters).foreach { i =>
+      r = ed.join(r, $"src" === $"n")
+        .select($"dst", expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+        .select($"dst".as("n"), (lit(150000L) + $"s").as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint()
+    }
+    r
+  }
+
   val qs: Map[String, Q] = Map(
     // ----- x66 PageRank power iterations over the user co-activity
     // graph: users are linked when they share >= CoMinShared distinct
@@ -98,17 +126,8 @@ object EventOps {
          |SELECT n AS user_id, r AS pr, CAST(row_number() OVER (
          |    ORDER BY r DESC, n) AS BIGINT) AS rn
          |FROM r$PrIters ORDER BY rn""".stripMargin) { (s, dir) =>
-      val edges = coEdges(s, dir)
-      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg, "src")
-      var r = deg.select($"src".as("n"), lit(1000000L).as("r"))
-      (1 to PrIters).foreach { _ =>
-        r = ed.join(r, $"src" === $"n")
-          .select($"dst", expr("(85 * r) div (100 * deg)").as("c"))
-          .groupBy($"dst").agg(sum($"c").as("s"))
-          .select($"dst".as("n"), (lit(150000L) + $"s").as("r"))
-      }
-      r.select($"n".as("user_id"), $"r".as("pr"))
+      pagerank(s, dir, PrIters)
+        .select($"n".as("user_id"), $"r".as("pr"))
         .withColumn("rn", row_number()
           .over(Window.orderBy($"pr".desc, $"user_id")).cast("long"))
         .orderBy($"rn")

@@ -386,6 +386,43 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** The x54 temperature-mixture share frame — (source, n_docs,
+    * chars_total, share6, natural6), shares in exact integer ppm. ONE
+    * definition for x54 (reports the design) and x84 (emits the
+    * interleaved training order that realizes it). */
+  private[graft] def mixtureShares(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_total"))
+      .withColumn("s6", round(sqrt($"n_docs") * 1000000).cast("long"))
+    val t = c.agg(sum($"s6").as("tot"), sum($"n_docs").as("totd"))
+    c.crossJoin(broadcast(t))
+      .withColumn("share6",
+        round(lit(1000000.0) * $"s6" / $"tot").cast("long"))
+      .withColumn("natural6",
+        round(lit(1000000.0) * $"n_docs" / $"totd").cast("long"))
+  }
+
+  /** Shared SQL CTE chain for [[mixtureShares]], ending in
+    * `u(source, n_docs, chars_total, share6, natural6)`. */
+  private[graft] val sqlMixtureCtes: String =
+    s"""c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |  FROM documents GROUP BY source),
+       |s AS (SELECT source, n_docs, chars_total,
+       |    CAST(round(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS s6
+       |  FROM c),
+       |t AS (SELECT CAST(sum(s6) AS BIGINT) AS tot,
+       |    CAST(sum(n_docs) AS BIGINT) AS totd FROM s),
+       |u AS (SELECT s.source, s.n_docs, s.chars_total,
+       |    CAST(round(1000000.0 * s.s6 / t.tot, 0) AS BIGINT)
+       |      AS share6,
+       |    CAST(round(1000000.0 * s.n_docs / t.totd, 0) AS BIGINT)
+       |      AS natural6
+       |  FROM s, t)""".stripMargin
+
   /** The SimHash fingerprint relation (doc_id, simhash) — ONE
     * signature definition shared by x8 (16-bit report) and the x81
     * Hamming dedup join (32-bit: the pair space needs the wider code —
@@ -1354,38 +1391,55 @@ object TextOps {
     // FIRST (round ·1e6) and derive shares from the exact integer
     // total — no cross-row double summation anywhere.
     "x54_temperature_mixture" -> Q(
-      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(n_chars) AS BIGINT) AS chars_total
-         |  FROM documents GROUP BY source),
-         |s AS (SELECT source, n_docs, chars_total,
-         |    CAST(round(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS s6
-         |  FROM c),
-         |t AS (SELECT CAST(sum(s6) AS BIGINT) AS tot,
-         |    CAST(sum(n_docs) AS BIGINT) AS totd FROM s),
-         |u AS (SELECT s.source, s.n_docs, s.chars_total,
-         |    CAST(round(1000000.0 * s.s6 / t.tot, 0) AS BIGINT)
-         |      AS share6,
-         |    CAST(round(1000000.0 * s.n_docs / t.totd, 0) AS BIGINT)
-         |      AS natural6
-         |  FROM s, t)
+      s"""WITH $sqlMixtureCtes
          |SELECT source, n_docs, chars_total, share6, natural6,
          |  round(share6 * 1.0 / natural6, 4) AS boost
          |FROM u ORDER BY source""".stripMargin) { (s, dir) =>
-      val c = Tables(s, dir, "documents")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_chars").as("chars_total"))
-        .withColumn("s6", round(sqrt($"n_docs") * 1000000).cast("long"))
-      val t = c.agg(sum($"s6").as("tot"), sum($"n_docs").as("totd"))
-      c.crossJoin(broadcast(t))
-        .withColumn("share6",
-          round(lit(1000000.0) * $"s6" / $"tot").cast("long"))
-        .withColumn("natural6",
-          round(lit(1000000.0) * $"n_docs" / $"totd").cast("long"))
+      mixtureShares(s, dir)
         .select($"source", $"n_docs", $"chars_total", $"share6",
           $"natural6",
           round($"share6" * lit(1.0) / $"natural6", 4).as("boost"))
         .orderBy($"source")
+    },
+
+    // ----- x84 curriculum emission: the deterministic interleaved
+    // TRAINING ORDER that realizes x54's mixture design (ONE shared
+    // share definition) — the final artifact a data pipeline hands to
+    // the trainer. Each doc draws a deterministic 48-bit priority key
+    // and its virtual time is key / share6: in any prefix of the
+    // vt-sorted stream, a source with twice the share contributes
+    // ~twice the docs (the weighted-round-robin / virtual-clock
+    // scheduling identity), and the order is reproducible across
+    // engines, row orders, and partitionings — no RNG state. Scale
+    // shape: vt is a pure projection; the top-N prefix is an
+    // orderBy+limit, which Spark executes as TakeOrdered (per-
+    // partition heaps + driver merge of N rows, the x22 economy) —
+    // the full stream would be write-partitioned by vt range instead.
+    "x84_curriculum" -> Q(
+      s"""WITH $sqlMixtureCtes,
+         |vt AS (SELECT d.doc_id, d.source,
+         |    ${TS.md5Long("CAST(d.doc_id AS VARCHAR) || '_cur'")}
+         |      * 1.0 / u.share6 AS vt
+         |  FROM documents d JOIN u ON d.source = u.source),
+         |top AS (SELECT doc_id, source, vt FROM vt
+         |  ORDER BY vt, doc_id LIMIT 200)
+         |SELECT CAST(row_number() OVER (ORDER BY vt, doc_id)
+         |    AS BIGINT) AS pos, doc_id, source
+         |FROM top ORDER BY pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val shares = mixtureShares(s, dir).select($"source", $"share6")
+      val vt = Tables(s, dir, "documents")
+        .select($"doc_id", $"source")
+        // shares are |sources| rows: broadcast, corpus unshuffled
+        .join(broadcast(shares), "source")
+        .select($"doc_id", $"source",
+          (T.md5Long(concat($"doc_id".cast("string"), lit("_cur")))
+            * lit(1.0) / $"share6").as("vt"))
+      vt.orderBy($"vt", $"doc_id").limit(200)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy($"vt", $"doc_id")).cast("long"))
+        .select($"pos", $"doc_id", $"source")
+        .orderBy($"pos")
     },
 
     // ----- x55 corpus-prep pipeline: the END-TO-END batch composition

@@ -1097,6 +1097,38 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x84 curriculum: the emitted prefix is EXACTLY the global " +
+    "virtual-time bottom-200, and sources land near their x54 shares") {
+    import graft.functions.{TextExprs => T}
+    import spark.implicits._
+    val r = SparkEntry.queries("x84_curriculum")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.map(_._1).toSeq.sorted == (1L to 200L), "positions not dense")
+    assert(r.map(_._2).distinct.length == 200, "duplicate docs")
+    // exact replay: recompute every doc's virtual time and take the
+    // true global bottom-200 — TakeOrdered must agree with it
+    val shares = graft.queries.TextOps.mixtureShares(spark, dir)
+      .select($"source", $"share6").as[(String, Long)].collect().toMap
+    val vts = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source",
+        T.md5Long(concat($"doc_id".cast("string"), lit("_cur")))
+          .as("key"))
+      .as[(Long, String, Long)].collect()
+      .map { case (d, src, key) => (key * 1.0 / shares(src), d, src) }
+    val want = vts.sortBy(t => (t._1, t._2)).take(200)
+      .zipWithIndex.map { case ((_, d, src), i) => (i + 1L, d, src) }
+    assert(r.sortBy(_._1).toSeq == want.toSeq, "prefix != true bottom-200")
+    // interleave fidelity: each source's prefix count stays within
+    // 3 sigma of its share's expectation
+    val bySrc = r.groupBy(_._3).view.mapValues(_.length).toMap
+    shares.foreach { case (src, s6) =>
+      val exp = 200.0 * s6 / 1e6
+      val got = bySrc.getOrElse(src, 0).toDouble
+      assert(math.abs(got - exp) <= 3 * math.sqrt(exp) + 1,
+        s"$src got $got expected $exp")
+    }
+  }
+
   test("x81 pigeonhole candidates are LOSSLESS: band-equi pairs " +
     "recover the brute-force Hamming<=3 pair set exactly") {
     val r = SparkEntry.queries("x81_simhash_dedup")(spark, dir)
@@ -1110,6 +1142,20 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(r.toSet == brute,
       s"${(brute -- r.toSet).size} missed, ${(r.toSet -- brute).size} extra")
     assert(r.nonEmpty)
+  }
+
+  test("deep PageRank: checkpointed lineage is bit-identical to the " +
+    "unbroken loop at 12 rounds — the driver-cost discipline for " +
+    "deep iteration") {
+    import spark.implicits._
+    def ranks(ckpt: Int): Map[Long, Long] =
+      graft.queries.EventOps.pagerank(spark, dir, iters = 12,
+          checkpointEvery = ckpt)
+        .as[(Long, Long)].collect().toMap
+    val plain = ranks(0)
+    val chk = ranks(5)
+    assert(plain.nonEmpty)
+    assert(chk == plain, "checkpointing changed the ranks")
   }
 
   test("x78 label propagation: every community label is one of its " +
