@@ -1243,6 +1243,37 @@ object VectorOps {
         s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** SemDeDup cosine threshold (x85): in-cell pairs at or above it are
+    * semantic duplicates. Same value as x10's near-dup threshold — the
+    * two operators detect the same phenomenon, x10 via LSH buckets,
+    * x85 via cluster restriction. Declared BEFORE the qs map (the
+    * oracle SQL interpolates it at object init). */
+  private[graft] val SemDedupTau = 0.4
+
+  /** x86 neighbor count: top-k per vector in the k-NN graph. Declared
+    * BEFORE the qs map (oracle interpolation). */
+  private[graft] val KnnGraphK = 4
+
+  /** The x13 cell-assignment replay as reusable oracle CTEs: yields
+    * `cells(vec_id, v, cell)` — normalized corpus + max-cosine cell
+    * under the first-[[DefaultCells]] quantizer, round-4/cid tiebreak
+    * identical to [[literalCells]]/[[joinCells]]. Shared by the
+    * x85/x86/x87 oracles (x13/x29/x82 predate it and keep their
+    * verified inline spellings). */
+  private def sqlCellCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS ${sqlNormalized("e")},
+       |c AS (SELECT vec_id AS cid, v AS cv FROM n
+       |  WHERE vec_id < $DefaultCells),
+       |asg AS (SELECT n.vec_id, n.v, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+       |      AS arn
+       |  FROM n CROSS JOIN c),
+       |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE arn = 1)"""
+      .stripMargin
+
   val qs: Map[String, Q] = Map(
     // ----- x76 "all-but-the-top" diagnostics (see [[topDirection]]):
     // corpus mean + dominant principal direction of the centered
@@ -2387,6 +2418,81 @@ object VectorOps {
          |FROM sel$MmrK s JOIN pool p ON p.qid = s.qid AND p.nid = s.nid
          |ORDER BY s.qid, s.step""".stripMargin) {
       (s, dir) => mmrDiversify(s, dir)
+    },
+
+    // ----- x85 semantic-dedup removal lineage (see [[semDedup]]): the
+    // attribution complement of x49's survivor set — each removed doc
+    // with its lowest-id anchor and the pair cosine. The oracle replays
+    // the cell assignment, the in-cell pair scan, and the min-anchor
+    // verdict.
+    "x85_semdedup_edges" -> Q(
+      s"""WITH $sqlCellCtes,
+         |p AS (SELECT b.vec_id AS vec_id, a.cell, a.vec_id AS anchor,
+         |    round(${sqlDot("a.v", "b.v")}, 4) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |f AS (SELECT vec_id, cell, anchor, cos, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY anchor) AS rn
+         |  FROM p WHERE cos >= $SemDedupTau)
+         |SELECT vec_id, cell, anchor AS dup_of, cos
+         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin) {
+      (s, dir) => semDedup(s, dir)
+    },
+
+    // ----- x86 k-NN graph build (see [[knnGraph]]): every vector's
+    // top-k in-cell neighbors — the backbone artifact SemDeDup, graph
+    // ANN, and density pruning consume. Oracle replays assignment +
+    // in-cell rank for ALL vectors.
+    "x86_knn_graph" -> Q(
+      s"""WITH $sqlCellCtes,
+         |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${sqlDot("a.v", "b.v")}, 4) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT src, dst, cos, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc)
+         |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $KnnGraphK ORDER BY src, rn""".stripMargin) {
+      (s, dir) => knnGraph(s, dir)
+    },
+
+    // ----- x87 NN-descent round (see [[nnDescentRound]]): init = top-k
+    // over cell ∪ LSH-bucket candidates (the two independent
+    // blockings), then one 2-hop proposal round, exact-scored,
+    // re-ranked. The oracle replays the assignment, the bucket bits,
+    // both candidate joins, the symmetrization, the proposal join, and
+    // the rank.
+    "x87_nn_descent" -> Q(
+      s"""WITH $sqlCellCtes,
+         |cb AS (SELECT vec_id, v, cell, ${sqlBucket("v")} AS bkt
+         |  FROM cells),
+         |p0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${sqlDot("a.v", "b.v")}, 4) AS cos
+         |  FROM cb a JOIN cb b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${sqlDot("a.v", "b.v")}, 4) AS cos
+         |  FROM cb a JOIN cb b
+         |    ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+         |ed AS (SELECT src, dst FROM (SELECT src, dst, row_number()
+         |    OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p0) WHERE rn <= $KnnGraphK),
+         |und AS (SELECT src, dst FROM ed
+         |  UNION SELECT dst AS src, src AS dst FROM ed),
+         |cand AS (SELECT u1.src AS a, u2.dst AS c
+         |    FROM und u1 JOIN und u2 ON u1.dst = u2.src
+         |    WHERE u1.src <> u2.dst
+         |  UNION SELECT src AS a, dst AS c FROM p0),
+         |sc2 AS (SELECT cand.a AS src, cand.c AS dst,
+         |    round(${sqlDot("na.v", "nc.v")}, 4) AS cos
+         |  FROM cand JOIN n na ON na.vec_id = cand.a
+         |  JOIN n nc ON nc.vec_id = cand.c),
+         |r2 AS (SELECT src, dst, cos, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc2)
+         |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r2 WHERE rn <= $KnnGraphK ORDER BY src, rn""".stripMargin) {
+      (s, dir) => nnDescentRound(s, dir)
     })
 
   /** The x53 greedy-selection oracle CTEs: sel1 picks the relevance
@@ -3315,5 +3421,145 @@ object VectorOps {
         .cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** x85 body: semantic-dedup REMOVAL LINEAGE — the attribution
+    * complement of x49 (which emits the survivor set, this emits the
+    * removal edges). Same SemDeDup geometry as [[semanticDedup]] —
+    * x13 cells, in-cell cosine pairs at [[SemDedupTau]], doc j removed
+    * iff some i < j in its cell has cos(i,j) >= tau — but the output
+    * is each removed doc with its LOWEST-id duplicate anchor and that
+    * pair's cosine: the "what did I duplicate, and how closely" record
+    * a governance/audit pipeline stores beside the dedup decision, and
+    * the edge relation x19-style cluster analysis consumes. The exact-
+    * dedup family has the same split (x5 duplicate groups vs x30
+    * first-occurrence survivors); this is its semantic twin.
+    *
+    * Scale shape: identical to x49 — pairs exist only WITHIN cells
+    * (shuffle on cell, per-cell work (n/cells)² with cells ≈ √n via
+    * [[cellsFor]]); the anchor verdict is ONE map-side-combinable
+    * min(struct) per removed doc, and the corpus never shuffles for
+    * assignment (literal or broadcast quantizer — the
+    * [[MaxLiteralCells]] switch). */
+  private[graft] def semDedup(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells,
+      threshold: Double = SemDedupTau): org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val a = (if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells)).select($"vec_id", $"v", $"cell").cache()
+    val b = a.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"cell".as("cell2"))
+    val pairs = a.join(b, $"cell" === $"cell2" && $"vec_id" < $"vec_id2")
+      .select($"vec_id2".as("rid"), $"cell", $"vec_id".as("anchor"),
+        round(dot($"v", $"v2"), 4).as("cos"))
+      .filter($"cos" >= threshold)
+    // cache stays pinned until the action runs (lazy registry body —
+    // both self-join sides read the one assignment pass; x13 pattern)
+    pairs.groupBy($"rid", $"cell")
+      .agg(min(struct($"anchor", $"cos")).as("m"))
+      .select($"rid".as("vec_id"), $"cell",
+        $"m".getField("anchor").as("dup_of"),
+        $"m".getField("cos").as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  /** x86 body: distributed k-NN graph construction — EVERY vector gets
+    * its top-[[KnnGraphK]] in-cell neighbors (x13's ANN with the whole
+    * corpus as the query side). The k-NN graph is the backbone
+    * artifact of large-scale curation: SemDeDup groups, graph-ANN
+    * indexes (HNSW/NSG start from exactly this), label propagation
+    * and density pruning all consume it. Candidate generation is the
+    * IVF cell restriction — the corpus self-joins ONLY on the cell key
+    * (never all pairs), per-cell work is (n/cells)² with the
+    * [[cellsFor]] knob, and ranking is one exchange on vec_id. */
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = KnnGraphK)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val a = (if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells)).select($"vec_id", $"v", $"cell").cache()
+    val b = a.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"cell".as("cell2"))
+    a.join(b, $"cell" === $"cell2" && $"vec_id" =!= $"vec_id2")
+      .select($"vec_id".as("src"), $"vec_id2".as("dst"),
+        round(dot($"v", $"v2"), 4).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"src", $"rn")
+  }
+
+  /** x87 body: one NN-descent refinement round (Dong et al. 2011) over
+    * a multi-blocked initial graph — the algorithm that turns a cheap
+    * blocked k-NN graph into an accurate one without ever going
+    * all-pairs, via "a neighbor of my neighbor is likely my neighbor".
+    *
+    * The initial graph cannot be x86 alone: a graph whose every edge
+    * lives inside one IVF cell is cell-CLOSED, so 2-hop paths never
+    * leave a cell and the round proposes nothing new. NN-descent's
+    * answer is a random init; the deterministic stand-in here is a
+    * SECOND independent blocking — the x11 LSH bucket, a pure
+    * projection over the same scan. Init = top-k over (in-cell ∪
+    * in-bucket) candidates; buckets group cosine-similar vectors
+    * ACROSS cells, giving the graph the cross-cell bridges the round
+    * needs. One round = symmetrize, propose every 2-hop pair (a,c)
+    * through a shared b, union with every candidate already scored,
+    * exact-score, re-take top-k (ScaleGuardsSpec pins per-rank quality
+    * ≥ x86 and strict recall improvement over x86 on this corpus).
+    *
+    * Scale shape: two equi self-joins (cell key, bucket key — never
+    * cartesian), a candidate set bounded at O(n·k²) by construction
+    * (k in × k out per bridge vertex), two id-equi joins to re-attach
+    * vectors, one rank exchange. At 100 TB this is the standard
+    * iterate-until-converged graph build (each round a fixed small
+    * multiple of corpus size); one round is registered so the oracle
+    * replays it CTE-for-CTE. */
+  private[graft] def nnDescentRound(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells,
+      planes: Int = DefaultPlanes, k: Int = KnnGraphK)
+      : org.apache.spark.sql.DataFrame = {
+    val n = normalizedEmbeddings(s, dir)
+    val a = bucketed(
+      (if (cells <= MaxLiteralCells) literalCells(n, cells)
+       else joinCells(n, cells)).select($"vec_id", $"v", $"cell"),
+      planes).cache()
+    val b = a.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+      $"cell".as("cell2"), $"bkt".as("bkt2"))
+    // candidates from EITHER blocking (equi-join per blocking; the
+    // union-distinct realizes the OR without a nested-loop join)
+    def pairsOn(key: Column): org.apache.spark.sql.DataFrame =
+      a.join(b, key && $"vec_id" =!= $"vec_id2")
+        .select($"vec_id".as("src"), $"vec_id2".as("dst"),
+          round(dot($"v", $"v2"), 4).as("cos"))
+    val p0 = pairsOn($"cell" === $"cell2")
+      .union(pairsOn($"bkt" === $"bkt2")).distinct().cache()
+    val edges = p0
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst")))
+      .filter($"rn" <= k)
+      .select($"src", $"dst").cache()
+    // symmetrized adjacency: NN-descent explores both directions
+    val und = edges
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    // 2-hop proposals a -> b -> c, a != c (bounded: k² per bridge),
+    // plus every candidate the blockings already scored
+    val cand = und.select($"src".as("a"), $"dst".as("b"))
+      .join(und.select($"src".as("b2"), $"dst".as("c")), $"b" === $"b2")
+      .filter($"a" =!= $"c")
+      .select($"a", $"c").distinct()
+      .union(p0.select($"src".as("a"), $"dst".as("c"))).distinct()
+    // exact scores for the proposal set: two id-equi joins
+    val va = n.select($"vec_id".as("a"), $"v".as("va"))
+    val vc = n.select($"vec_id".as("c"), $"v".as("vc"))
+    cand.join(va, "a").join(vc, "c")
+      .select($"a".as("src"), $"c".as("dst"),
+        round(dot($"va", $"vc"), 4).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"src", $"rn")
   }
 }

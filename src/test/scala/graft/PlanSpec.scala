@@ -407,6 +407,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x85/x86/x87 graph-dedup family: every join is equi (cell, " +
+    "bridge id, or vec id) — never cartesian or nested-loop") {
+    for (q <- Seq("x85_semdedup_edges", "x86_knn_graph",
+        "x87_nn_descent")) {
+      val p = finalPlanOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("x54 mixture design is one corpus aggregation plus broadcast " +
     "totals — the corpus shuffles one row per source, nothing more") {
     val p = finalPlanOf("x54_temperature_mixture")

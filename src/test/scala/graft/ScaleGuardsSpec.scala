@@ -1176,4 +1176,88 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     // propagation actually merged communities: fewer labels than nodes
     assert(sizes.size < nodes.size, s"${sizes.size} of ${nodes.size}")
   }
+
+  test("x85 removal lineage is EXACTLY the complement of x49's " +
+    "survivor set, and every edge is a real in-cell pair at tau") {
+    import spark.implicits._
+    val edges = SparkEntry.queries("x85_semdedup_edges")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(edges.nonEmpty, "no removals at tau on this corpus")
+    val removed = edges.map(_._1).toSet
+    val kept = SparkEntry.queries("x49_semantic_dedup")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val all = graft.queries.VectorOps
+      .normalizedEmbeddings(spark, dir).select($"vec_id")
+      .as[Long].collect().toSet
+    // the two registry views partition the corpus
+    assert(removed.intersect(kept).isEmpty)
+    assert(removed.union(kept) == all)
+    edges.foreach { case (vid, _, anchor, cos) =>
+      assert(anchor < vid, s"anchor $anchor !< removed $vid")
+      assert(cos >= graft.queries.VectorOps.SemDedupTau, s"$vid cos $cos")
+    }
+  }
+
+  test("x86 k-NN graph restricted to the x13 query set reproduces the " +
+    "x13 search EXACTLY, and ranks are well-formed") {
+    val g = SparkEntry.queries("x86_knn_graph")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3)))
+    // well-formed: contiguous ranks, cosine monotone within src
+    g.groupBy(_._1).foreach { case (src, rows) =>
+      val s = rows.sortBy(_._4)
+      assert(s.map(_._4).toSeq == (1L to s.length).toSeq, s"src $src")
+      assert(s.map(_._3).toSeq == s.map(_._3).sortBy(-_).toSeq,
+        s"src $src cos not monotone")
+    }
+    // x13 is the same in-cell search with queries = vec_id < 8, k = 3
+    val x13 = SparkEntry.queries("x13_ann_ivf")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3))).toSet
+    val gSub = g.filter(e => e._1 < 8 && e._4 <= 3).toSet
+    assert(gSub == x13, "x86 restricted to x13's queries diverges")
+  }
+
+  test("x87 NN-descent round never loses quality per rank and strictly " +
+    "improves recall against the exact graph on this corpus") {
+    val before = SparkEntry.queries("x86_knn_graph")(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(3)),
+        (x.getLong(1), x.getDouble(2))))
+    val after = SparkEntry.queries("x87_nn_descent")(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(3)),
+        (x.getLong(1), x.getDouble(2))))
+    val beforeM = before.toMap
+    // candidate superset per src => per-rank cosine can only improve
+    after.foreach { case ((src, rn), (_, cos)) =>
+      beforeM.get((src, rn)).foreach { case (_, cos0) =>
+        assert(cos + 1e-12 >= cos0, s"src $src rank $rn: $cos < $cos0") }
+    }
+    // recall vs the EXACT k-NN graph (brute force over the corpus)
+    val n = graft.queries.VectorOps.normalizedEmbeddings(spark, dir)
+      .cache()
+    val n2 = n.select(org.apache.spark.sql.functions.col("vec_id")
+      .as("vec_id2"), org.apache.spark.sql.functions.col("v").as("v2"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val exact = n.crossJoin(n2)
+      .filter(col("vec_id") =!= col("vec_id2"))
+      .select(col("vec_id").as("src"), col("vec_id2").as("dst"),
+        round(graft.queries.VectorOps.dot(col("v"), col("v2")), 4)
+          .as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= graft.queries.VectorOps.KnnGraphK)
+      .select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    n.unpersist()
+    val hitsBefore = before.map { case ((src, _), (dst, _)) =>
+      exact((src, dst)) }.count(identity)
+    val hitsAfter = after.map { case ((src, _), (dst, _)) =>
+      exact((src, dst)) }.count(identity)
+    assert(hitsAfter >= hitsBefore, s"$hitsAfter < $hitsBefore")
+    assert(hitsAfter > hitsBefore,
+      s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
+  }
 }
