@@ -205,6 +205,16 @@ object TextOps {
     * newlines; a fixed token span plays the role of C4's line). */
   private val SpanLen = 16
 
+  /** x88 Gopher character-coverage gates (ppm): most-common-2-gram
+    * char share < 0.20 (the MassiveText value) and duplicated-3-gram
+    * char coverage < 0.15 (MassiveText gates n = 5..10 at 0.15..0.10;
+    * 3 is the n that carries signal on this corpus's short docs — the
+    * n knob is a [[gopherCoverage]] parameter). Declared before the
+    * qs map (oracle interpolation). */
+  private val RepTop2MaxPpm = 200000L
+  private val RepDupNMaxPpm = 150000L
+  private val RepDupN = 3
+
   /** x31 decontamination key = first PrefK tokens; the reference set is
     * the docs from these sources (the stand-in benchmark corpus). */
   private val PrefK = 4
@@ -2093,7 +2103,139 @@ object TextOps {
         .filter($"rn" === 1)
         .select($"new_id", $"old_id".as("dup_of"), $"est_sim")
         .orderBy($"new_id")
+    },
+
+    // ----- x88 Gopher character-coverage repetition gates (see
+    // [[gopherCoverage]]): most-common-2-gram char share + duplicated-
+    // n-gram char coverage (overlaps once), both exact integer ppm.
+    // The oracle computes the same quantities relationally — group +
+    // window rank for the top gram, positional coverage distinct for
+    // the duplicated grams — pinning the Spark fold's tie-breaks.
+    "x88_gopher_coverage" -> Q({
+      val g2 = "list_transform(range(1, len(tk)), i -> " +
+        "tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])"
+      val gnParts = (0 until RepDupN)
+        .map(o => s"tk[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+      s"""WITH t0 AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tk,
+         |    CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT)
+         |      AS chars
+         |  FROM t0 WHERE len(tk) >= $RepDupN),
+         |c2 AS (SELECT doc_id, chars, g, count(*) AS c
+         |  FROM (SELECT doc_id, chars, unnest($g2) AS g FROM tk)
+         |  GROUP BY 1, 2, 3),
+         |t2 AS (SELECT doc_id,
+         |    CAST(c * len(replace(g, ' ', '')) * 1000000 // chars
+         |      AS BIGINT) AS top2_ppm
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1),
+         |gn AS (SELECT doc_id, chars, tk,
+         |    unnest(list_transform(range(1, len(tk) + 2 - $RepDupN),
+         |      i -> {'p': i, 'g': $gnParts})) AS u
+         |  FROM tk),
+         |dn AS (SELECT doc_id, chars, tk, u.p AS p,
+         |    count(*) OVER (PARTITION BY doc_id, u.g) AS c FROM gn),
+         |cov AS (SELECT DISTINCT doc_id, chars, pos,
+         |    len(tk[CAST(pos AS INT)]) AS l
+         |  FROM (SELECT doc_id, chars, tk,
+         |      unnest(list_transform(range(0, $RepDupN), o -> p + o))
+         |        AS pos
+         |    FROM dn WHERE c > 1)),
+         |s3 AS (SELECT doc_id,
+         |    CAST(sum(l) * 1000000 // any_value(chars) AS BIGINT)
+         |      AS dupn_ppm
+         |  FROM cov GROUP BY doc_id)
+         |SELECT tk.doc_id, tk.chars, t2.top2_ppm,
+         |  coalesce(s3.dupn_ppm, 0) AS dupn_ppm,
+         |  (t2.top2_ppm < $RepTop2MaxPpm AND
+         |    coalesce(s3.dupn_ppm, 0) < $RepDupNMaxPpm) AS keep
+         |FROM tk JOIN t2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin
+    }) { (s, dir) => gopherCoverage(s, dir) })
+
+  /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
+    * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
+    * set beside x32's occurrence fractions: (a) the character share of
+    * the single most common 2-gram (count × its chars / doc chars) and
+    * (b) the fraction of characters covered by ANY duplicated n-gram,
+    * overlapping occurrences counted ONCE — a positional-coverage
+    * quantity x32's occurrence counts cannot express.
+    *
+    * Scale shape: x32's discipline — ZERO shuffles, one projection
+    * over the corpus scan. Per doc: positional grams; the top-2-gram
+    * (count, lex-smallest, chars) from one sorted-array fold; the
+    * duplicated-n-gram SET from a second sorted fold (runs ≥ 2 emit
+    * once); covered positions = distinct union of each duplicated
+    * occurrence's [i, i+n-1] via array ops; covered chars = one fold
+    * over that set. Everything stays inside whole-stage codegen; a
+    * 100 TB corpus processes embarrassingly parallel. The oracle
+    * replays the same quantities relationally (group/window/coverage
+    * distinct) — same values, different algebra, so the fold's
+    * tie-breaks (strictly-greater run keeps the lex-smallest max
+    * gram) are pinned by the hash compare. */
+  private[graft] def gopherCoverage(s: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int = RepDupN): org.apache.spark.sql.DataFrame = {
+    def grams(tk: org.apache.spark.sql.Column, k: Int)
+        : org.apache.spark.sql.Column =
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + o)): _*))
+    val base = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+      .filter(size($"tk") >= n)
+      .withColumn("chars", aggregate(
+        transform($"tk", t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("g2", grams($"tk", 2))
+      .withColumn("gn", grams($"tk", n))
+    // top 2-gram: sorted fold tracking (prev, run, maxrun, best gram);
+    // strictly-greater update keeps the lex-smallest max-count gram,
+    // matching the oracle's (count DESC, gram ASC) rank
+    val acc2 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("maxrun"), lit("").as("best"))
+    val top = aggregate(array_sort($"g2"), acc2, (acc, x) => {
+      val run = when(x === acc.getField("prev"),
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      val better = run > acc.getField("maxrun")
+      struct(x.as("prev"), run.as("run"),
+        when(better, run).otherwise(acc.getField("maxrun")).as("maxrun"),
+        when(better, x).otherwise(acc.getField("best")).as("best"))
     })
+    // duplicated n-gram set: sorted fold, each run emits its gram once
+    val accD = struct(lit("").as("prev"),
+      array().cast("array<string>").as("d"))
+    val dupSet = aggregate(array_sort($"gn"), accD, (acc, x) => {
+      val d = acc.getField("d")
+      // when() keeps element_at off the empty array (index-0 throws)
+      val add = x === acc.getField("prev") &&
+        when(size(d) === 0, lit(true))
+          .otherwise(element_at(d, size(d)) =!= x)
+      struct(x.as("prev"),
+        when(add, concat(d, array(x))).otherwise(d).as("d"))
+    }).getField("d")
+    val withSets = base
+      .withColumn("st", top)
+      .withColumn("ds", dupSet)
+      // covered token positions: distinct union of [i, i+n-1] over
+      // duplicated occurrences (overlaps counted once)
+      .withColumn("cov", array_distinct(flatten(transform(
+        filter(sequence(lit(1), size($"gn")),
+          i => array_contains($"ds", element_at($"gn", i))),
+        i => sequence(i, i + (n - 1))))))
+      .withColumn("dl", aggregate($"cov", lit(0L),
+        (a, p) => a + length(element_at($"tk", p)).cast("long")))
+    withSets.select($"doc_id", $"chars",
+      ($"st".getField("maxrun") *
+        length(translate($"st".getField("best"), " ", "")).cast("long") *
+        lit(1000000L)).as("t2num"),
+      ($"dl" * lit(1000000L)).as("dnnum"))
+      .select($"doc_id", $"chars",
+        expr("t2num div chars").as("top2_ppm"),
+        expr("dnnum div chars").as("dupn_ppm"))
+      .withColumn("keep", $"top2_ppm" < RepTop2MaxPpm &&
+        $"dupn_ppm" < RepDupNMaxPpm)
+      .orderBy($"doc_id")
+  }
 
   /** Shared winnow oracle CTEs ending in `fpr(doc_id, fp)` — distinct
     * winnowed fingerprints per doc (x28's relation; x60 builds its

@@ -296,6 +296,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Generate"), p) // no explode — the fold is in-array
   }
 
+  test("x88 coverage gates are a pure per-row fold like x32: no hash " +
+    "exchange, no explode") {
+    val p = finalPlanOf("x88_gopher_coverage")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), p) // coverage math is all in-array
+  }
+
   test("x33 incremental dedup probes the band index with equi-joins " +
     "only — no cartesian surface") {
     val p = finalPlanOf("x33_incremental_dedup")

@@ -1177,6 +1177,27 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.size < nodes.size, s"${sizes.size} of ${nodes.size}")
   }
 
+  test("x88 coverage gates: covered-chars never exceed doc chars, " +
+    "duplication is rarer than a top gram, and both gates fire") {
+    val r = SparkEntry.queries("x88_gopher_coverage")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getBoolean(4)))
+    assert(r.length == 500)
+    r.foreach { case (id, chars, top2, dupn, keep) =>
+      assert(chars > 0)
+      // coverage counts each char at most once: bounded by the doc
+      assert(dupn >= 0 && dupn <= 1000000L, s"doc $id dupn $dupn")
+      assert(top2 >= 0, s"doc $id top2 $top2")
+      assert(keep == (top2 < 200000L && dupn < 150000L), s"doc $id")
+    }
+    // the corpus exercises both sides of the gate
+    assert(r.exists(!_._5), "no doc fails the gates")
+    assert(r.count(_._5) > r.length / 2, "most docs should pass")
+    // duplicated n-grams exist but are the minority signal
+    assert(r.exists(_._4 > 0), "no doc has a duplicated n-gram")
+    assert(r.count(_._4 > 0) < r.length / 2)
+  }
+
   test("x85 removal lineage is EXACTLY the complement of x49's " +
     "survivor set, and every edge is a real in-cell pair at tau") {
     import spark.implicits._
