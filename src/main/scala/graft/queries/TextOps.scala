@@ -2173,16 +2173,27 @@ object TextOps {
     * replays the same quantities relationally (group/window/coverage
     * distinct) — same values, different algebra, so the fold's
     * tie-breaks (strictly-greater run keeps the lex-smallest max
-    * gram) are pinned by the hash compare. */
-  private[graft] def gopherCoverage(s: org.apache.spark.sql.SparkSession,
-      dir: String, n: Int = RepDupN): org.apache.spark.sql.DataFrame = {
+    * gram) are pinned by the hash compare.
+    *
+    * Exposed as a reusable TRANSFORM: given a frame with a `tk`
+    * token-array column, adds `chars`, `top2_ppm`, `dupn_ppm`, and the
+    * boolean `rep_keep` — all stateless per-row folds, so the SAME
+    * definition runs in the batch registry query ([[gopherCoverage]])
+    * and as an IngestStream stage (the x2/x36/x59 shared-definition
+    * discipline: batch and stream cannot drift). Docs shorter than n
+    * tokens gate through with zero coverage (nothing can repeat). */
+  private[graft] def withCoverage(df: org.apache.spark.sql.DataFrame,
+      n: Int = RepDupN): org.apache.spark.sql.DataFrame = {
+    // positional (non-distinct) k-grams; guarded — sequence(1, m)
+    // counts DOWN for m < 1 (the bigramPairs lesson)
     def grams(tk: org.apache.spark.sql.Column, k: Int)
         : org.apache.spark.sql.Column =
-      transform(sequence(lit(1), size(tk) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + o)): _*))
-    val base = Tables.spread(s, dir, "documents")
-      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
-      .filter(size($"tk") >= n)
+      when(size(tk) >= k,
+        transform(sequence(lit(1), size(tk) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(o => element_at(tk, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = df
       .withColumn("chars", aggregate(
         transform($"tk", t => length(t).cast("long")),
         lit(0L), (a, x) => a + x))
@@ -2213,29 +2224,42 @@ object TextOps {
       struct(x.as("prev"),
         when(add, concat(d, array(x))).otherwise(d).as("d"))
     }).getField("d")
-    val withSets = base
+    base
       .withColumn("st", top)
       .withColumn("ds", dupSet)
       // covered token positions: distinct union of [i, i+n-1] over
-      // duplicated occurrences (overlaps counted once)
-      .withColumn("cov", array_distinct(flatten(transform(
-        filter(sequence(lit(1), size($"gn")),
-          i => array_contains($"ds", element_at($"gn", i))),
-        i => sequence(i, i + (n - 1))))))
+      // duplicated occurrences (overlaps counted once); the common
+      // no-duplicates case short-circuits before touching gn again
+      .withColumn("cov", when(size($"ds") === 0,
+        array().cast("array<int>"))
+        .otherwise(array_distinct(flatten(transform(
+          filter(sequence(lit(1), size($"gn")),
+            i => array_contains($"ds", element_at($"gn", i))),
+          i => sequence(i, i + (n - 1)))))))
       .withColumn("dl", aggregate($"cov", lit(0L),
         (a, p) => a + length(element_at($"tk", p)).cast("long")))
-    withSets.select($"doc_id", $"chars",
-      ($"st".getField("maxrun") *
+      .withColumn("t2num", $"st".getField("maxrun") *
         length(translate($"st".getField("best"), " ", "")).cast("long") *
-        lit(1000000L)).as("t2num"),
-      ($"dl" * lit(1000000L)).as("dnnum"))
-      .select($"doc_id", $"chars",
-        expr("t2num div chars").as("top2_ppm"),
-        expr("dnnum div chars").as("dupn_ppm"))
-      .withColumn("keep", $"top2_ppm" < RepTop2MaxPpm &&
+        lit(1000000L))
+      .withColumn("dnnum", $"dl" * lit(1000000L))
+      // greatest() guards empty-token docs in the streaming reuse
+      // (registry path filters size >= n, where chars > 0 always)
+      .withColumn("top2_ppm", expr("t2num div greatest(chars, 1)"))
+      .withColumn("dupn_ppm", expr("dnnum div greatest(chars, 1)"))
+      .withColumn("rep_keep", $"top2_ppm" < RepTop2MaxPpm &&
         $"dupn_ppm" < RepDupNMaxPpm)
-      .orderBy($"doc_id")
+      .drop("g2", "gn", "st", "ds", "cov", "dl", "t2num", "dnnum")
   }
+
+  private[graft] def gopherCoverage(s: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int = RepDupN): org.apache.spark.sql.DataFrame =
+    withCoverage(
+      Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+        .filter(size($"tk") >= n), n)
+      .select($"doc_id", $"chars", $"top2_ppm", $"dupn_ppm",
+        $"rep_keep".as("keep"))
+      .orderBy($"doc_id")
 
   /** Shared winnow oracle CTEs ending in `fpr(doc_id, fp)` — distinct
     * winnowed fingerprints per doc (x28's relation; x60 builds its

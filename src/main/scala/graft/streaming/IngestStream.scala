@@ -22,11 +22,17 @@ import graft.functions.{TextExprs => T}
   */
 object IngestStream {
 
-  /** Acceptance gates (the x2/x27 filter pipeline, streaming form). */
+  /** Acceptance gates (the x2/x27 filter pipeline, streaming form).
+    * `repetition` additionally applies the x88 character-coverage
+    * gates (most-common-2-gram char share, duplicated-n-gram char
+    * coverage) via the SAME `TextOps.withCoverage` definition the
+    * batch registry query runs — stateless per-row folds, zero state
+    * and zero shuffle in-stream. */
   final case class Gates(
       minTokens: Int = 5,
       minAlphaRatio: Double = 0.4,
-      maxStopRatio: Double = 0.8)
+      maxStopRatio: Double = 0.8,
+      repetition: Boolean = false)
 
   /** Optional decontamination stage: a bloom of reference (benchmark)
     * keys, probed per document on the PrefK-token prefix key — the
@@ -107,10 +113,17 @@ object IngestStream {
         length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("double") /
           greatest(length($"text"), lit(1)))
       .withColumn("content_key", T.md5Long($"text"))
-    val gated = scored
+    val qualityGated = scored
       .filter($"n_tokens" >= gates.minTokens &&
         $"alpha_ratio" >= gates.minAlphaRatio &&
         $"stop_ratio" <= gates.maxStopRatio)
+    // x88 repetition gate: reuses the quality stages' tk column; the
+    // coverage math is in-array, so the stage stays a stateless
+    // shuffle-free projection like every other gate here
+    val gated = if (!gates.repetition) qualityGated
+      else graft.queries.TextOps.withCoverage(qualityGated)
+        .filter($"rep_keep")
+        .drop("chars", "top2_ppm", "dupn_ppm", "rep_keep")
     // the tokenized column computed for the quality gates rides through
     // the LM stage (re-tokenizing the full text per stage is the kind
     // of repeated regex work that adds up at 100 TB/day) and drops just

@@ -264,6 +264,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest repetition gate drops the loop-y doc the " +
+    "quality ratios can't see, statelessly, via the batch x88 folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = IngestStream.ingest(docs,
+      IngestStream.Gates(minTokens = 3, minAlphaRatio = 0.4,
+        maxStopRatio = 0.9, repetition = true), "30 minutes")
+      .writeStream.format("memory").queryName("ingest_rep")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // healthy prose: passes ratios AND coverage
+        (1L, ts(0), "the quick brown fox jumps over a lazy dog near the quiet river bank today"),
+        // model-loop pathology: alpha/stop ratios look fine, but one
+        // 2-gram owns most characters and 3-grams repeat end to end
+        (2L, ts(1), "buy now buy now buy now buy now buy now buy now"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_rep").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L), s"kept $kept")
+      // the streaming verdict IS the batch verdict: same folds
+      val batch = graft.queries.TextOps.withCoverage(
+        Seq((1L, "the quick brown fox jumps over a lazy dog near the quiet river bank today"),
+          (2L, "buy now buy now buy now buy now buy now buy now"))
+          .toDF("doc_id", "text")
+          .select($"doc_id",
+            graft.functions.TextExprs.wsTokens(
+              org.apache.spark.sql.functions.lower($"text")).as("tk")))
+        .select($"doc_id", $"rep_keep").as[(Long, Boolean)]
+        .collect().toMap
+      assert(batch(1L) && !batch(2L), batch.toString)
+      // stateless: no extra state operator beyond the dedup
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.length <= 1)
+    } finally q.stop()
+  }
+
   test("streaming ingest drops documents matching the decontamination " +
     "bloom, statelessly") {
     implicit val sqlCtx = spark.sqlContext
