@@ -176,7 +176,9 @@ object Bench {
       "x70_ppjoin", "x71_density_prune", "x72_mink_prob",
       "x73_dsir_weights", "x74_nb_classifier", "x75_bm25_wand",
       "x76_embed_topdir", "x77_abtt_search", "x78_label_prop",
-      "x81_simhash_dedup")
+      "x81_simhash_dedup",
+      // graph-dedup family heavies (this round)
+      "x49_semantic_dedup", "x86_knn_graph", "x87_nn_descent")
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()

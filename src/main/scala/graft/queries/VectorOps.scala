@@ -3478,17 +3478,76 @@ object VectorOps {
     val e = normalizedEmbeddings(s, dir)
     val a = (if (cells <= MaxLiteralCells) literalCells(e, cells)
       else joinCells(e, cells)).select($"vec_id", $"v", $"cell").cache()
-    val b = a.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+    knnEdges(a, k)
+      .select($"src", $"dst", $"cos", $"rn")
+      .orderBy($"src", $"rn")
+  }
+
+  /** The x86 core shared by the registry query and the incremental
+    * lifecycle: in-cell top-k edges over an assigned (vec_id, v, cell)
+    * frame. Keeps the src cell in the output so the incremental path
+    * can partition the persisted graph by it. */
+  private[graft] def knnEdges(assigned: org.apache.spark.sql.DataFrame,
+      k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val b = assigned.select($"vec_id".as("vec_id2"), $"v".as("v2"),
       $"cell".as("cell2"))
-    a.join(b, $"cell" === $"cell2" && $"vec_id" =!= $"vec_id2")
-      .select($"vec_id".as("src"), $"vec_id2".as("dst"),
+    assigned.join(b, $"cell" === $"cell2" && $"vec_id" =!= $"vec_id2")
+      .select($"cell", $"vec_id".as("src"), $"vec_id2".as("dst"),
         round(dot($"v", $"v2"), 4).as("cos"))
       .withColumn("rn", row_number()
         .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))
         .cast("long"))
       .filter($"rn" <= k)
-      .orderBy($"src", $"rn")
   }
+
+  /** Incremental k-NN graph maintenance — the x33/x35 incremental
+    * pattern applied to the x86 graph. The corpus lives in the store
+    * as `knn_vectors` (partitioned (batch, cell)); the graph as
+    * `knn_graph` (partitioned cell). A new batch is assigned against
+    * the PERSISTED coarse book ([[persistAnnBooks]] — the quantizer is
+    * fixed for the corpus lifetime, exactly like the ANN books),
+    * landed under its own batch partition (delete-before-write, so
+    * replays are idempotent), and then ONLY the cells the batch
+    * touched are re-edged: members of untouched cells — and their
+    * graph partitions — are never read, recomputed, or rewritten.
+    * That is the incremental economy at 100 TB: per-day work scales
+    * with the touched-cell population, not the corpus, and the whole
+    * history never reshuffles. Correctness is trivially the one-shot
+    * graph's because in-cell edges depend only on their cell's
+    * members (StoreSpec pins two-batch ≡ one-shot bit-identity).
+    *
+    * Bounded collect: the touched-cell id set (≤ the cell count). */
+  def appendKnnGraph(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store, k: Int = KnnGraphK): Unit = {
+    val (coarse, _) = loadAnnBooks(s, store)
+    val asg = assignCells(batch, coarse)
+      .select($"vec_id", $"v", $"cell").cache()
+    store.delete("knn_vectors", Seq("batch" -> batchId))
+    store.write("knn_vectors",
+      asg.select(lit(batchId).as("batch"), $"cell", $"vec_id", $"v"),
+      Seq("batch", "cell"))
+    val touched = asg.select($"cell").distinct()
+      .collect().map(_.getLong(0))
+    asg.unpersist()
+    if (touched.isEmpty) return
+    // partition pruning on cell= keeps untouched cells off disk reads
+    val members = store.read("knn_vectors", s)
+      .filter($"cell".isin(touched: _*))
+      .select($"vec_id", $"v", $"cell".cast("long").as("cell")).cache()
+    val edges = knnEdges(members, k)
+      .select($"cell", $"src", $"dst", $"cos", $"rn")
+    touched.foreach(c => store.delete("knn_graph", Seq("cell" -> c)))
+    store.write("knn_graph", edges, Seq("cell"))
+    members.unpersist()
+  }
+
+  /** The maintained graph, in the registry query's shape. */
+  def knnGraphStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    store.read("knn_graph", s)
+      .select($"src", $"dst", $"cos", $"rn")
+      .orderBy($"src", $"rn")
 
   /** x87 body: one NN-descent refinement round (Dong et al. 2011) over
     * a multi-blocked initial graph — the algorithm that turns a cheap

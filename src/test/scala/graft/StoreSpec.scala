@@ -320,6 +320,60 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(VectorOps.annIvfPqSearchStored(spark, dir, store)) == oneShot)
   }
 
+  test("incremental k-NN graph: two appended batches reproduce the " +
+    "one-shot graph bit for bit, replay is idempotent, and untouched " +
+    "cells' graph partitions never rewrite") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-knngraph").toString
+    val store = new ParquetStore(s"$tmp/knn")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir).cache()
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    val inc = rows(VectorOps.knnGraphStored(spark, store))
+    assert(inc.nonEmpty)
+    // one-shot twin over the SAME persisted quantizer
+    val (coarse, _) = VectorOps.loadAnnBooks(spark, store)
+    val one = rows(VectorOps.knnEdges(
+        VectorOps.assignCells(n, coarse).select($"vec_id", $"v", $"cell"))
+      .select($"src", $"dst", $"cos", $"rn").orderBy($"src", $"rn"))
+    assert(inc == one, "incremental graph diverged from one-shot")
+    // graph partitions for cells the replayed batch touches rewrite;
+    // replaying batch 1 must leave the RESULT unchanged
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    assert(rows(VectorOps.knnGraphStored(spark, store)) == inc)
+    // incremental economy: a batch confined to a few cells leaves the
+    // other cells' graph files untouched (mtimes unchanged)
+    val probe = n.filter($"vec_id" < 3)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"v")
+    val touched = rows0(VectorOps.assignCells(probe, coarse)
+      .select($"cell")).toSet
+    def cellFiles(c: Long) = Files.walk(
+        java.nio.file.Paths.get(s"$tmp/knn/knn_graph/cell=$c"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    val allCells = rows0(store.read("knn_graph", spark)
+      .select($"cell".cast("long"))).toSet
+    val untouched = (allCells -- touched).toSeq.sorted
+    assert(untouched.nonEmpty, "probe touched every cell")
+    val before = untouched.map(cellFiles)
+    VectorOps.appendKnnGraph(spark, probe, 2L, store)
+    assert(untouched.map(cellFiles) == before,
+      "an untouched cell's graph partition was rewritten")
+    // and the touched cells now know the probe vectors
+    val after = rows(VectorOps.knnGraphStored(spark, store))
+    assert(after.exists(_._1 >= 100000L), "probe vectors got no edges")
+    n.unpersist()
+  }
+
+  private def rows0(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.distinct().collect().map(_.getLong(0)).toSeq
+
   test("ANN corpus compaction folds N ingest batches into one " +
     "partition: search bit-identical, small-file count collapses, " +
     "staging cleaned up, re-run a no-op") {
