@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -110,6 +110,15 @@ object KeyedJsonSource {
   private def isKey(a: String) =
     a.equalsIgnoreCase("cx") || a.equalsIgnoreCase("cy")
 
+  /** A pushed aggregate op: a per-file line count, or a key-column
+    * min/max — a key is constant across its file, so per-file min and
+    * max are BOTH just the file's key value, answerable from the
+    * directory listing with zero file I/O (one case serves Min and
+    * Max). */
+  sealed trait PushedAgg extends Serializable
+  case object PushedCount extends PushedAgg
+  final case class PushedKeyValue(key: String) extends PushedAgg
+
   /** Whether directory pruning evaluates this filter EXACTLY (every row
     * in a file shares the file's key pair, so a key-only predicate
     * decided at the listing needs no post-scan re-evaluation). Only
@@ -163,71 +172,87 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) (and COUNT(col) over this source's non-nullable columns)
-    * grouped by any subset of the key columns pushes down: the reader
-    * then emits ONE pre-aggregated row per file — a line count, no row
-    * materialization — and Spark's final aggregate merges the partial
-    * counts (partial pushdown: `supportCompletePushDown` stays false,
-    * one file per (cx, cy) is not guaranteed). The same shape parquet's
-    * metadata-count pushdown has, expressed over the keyed JSON
-    * layout. */
+  /** COUNT(*) (and COUNT(col) over this source's non-nullable
+    * columns), plus MIN/MAX over the KEY columns, grouped by any
+    * subset of the key columns, push down: the reader then emits ONE
+    * pre-aggregated row per file and Spark's final aggregate merges
+    * the partials (partial pushdown: `supportCompletePushDown` stays
+    * false, one file per (cx, cy) is not guaranteed). Counts are a
+    * line scan with no row materialization — parquet's metadata-count
+    * shape over the keyed JSON layout; key min/max are answered from
+    * the directory LISTING alone (a key is constant across its file),
+    * so a min/max-only query never opens a single file. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val keysOk = aggregation.groupByExpressions.forall {
-      case f: NamedReference => f.fieldNames.length == 1 &&
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 &&
         (f.fieldNames()(0).equalsIgnoreCase("cx") ||
-          f.fieldNames()(0).equalsIgnoreCase("cy"))
-      case _ => false
+          f.fieldNames()(0).equalsIgnoreCase("cy")) =>
+        Some(f.fieldNames()(0).toLowerCase)
+      case _ => None
     }
-    // every column is non-nullable, so COUNT(col) == COUNT(*)
-    val aggsOk = aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall {
-        case _: CountStar => true
-        case c: Count => !c.isDistinct
-        case _ => false
-      }
-    if (keysOk && aggsOk) {
+    val keysOk =
+      aggregation.groupByExpressions.forall(e => keyRef(e).isDefined)
+    val ops = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(KeyedJsonSource.PushedCount)
+      // every column is non-nullable, so COUNT(col) == COUNT(*)
+      case c: Count if !c.isDistinct => Some(KeyedJsonSource.PushedCount)
+      case m: Min => keyRef(m.column).map(KeyedJsonSource.PushedKeyValue)
+      case m: Max => keyRef(m.column).map(KeyedJsonSource.PushedKeyValue)
+      case _ => None
+    }
+    if (keysOk && ops.nonEmpty && ops.forall(_.isDefined)) {
       aggGroupKeys = Some(aggregation.groupByExpressions.toSeq.map {
         case f: NamedReference => f.fieldNames()(0).toLowerCase
       })
-      aggCount = aggregation.aggregateExpressions.length
+      aggOps = ops.flatten
       true
     } else false
   }
-  private var aggCount = 0
+  private var aggOps: Seq[KeyedJsonSource.PushedAgg] = Seq.empty
 
   override def build(): Scan = aggGroupKeys match {
-    case Some(keys) => KeyedJsonCountScan(path, pruning, keys, aggCount)
+    case Some(keys) => KeyedJsonCountScan(path, pruning, keys, aggOps)
     case None => KeyedJsonScan(path, pruning, required)
   }
 }
 
-/** Pre-aggregated count scan: one row per surviving file, carrying the
-  * file's key columns and its (non-empty) line count — no JSON decode,
-  * no per-row materialization. Spark's final aggregate sums these
+/** Pre-aggregated scan: one row per surviving file, carrying the
+  * file's key columns and, per pushed op, its (non-empty) line count
+  * or the file's key value (serving MIN and MAX at once) — no JSON
+  * decode, no per-row materialization, and when no count is requested
+  * the file is never even opened. Spark's final aggregate merges the
   * partials. */
 final case class KeyedJsonCountScan(path: String, pruning: Array[Filter],
-    groupKeys: Seq[String], nCounts: Int) extends Scan with Batch {
+    groupKeys: Seq[String], ops: Seq[KeyedJsonSource.PushedAgg])
+  extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
     groupKeys.map(k => StructField(k, LongType, nullable = false)) ++
-      (0 until nCounts).map(i =>
-        StructField(s"count_$i", LongType, nullable = false)))
+      ops.zipWithIndex.map { case (_, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      })
 
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val shown = ops.map {
+      case KeyedJsonSource.PushedCount => "COUNT(*)"
+      case KeyedJsonSource.PushedKeyValue(k) => s"MINMAX($k)"
+    }.mkString(", ")
     s"graft-keyed path=$path, PrunedBy: ${pruning.mkString("[", ", ", "]")}" +
-      s", PushedAggregation: [COUNT(*) group by ${groupKeys.mkString(",")}]"
+      s", PushedAggregation: [$shown group by ${groupKeys.mkString(",")}]"
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     KeyedJsonScan(path, pruning, KeyedJsonSource.Schema)
       .planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedJsonCountReaderFactory(groupKeys.toArray, nCounts)
+    new KeyedJsonCountReaderFactory(groupKeys.toArray, ops)
 }
 
 final class KeyedJsonCountReaderFactory(groupKeys: Array[String],
-    nCounts: Int) extends PartitionReaderFactory {
+    ops: Seq[KeyedJsonSource.PushedAgg]) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -239,23 +264,32 @@ final class KeyedJsonCountReaderFactory(groupKeys: Array[String],
 
       override def get(): InternalRow = {
         done = true
-        val fis = new FileInputStream(p.file)
-        val stream =
-          if (p.file.endsWith(".gz")) new GZIPInputStream(fis) else fis
-        val in = new BufferedReader(
-          new InputStreamReader(stream, StandardCharsets.UTF_8))
-        try {
-          var n = 0L
-          var line = in.readLine()
-          while (line != null) {
-            if (line.nonEmpty) n += 1
-            line = in.readLine()
-          }
-          InternalRow.fromSeq(groupKeys.toSeq.map {
-            case "cx" => p.cx
-            case "cy" => p.cy
-          } ++ Seq.fill(nCounts)(n))
-        } finally in.close()
+        // zero-I/O fast path: key min/max come from the listing alone
+        val n = if (!ops.contains(KeyedJsonSource.PushedCount)) 0L
+        else {
+          val fis = new FileInputStream(p.file)
+          val stream =
+            if (p.file.endsWith(".gz")) new GZIPInputStream(fis) else fis
+          val in = new BufferedReader(
+            new InputStreamReader(stream, StandardCharsets.UTF_8))
+          try {
+            var c = 0L
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) c += 1
+              line = in.readLine()
+            }
+            c
+          } finally in.close()
+        }
+        def keyVal(k: String): Long = k match {
+          case "cx" => p.cx
+          case "cy" => p.cy
+        }
+        InternalRow.fromSeq(groupKeys.toSeq.map(keyVal) ++ ops.map {
+          case KeyedJsonSource.PushedCount => n
+          case KeyedJsonSource.PushedKeyValue(k) => keyVal(k)
+        })
       }
 
       override def close(): Unit = ()

@@ -82,6 +82,44 @@ class KeyedSourceSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PrunedBy"), plan)
   }
 
+  test("MIN/MAX over key columns push down and answer from the " +
+    "directory listing alone — files are never opened") {
+    val df = read.groupBy($"cx")
+      .agg(max($"cy").as("mx"), min($"cy").as("mn"))
+    assert(df.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 20L, 10L), (2L, 10L, 10L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MINMAX(cy)"), plan)
+    // global min/max push too
+    val g = read.agg(min($"cx").as("a"), max($"cy").as("b"))
+    assert(g.as[(Long, Long)].head() == ((1L, 20L)))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "global min/max not pushed")
+    // zero-I/O proof: corrupt every data file in a copied layout;
+    // min/max still answers (listing-only), count must open and fails
+    val root2 = Files.createTempDirectory("keyed-src2").toString
+    new JsonStore(root2).write("segment",
+      Seq((1L, 10L, 100L, "a"), (1L, 20L, 102L, "c"), (2L, 10L, 104L, "e"))
+        .toDF("cx", "cy", "px", "v"),
+      Seq("cx", "cy"))
+    Files.walk(java.nio.file.Paths.get(s"$root2/segment"))
+      .filter(p => p.toString.endsWith(".json.gz"))
+      .forEach(p => Files.write(p, "not gzip".getBytes))
+    val r2 = spark.read.format("graft-keyed").load(s"$root2/segment")
+    assert(r2.groupBy($"cx").agg(max($"cy").as("m"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 20L), (2L, 10L)))
+    intercept[org.apache.spark.SparkException] {
+      r2.groupBy($"cx").count().collect()
+    }
+    // mixed count + min/max still pushes (and does open files)
+    val mixed = read.groupBy($"cx")
+      .agg(count(lit(1)).as("n"), max($"cy").as("m"))
+    assert(mixed.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 4L, 20L), (2L, 2L, 10L)))
+    assert(mixed.queryExecution.executedPlan.toString
+      .contains("COUNT(*), MINMAX(cy)"), "mixed aggs not pushed together")
+  }
+
   test("aggregates the source cannot compute stay in Spark (sum, avg, " +
     "distinct count)") {
     val s = read
