@@ -74,12 +74,27 @@ object Bench {
       sys.env.get("SPARK_GRAFT_LIFECYCLE_ONLY").contains("1")
     // sorted order: Map iteration order is arbitrary and would shift
     // residual warmup between queries run-to-run / round-to-round
+    // Per-query hygiene (UNTIMED — applied after the measurement):
+    // registry bodies legitimately cache frames their lazy results
+    // reference, with no in-body unpersist seam, so a 139-query sweep
+    // accumulates pinned blocks + heap residue; by the warm section
+    // that pressure made late queries measure GC, not plans (warm
+    // x87 ran ABOVE cold before this). Evict after every query and
+    // collect periodically.
+    var sinceGc = 0
+    def perQueryIsolate(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      sinceGc += 1
+      if (sinceGc >= 10) { sinceGc = 0; System.gc() }
+    }
     val registry = (if (lifecycleOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        perQueryIsolate()
+        name -> dt
     }
     // tile-scale lifecycle: segment -> tile -> prediction over a chip
     // grid through the job queue (the reference's own suite ordering,
@@ -183,7 +198,9 @@ object Bench {
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      perQueryIsolate()
+      n -> dt
     })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

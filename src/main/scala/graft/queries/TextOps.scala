@@ -215,6 +215,11 @@ object TextOps {
   private val RepDupNMaxPpm = 150000L
   private val RepDupN = 3
 
+  /** x89 heavy-hitter geometry: Misra-Gries state cap / threshold
+    * divisor (report keys with exact count > n/HhK). Declared before
+    * the qs map (oracle interpolation). */
+  private val HhK = 32
+
   /** x31 decontamination key = first PrefK tokens; the reference set is
     * the docs from these sources (the stand-in benchmark corpus). */
   private val PrefK = 4
@@ -2152,7 +2157,22 @@ object TextOps {
          |    coalesce(s3.dupn_ppm, 0) < $RepDupNMaxPpm) AS keep
          |FROM tk JOIN t2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
          |ORDER BY tk.doc_id""".stripMargin
-    }) { (s, dir) => gopherCoverage(s, dir) })
+    }) { (s, dir) => gopherCoverage(s, dir) },
+
+    // ----- x89 exact heavy hitters (see [[heavyHitters]]): Misra-Gries
+    // bounded-state candidates -> exact recount -> n·k > total gate.
+    // The oracle is the plain exact computation — equality PROVES the
+    // sketch's superset guarantee held end to end.
+    "x89_heavy_hitters" -> Q(
+      s"""WITH t0 AS (SELECT ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |t AS (SELECT unnest(tk) AS w FROM t0),
+         |tot AS (SELECT count(*) AS tot FROM t),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+         |SELECT w, n FROM c, tot WHERE n * $HhK > tot
+         |ORDER BY n DESC, w""".stripMargin) {
+      (s, dir) => heavyHitters(s, dir)
+    })
 
   /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
     * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
@@ -2260,6 +2280,38 @@ object TextOps {
       .select($"doc_id", $"chars", $"top2_ppm", $"dupn_ppm",
         $"rep_keep".as("keep"))
       .orderBy($"doc_id")
+
+  /** x89 body: exact distributed heavy hitters over the token stream —
+    * the classical two-pass shape for unbounded key cardinality.
+    * Pass 1 runs the [[graft.functions.MisraGries]] bounded-state
+    * summary (≤ HhK counters per partial, any merge order) alongside
+    * the stream length; its survivors are a GUARANTEED superset of
+    * every token with count > n/HhK. Pass 2 recounts ONLY the ≤ HhK
+    * candidates exactly (broadcast semi-join on the candidate keys,
+    * map-side combined to ≤ HhK rows per task) and keeps those above
+    * the threshold — so the OUTPUT is exact and deterministic even
+    * though the sketch is order-sensitive, which is what lets a plain
+    * exact-count DuckDB oracle hash-match it (any dropped true heavy
+    * hitter would surface as a row mismatch). Threshold compares as
+    * n·HhK > total in exact integers — no division.
+    *
+    * Fully lazy: the candidate set rides the plan as a 1-row aggregate
+    * exploded to ≤ HhK rows (the x31 lazy-bloom discipline — no
+    * construction-time jobs, no driver collect). */
+  private[graft] def heavyHitters(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = HhK): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.spread(s, dir, "documents")
+      .select(explode(T.wsTokens(lower($"text"))).as("w"))
+    val agg1 = toks.agg(
+      graft.functions.MisraGries.udaf(k)($"w").as("cand"),
+      count(lit(1)).as("tot"))
+    val cands = agg1.select(explode(map_keys($"cand")).as("w"), $"tot")
+    toks.join(broadcast(cands), "w")
+      .groupBy($"w", $"tot").agg(count(lit(1)).as("n"))
+      .filter($"n" * k > $"tot")
+      .select($"w", $"n")
+      .orderBy($"n".desc, $"w")
+  }
 
   /** Shared winnow oracle CTEs ending in `fpr(doc_id, fp)` — distinct
     * winnowed fingerprints per doc (x28's relation; x60 builds its

@@ -296,6 +296,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Generate"), p) // no explode — the fold is in-array
   }
 
+  test("x89 heavy hitters: the candidate recount joins via broadcast, " +
+    "never cartesian, and the whole query is lazy (no jobs at build)") {
+    // every spark.read.parquet fires a footer/schema job at build; the
+    // laziness claim is "no jobs BEYOND x89's single table read" (the
+    // x31-lazy discipline, baseline-normalized like the x31 test)
+    def jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length
+    val j0 = jobs
+    graft.Tables.spread(spark, "/root/testdata/sf0.001", "documents")
+    val j1 = jobs
+    val df = SparkEntry.queries("x89_heavy_hitters")(spark,
+      "/root/testdata/sf0.001")
+    val j2 = jobs
+    assert(j2 - j1 <= j1 - j0,
+      s"x89 construction fired ${j2 - j1} jobs vs ${j1 - j0} for a read")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+  }
+
   test("x88 coverage gates are a pure per-row fold like x32: no hash " +
     "exchange, no explode") {
     val p = finalPlanOf("x88_gopher_coverage")

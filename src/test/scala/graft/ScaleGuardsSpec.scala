@@ -1177,6 +1177,32 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.size < nodes.size, s"${sizes.size} of ${nodes.size}")
   }
 
+  test("Misra-Gries buffer stays bounded at k under 20k distinct keys " +
+    "and never loses a key above the n/(k+1) guarantee") {
+    import spark.implicits._
+    // hot keys far above the k=8 guarantee threshold, drowned in
+    // 20,000 singletons that must cycle through the 8 slots
+    val data = Seq.fill(8000)("hot1") ++ Seq.fill(6000)("hot2") ++
+      Seq.fill(5000)("hot3") ++ (0 until 20000).map(i => s"cold$i")
+    val n = data.length
+    assert(Seq(8000, 6000, 5000).forall(_ > n / 9), "test data miscalibrated")
+    val ds = spark.createDataset(
+      spark.sparkContext.parallelize(data, 16)).toDF("w")
+    val m = ds.agg(graft.functions.MisraGries.udaf(8)($"w"))
+      .head().getMap[String, Long](0)
+    assert(m.size <= 8, s"state ${m.size} > k")
+    assert(Set("hot1", "hot2", "hot3").subsetOf(m.keySet),
+      s"guaranteed key lost: ${m.keySet}")
+    // counts are lower bounds, never overcounts
+    assert(m("hot1") <= 8000 && m("hot2") <= 6000 && m("hot3") <= 5000)
+    // and the x89 registry output is the EXACT answer on the corpus
+    val r = SparkEntry.queries("x89_heavy_hitters")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.nonEmpty && r.length <= 32)
+    val counts = r.map(_._2)
+    assert(counts.toSeq == counts.sortBy(-_).toSeq, "not sorted by count")
+  }
+
   test("x88 coverage gates: covered-chars never exceed doc chars, " +
     "duplication is rarer than a top gram, and both gates fire") {
     val r = SparkEntry.queries("x88_gopher_coverage")(spark, dir)
