@@ -61,7 +61,112 @@ object SketchOps {
       .groupBy($"d", $"b").agg(count(lit(1)).as("c"))
   }
 
+  /** HLL geometry: m = 2^8 registers; the md5Long hash splits into an
+    * 8-bit bucket and a 40-bit pattern whose leading-zero count feeds
+    * the register. α_m for m = 256, computed driver-side ONCE and
+    * interpolated into both engines as the same double literal. */
+  private[graft] val HllM = 256
+  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) *
+    HllM.toDouble * HllM.toDouble
+
+  /** rho = position of the highest set bit from the 40-bit pattern's
+    * MSB, i.e. 41 - bitlength(rest) (rest = 0 -> 41). An integer CASE
+    * ladder in BOTH engines — no float log2, whose boundary rounding
+    * could disagree at exact powers of two. */
+  private def rhoCol(rest: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (1 to 40).foldRight(lit(41): org.apache.spark.sql.Column) {
+      case (r, acc) => when(rest >= lit(1L << (40 - r)), lit(r))
+        .otherwise(acc)
+    }
+  private def rhoSql(rest: String): String =
+    (1 to 40).map(r => s"WHEN $rest >= ${1L << (40 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 41 END")
+
+  /** The HLL register table of a token frame: ≤ m rows, built as ONE
+    * declarative max-aggregation (partial agg = HLL merge — register
+    * maxes combine cell-wise map-side, the token stream never
+    * shuffles). Shared by the batch query (x90) and the incremental
+    * Store lifecycle. */
+  private[graft] def hllRegisters(toks: org.apache.spark.sql.DataFrame) =
+    toks.select(T.md5Long($"w").as("h"))
+      .select(($"h" % HllM).as("bucket"), expr(s"h div $HllM").as("rest"))
+      .select($"bucket", rhoCol($"rest").as("rho"))
+      .groupBy($"bucket").agg(max($"rho").as("r"))
+
+  /** Flajolet et al. estimate from a register table: harmonic-mean raw
+    * estimate (the 2^-r sum is a sum of dyadic rationals — EXACT in
+    * double, engine-identical) with the linear-counting small-range
+    * correction. One row: (occupied, zeros, hll_est). */
+  private[graft] def hllEstimate(registers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    registers
+      .agg(count(lit(1)).as("occupied"),
+        sum(pow(lit(2.0), -$"r")).as("socc"))
+      .select($"occupied", (lit(HllM.toLong) - $"occupied").as("zeros"),
+        (lit(HllAlphaM2) / ($"socc" + (lit(HllM.toLong) - $"occupied")
+          .cast("double"))).as("raw"))
+      .select($"occupied", $"zeros",
+        round(when($"raw" <= lit(2.5 * HllM) && $"zeros" > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+            $"zeros".cast("double")))
+          .otherwise($"raw"), 4).as("hll_est"))
+
+  /** Incremental cardinality tracking — the x33/x35 pattern applied to
+    * the HLL sketch: each ingest batch lands its own ≤ m register
+    * rows under a `batch` partition (delete-before-write, replay
+    * idempotent); the live estimate max-merges registers across
+    * batches — associative and ORDER-FREE, so N batches merged equal
+    * the one-shot build bit for bit (StoreSpec pins it). History
+    * tokens are never rescanned: a day's append costs one pass over
+    * that day's rows and writes ≤ m rows. */
+  def appendHllRegisters(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val regs = hllRegisters(tokensOf(docs))
+    store.delete("hll_registers", Seq("batch" -> batchId))
+    store.write("hll_registers",
+      regs.select(lit(batchId).as("batch"), $"bucket", $"r"),
+      Seq("batch"))
+  }
+
+  /** Merged registers of every ingested batch → the live estimate. */
+  def hllDistinctStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    hllEstimate(store.read("hll_registers", s)
+      .groupBy($"bucket").agg(max($"r").as("r")))
+
   val qs: Map[String, Q] = Map(
+    // ----- x90 HyperLogLog distinct count, oracle-replayable: the
+    // md5 hash splits bucket/pattern, rho is an integer CASE ladder,
+    // the register table is one ≤m-row max-aggregation, and the
+    // harmonic-mean + linear-counting estimate uses only
+    // engine-exact float ops (dyadic sums, one ln, round 4). The
+    // oracle replays registers AND estimate; the exact count rides
+    // along as the accuracy report.
+    "x90_hll_distinct" -> Q(
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+')) AS w FROM documents),
+         |h AS (SELECT ${TS.md5Long("w")} AS h FROM t),
+         |b AS (SELECT h % $HllM AS bucket, h // $HllM AS rest FROM h),
+         |r AS (SELECT bucket, max(${rhoSql("rest")}) AS r
+         |  FROM b GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
+         |    sum(power(2.0, -r)) AS socc FROM r),
+         |e AS (SELECT occupied, $HllM - occupied AS zeros,
+         |    $HllAlphaM2 / (socc + ($HllM - occupied)) AS raw FROM a),
+         |x AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+         |  FROM t)
+         |SELECT n_exact, occupied, CAST(zeros AS BIGINT) AS zeros,
+         |  round(CASE WHEN raw <= ${2.5 * HllM} AND zeros > 0
+         |    THEN $HllM * ln($HllM.0 / zeros) ELSE raw END, 4)
+         |    AS hll_est
+         |FROM x CROSS JOIN e""".stripMargin) { (s, dir) =>
+      val toks = tokensOf(Tables.spread(s, dir, "documents"))
+      val est = hllEstimate(hllRegisters(toks))
+      toks.agg(count_distinct($"w").as("n_exact"))
+        .crossJoin(est)
+    },
     // ----- x64 count-min-sketch frequency estimates: build the D×W
     // counter matrix from the token stream, then estimate every vocab
     // term and report est vs exact (overcount = est - true ≥ 0 by

@@ -42,4 +42,25 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val estSum = out.agg(sum("true_cnt")).collect()(0).getLong(0)
     assert(estSum == toks)
   }
+
+  test("x90 HLL: register table bounded at m, estimate lands within " +
+    "the sketch's error regime, and rises with true cardinality") {
+    import graft.queries.SketchOps
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val regs = SketchOps.hllRegisters(SketchOps.tokensOf(docs)).collect()
+    assert(regs.length <= 256, s"${regs.length} registers")
+    regs.foreach(r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 41))
+    val row = SparkEntry.queries("x90_hll_distinct")(spark, dir).head()
+    val (n, est) = (row.getLong(0), row.getDouble(3))
+    assert(n > 0)
+    // linear-counting regime at this cardinality: comfortably tight
+    assert(math.abs(est - n) / n <= 0.15, s"est $est vs exact $n")
+    // a synthetic high-cardinality stream estimates high-cardinality
+    import spark.implicits._
+    val wide = (0 until 5000).map(i => s"key$i").toDF("w")
+    val wideEst = SketchOps.hllEstimate(SketchOps.hllRegisters(wide))
+      .head().getDouble(2)
+    assert(wideEst > 3500 && wideEst < 6500, s"wide est $wideEst")
+  }
 }

@@ -374,6 +374,35 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
   private def rows0(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.distinct().collect().map(_.getLong(0)).toSeq
 
+  test("incremental HLL registers: batches max-merge to the one-shot " +
+    "registers bit for bit, estimate follows, replay idempotent") {
+    import graft.queries.SketchOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-hll").toString
+    val store = new ParquetStore(s"$tmp/hll")
+    val docs = graft.Tables(spark, dir, "documents")
+    SketchOps.appendHllRegisters(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    SketchOps.appendHllRegisters(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val merged = regSet(store.read("hll_registers", spark)
+      .groupBy($"bucket").agg(max($"r").as("r")))
+    val oneShot = regSet(SketchOps.hllRegisters(SketchOps.tokensOf(docs)))
+    assert(merged == oneShot, "merged registers diverged from one-shot")
+    val incEst = SketchOps.hllDistinctStored(spark, store)
+      .head().getDouble(2)
+    val oneEst = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(SketchOps.tokensOf(docs))).head().getDouble(2)
+    assert(incEst == oneEst)
+    // replaying batch 1 overwrites itself: nothing changes
+    SketchOps.appendHllRegisters(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    assert(regSet(store.read("hll_registers", spark)
+      .groupBy($"bucket").agg(max($"r").as("r"))) == merged)
+  }
+
   test("ANN corpus compaction folds N ingest batches into one " +
     "partition: search bit-identical, small-file count collapses, " +
     "staging cleaned up, re-run a no-op") {
