@@ -3602,19 +3602,23 @@ object VectorOps {
     val und = edges
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-    // 2-hop proposals a -> b -> c, a != c (bounded: k² per bridge),
-    // plus every candidate the blockings already scored
-    val cand = und.select($"src".as("a"), $"dst".as("b"))
+    // 2-hop proposals a -> b -> c, a != c (bounded: k² per bridge);
+    // pairs the blockings ALREADY scored are anti-joined out so the
+    // bulk of the candidate set reuses p0's scores instead of paying
+    // the two id-equi re-attach joins a second time — only the
+    // genuinely new 2-hop pairs (O(n·k²) of them) get scored here
+    val fresh = und.select($"src".as("a"), $"dst".as("b"))
       .join(und.select($"src".as("b2"), $"dst".as("c")), $"b" === $"b2")
       .filter($"a" =!= $"c")
       .select($"a", $"c").distinct()
-      .union(p0.select($"src".as("a"), $"dst".as("c"))).distinct()
-    // exact scores for the proposal set: two id-equi joins
+      .join(p0.select($"src".as("a"), $"dst".as("c")),
+        Seq("a", "c"), "left_anti")
     val va = n.select($"vec_id".as("a"), $"v".as("va"))
     val vc = n.select($"vec_id".as("c"), $"v".as("vc"))
-    cand.join(va, "a").join(vc, "c")
+    val scoredFresh = fresh.join(va, "a").join(vc, "c")
       .select($"a".as("src"), $"c".as("dst"),
         round(dot($"va", $"vc"), 4).as("cos"))
+    p0.select($"src", $"dst", $"cos").union(scoredFresh)
       .withColumn("rn", row_number()
         .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))
         .cast("long"))

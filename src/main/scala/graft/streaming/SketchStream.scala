@@ -23,4 +23,16 @@ object SketchStream {
   def cmsCounters(docs: DataFrame): DataFrame =
     graft.queries.SketchOps.cmsCounters(
       graft.queries.SketchOps.tokensOf(docs))
+
+  /** Incremental HLL registers of a streaming documents frame — x90's
+    * build run live (SAME `SketchOps.hllRegisters` definition, so the
+    * streaming registers are bit-identical to a batch build over the
+    * same documents). State IS the ≤ m register table: a per-bucket
+    * MAX aggregation — no watermark, no growth, and each micro-batch
+    * folds in exactly like the HLL merge rule (register maxes). Feed
+    * the live table to `SketchOps.hllEstimate` for the running
+    * distinct-count estimate. */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    graft.queries.SketchOps.hllRegisters(
+      graft.queries.SketchOps.tokensOf(docs))
 }

@@ -690,6 +690,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers are bit-identical to the batch x90 " +
+    "build and state never exceeds the m-register geometry") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick red fox runs past the sleepy cat"),
+      (2L, "a slow green turtle walks under the busy bridge"),
+      (3L, "the lazy dog sleeps while the quick fox watches"),
+      (4L, "every quick animal outruns the slow turtle easily"))
+    val in = MemoryStream[(Long, String)]
+    val q = SketchStream.hllRegisters(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hll")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll")
+        .select($"bucket", $"r").as[(Long, Int)].collect().toSet
+      val batch = queries.SketchOps.hllRegisters(
+          queries.SketchOps.tokensOf(docs.toDF("doc_id", "text")))
+        .select($"bucket", $"r").as[(Long, Int)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.size <= 256, s"${streamed.size} registers")
+      // the live estimate runs off the sink table through the SAME
+      // batch estimator
+      val est = queries.SketchOps.hllEstimate(spark.table("hll"))
+        .head().getDouble(2)
+      val distinct = docs.flatMap(_._2.split(" ")).distinct.length
+      assert(est > 0 && math.abs(est - distinct) / distinct < 0.25,
+        s"est $est vs $distinct")
+    } finally q.stop()
+  }
+
   test("streaming sparse-index stats (df + corpus totals) are " +
     "bit-identical to the batch BM25 statistics over the same docs") {
     implicit val sqlCtx = spark.sqlContext
