@@ -2456,6 +2456,65 @@ object VectorOps {
       (s, dir) => knnGraph(s, dir)
     },
 
+    // ----- x91 filtered ANN (see [[annFiltered]]): the
+    // metadata-constrained search every production vector store
+    // grew — candidates must match the query's label, the filter
+    // applied INSIDE the cell scan. n_cand exposes the
+    // filtered-recall tradeoff (a constrained cell may not fill k).
+    "x91_ann_filtered" -> Q(
+      s"""WITH $sqlCellCtes,
+         |lb AS (SELECT cells.vec_id, cells.v, cells.cell,
+         |    e2.label FROM cells
+         |  JOIN (SELECT vec_id, label FROM embeddings) e2 USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell,
+         |    label AS qlabel FROM lb WHERE vec_id < 8),
+         |sc AS (SELECT qid, qlabel, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.v")}, 4) AS cos
+         |  FROM q JOIN lb m ON q.qcell = m.cell
+         |    AND m.label = q.qlabel AND m.vec_id <> qid),
+         |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT qid, qlabel, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT r.qid, CAST(r.qlabel AS BIGINT) AS label, r.nid, r.cos,
+         |  CAST(r.rn AS BIGINT) AS rn, nc.n_cand
+         |FROM r JOIN nc USING (qid) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annFiltered(s, dir)
+    },
+
+    // ----- x92 kNN-classification report (see [[knnClassify]]):
+    // majority-vote label prediction over the x86 graph edges, scored
+    // against the true labels — the evaluate-your-embeddings step
+    // (a label-coherent space classifies well; the report quantifies
+    // it per class). The oracle replays edges, votes, and accuracy.
+    "x92_knn_classify" -> Q(
+      s"""WITH $sqlCellCtes,
+         |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${sqlDot("a.v", "b.v")}, 4) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ed AS (SELECT src, dst FROM (SELECT src, dst, row_number()
+         |    OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM sc) WHERE rn <= $KnnGraphK),
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |vt AS (SELECT ed.src, lb.label, count(*) AS c
+         |  FROM ed JOIN lb ON lb.vec_id = ed.dst GROUP BY 1, 2),
+         |pr AS (SELECT src, label AS pred FROM (SELECT src, label,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, label) AS rn FROM vt) WHERE rn = 1),
+         |jj AS (SELECT lb.label, CASE WHEN pr.pred = lb.label
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM pr JOIN lb ON lb.vec_id = pr.src),
+         |ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok) AS BIGINT) AS correct FROM jj GROUP BY 1)
+         |SELECT label, n, correct,
+         |  CAST(correct * 1000000 // n AS BIGINT) AS acc_ppm
+         |FROM ag ORDER BY label""".stripMargin) {
+      (s, dir) => knnClassify(s, dir)
+    },
+
     // ----- x87 NN-descent round (see [[nnDescentRound]]): init = top-k
     // over cell ∪ LSH-bucket candidates (the two independent
     // blockings), then one 2-hop proposal round, exact-scored,
@@ -3227,8 +3286,14 @@ object VectorOps {
     val (_, books) = loadAnnBooks(s, store)
     // cell comes back as a PARTITION column (directory-pruned for the
     // probed cells; inferred int) — re-widen to the engine's long
-    val coded = store.read("ann_corpus", s)
+    val raw = store.read("ann_corpus", s)
       .withColumn("cell", $"cell".cast("long"))
+    // honor tombstones when the delete lifecycle has run (the entity
+    // may simply not exist yet — that means nothing is deleted)
+    val tomb = try Some(store.read("ann_tombstones", s)
+        .select($"vec_id".cast("long").as("vec_id")))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val coded = tomb.fold(raw)(t => raw.join(t, Seq("vec_id"), "left_anti"))
     val qids = (0 until PqQueries).map(_.toLong).toArray
     val qv = normalizedEmbeddings(s, dir)
       .filter($"vec_id" < PqQueries)
@@ -3548,6 +3613,104 @@ object VectorOps {
     store.read("knn_graph", s)
       .select($"src", $"dst", $"cos", $"rn")
       .orderBy($"src", $"rn")
+
+  /** x91 body: filtered (metadata-constrained) ANN — the search shape
+    * every production vector store grew (Qdrant/Milvus/pgvector
+    * filtered search): each query's candidates must ALSO satisfy a
+    * metadata predicate, here label = the query's own label. The
+    * filter applies INSIDE the cell scan — label rides the one
+    * assignment projection (no join to re-attach it), the pair join
+    * keys on (cell, label) equality, and the per-query survivor count
+    * `n_cand` rides along because the canonical filtered-ANN hazard
+    * is exactly a constrained cell failing to fill k (the reason
+    * production stores pair filters with higher nprobe). Scale shape
+    * is x13's: corpus never shuffles, query side broadcasts, one rank
+    * exchange. */
+  private[graft] def annFiltered(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"label".cast("long").as("label"))
+    val norm = raw.withColumn("nrm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("v"),
+        $"label")
+    val asg = (if (cells <= MaxLiteralCells) literalCells(norm, cells)
+      else joinCells(norm, cells))
+      .select($"vec_id", $"v", $"cell", $"label")
+    val q = asg.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell".as("qcell"),
+        $"label".as("qlabel"))
+    val sc = asg.join(broadcast(q),
+        $"qcell" === $"cell" && $"label" === $"qlabel" &&
+          $"vec_id" =!= $"qid")
+      .select($"qid", $"qlabel".as("qlb"), $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    val nc = sc.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .join(nc, "qid")
+      .select($"qid", $"qlb".as("label"), $"nid", $"cos", $"rn",
+        $"n_cand")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x92 body: kNN-classification report over the x86 graph — predict
+    * every vector's label as the majority label of its in-cell top-k
+    * neighbors (count DESC, label ASC tie), score against the true
+    * labels, report per-class accuracy in exact integer ppm. The
+    * standard embedding-quality evaluation: a label-coherent space
+    * classifies well, and the per-class breakdown shows WHICH classes
+    * the geometry confuses. Adds two id-equi joins (labels on, truth
+    * back) and two bounded aggregations on top of [[knnEdges]] —
+    * nothing corpus-sized shuffles beyond the graph build itself. */
+  private[graft] def knnClassify(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, k: Int = KnnGraphK)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val a = (if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells)).select($"vec_id", $"v", $"cell").cache()
+    val edges = knnEdges(a, k).select($"src", $"dst")
+    val lb = Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val vt = edges
+      .join(lb.select($"vec_id".as("dst"), $"label"), "dst")
+      .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+    val pr = vt.withColumn("rn", row_number()
+        .over(Window.partitionBy($"src").orderBy($"c".desc, $"label")))
+      .filter($"rn" === 1)
+      .select($"src", $"label".as("pred"))
+    pr.join(lb.select($"vec_id".as("src"), $"label"), "src")
+      .select($"label", when($"pred" === $"label", 1L).otherwise(0L)
+        .as("ok"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"ok").as("correct"))
+      .select($"label", $"n", $"correct",
+        expr("correct * 1000000 div n").as("acc_ppm"))
+      .orderBy($"label")
+  }
+
+  /** Tombstone-delete vectors from the persisted ANN corpus — the
+    * third lifecycle verb (append = [[appendAnnCorpus]], compact =
+    * [[compactAnnCorpus]], delete = this). Deletes land as ≤-id-count
+    * rows in an `ann_tombstones` entity partitioned by vec_id (so
+    * re-deleting is a per-id dynamic-partition overwrite — idempotent,
+    * and earlier tombstones survive); the stored search anti-joins
+    * them out at read time. The corpus codes are NEVER rewritten —
+    * at 100 TB a delete is a metadata row, and [[compactAnnCorpus]]
+    * is the natural place to fold tombstones physically when the
+    * small-file maintenance job runs anyway. */
+  def tombstoneAnnVectors(s: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long], store: graft.store.Store): Unit = {
+    require(ids.nonEmpty, "tombstone call with no ids")
+    // the `dead` marker exists because a parquet write cannot
+    // partition by every column; the id is the partition key
+    store.write("ann_tombstones",
+      s.createDataFrame(ids.map(id => (id, 1))).toDF("vec_id", "dead"),
+      Seq("vec_id"))
+  }
 
   /** x87 body: one NN-descent refinement round (Dong et al. 2011) over
     * a multi-blocked initial graph — the algorithm that turns a cheap

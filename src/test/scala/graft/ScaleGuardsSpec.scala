@@ -1224,6 +1224,48 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(r.count(_._4 > 0) < r.length / 2)
   }
 
+  test("x91 filtered ANN: every neighbor satisfies the filter, ranks " +
+    "never exceed the constrained candidate pool, and constrained " +
+    "results are a subset of the unfiltered search's cell") {
+    val r = SparkEntry.queries("x91_ann_filtered")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(4), x.getLong(5)))
+    assert(r.nonEmpty)
+    import spark.implicits._
+    val labels = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    r.foreach { case (qid, lbl, nid, rn, nCand) =>
+      assert(labels(nid) == lbl, s"q$qid neighbor $nid label mismatch")
+      assert(labels(qid) == lbl, s"q$qid filter is not its own label")
+      assert(rn <= math.min(3L, nCand), s"q$qid rank $rn > pool $nCand")
+    }
+    // the filtered-recall hazard is real on this corpus: some query's
+    // constrained cell cannot fill k (that is WHY n_cand is reported)
+    assert(r.groupBy(_._1).exists(_._2.length < 3),
+      "every filtered query filled k — n_cand column proves nothing")
+  }
+
+  test("x92 kNN classification beats chance overall and reports every " +
+    "class exactly once") {
+    val r = SparkEntry.queries("x92_knn_classify")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.map(_._1).toSeq == r.map(_._1).sorted.toSeq)
+    assert(r.map(_._1).distinct.length == r.length)
+    val (n, correct) = (r.map(_._2).sum, r.map(_._3).sum)
+    assert(n == 500, s"classified $n of 500")
+    // the synthetic labels are geometry-INDEPENDENT, so the honest
+    // reading is chance (~10% over 10 balanced classes) — the report's
+    // value is that it detects exactly that; pin the chance band so a
+    // voting bug (constant prediction, self-inclusion) can't hide
+    val accPpm = correct * 1000000L / n
+    assert(accPpm > 30000L && accPpm < 300000L,
+      s"accuracy $accPpm ppm outside the chance band for random labels")
+    r.foreach { case (lbl, cn, cc, ppm) =>
+      assert(ppm == cc * 1000000L / cn, s"class $lbl ppm mismatch") }
+  }
+
   test("x85 removal lineage is EXACTLY the complement of x49's " +
     "survivor set, and every edge is a real in-cell pair at tau") {
     import spark.implicits._

@@ -374,6 +374,53 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
   private def rows0(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.distinct().collect().map(_.getLong(0)).toSeq
 
+  test("ANN tombstone deletes: searches exclude deleted vectors with " +
+    "no corpus rewrite, survivors keep their order, replay idempotent") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-tomb").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    VectorOps.appendAnnCorpus(spark,
+      VectorOps.normalizedEmbeddings(spark, dir), 0L, store)
+    def rows() = VectorOps.annIvfPqSearchStored(spark, dir, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq
+    val before = rows()
+    // delete the rank-1 neighbors of queries 0 and 1
+    val dead = before.filter(t => t._3 == 1L && t._1 <= 1L).map(_._2)
+    assert(dead.nonEmpty)
+    def corpusFiles = Files.walk(
+        java.nio.file.Paths.get(s"$tmp/ann/ann_corpus"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    val filesBefore = corpusFiles
+    VectorOps.tombstoneAnnVectors(spark, dead, store)
+    val after = rows()
+    // deleted ids are gone; every query still fills k; the surviving
+    // earlier entries keep their relative order at the front
+    assert(after.forall(t => !dead.contains(t._2)), "tombstoned id returned")
+    (0L to 1L).foreach { q =>
+      val a = after.filter(_._1 == q).sortBy(_._3).map(_._2)
+      assert(a.length == 3, s"query $q no longer fills k")
+      val survivors = before.filter(t => t._1 == q && !dead.contains(t._2))
+        .sortBy(_._3).map(_._2)
+      assert(a.take(survivors.length) == survivors,
+        s"query $q: survivors reordered")
+    }
+    // the delete wrote a tombstone row, not the corpus
+    assert(corpusFiles == filesBefore, "delete rewrote corpus files")
+    // re-deleting the same ids is a per-id overwrite: nothing changes
+    VectorOps.tombstoneAnnVectors(spark, dead, store)
+    assert(rows() == after)
+    // and later tombstones do not resurrect earlier ones
+    val dead2 = after.filter(t => t._3 == 1L && t._1 == 2L).map(_._2)
+    VectorOps.tombstoneAnnVectors(spark, dead2, store)
+    val fin = rows()
+    assert(fin.forall(t => !(dead ++ dead2).contains(t._2)))
+  }
+
   test("incremental HLL registers: batches max-merge to the one-shot " +
     "registers bit for bit, estimate follows, replay idempotent") {
     import graft.queries.SketchOps
