@@ -574,6 +574,44 @@ object TextOps {
        |    JOIN sz y ON pairs.d2 = y.doc_id
        |  WHERE i / (x.n + y.n - i) >= 0.5)""".stripMargin
 
+  /** x2's composite quality score of a raw-case token array — ONE
+    * definition shared by the x2 report and the x93 canonical
+    * selection, so "best quality" cannot drift between the two. */
+  private def qualityCol(tk: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nStop = size(filter(tk, w => w.isin(Stopwords: _*))).cast("double")
+    val nTok = size(tk)
+    round(least(nTok / lit(50.0), lit(1.0)) *
+      (lit(1.0) - nStop / nTok), 6)
+  }
+
+  /** x93 body: canonical-by-QUALITY resolution of near-dup clusters —
+    * the production dedup selection rule. x19 gives the transitive
+    * near-dup components; of each cluster this keeps the member with
+    * the best x2 quality score (tie: lowest doc_id), completing the
+    * selection-rule family: x30/x49 keep-first, x20 keep-longest over
+    * exact prefix keys, x93 keep-best-quality over TRANSITIVE fuzzy
+    * clusters (what a real corpus dedup ships — the canonical doc
+    * should be the best copy, not the first one crawled). Scale
+    * shape: x19's bounded component machinery + one id-equi quality
+    * join + one per-cluster rank window; nothing new shuffles
+    * corpus-wide. */
+  private[graft] def clusterResolve(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val comp = graft.ops.Components
+      .connected(jaccardPairs(s, dir).select($"d1", $"d2"))
+    val q = Tables(s, dir, "documents")
+      .select($"doc_id", qualityCol(T.wsTokens($"text")).as("quality"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"comp")
+          .orderBy($"quality".desc, $"doc_id")))
+      .filter($"rn" === 1)
+      .select($"comp", $"doc_id".as("keep_id"), $"quality",
+        $"csize".as("n_members"))
+      .orderBy($"comp")
+  }
+
   /** Spark twin of [[pairCtes]]: near-dup pairs (d1, d2, jacv). */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -819,8 +857,7 @@ object TextOps {
         round(nStop / nTok, 6).as("stop_ratio"),
         round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
           .cast("double") / length($"text"), 6).as("alpha_ratio"),
-        round(least(nTok / lit(50.0), lit(1.0)) *
-          (lit(1.0) - nStop / nTok), 6).as("quality"))
+        qualityCol(tk).as("quality"))
         .orderBy($"doc_id")
     },
 
@@ -1172,6 +1209,36 @@ object TextOps {
       graft.ops.Components
         .connected(jaccardPairs(s, dir).select($"d1", $"d2"))
         .orderBy($"doc_id")
+    },
+
+    // ----- x93 canonical-by-quality cluster resolution (see
+    // [[clusterResolve]]): keep each near-dup cluster's best-quality
+    // member. The oracle composes x19's recursive-CTE components with
+    // x2's quality formula and the argmax.
+    "x93_cluster_resolve" -> Q(
+      s"""WITH RECURSIVE $pairCtes,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jac
+         |  UNION ALL SELECT d2, d1 FROM jac),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (SELECT n, n AS m FROM nodes
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+         |comp AS (SELECT n, min(m) AS comp FROM reach GROUP BY n),
+         |cs AS (SELECT n AS doc_id, comp,
+         |    count(*) OVER (PARTITION BY comp) AS csize FROM comp),
+         |qq AS (SELECT doc_id,
+         |    round(least(len(tk) / 50.0, 1.0) *
+         |      (1.0 - len(list_filter(tk, w -> w IN ($StopwordsSql)))
+         |        / len(tk)), 6) AS quality
+         |  FROM tk),
+         |r AS (SELECT cs.comp, cs.doc_id, qq.quality, cs.csize,
+         |    row_number() OVER (PARTITION BY cs.comp
+         |      ORDER BY qq.quality DESC, cs.doc_id) AS rn
+         |  FROM cs JOIN qq USING (doc_id))
+         |SELECT CAST(comp AS BIGINT) AS comp, doc_id AS keep_id,
+         |  quality, CAST(csize AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin) {
+      (s, dir) => clusterResolve(s, dir)
     },
 
     // ----- x7 MinHash + LSH banding: 16-hash signature, 4 bands x 4;

@@ -1224,6 +1224,29 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(r.count(_._4 > 0) < r.length / 2)
   }
 
+  test("x93 cluster resolution keeps the genuinely best-quality member " +
+    "of every x19 component, exactly once") {
+    val res = SparkEntry.queries("x93_cluster_resolve")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3)))
+    val comps = SparkEntry.queries("x19_components")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val quality = SparkEntry.queries("x2_quality")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getDouble(4))).toMap
+    // one resolution per component, sizes consistent
+    assert(res.map(_._1).toSet == comps.map(_._2).toSet)
+    val sizes = comps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    res.foreach { case (c, keep, q, n) =>
+      assert(n == sizes(c), s"cluster $c size $n")
+      // the keeper IS a member and its quality is the member max
+      val members = comps.filter(_._2 == c).map(_._1)
+      assert(members.contains(keep))
+      assert(q == quality(keep))
+      assert(members.forall(m => quality(m) <= q),
+        s"cluster $c kept $keep but a better member exists")
+    }
+  }
+
   test("x91 filtered ANN: every neighbor satisfies the filter, ranks " +
     "never exceed the constrained candidate pool, and constrained " +
     "results are a subset of the unfiltered search's cell") {
