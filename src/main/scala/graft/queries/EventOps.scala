@@ -33,6 +33,11 @@ object EventOps {
   private val PrIters = 3
   private val LpIters = 3
 
+  /** x94 burst threshold: τ² for the integerized z² > τ² test (τ = 2
+    * — the 2σ alert level; declared before the qs map so the oracle
+    * interpolates the real value). */
+  private val BurstTau2 = 4
+
   /** Shared SQL CTEs for the user co-activity graph — `edges(src,
     * dst)` (symmetric) and `deg(src, deg)`. ONE definition for x66
     * (PageRank) and x78 (label propagation), so the two link-analysis
@@ -96,6 +101,55 @@ object EventOps {
   }
 
   val qs: Map[String, Q] = Map(
+    // ----- x94 event-rate burst detection: per-hour counts against a
+    // trailing-24h z-test done ENTIRELY in exact long arithmetic —
+    // z² > τ² rewrites as (24c − S)²·23 > τ²·24·(24Q − S²) with
+    // S = Σc, Q = Σc² over the trailing frame, so there is no float
+    // mean/stddev to disagree across engines (the source-burst /
+    // pipeline-stall monitor a production ingest runs beside x83's
+    // distribution drift). Scale shape: one map-side-combinable
+    // hourly aggregation over the event stream; the window then runs
+    // over the HOURLY series — bounded by time cardinality (720 rows
+    // per month, a few thousand per year), so the single-partition
+    // ordered window is a non-issue at any event volume; partition it
+    // by source/tenant when the series itself multiplies.
+    "x94_rate_anomaly" -> Q(
+      s"""WITH hc AS (SELECT date_trunc('hour', ts) AS h,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT h, c,
+         |    count(c) OVER tw AS k,
+         |    sum(c) OVER tw AS s,
+         |    sum(c * c) OVER tw AS q
+         |  FROM hc WINDOW tw AS (ORDER BY h
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, c,
+         |  CAST(s AS BIGINT) AS s24,
+         |  CAST((24 * c - s) * (24 * c - s) * 23 AS BIGINT) AS lhs,
+         |  CAST($BurstTau2 * 24 * (24 * q - s * s) AS BIGINT) AS rhs,
+         |  ((24 * c - s) * (24 * c - s) * 23 >
+         |      $BurstTau2 * 24 * (24 * q - s * s)
+         |    AND 24 * c > s) AS burst
+         |FROM w WHERE k = 24 ORDER BY h""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val tw = Window.orderBy($"h").rowsBetween(-24, -1)
+      val dev = lit(24) * $"c" - $"s"
+      val lhs = dev * dev * lit(23)
+      val rhs = lit(BurstTau2) * lit(24) * (lit(24) * $"q" - $"s" * $"s")
+      hourly
+        .withColumn("k", count($"c").over(tw))
+        .withColumn("s", sum($"c").over(tw))
+        .withColumn("q", sum($"c" * $"c").over(tw))
+        .filter($"k" === 24)
+        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"), $"c",
+          $"s".as("s24"), lhs.as("lhs"), rhs.as("rhs"),
+          (lhs > rhs && lit(24) * $"c" > $"s").as("burst"))
+        .orderBy($"h")
+    },
+
     // ----- x66 PageRank power iterations over the user co-activity
     // graph: users are linked when they share >= CoMinShared distinct
     // 10-minute activity windows — the same bounded pair-join shape as

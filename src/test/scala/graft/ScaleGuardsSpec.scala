@@ -1224,6 +1224,22 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(r.count(_._4 > 0) < r.length / 2)
   }
 
+  test("x94 burst detection: full trailing windows only, exact integer " +
+    "test quantities consistent, and the 2-sigma alert rate is sane") {
+    val r = SparkEntry.queries("x94_rate_anomaly")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getBoolean(5)))
+    assert(r.length == 720 - 24, s"${r.length} rows") // first day warms up
+    r.foreach { case (h, c, s24, lhs, rhs, burst) =>
+      val dev = 24 * c - s24
+      assert(lhs == dev * dev * 23, s"$h lhs inconsistent")
+      assert(burst == (lhs > rhs && dev > 0), s"$h burst flag inconsistent")
+    }
+    val bursts = r.count(_._6)
+    assert(bursts > 0, "no bursts at 2 sigma over 696 hours — suspicious")
+    assert(bursts < r.length / 10, s"$bursts bursts — threshold broken")
+  }
+
   test("x93 cluster resolution keeps the genuinely best-quality member " +
     "of every x19 component, exactly once") {
     val res = SparkEntry.queries("x93_cluster_resolve")(spark, dir)
