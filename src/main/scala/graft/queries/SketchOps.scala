@@ -83,34 +83,54 @@ object SketchOps {
     (1 to 40).map(r => s"WHEN $rest >= ${1L << (40 - r)} THEN $r")
       .mkString("CASE ", " ", " ELSE 41 END")
 
-  /** The HLL register table of a token frame: ≤ m rows, built as ONE
-    * declarative max-aggregation (partial agg = HLL merge — register
-    * maxes combine cell-wise map-side, the token stream never
-    * shuffles). Shared by the batch query (x90) and the incremental
-    * Store lifecycle. */
-  private[graft] def hllRegisters(toks: org.apache.spark.sql.DataFrame) =
-    toks.select(T.md5Long($"w").as("h"))
-      .select(($"h" % HllM).as("bucket"), expr(s"h div $HllM").as("rest"))
-      .select($"bucket", rhoCol($"rest").as("rho"))
-      .groupBy($"bucket").agg(max($"rho").as("r"))
+  /** The HLL register table of a token frame, per group: ≤ m rows per
+    * group key, built as ONE declarative max-aggregation (partial agg
+    * = HLL merge — register maxes combine cell-wise map-side, the
+    * token stream never shuffles). Shared by the batch queries
+    * (x90/x96), the incremental Store lifecycle, and the streaming
+    * twin. */
+  private[graft] def hllRegistersBy(toks: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val kc = keys.map(col)
+    toks.select(kc :+ T.md5Long($"w").as("h"): _*)
+      .select(kc :+ ($"h" % HllM).as("bucket") :+
+        expr(s"h div $HllM").as("rest"): _*)
+      .select(kc :+ $"bucket" :+ rhoCol($"rest").as("rho"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max($"rho").as("r"))
+  }
 
-  /** Flajolet et al. estimate from a register table: harmonic-mean raw
-    * estimate (the 2^-r sum is a sum of dyadic rationals — EXACT in
-    * double, engine-identical) with the linear-counting small-range
-    * correction. One row: (occupied, zeros, hll_est). */
-  private[graft] def hllEstimate(registers: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    registers
-      .agg(count(lit(1)).as("occupied"),
+  /** Global (ungrouped) register table — x90's shape. */
+  private[graft] def hllRegisters(toks: org.apache.spark.sql.DataFrame) =
+    hllRegistersBy(toks, Seq.empty)
+
+  /** Flajolet et al. estimate from a register table, per group:
+    * harmonic-mean raw estimate (the 2^-r sum is a sum of dyadic
+    * rationals — EXACT in double, engine-identical) with the
+    * linear-counting small-range correction. One row per group:
+    * (keys..., occupied, zeros, hll_est). */
+  private[graft] def hllEstimateBy(
+      registers: org.apache.spark.sql.DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val kc = keys.map(col)
+    val g = if (keys.isEmpty) registers.groupBy()
+      else registers.groupBy(kc: _*)
+    g.agg(count(lit(1)).as("occupied"),
         sum(pow(lit(2.0), -$"r")).as("socc"))
-      .select($"occupied", (lit(HllM.toLong) - $"occupied").as("zeros"),
+      .select(kc ++ Seq($"occupied",
+        (lit(HllM.toLong) - $"occupied").as("zeros"),
         (lit(HllAlphaM2) / ($"socc" + (lit(HllM.toLong) - $"occupied")
-          .cast("double"))).as("raw"))
-      .select($"occupied", $"zeros",
+          .cast("double"))).as("raw")): _*)
+      .select(kc ++ Seq($"occupied", $"zeros",
         round(when($"raw" <= lit(2.5 * HllM) && $"zeros" > 0,
           lit(HllM.toDouble) * log(lit(HllM.toDouble) /
             $"zeros".cast("double")))
-          .otherwise($"raw"), 4).as("hll_est"))
+          .otherwise($"raw"), 4).as("hll_est")): _*)
+  }
+
+  /** Global estimate row — x90's shape. */
+  private[graft] def hllEstimate(registers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hllEstimateBy(registers, Seq.empty)
 
   /** Incremental cardinality tracking — the x33/x35 pattern applied to
     * the HLL sketch: each ingest batch lands its own ≤ m register
@@ -166,6 +186,43 @@ object SketchOps {
       val est = hllEstimate(hllRegisters(toks))
       toks.agg(count_distinct($"w").as("n_exact"))
         .crossJoin(est)
+    },
+
+    // ----- x96 grouped HLL: distinct users per event type — the
+    // "distinct entities per segment" production query, one ≤m-row
+    // register set PER GROUP (a thousand groups cost a thousand
+    // 256-row sketches, not a thousand distinct-shuffles of the
+    // stream). Same engine-exact estimate as x90, per group; the
+    // exact count rides along as the accuracy report.
+    "x96_hll_by_group" -> Q(
+      s"""WITH t AS (SELECT event_type,
+         |    CAST(user_id AS VARCHAR) AS w FROM events),
+         |h AS (SELECT event_type, ${TS.md5Long("w")} AS h FROM t),
+         |b AS (SELECT event_type, h % $HllM AS bucket,
+         |    h // $HllM AS rest FROM h),
+         |r AS (SELECT event_type, bucket, max(${rhoSql("rest")}) AS r
+         |  FROM b GROUP BY 1, 2),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS occupied,
+         |    sum(power(2.0, -r)) AS socc FROM r GROUP BY 1),
+         |e AS (SELECT event_type, occupied, $HllM - occupied AS zeros,
+         |    $HllAlphaM2 / (socc + ($HllM - occupied)) AS raw FROM a),
+         |x AS (SELECT event_type, CAST(count(DISTINCT w) AS BIGINT)
+         |    AS n_exact FROM t GROUP BY 1)
+         |SELECT x.event_type, x.n_exact, e.occupied,
+         |  CAST(e.zeros AS BIGINT) AS zeros,
+         |  round(CASE WHEN raw <= ${2.5 * HllM} AND zeros > 0
+         |    THEN $HllM * ln($HllM.0 / zeros) ELSE raw END, 4)
+         |    AS hll_est
+         |FROM x JOIN e USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.spread(s, dir, "events")
+        .select($"event_type", $"user_id".cast("string").as("w"))
+      val est = hllEstimateBy(
+        hllRegistersBy(ev, Seq("event_type")), Seq("event_type"))
+      ev.groupBy($"event_type")
+        .agg(count_distinct($"w").as("n_exact"))
+        .join(est, "event_type")
+        .orderBy($"event_type")
     },
     // ----- x64 count-min-sketch frequency estimates: build the D×W
     // counter matrix from the token stream, then estimate every vocab

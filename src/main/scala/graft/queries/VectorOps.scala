@@ -2483,6 +2483,33 @@ object VectorOps {
       (s, dir) => annFiltered(s, dir)
     },
 
+    // ----- x95 filtered ANN with nprobe (see [[annFilteredProbe]]):
+    // x91's filter at nprobe=2 — the recall knob a constrained search
+    // turns. Oracle replays the probe ranking (arn <= 2) + filter.
+    "x95_ann_filtered_probe" -> Q(
+      s"""WITH $sqlCellCtes,
+         |lb AS (SELECT asg.vec_id, asg.v, asg.cid, asg.arn,
+         |    e2.label FROM asg
+         |  JOIN (SELECT vec_id, label FROM embeddings) e2 USING (vec_id)),
+         |mem AS (SELECT vec_id, v, cid AS cell, label FROM lb
+         |  WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cid AS qcell,
+         |    label AS qlabel FROM lb WHERE arn <= 2 AND vec_id < 8),
+         |sc AS (SELECT qid, qlabel, m.vec_id AS nid,
+         |    round(${sqlDot("qv", "m.v")}, 4) AS cos
+         |  FROM q JOIN mem m ON q.qcell = m.cell
+         |    AND m.label = q.qlabel AND m.vec_id <> qid),
+         |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT qid, qlabel, nid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |SELECT r.qid, CAST(r.qlabel AS BIGINT) AS label, r.nid, r.cos,
+         |  CAST(r.rn AS BIGINT) AS rn, nc.n_cand
+         |FROM r JOIN nc USING (qid) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => annFilteredProbe(s, dir)
+    },
+
     // ----- x92 kNN-classification report (see [[knnClassify]]):
     // majority-vote label prediction over the x86 graph edges, scored
     // against the true labels — the evaluate-your-embeddings step
@@ -3643,6 +3670,50 @@ object VectorOps {
         $"label".as("qlabel"))
     val sc = asg.join(broadcast(q),
         $"qcell" === $"cell" && $"label" === $"qlabel" &&
+          $"vec_id" =!= $"qid")
+      .select($"qid", $"qlabel".as("qlb"), $"vec_id".as("nid"),
+        round(dot($"qv", $"v"), 4).as("cos"))
+    val nc = sc.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    sc.withColumn("rn", row_number()
+        .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .join(nc, "qid")
+      .select($"qid", $"qlb".as("label"), $"nid", $"cos", $"rn",
+        $"n_cand")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** x95 body: filtered ANN with nprobe — the recall fix for x91's
+    * under-filled queries (production stores pair metadata filters
+    * with wider probing precisely because a predicate thins every
+    * cell). Identical filter semantics to x91, but each query probes
+    * its top-`nprobe` cells (x29's descending-struct probe list), so
+    * the constrained candidate pool roughly multiplies by nprobe at
+    * the cost of nprobe cell scans per query — the knob the n_cand
+    * column tells an operator to turn. ScaleGuardsSpec pins the
+    * containment: x95's per-query pool ⊇ x91's, and under-filled
+    * queries fill. */
+  private[graft] def annFilteredProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int = DefaultCells, nprobe: Int = 2, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = Tables.spread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"label".cast("long").as("label"))
+    val norm = raw.withColumn("nrm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("v"),
+        $"label")
+    val (withCd, arr) = quantizerStructs(norm, cells)
+    val corpus = withCd
+      .withColumn("cell", -array_max(arr).getField("negcid"))
+      .drop("cd")
+    val q = withCd.filter($"vec_id" < 8)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(arr)), 1, nprobe)))
+      .select($"vec_id".as("qid"), $"v".as("qv"),
+        (-$"probe.negcid").as("qcell"), $"label".as("qlabel"))
+    val sc = corpus.join(broadcast(q),
+        $"cell" === $"qcell" && $"label" === $"qlabel" &&
           $"vec_id" =!= $"qid")
       .select($"qid", $"qlabel".as("qlb"), $"vec_id".as("nid"),
         round(dot($"qv", $"v"), 4).as("cos"))

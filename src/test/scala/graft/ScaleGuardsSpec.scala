@@ -1285,6 +1285,37 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       "every filtered query filled k — n_cand column proves nothing")
   }
 
+  test("x95 nprobe widens every filtered pool: per-query candidates " +
+    "dominate x91's and under-filled queries recover") {
+    def pools(k: String) = SparkEntry.queries(k)(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(4), x.getLong(5)))
+    val p91 = pools("x91_ann_filtered")
+    val p95 = pools("x95_ann_filtered_probe")
+    val c91 = p91.groupBy(_._1).view.mapValues(_.head._3).toMap
+    val c95 = p95.groupBy(_._1).view.mapValues(_.head._3).toMap
+    assert(c91.keySet.subsetOf(c95.keySet), "a query lost its results")
+    c91.foreach { case (q, n) =>
+      assert(c95(q) >= n, s"query $q pool shrank: ${c95(q)} < $n") }
+    val unfilled91 = p91.groupBy(_._1).count(_._2.length < 3)
+    val unfilled95 = p95.groupBy(_._1).count(_._2.length < 3)
+    assert(unfilled91 > 0, "x91 has no under-filled query to fix")
+    assert(unfilled95 < unfilled91,
+      s"nprobe=2 recovered nothing ($unfilled95 vs $unfilled91)")
+  }
+
+  test("x96 grouped HLL estimates every group within the m=256 error " +
+    "regime with bounded per-group registers") {
+    val r = SparkEntry.queries("x96_hll_by_group")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.nonEmpty)
+    r.foreach { case (t, n, occ, zeros, est) =>
+      assert(occ + zeros == 256, s"$t register accounting")
+      assert(occ <= n, s"$t more occupied buckets than members")
+      assert(math.abs(est - n) / n < 0.25, s"$t est $est vs exact $n")
+    }
+  }
+
   test("x92 kNN classification beats chance overall and reports every " +
     "class exactly once") {
     val r = SparkEntry.queries("x92_knn_classify")(spark, dir)
