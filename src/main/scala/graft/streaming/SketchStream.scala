@@ -35,4 +35,16 @@ object SketchStream {
   def hllRegisters(docs: DataFrame): DataFrame =
     graft.queries.SketchOps.hllRegisters(
       graft.queries.SketchOps.tokensOf(docs))
+
+  /** x96's grouped registers run live over an event stream (needs
+    * `event_type` and `user_id` columns): distinct-users-per-type with
+    * state bounded at ≤ m rows PER TYPE — the per-segment cardinality
+    * monitor, never a distinct-shuffle of the stream. */
+  def hllRegistersByType(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.queries.SketchOps.hllRegistersBy(
+      events.select(col("event_type"),
+        col("user_id").cast("string").as("w")),
+      Seq("event_type"))
+  }
 }

@@ -725,6 +725,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grouped HLL registers match the batch x96 build and " +
+    "stay bounded per group") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      (1L, "view"), (2L, "view"), (3L, "view"), (1L, "click"),
+      (2L, "click"), (1L, "view"), (4L, "purchase"), (2L, "purchase"))
+    val in = MemoryStream[(Long, String)]
+    val q = SketchStream.hllRegistersByType(
+        in.toDF().toDF("user_id", "event_type"))
+      .writeStream.format("memory").queryName("hll_grp")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_grp")
+        .select($"event_type", $"bucket", $"r")
+        .as[(String, Long, Int)].collect().toSet
+      val batch = queries.SketchOps.hllRegistersBy(
+          evs.toDF("user_id", "event_type")
+            .select($"event_type", $"user_id".cast("string").as("w")),
+          Seq("event_type"))
+        .select($"event_type", $"bucket", $"r")
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed == batch)
+      streamed.groupBy(_._1).foreach { case (t, rs) =>
+        assert(rs.size <= 256, s"$t registers ${rs.size}") }
+    } finally q.stop()
+  }
+
   test("streaming sparse-index stats (df + corpus totals) are " +
     "bit-identical to the batch BM25 statistics over the same docs") {
     implicit val sqlCtx = spark.sqlContext
