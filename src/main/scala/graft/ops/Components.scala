@@ -94,6 +94,83 @@ object Components {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the
+    * O(log²)-round distributed path for DEEP components, where
+    * min-label propagation's O(diameter) rounds would dominate.
+    *
+    * Per round, two edge rewrites, each ONE groupBy + ONE equi-join:
+    *  - '''large-star''': every node attaches its strictly-larger
+    *    neighbors to `min(Γ(v) ∪ {v})` — hangs heavy subtrees directly
+    *    under local minima without ever growing the edge count beyond
+    *    2|E| (the paper's invariant: edges only re-point downward).
+    *  - '''small-star''': every node attaches its ≤-neighbors and
+    *    itself to the group minimum — collapses the chains large-star
+    *    leaves behind.
+    *
+    * Fixpoint = the edge multiset stops changing (checked with one
+    * count + order-free xxhash64-sum aggregate per round — never a
+    * distributed set-difference). At the fixpoint the edges ARE a star
+    * forest rooted at component minima, so labels read off directly:
+    * no closing label-propagation pass. `localCheckpoint` every round
+    * cuts the lineage (the deep-iteration discipline — each round's
+    * plan must not replay all prior rounds).
+    *
+    * Same output contract as [[connected]]: `(doc_id, comp, csize)`,
+    * comp = min member id. ComponentsSpec pins bit-equality with the
+    * union-find path, and that a 64-deep chain converges in ≤ 10
+    * rounds (vs the 64 a pure propagation would need).
+    */
+  def contract(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    import graft.StringToColumn
+    var edges = pairs.toDF("a", "b").filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("hi"), least($"a", $"b").as("lo"))
+      .distinct().localCheckpoint()
+    // order-free fingerprint of the (distinct) edge set: count + XOR of
+    // per-edge hashes — XOR instead of SUM because ANSI mode overflows
+    // a sum of full-range longs
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(hi, lo))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: symmetric view centered on u; m = min(Γ(u) ∪ {u});
+      // each strictly-larger neighbor v re-points to m
+      val sym = edges.select($"hi".as("u"), $"lo".as("v"))
+        .union(edges.select($"lo".as("u"), $"hi".as("v")))
+      val mins = sym.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      val ls = sym.filter($"v" > $"u").join(mins, "u")
+        .select($"v".as("hi"), $"m".as("lo"))
+        .filter($"hi" =!= $"lo").distinct()
+      // small-star over the hi→lo orientation: m = min of u's smaller
+      // neighborhood; everyone in it (and u) re-points to m
+      val sMins = ls.groupBy($"hi").agg(min($"lo").as("m"))
+      val ss = ls.join(sMins, "hi")
+        .select($"lo".as("hi"), $"m".as("lo"))
+        .filter($"hi" =!= $"lo")
+        .union(sMins.select($"hi", $"m".as("lo")))
+        .distinct()
+      edges = ss.localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // star forest: every non-root appears as hi exactly once, pointing
+    // at its component minimum; roots appear only as lo
+    val labels = edges.select($"hi".as("doc_id"), $"lo".as("comp"))
+      .union(edges.select($"lo", $"lo").distinct())
+    labels
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy($"comp")).cast("long"))
+      .select($"doc_id", $"comp", $"csize")
+  }
+
   /** Distributed min-label propagation (the beyond-driver-scale path). */
   private def propagate(pairs: DataFrame): DataFrame = {
     import graft.StringToColumn

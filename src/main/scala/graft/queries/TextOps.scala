@@ -1211,6 +1211,33 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ----- x97 connected components by large-star/small-star
+    // contraction (Kiveris et al.) — the SAME clustering answer as x19
+    // computed by the O(log²)-round edge-rewrite algorithm instead of
+    // x19's driver union-find / O(diameter) propagation. This is the
+    // path a 100 TB dedup run with DEEP duplicate chains (boilerplate
+    // families, near-identical template pages) takes: per round two
+    // bounded groupBy+join rewrites over the edge list, never a
+    // driver collect, never diameter-many rounds. Oracle: identical to
+    // x19's recursive-CTE closure — the algorithm must not change the
+    // answer, only the round count (ComponentsSpec pins both).
+    "x97_cc_contract" -> Q(
+      s"""WITH RECURSIVE $pairCtes,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jac
+         |  UNION ALL SELECT d2, d1 FROM jac),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (SELECT n, n AS m FROM nodes
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+         |comp AS (SELECT n, min(m) AS comp FROM reach GROUP BY n)
+         |SELECT n AS doc_id, CAST(comp AS BIGINT) AS comp,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Components
+        .contract(jaccardPairs(s, dir).select($"d1", $"d2"))
+        .orderBy($"doc_id")
+    },
+
     // ----- x93 canonical-by-quality cluster resolution (see
     // [[clusterResolve]]): keep each near-dup cluster's best-quality
     // member. The oracle composes x19's recursive-CTE components with

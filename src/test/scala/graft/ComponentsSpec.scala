@@ -33,6 +33,27 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(run(maxDriverEdges = 1) === expected)
   }
 
+  test("star contraction agrees bit-for-bit with union-find") {
+    import spark.implicits._
+    val got = Components.contract(edges.toDF("d1", "d2"))
+      .orderBy("doc_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === expected)
+  }
+
+  test("star contraction closes a 64-deep chain within 10 rounds") {
+    // a path graph is the propagation worst case: min-label needs
+    // O(length) rounds, star contraction O(log²). maxIters = 10 means
+    // a non-converged run would emit wrong labels — equality with the
+    // known answer IS the round-count pin.
+    import spark.implicits._
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val got = Components.contract(chain.toDF("d1", "d2"), maxIters = 10)
+      .orderBy("doc_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === (0L to 64L).map(i => (i, 0L, 65L)))
+  }
+
   test("x66 PageRank: positive ranks, bounded mass, degree-led ordering") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
