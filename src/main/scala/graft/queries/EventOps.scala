@@ -230,6 +230,71 @@ object EventOps {
           $"community_size")
         .orderBy($"user_id")
     },
+    // ----- x98 exact triangle counting + local clustering coefficient
+    // over the same co-activity graph (one shared edge definition with
+    // x66/x78). Algorithm: degree-ordered edge orientation (Suri &
+    // Vassilvitskii's "curse of the last reducer" fix) — every edge
+    // points from its lower-(deg, id) endpoint to the higher, so each
+    // node's OUT-degree is bounded by the graph's arboricity (O(√m)
+    // worst case) no matter how big a hub's raw degree is; wedges are
+    // pairs of out-edges from one source (never hub²), and a triangle
+    // is a wedge whose far endpoints are themselves an oriented edge —
+    // counted EXACTLY once because rank-ordering makes the lowest-rank
+    // vertex the unique wedge apex. Everything equi-joins; the lcc is
+    // exact integer ppm (2e6·tri div deg·(deg−1)), no float division.
+    "x98_triangles" -> Q(
+      s"""WITH $sqlCoEdgeCtes,
+         |dd AS (SELECT src AS n, deg FROM deg),
+         |ori AS (SELECT
+         |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u1 < u2)
+         |      THEN u1 ELSE u2 END AS s,
+         |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u1 < u2)
+         |      THEN u2 ELSE u1 END AS t,
+         |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u1 < u2)
+         |      THEN b.deg ELSE a.deg END AS td
+         |  FROM cp JOIN dd a ON cp.u1 = a.n JOIN dd b ON cp.u2 = b.n),
+         |tri AS (SELECT w1.s AS x, w1.t AS y, w2.t AS z
+         |  FROM ori w1 JOIN ori w2 ON w1.s = w2.s
+         |    AND (w1.td < w2.td OR (w1.td = w2.td AND w1.t < w2.t))
+         |  JOIN ori c ON c.s = w1.t AND c.t = w2.t),
+         |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT d.src AS user_id, d.deg, COALESCE(pn.tri, 0) AS tri,
+         |  CASE WHEN d.deg >= 2 THEN CAST(2000000 * COALESCE(pn.tri, 0)
+         |      // (d.deg * (d.deg - 1)) AS BIGINT)
+         |    ELSE 0 END AS lcc_ppm
+         |FROM deg d LEFT JOIN pn ON d.src = pn.n
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val edges = coEdges(s, dir)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val dd = deg.select($"src".as("n"), $"deg".as("d"))
+      val cp = edges.filter($"src" < $"dst")
+      val j = cp.join(dd.toDF("n1", "d1"), $"src" === $"n1")
+        .join(dd.toDF("n2", "d2"), $"dst" === $"n2")
+      val lowFirst = $"d1" < $"d2" || ($"d1" === $"d2" && $"src" < $"dst")
+      val ori = j.select(
+        when(lowFirst, $"src").otherwise($"dst").as("s"),
+        when(lowFirst, $"dst").otherwise($"src").as("t"),
+        when(lowFirst, $"d2").otherwise($"d1").as("td"))
+      val w1 = ori.select($"s", $"t".as("y"), $"td".as("yd"))
+      val w2 = ori.select($"s", $"t".as("z"), $"td".as("zd"))
+      val tri = w1.join(w2, Seq("s"))
+        .filter($"yd" < $"zd" || ($"yd" === $"zd" && $"y" < $"z"))
+        .join(ori.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
+        .select($"s".as("x"), $"y", $"z")
+      val pn = tri.select($"x".as("n"))
+        .union(tri.select($"y")).union(tri.select($"z"))
+        .groupBy($"n").agg(count(lit(1)).as("tri"))
+      deg.join(pn, $"src" === $"n", "left")
+        .select($"src".as("user_id"), $"deg",
+          coalesce($"tri", lit(0L)).as("tri"),
+          when($"deg" >= 2, expr(
+              "(2000000 * coalesce(tri, 0)) div (deg * (deg - 1))"))
+            .otherwise(0L).as("lcc_ppm"))
+        .orderBy($"user_id")
+    },
+
     // ----- e1 tumbling-window aggregate (streaming twin: watermark+window)
     "e1_window_agg" -> Q(
       """SELECT date_trunc('hour', ts) AS win, event_type,

@@ -1419,4 +1419,23 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(hitsAfter > hitsBefore,
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
+
+  test("x98 triangles: orientation counts each triangle once — per-node " +
+    "sums divisible by 3, counts wedge-bounded, lcc within [0, 1e6]") {
+    val rows = SparkEntry.queries("x98_triangles")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length > 100)
+    // every triangle contributes exactly 1 to exactly 3 nodes
+    assert(rows.map(_._3).sum % 3 == 0)
+    assert(rows.exists(_._3 > 0), "no triangles on the sf0.01 graph")
+    rows.foreach { case (u, deg, tri, lcc) =>
+      assert(tri <= deg * (deg - 1) / 2,
+        s"user $u: $tri triangles > wedge bound for deg $deg")
+      assert(lcc >= 0 && lcc <= 1000000L, s"user $u: lcc $lcc")
+      // closed fraction consistency: ppm recomputed from (tri, deg)
+      val expect = if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L
+      assert(lcc == expect, s"user $u: $lcc != $expect")
+    }
+  }
 }
