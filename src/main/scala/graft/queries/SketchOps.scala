@@ -156,7 +156,167 @@ object SketchOps {
     hllEstimate(store.read("hll_registers", s)
       .groupBy($"bucket").agg(max($"r").as("r")))
 
+  /** KMV (k-minimum-values) geometry: sketch = the K smallest 48-bit
+    * content hashes per source. K = 128 → relative error ≈ 1/√(K−1) ≈
+    * 8.9 %. Unlike the HLL (x90), KMV sketches close under BOTH union
+    * (bottom-K of the merged value sets) and intersection (matching
+    * fraction of the merged sketch — Beyer et al.'s unbiased
+    * estimator), which is what a cross-source overlap matrix needs.
+    * (K−1)·M = 127·2^48 < 2^63, so the estimate divisions stay in
+    * exact long arithmetic. */
+  private[graft] val KmvK = 128
+  private[graft] val KmvM = 281474976710656L // 2^48, md5Long's range
+
+  /** x99's document key: the 48-bit hash of the first-8-token prefix —
+    * the SAME content key x57's exact overlap matrix intersects, so
+    * the sketch estimate and the exact matrix measure the same
+    * quantity (x57 carries real cross-source collisions on this
+    * corpus; whole-text hashes don't). */
+  private def kmvKeyCol: org.apache.spark.sql.Column =
+    T.md5Long(concat_ws(" ", slice(T.wsTokens($"text"), 1, 8)))
+  private def kmvKeySql: String =
+    TS.md5Long(s"array_to_string((${TS.wsTokens("text")})[1:8], ' ')")
+
+  /** Per-source bottom-K sketch of distinct content-key hashes — ONE
+    * row_number window per source over the DISTINCT (source, hash)
+    * frame. Bottom-K is order-free and associative under merge
+    * (bottom-K of unions of bottom-Ks = bottom-K of the union), the
+    * same discipline as the HLL register max. */
+  private[graft] def kmvSketch(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    kmvSketchOf(docs.select($"source", kmvKeyCol.as("hv")))
+
+  private[graft] def kmvSketchOf(keyed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    keyed.toDF("source", "hv").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"hv")))
+      .filter($"rn" <= KmvK).select($"source", $"hv")
+  }
+
+  /** The full pairwise overlap matrix from a `(source, hv)` key frame —
+    * shared by the x99 registry body and SketchSpec (which drives the
+    * kc = K estimator branch on a synthetic high-cardinality frame the
+    * 25-doc-per-source testdata can't reach). Everything pairwise runs
+    * on ≤K-row sketches; only the two `exact` report columns touch the
+    * full key frame (dropped at scale). */
+  private[graft] def kmvOverlapMatrix(
+      keyed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = keyed.toDF("source", "hv").distinct()
+    val sk = kmvSketchOf(h)
+    val srcs = h.select($"source").distinct()
+    // source-pair frame: tiny nested-loop on the source LIST (a
+    // handful of rows), never on corpus rows
+    val pr = broadcast(srcs.toDF("s1"))
+      .join(broadcast(srcs.toDF("s2")), $"s1" < $"s2")
+    def perPair(side: org.apache.spark.sql.DataFrame) =
+      pr.join(side.toDF("src", "hv"), $"src" === $"s1")
+        .select($"s1", $"s2", $"hv")
+        .union(pr.join(side.toDF("src", "hv"), $"src" === $"s2")
+          .select($"s1", $"s2", $"hv"))
+    val mu = perPair(sk).distinct()
+    val msk = mu.withColumn("rn", row_number().over(
+        Window.partitionBy($"s1", $"s2").orderBy($"hv")))
+      .filter($"rn" <= KmvK).select($"s1", $"s2", $"hv")
+    val kth = msk.groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("kc"), max($"hv").as("hk"))
+    val both = msk
+      .join(sk.toDF("sa", "ha"), $"sa" === $"s1" && $"ha" === $"hv")
+      .join(sk.toDF("sb", "hb"), $"sb" === $"s2" && $"hb" === $"hv")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("m_both"))
+    val exu = perPair(h).distinct()
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_union_exact"))
+    val exi = h.toDF("sa", "ha")
+      .join(h.toDF("sb", "hb"), $"ha" === $"hb" && $"sa" < $"sb")
+      .groupBy($"sa".as("s1"), $"sb".as("s2"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    kth
+      .join(both, Seq("s1", "s2"), "left")
+      .withColumn("m_both", coalesce($"m_both", lit(0L)))
+      .withColumn("union_est", when($"kc" < KmvK, $"kc")
+        .otherwise(expr(s"(${KmvK - 1}L * ${KmvM}L) div hk")))
+      .join(exu, Seq("s1", "s2"))
+      .join(exi, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2", $"kc", $"hk", $"m_both", $"union_est",
+        expr("(m_both * union_est) div kc").as("inter_est"),
+        expr("(m_both * 1000000) div kc").as("jac_ppm"),
+        $"n_union_exact",
+        coalesce($"n_inter_exact", lit(0L)).as("n_inter_exact"))
+  }
+
   val qs: Map[String, Q] = Map(
+    // ----- x99 cross-source distinct-overlap matrix from KMV sketches:
+    // per source keep the K smallest distinct content hashes; per
+    // source pair, merge to the union's bottom-K (kc values, k-th
+    // minimum hk) and count how many merged values sit in BOTH input
+    // sketches (m_both). Estimates are exact long arithmetic:
+    // union ≈ (K−1)·M div hk (or exactly kc when the union fits the
+    // sketch — then m_both is the exact intersection too),
+    // intersection ≈ m_both·union div kc, Jaccard in ppm. The exact
+    // counts ride along as the accuracy report (dropped at scale —
+    // the sketch's whole point is never holding the distinct sets).
+    // Scale shape: the corpus is touched ONCE (distinct + one window
+    // per source); everything pairwise happens on ≤K-row sketches —
+    // an S-source overlap matrix costs S²·K tiny rows, not S² corpus
+    // scans (contrast x57, which intersects the real key sets).
+    "x99_kmv_overlap" -> Q(
+      s"""WITH h AS (SELECT DISTINCT source, $kmvKeySql AS hv
+         |  FROM documents),
+         |sk AS (SELECT source, hv FROM (
+         |    SELECT source, hv, row_number() OVER (PARTITION BY source
+         |      ORDER BY hv) AS rn FROM h) WHERE rn <= $KmvK),
+         |pr AS (SELECT a.source AS s1, b.source AS s2
+         |  FROM (SELECT DISTINCT source FROM documents) a
+         |  JOIN (SELECT DISTINCT source FROM documents) b
+         |    ON a.source < b.source),
+         |mu AS (SELECT DISTINCT s1, s2, hv FROM (
+         |    SELECT p.s1, p.s2, k.hv FROM pr p JOIN sk k
+         |      ON k.source = p.s1
+         |    UNION ALL SELECT p.s1, p.s2, k.hv FROM pr p JOIN sk k
+         |      ON k.source = p.s2)),
+         |msk AS (SELECT s1, s2, hv FROM (
+         |    SELECT s1, s2, hv, row_number() OVER (PARTITION BY s1, s2
+         |      ORDER BY hv) AS rn FROM mu) WHERE rn <= $KmvK),
+         |kth AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS kc,
+         |    max(hv) AS hk FROM msk GROUP BY 1, 2),
+         |bo AS (SELECT m.s1, m.s2, CAST(count(*) AS BIGINT) AS m_both
+         |  FROM msk m JOIN sk a ON a.source = m.s1 AND a.hv = m.hv
+         |  JOIN sk b ON b.source = m.s2 AND b.hv = m.hv
+         |  GROUP BY 1, 2),
+         |exu AS (SELECT s1, s2, CAST(count(*) AS BIGINT)
+         |    AS n_union_exact FROM (
+         |    SELECT DISTINCT s1, s2, hv FROM (
+         |      SELECT p.s1, p.s2, q.hv FROM pr p JOIN h q
+         |        ON q.source = p.s1
+         |      UNION ALL SELECT p.s1, p.s2, q.hv FROM pr p JOIN h q
+         |        ON q.source = p.s2)) GROUP BY 1, 2),
+         |exi AS (SELECT a.source AS s1, b.source AS s2,
+         |    CAST(count(*) AS BIGINT) AS n_inter_exact
+         |  FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |est AS (SELECT k.s1, k.s2, k.kc, k.hk,
+         |    COALESCE(bo.m_both, 0) AS m_both,
+         |    CASE WHEN k.kc < $KmvK THEN k.kc
+         |      ELSE (${KmvK - 1} * $KmvM) // k.hk END AS union_est
+         |  FROM kth k LEFT JOIN bo ON k.s1 = bo.s1 AND k.s2 = bo.s2)
+         |SELECT e.s1, e.s2, e.kc, e.hk, e.m_both,
+         |  CAST(e.union_est AS BIGINT) AS union_est,
+         |  CAST((e.m_both * e.union_est) // e.kc AS BIGINT)
+         |    AS inter_est,
+         |  CAST((e.m_both * 1000000) // e.kc AS BIGINT) AS jac_ppm,
+         |  exu.n_union_exact, COALESCE(exi.n_inter_exact, 0)
+         |    AS n_inter_exact
+         |FROM est e JOIN exu ON e.s1 = exu.s1 AND e.s2 = exu.s2
+         |LEFT JOIN exi ON e.s1 = exi.s1 AND e.s2 = exi.s2
+         |ORDER BY e.s1, e.s2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      kmvOverlapMatrix(docs.select($"source", kmvKeyCol.as("hv")))
+        .orderBy($"s1", $"s2")
+    },
+
     // ----- x90 HyperLogLog distinct count, oracle-replayable: the
     // md5 hash splits bucket/pattern, rho is an integer CASE ladder,
     // the register table is one ≤m-row max-aggregation, and the

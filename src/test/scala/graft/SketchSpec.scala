@@ -63,4 +63,37 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(2)
     assert(wideEst > 3500 && wideEst < 6500, s"wide est $wideEst")
   }
+
+  test("x99 KMV overlap: estimator branch lands in regime on a " +
+    "high-cardinality pair; sub-K sketches are exact") {
+    import spark.implicits._
+    import graft.functions.{TextExprs => T}
+    import graft.queries.SketchOps
+    // two synthetic sources, 5000 distinct keys each, true overlap
+    // 2500 (Jaccard 1/3) — deep enough that kc = K and the (K−1)·M/hk
+    // estimator actually runs (the 25-doc-per-source testdata never
+    // leaves the exact branch)
+    val a = (0 until 5000).map(i => ("a", s"key$i"))
+    val b = (2500 until 7500).map(i => ("b", s"key$i"))
+    val keyed = (a ++ b).toDF("source", "w")
+      .select($"source", T.md5Long($"w").as("hv"))
+    val r = SketchOps.kmvOverlapMatrix(keyed).head()
+    val (kc, mBoth) = (r.getLong(2), r.getLong(4))
+    val (uEst, iEst, jac) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    val (uEx, iEx) = (r.getLong(8), r.getLong(9))
+    assert(kc == SketchOps.KmvK, s"sketch not full: $kc")
+    assert(uEx == 7500 && iEx == 2500)
+    // k = 128 → relative sd ≈ 8.9 %; assert a 4σ band
+    assert(math.abs(uEst - 7500) < 7500 * 0.36, s"union est $uEst")
+    assert(math.abs(jac - 333333) < 170000, s"jaccard ppm $jac")
+    assert(iEst <= uEst && mBoth <= kc)
+    // sub-K regime: sketches ARE the sets — every estimate exact
+    val small = ((0 until 40).map(i => ("a", s"k$i")) ++
+      (20 until 60).map(i => ("b", s"k$i"))).toDF("source", "w")
+      .select($"source", T.md5Long($"w").as("hv"))
+    val sr = SketchOps.kmvOverlapMatrix(small).head()
+    assert(sr.getLong(5) == 60 && sr.getLong(8) == 60) // union
+    assert(sr.getLong(4) == 20 && sr.getLong(9) == 20) // intersection
+    assert(sr.getLong(6) == 20, s"inter_est ${sr.getLong(6)}")
+  }
 }
