@@ -760,6 +760,63 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** x100 containment threshold as an exact rational (7/10): every
+    * prefix length, length filter, and verification compares in long
+    * arithmetic — no float τ boundary for the engines to disagree on. */
+  private val CtNum = 7
+  private val CtDen = 10
+
+  /** x100 body: prefix-filtered EXACT containment join — the
+    * asymmetric complement of [[ppjoinPairs]]'s Jaccard. Containment
+    * C(A→B) = |A∩B|/|A| ≥ τ is the quote / sub-document detector
+    * (boilerplate extraction, license-text propagation, contained
+    * near-dups that symmetric Jaccard misses because |B| ≫ |A|
+    * crushes the union term). Prefix filtering still applies but
+    * one-sidedly: only the PROBE side (the contained candidate A)
+    * prefixes — if none of A's rarest |A| − ⌈τ|A|⌉ + 1 shingles hits
+    * B, the overlap is ≤ ⌈τ|A|⌉ − 1 < τ|A|, so probing A's prefix
+    * against B's FULL postings is LOSSLESS. The asymmetric length
+    * filter |B| ≥ ⌈τ|A|⌉ prunes before verification. At 100 TB the
+    * probe side carries only the rarest ~(1−τ) of each doc (the
+    * shortest posting lists); the full index is the same inverted
+    * index the corpus already maintains for x6. */
+  private[graft] def containmentPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tks"))
+      .filter(size($"tks") >= K)
+      .select($"doc_id",
+        transform(T.shingles($"tks", K), x => T.md5Long(x)).as("hs"))
+      .cache()
+    val sh = tk.select($"doc_id", explode($"hs").as("h"))
+    val dfc = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val ord = sh.join(dfc, "h")
+      .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"h")))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // ⌈τn⌉ in exact integers: (CtNum·n + CtDen − 1) div CtDen
+    val pre = ord
+      .filter($"pos" <=
+        $"n" - expr(s"($CtNum * n + ${CtDen - 1}) div $CtDen") + 1)
+      .select($"doc_id".as("d1"), $"h", $"n".as("n1"))
+    val full = ord.select($"doc_id".as("d2"), $"h".as("h2"),
+      $"n".as("n2"))
+    val cand = pre.join(full, $"h" === $"h2" && $"d1" =!= $"d2" &&
+        $"n2" >= expr(s"($CtNum * n1 + ${CtDen - 1}) div $CtDen"))
+      .select($"d1", $"d2").distinct()
+    val i = size(array_intersect($"h1", $"h2"))
+    cand
+      .join(tk.select($"doc_id".as("v1"), $"hs".as("h1")), $"d1" === $"v1")
+      .join(tk.select($"doc_id".as("v2"), $"hs".as("h2")), $"d2" === $"v2")
+      .select($"d1", $"d2", size($"h1").cast("long").as("na"),
+        size($"h2").cast("long").as("nb"), i.cast("long").as("i"))
+      .filter($"i" * CtDen >= $"na" * CtNum)
+      .select($"d1", $"d2", $"na", $"nb",
+        round($"i" / $"na", 6).as("containment"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** Bench warmup: run the shingle/hash/window/self-join stage shapes
     * on a ~1k-doc subset. The per-stage generated code depends only on
     * the operators inside each exchange-bounded stage, so these stages
@@ -1070,6 +1127,40 @@ object TextOps {
          |FROM ver WHERE i * 1.0 / (na + nb - i) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       ppjoinPairs(s, dir)
+    },
+
+    // ----- x100 prefix-filtered containment join (see
+    // [[containmentPairs]]): directional quote / sub-document pairs at
+    // C(A→B) = |A∩B|/|A| ≥ 7/10, probe-prefix against full postings,
+    // every threshold comparison in exact long arithmetic.
+    "x100_containment" -> Q(
+      s"""WITH t0 AS (SELECT doc_id, ${TS.wsTokens("text")} AS tks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, list_transform(${TS.shingles("tks", K)},
+         |    ctjs_ -> ${TS.md5Long("ctjs_")}) AS hs
+         |  FROM t0 WHERE len(tks) >= $K),
+         |sh AS (SELECT doc_id, unnest(hs) AS h FROM tk),
+         |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         |ord AS (SELECT sh.doc_id, sh.h,
+         |    row_number() OVER (PARTITION BY sh.doc_id
+         |      ORDER BY dfc.df, sh.h) AS pos,
+         |    count(*) OVER (PARTITION BY sh.doc_id) AS n
+         |  FROM sh JOIN dfc ON sh.h = dfc.h),
+         |pre AS (SELECT doc_id, h, n FROM ord
+         |  WHERE pos <= n - ($CtNum * n + ${CtDen - 1}) // $CtDen + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM pre a JOIN ord b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |    AND b.n >= ($CtNum * a.n + ${CtDen - 1}) // $CtDen),
+         |ver AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS i,
+         |    CAST(len(x.hs) AS BIGINT) AS na,
+         |    CAST(len(y.hs) AS BIGINT) AS nb
+         |  FROM cand JOIN tk x ON cand.d1 = x.doc_id
+         |    JOIN tk y ON cand.d2 = y.doc_id)
+         |SELECT d1, d2, na, nb, round(i * 1.0 / na, 6) AS containment
+         |FROM ver WHERE i * $CtDen >= na * $CtNum
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      containmentPairs(s, dir)
     },
 
     // ----- x67 windowed co-occurrence lift (PMI numerator as an EXACT

@@ -1420,6 +1420,36 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
 
+  test("x100 containment candidates are LOSSLESS: prefix-probe pairs " +
+    "recover the brute-force containment pair set exactly") {
+    import org.apache.spark.sql.functions._
+    val small = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x100_containment")(spark, small)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every ordered pair, full-array intersection, same
+    // integer threshold — affordable only at this SF, which is the point
+    val tk = Tables(spark, small, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExprs.wsTokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= 3)
+      .select(col("doc_id"), transform(
+        graft.functions.TextExprs.shingles(col("tks"), 3),
+        x => graft.functions.TextExprs.md5Long(x)).as("hs"))
+    val brute = tk.toDF("d1", "h1")
+      .crossJoin(tk.toDF("d2", "h2"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("i"),
+        size(col("h1")).cast("long").as("na"))
+      .filter(col("i") * 10 >= col("na") * 7)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      s"missed ${(brute -- got).take(5)}, extra ${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "no containment pairs at sf0.001")
+  }
+
   test("x98 triangles: orientation counts each triangle once — per-node " +
     "sums divisible by 3, counts wedge-bounded, lcc within [0, 1e6]") {
     val rows = SparkEntry.queries("x98_triangles")(spark, dir)
