@@ -482,6 +482,13 @@ object VectorOps {
   private[graft] val KmIters = 3
   private val KmScale = 1000000.0
 
+  /** x101 drift alert level, micro-nats of cell-occupancy JSD. An
+    * unbiased re-sample of the training density reads ≈0 (sampling
+    * noise only — ~1e3 µnats at n≈2e3); a genuinely shifted density
+    * reads an order of magnitude above. 20 000 µnats (0.02 nats)
+    * separates the regimes with headroom on both sides. */
+  private[graft] val AnnDriftTau = 20000L
+
   /** Integerized components: floor(v_i * 1e6 + 0.5), kept as DOUBLE
     * (integer-valued, exact under any summation order). floor(x+0.5)
     * rather than round(): components are signed and the two engines
@@ -2018,6 +2025,111 @@ object VectorOps {
          |ORDER BY cid, i""".stripMargin) { (s, dir) =>
       kmeansTrainFrame(s, dir,
         farthestPointSeeds(normalizedEmbeddings(s, dir), DefaultCells))
+    },
+
+    // ----- x101 quantizer drift monitor: the signal that tells a
+    // production ANN deployment WHEN to retrain the x39 book. Compares
+    // the training corpus's cell-occupancy distribution against an
+    // incoming batch's (both assigned with the SAME trained book) via
+    // Jensen-Shannon divergence — x83's bounded-support drift trick
+    // with the coarse cells as the buckets, so the monitor's state is
+    // ≤`cells` rows at ANY corpus scale. Two deterministic batch
+    // slices exercise both verdicts: an unbiased third of the corpus
+    // (vec_id % 3 — reads "no drift": ~11 k µnats of pure sampling
+    // noise) and a topically-concentrated cap (cos(v, v₀) > 0.1,
+    // "today's ingest is dominated by one topic" — reads "drift" at
+    // ~63 k µnats: the book's cells no longer match the incoming
+    // density, so recall/balance will degrade; a coordinate
+    // half-space does NOT fire here, measured ~17 k — in 64-dim a
+    // single axis carries almost none of the cell geometry, which is
+    // exactly why production monitors watch occupancy, not marginal
+    // stats). Per-cell contributions integerize to micro-nats
+    // before the sum (the x83/x36 ln discipline) → hash-exact. Scale
+    // shape: training replay + ONE conditional aggregation pass over
+    // the assignment; everything after is cells-sized arithmetic.
+    "x101_ann_drift" -> Q(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS ${sqlNormalized("e")},
+         |${sqlKmeansCtes(DefaultCells, KmIters)},
+         |asgF AS (SELECT n.vec_id, n.v, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(${sqlDot("n.v", "c.cv")}, 4) DESC, c.cid)
+         |      AS arn
+         |  FROM n CROSS JOIN cent$KmIters c),
+         |cells0 AS (SELECT vec_id, v, cid AS cell FROM asgF
+         |  WHERE arn = 1),
+         |v0 AS (SELECT v AS w FROM n WHERE vec_id = 0),
+         |cells AS (SELECT vec_id, cell,
+         |    round(${sqlDot("v", "w")}, 4) AS ds
+         |  FROM cells0 CROSS JOIN v0),
+         |per AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_ref,
+         |    CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN ds > 0.1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c_b
+         |  FROM cells GROUP BY 1),
+         |dense AS (SELECT r.cell, coalesce(per.c_ref, 0) AS c_ref,
+         |    coalesce(per.c_a, 0) AS c_a, coalesce(per.c_b, 0) AS c_b
+         |  FROM (SELECT unnest(range(0, $DefaultCells)) AS cell) r
+         |  LEFT JOIN per ON per.cell = r.cell),
+         |tot AS (SELECT sum(c_ref) AS n_ref, sum(c_a) AS n_a,
+         |    sum(c_b) AS n_b FROM dense),
+         |sl AS (SELECT 'uniform_third' AS slice, cell, c_ref,
+         |    c_a AS c_new, c_ref * 1.0 / n_ref AS p,
+         |    c_a * 1.0 / n_a AS q FROM dense CROSS JOIN tot
+         |  UNION ALL SELECT 'topical_cap', cell, c_ref, c_b,
+         |    c_ref * 1.0 / n_ref, c_b * 1.0 / n_b
+         |  FROM dense CROSS JOIN tot),
+         |ct AS (SELECT slice, cell, c_ref, c_new,
+         |    (CASE WHEN p > 0 THEN CAST(round(500000.0 * p *
+         |      ln(2.0 * p / (p + q))) AS BIGINT) ELSE 0 END)
+         |    + (CASE WHEN q > 0 THEN CAST(round(500000.0 * q *
+         |      ln(2.0 * q / (p + q))) AS BIGINT) ELSE 0 END) AS t_micro
+         |  FROM sl),
+         |w AS (SELECT slice, cell, c_ref, c_new, t_micro,
+         |    CAST(sum(t_micro) OVER (PARTITION BY slice) AS BIGINT)
+         |      AS jsd_micro FROM ct)
+         |SELECT slice, cell, c_ref, c_new, t_micro, jsd_micro,
+         |  jsd_micro > $AnnDriftTau AS drift
+         |FROM w ORDER BY slice, cell""".stripMargin) { (s, dir) =>
+      val cent = kmeansBook(s, dir)
+      val ne = normalizedEmbeddings(s, dir)
+      val v0 = ne.filter($"vec_id" === 0L).select($"v".as("w"))
+      val asg = assignCells(ne, cent)
+        .crossJoin(broadcast(v0))
+        .withColumn("ds", round(dot($"v", $"w"), 4))
+      val per = asg.groupBy($"cell").agg(
+        count(lit(1)).as("c_ref"),
+        sum(when($"vec_id" % 3 === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when($"ds" > 0.1, 1L).otherwise(0L)).as("c_b"))
+      val dense = s.range(DefaultCells).select($"id".as("cell"))
+        .join(per, Seq("cell"), "left")
+        .select($"cell", coalesce($"c_ref", lit(0L)).as("c_ref"),
+          coalesce($"c_a", lit(0L)).as("c_a"),
+          coalesce($"c_b", lit(0L)).as("c_b"))
+      val tot = dense.agg(sum($"c_ref").as("n_ref"),
+        sum($"c_a").as("n_a"), sum($"c_b").as("n_b"))
+      val base = dense.crossJoin(broadcast(tot))
+      def slice(name: String, cNew: Column, nNew: Column) =
+        base.select(lit(name).as("slice"), $"cell", $"c_ref",
+          cNew.as("c_new"),
+          ($"c_ref".cast("double") / $"n_ref").as("p"),
+          (cNew.cast("double") / nNew).as("q"))
+      val sl = slice("uniform_third", $"c_a", $"n_a")
+        .union(slice("topical_cap", $"c_b", $"n_b"))
+      val t = when($"p" > 0, round(lit(500000.0) * $"p" *
+          log(lit(2.0) * $"p" / ($"p" + $"q"))).cast("long"))
+          .otherwise(0L) +
+        when($"q" > 0, round(lit(500000.0) * $"q" *
+          log(lit(2.0) * $"q" / ($"p" + $"q"))).cast("long"))
+          .otherwise(0L)
+      sl.withColumn("t_micro", t)
+        .withColumn("jsd_micro",
+          sum($"t_micro").over(Window.partitionBy($"slice")))
+        .select($"slice", $"cell", $"c_ref", $"c_new", $"t_micro",
+          $"jsd_micro", ($"jsd_micro" > AnnDriftTau).as("drift"))
+        .orderBy($"slice", $"cell")
     },
 
     // ----- x48 SQ8 scalar quantization: per-dim [min, max] is the

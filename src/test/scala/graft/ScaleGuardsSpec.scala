@@ -1420,6 +1420,29 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
 
+  test("x101 drift monitor: unbiased slice reads clean, topical cap " +
+    "fires, every batch count is a subset of its cell's population") {
+    val rows = SparkEntry.queries("x101_ann_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getBoolean(6)))
+    val bySlice = rows.groupBy(_._1)
+    assert(bySlice.keySet === Set("uniform_third", "topical_cap"))
+    bySlice.foreach { case (_, rs) =>
+      assert(rs.length == 16) // dense cell support
+      assert(rs.map(_._5).distinct.length == 1) // one total per slice
+      rs.foreach { case (_, _, cRef, cNew, _, _) =>
+        assert(cNew <= cRef, s"batch count $cNew > population $cRef") }
+    }
+    assert(!bySlice("uniform_third").head._6,
+      "unbiased slice flagged as drift")
+    assert(bySlice("topical_cap").head._6,
+      "concentrated slice not flagged")
+    // the gap is wide, not marginal: an order apart around the level
+    val ju = bySlice("uniform_third").head._5
+    val jt = bySlice("topical_cap").head._5
+    assert(jt > 3 * ju, s"drift $jt vs clean $ju too close")
+  }
+
   test("x100 containment candidates are LOSSLESS: prefix-probe pairs " +
     "recover the brute-force containment pair set exactly") {
     import org.apache.spark.sql.functions._
