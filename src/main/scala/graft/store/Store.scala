@@ -155,6 +155,65 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
     PartitionedDelete(root, entity, keyValues)
 }
 
+/** Z-order (Morton) clustered variant: rows sort on the BIT-INTERLEAVE
+  * of two integer dimensions before landing, so every file's (x, y)
+  * min/max envelope is a tight square-ish tile instead of a stripe.
+  * This is the 2-D layout lever the chip grid needs (the reference
+  * addresses everything by chip x/y — ref: blackmagic/blueprints/
+  * segment.py's chip-keyed reads): a bounding-box query
+  * `x BETWEEN a AND b AND y BETWEEN c AND d` prunes files/row groups
+  * on BOTH dimensions simultaneously, where 1-D clustering
+  * (ClusteredParquetStore on x) gives stripes that always span the
+  * full y range — selective boxes degrade to reading every stripe the
+  * x range touches. StoreSpec measures the difference: on a 128×128
+  * grid in 64 files, a 16×16 box intersects ≤3 z-tiles vs all 8
+  * x-stripes. The interleave column is write-time only (dropped before
+  * landing); reads stay plain parquet scans with pushed x/y filters
+  * doing stat-based skipping.
+  */
+final class ZOrderStore(root: String, xCol: String, yCol: String,
+    rangeFiles: Int = 32, bits: Int = 16) extends Store {
+  import org.apache.spark.sql.functions.col
+
+  override def write(entity: String, df: DataFrame, keys: Seq[String]): Unit = {
+    PartitionedDelete.invalidate(root, entity)
+    df.withColumn("_z", ZOrderStore.interleave(col(xCol), col(yCol), bits))
+      .repartitionByRange(rangeFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write
+      .partitionBy(keys: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$root/$entity")
+  }
+
+  override def read(entity: String, spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/$entity")
+
+  override def delete(entity: String,
+      keyValues: Seq[(String, Any)]): Unit =
+    PartitionedDelete(root, entity, keyValues)
+}
+
+object ZOrderStore {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
+
+  /** Morton code of two non-negative integer columns: bit i of x lands
+    * at position 2i, bit i of y at 2i+1 — a pure codegen'd shift/mask
+    * fold, no UDF. `bits` per dimension (≤ 31: the result stays in a
+    * positive long). */
+  def interleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(
+          shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+}
+
 /** Bucketed variant: rows are hash-bucketed (and sorted) on the key
   * columns at write time, so two entities written with the same keys
   * and bucket count join WITHOUT a shuffle — the physical layout

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.store.{BucketedStore, ClusteredParquetStore, ConnectorStore,
-  InMemoryConnector, JsonStore, KeyedApi, ParquetStore, Store}
+  InMemoryConnector, JsonStore, KeyedApi, ParquetStore, Store, ZOrderStore}
 
 /** Keyed store contracts (S6/S12/S13): dynamic partition overwrite
   * replaces delete+insert per key, other keys' partitions survive, and
@@ -216,6 +216,55 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
       "GreaterThanOrEqual(ts"), plan)
+  }
+
+  test("z-order store: 2-D box touches few tight tiles where 1-D " +
+    "clustering must read every x-stripe; results identical") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    val grid = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong, x * 128L + y)).toDF("cx", "cy", "v")
+    val zs = new ZOrderStore(s"$tmp/z", "cx", "cy", rangeFiles = 64,
+      bits = 8)
+    val ls = new ClusteredParquetStore(s"$tmp/l", Seq("cx"),
+      rangeFiles = 64)
+    zs.write("grid", grid, Seq.empty)
+    ls.write("grid", grid, Seq.empty)
+    val box = ($"cx" >= 32 && $"cx" <= 47 && $"cy" >= 32 && $"cy" <= 47)
+    // same answer through both layouts
+    val zRes = zs.read("grid", spark).filter(box)
+      .orderBy($"cx", $"cy").collect().map(_.getLong(2)).toSeq
+    val lRes = ls.read("grid", spark).filter(box)
+      .orderBy($"cx", $"cy").collect().map(_.getLong(2)).toSeq
+    assert(zRes === lRes && zRes.length == 256)
+    // candidate files = those whose per-file (cx, cy) envelope
+    // intersects the box — what stat-based row-group skipping keeps
+    def candidates(files: Array[String]): Int = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"cx"), max($"cx"), min($"cy"), max($"cy")).head()
+      r.getLong(1) >= 32 && r.getLong(0) <= 47 &&
+        r.getLong(3) >= 32 && r.getLong(2) <= 47
+    }
+    val zc = candidates(zs.read("grid", spark).inputFiles)
+    val lc = candidates(ls.read("grid", spark).inputFiles)
+    // 64 files over a 128x128 grid: every file holds 256 rows. The
+    // 16x16 box is one aligned 256-cell z-block -> <=3 z-tiles; the
+    // x-stripes each span full cy, so ALL 8 stripes in the x range
+    // qualify
+    assert(zc <= 3, s"z-order candidates $zc")
+    assert(lc >= 8, s"x-stripe candidates $lc")
+    // and both box predicates are pushed into the parquet scan
+    // (read the scan node's metadata — the plan toString truncates)
+    val q = zs.read("grid", spark).filter(box)
+    q.collect()
+    val pushed = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata("PushedFilters")
+      }.get
+    Seq("GreaterThanOrEqual(cx,32)", "LessThanOrEqual(cx,47)",
+      "GreaterThanOrEqual(cy,32)", "LessThanOrEqual(cy,47)")
+      .foreach(p => assert(pushed.contains(p), pushed))
   }
 
   test("x33's band index persists through Store and a later batch " +
