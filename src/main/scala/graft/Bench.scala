@@ -193,7 +193,10 @@ object Bench {
       "x76_embed_topdir", "x77_abtt_search", "x78_label_prop",
       "x81_simhash_dedup",
       // graph-dedup family heavies (this round)
-      "x49_semantic_dedup", "x86_knn_graph", "x87_nn_descent")
+      "x49_semantic_dedup", "x86_knn_graph", "x87_nn_descent",
+      // late-round-7 additions (multi-pass graph/training bodies)
+      "x97_cc_contract", "x98_triangles", "x100_containment",
+      "x101_ann_drift")
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()

@@ -100,6 +100,58 @@ object EventOps {
     r
   }
 
+  /** x94's hourly series — ONE definition shared by the batch query
+    * and the streaming twin ([[graft.streaming.SketchStream
+    * .hourlyCounts]]): a plain per-hour count aggregation whose state,
+    * run on a stream, IS the hourly series — bounded by time
+    * cardinality (720 rows/month), no watermark needed. */
+  private[graft] def hourlyCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** x94's trailing-24h integer-exact z-test over an hourly series —
+    * the read-side half the streaming twin runs over its maintained
+    * series. z² > τ² rewritten as (24c − S)²·23 > τ²·24·(24Q − S²)
+    * with S = Σc, Q = Σc² over the trailing frame: no float
+    * mean/stddev to disagree across engines. */
+  private[graft] def burstVerdicts(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tw = Window.orderBy($"h").rowsBetween(-24, -1)
+    val dev = lit(24) * $"c" - $"s"
+    val lhs = dev * dev * lit(23)
+    val rhs = lit(BurstTau2) * lit(24) * (lit(24) * $"q" - $"s" * $"s")
+    hourly
+      .withColumn("k", count($"c").over(tw))
+      .withColumn("s", sum($"c").over(tw))
+      .withColumn("q", sum($"c" * $"c").over(tw))
+      .filter($"k" === 24)
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"), $"c",
+        $"s".as("s24"), lhs.as("lhs"), rhs.as("rhs"),
+        (lhs > rhs && lit(24) * $"c" > $"s").as("burst"))
+      .orderBy($"h")
+  }
+
+  private[graft] val burstOracleSql: String =
+    s"""WITH hc AS (SELECT date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |w AS (SELECT h, c,
+       |    count(c) OVER tw AS k,
+       |    sum(c) OVER tw AS s,
+       |    sum(c * c) OVER tw AS q
+       |  FROM hc WINDOW tw AS (ORDER BY h
+       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, c,
+       |  CAST(s AS BIGINT) AS s24,
+       |  CAST((24 * c - s) * (24 * c - s) * 23 AS BIGINT) AS lhs,
+       |  CAST($BurstTau2 * 24 * (24 * q - s * s) AS BIGINT) AS rhs,
+       |  ((24 * c - s) * (24 * c - s) * 23 >
+       |      $BurstTau2 * 24 * (24 * q - s * s)
+       |    AND 24 * c > s) AS burst
+       |FROM w WHERE k = 24 ORDER BY h""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ----- x94 event-rate burst detection: per-hour counts against a
     // trailing-24h z-test done ENTIRELY in exact long arithmetic —
@@ -113,41 +165,8 @@ object EventOps {
     // per month, a few thousand per year), so the single-partition
     // ordered window is a non-issue at any event volume; partition it
     // by source/tenant when the series itself multiplies.
-    "x94_rate_anomaly" -> Q(
-      s"""WITH hc AS (SELECT date_trunc('hour', ts) AS h,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM events GROUP BY 1),
-         |w AS (SELECT h, c,
-         |    count(c) OVER tw AS k,
-         |    sum(c) OVER tw AS s,
-         |    sum(c * c) OVER tw AS q
-         |  FROM hc WINDOW tw AS (ORDER BY h
-         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, c,
-         |  CAST(s AS BIGINT) AS s24,
-         |  CAST((24 * c - s) * (24 * c - s) * 23 AS BIGINT) AS lhs,
-         |  CAST($BurstTau2 * 24 * (24 * q - s * s) AS BIGINT) AS rhs,
-         |  ((24 * c - s) * (24 * c - s) * 23 >
-         |      $BurstTau2 * 24 * (24 * q - s * s)
-         |    AND 24 * c > s) AS burst
-         |FROM w WHERE k = 24 ORDER BY h""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hourly = Tables(s, dir, "events")
-        .groupBy(date_trunc("hour", $"ts").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val tw = Window.orderBy($"h").rowsBetween(-24, -1)
-      val dev = lit(24) * $"c" - $"s"
-      val lhs = dev * dev * lit(23)
-      val rhs = lit(BurstTau2) * lit(24) * (lit(24) * $"q" - $"s" * $"s")
-      hourly
-        .withColumn("k", count($"c").over(tw))
-        .withColumn("s", sum($"c").over(tw))
-        .withColumn("q", sum($"c" * $"c").over(tw))
-        .filter($"k" === 24)
-        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"), $"c",
-          $"s".as("s24"), lhs.as("lhs"), rhs.as("rhs"),
-          (lhs > rhs && lit(24) * $"c" > $"s").as("burst"))
-        .orderBy($"h")
+    "x94_rate_anomaly" -> Q(burstOracleSql) { (s, dir) =>
+      burstVerdicts(hourlyCounts(Tables(s, dir, "events")))
     },
 
     // ----- x66 PageRank power iterations over the user co-activity

@@ -247,6 +247,30 @@ object SketchOps {
         coalesce($"n_inter_exact", lit(0L)).as("n_inter_exact"))
   }
 
+  /** Incremental KMV maintenance — the x90-HLL lifecycle applied to
+    * the bottom-K sketch: each ingest batch lands its own per-source
+    * bottom-K rows under a `batch` partition (delete-before-write,
+    * replay idempotent); the live sketch re-bottom-Ks the DISTINCT
+    * union across batches. Bottom-K is order-free and associative
+    * (bottom-K of unions of bottom-Ks = bottom-K of the union), so N
+    * batches merged equal the one-shot sketch bit for bit — history
+    * docs are never rescanned, a day's append costs one pass over
+    * that day's rows and writes ≤ K rows per source. */
+  def appendKmvSketch(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val sk = kmvSketch(docs)
+    store.delete("kmv_sketch", Seq("batch" -> batchId))
+    store.write("kmv_sketch",
+      sk.select(lit(batchId).as("batch"), $"source", $"hv"),
+      Seq("batch"))
+  }
+
+  /** The live merged per-source sketch over every ingested batch. */
+  def kmvSketchStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    kmvSketchOf(store.read("kmv_sketch", s).select($"source", $"hv"))
+
   val qs: Map[String, Q] = Map(
     // ----- x99 cross-source distinct-overlap matrix from KMV sketches:
     // per source keep the K smallest distinct content hashes; per

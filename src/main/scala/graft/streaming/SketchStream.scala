@@ -47,4 +47,21 @@ object SketchStream {
         col("user_id").cast("string").as("w")),
       Seq("event_type"))
   }
+
+  /** x94's hourly event series maintained live (SAME
+    * `EventOps.hourlyCounts` definition): streaming aggregation state
+    * IS the series — bounded by time cardinality (720 rows/month), no
+    * watermark, each micro-batch folds counts in. The burst z-test is
+    * an ORDERED trailing window, which streaming aggregation can't
+    * express — so the twin splits read/write exactly like the CMS/HLL
+    * twins: the stream maintains the (tiny) series, and
+    * `EventOps.burstVerdicts` runs batch-side over the live table —
+    * StreamingSpec pins that the composed result is bit-identical to
+    * the batch x94 query over the same events. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    graft.queries.EventOps.hourlyCounts(events)
+
+  /** The z-test read side over a maintained hourly series. */
+  def burstVerdicts(hourly: DataFrame): DataFrame =
+    graft.queries.EventOps.burstVerdicts(hourly)
 }

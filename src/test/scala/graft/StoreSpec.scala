@@ -499,6 +499,28 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"bucket").agg(max($"r").as("r"))) == merged)
   }
 
+  test("incremental KMV sketch: batches re-bottom-K to the one-shot " +
+    "sketch bit for bit, replay idempotent") {
+    import graft.queries.SketchOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-kmv").toString
+    val store = new ParquetStore(s"$tmp/kmv")
+    val docs = graft.Tables(spark, dir, "documents")
+    SketchOps.appendKmvSketch(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    SketchOps.appendKmvSketch(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    def skSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged = skSet(SketchOps.kmvSketchStored(spark, store))
+    val oneShot = skSet(SketchOps.kmvSketch(docs))
+    assert(merged == oneShot, "merged sketch diverged from one-shot")
+    // replaying batch 0 overwrites itself: nothing changes
+    SketchOps.appendKmvSketch(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    assert(skSet(SketchOps.kmvSketchStored(spark, store)) == merged)
+  }
+
   test("ANN corpus compaction folds N ingest batches into one " +
     "partition: search bit-identical, small-file count collapses, " +
     "staging cleaned up, re-run a no-op") {

@@ -756,6 +756,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly series + batch z-test reproduce the x94 burst " +
+    "verdicts bit for bit; state is the time-bounded series") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 30 hours at 3 events/hour with a 40-event spike at hour 28
+    val evs = (0 until 30).flatMap { h =>
+      val n = if (h == 28) 40 else 3
+      (0 until n).map(i =>
+        (h * 100L + i, new java.sql.Timestamp(
+          base + h * 3600000L + i * 60000L)))
+    }
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = SketchStream.hourlyCounts(in.toDF().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(evs.take(40): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(40): _*)
+      q.processAllAvailable()
+      val live = spark.table("hourly")
+      assert(live.count() == 30, "state is not the 30-row series")
+      val streamed = SketchStream.burstVerdicts(live).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(5)))
+      val batch = queries.EventOps.burstVerdicts(
+          queries.EventOps.hourlyCounts(evs.toDF("event_id", "ts")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(5)))
+      assert(streamed.toSeq == batch.toSeq)
+      // full windows only: hours 24..29 report; the spike fires
+      assert(streamed.length == 6)
+      assert(streamed.count(_._3) == 1 &&
+        streamed.find(_._3).get._2 == 40L)
+    } finally q.stop()
+  }
+
   test("streaming sparse-index stats (df + corpus totals) are " +
     "bit-identical to the batch BM25 statistics over the same docs") {
     implicit val sqlCtx = spark.sqlContext
