@@ -207,11 +207,23 @@ object SketchOps {
     import org.apache.spark.sql.expressions.Window
     val h = keyed.toDF("source", "hv").distinct()
     val sk = kmvSketchOf(h)
-    val srcs = h.select($"source").distinct()
-    // source-pair frame: tiny nested-loop on the source LIST (a
-    // handful of rows), never on corpus rows
-    val pr = broadcast(srcs.toDF("s1"))
-      .join(broadcast(srcs.toDF("s2")), $"s1" < $"s2")
+    // the source LIST is bounded by schema design (a corpus has tens
+    // of sources, not millions) — collect it once and bake the pair
+    // frame in as a local relation, so every pairwise join downstream
+    // is a broadcast EQUI join (a live s1 < s2 pair join would
+    // re-plan as one nested loop per consumer subtree)
+    val spark = keyed.sparkSession
+    val srcList = h.select($"source").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcList.length <= 10000,
+      s"${srcList.length} sources: the pairwise matrix is no longer " +
+        "list-sized — aggregate sources before sketching")
+    implicit val enc = org.apache.spark.sql.Encoders
+      .tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    val pr = spark.createDataset(
+      for { a <- srcList.toIndexedSeq; b <- srcList if a < b }
+        yield (a, b)).toDF("s1", "s2")
     def perPair(side: org.apache.spark.sql.DataFrame) =
       pr.join(side.toDF("src", "hv"), $"src" === $"s1")
         .select($"s1", $"s2", $"hv")

@@ -557,6 +557,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p75.contains("CartesianProduct"), p75)
   }
 
+  test("x98/x100 pair generation is key-equi; x99 joins only against " +
+    "the literal source-pair relation — no nested loops anywhere") {
+    // x98: orientation + wedge + closure joins all equi on node ids
+    val p98 = finalPlanOf("x98_triangles")
+    assert(!p98.contains("CartesianProduct") &&
+      !p98.contains("BroadcastNestedLoopJoin"), p98)
+    // x100: probe-prefix postings join and the verification joins are
+    // all equi; the corpus never goes cartesian
+    val p100 = finalPlanOf("x100_containment")
+    assert(!p100.contains("CartesianProduct") &&
+      !p100.contains("BroadcastNestedLoopJoin"), p100)
+    // x99: everything pairwise runs on <=K-row sketches against the
+    // literal source-pair relation — every join equi, no nested loop
+    val p99 = finalPlanOf("x99_kmv_overlap")
+    assert(!p99.contains("CartesianProduct") &&
+      !p99.contains("BroadcastNestedLoopJoin"), p99)
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")
