@@ -792,6 +792,9 @@ object TextOps {
     val sh = tk.select($"doc_id", explode($"hs").as("h"))
     val dfc = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
+    // only the PROBE side needs the df-ordered position (the expensive
+    // df-join + per-doc window); the index side needs just (doc, h, n),
+    // and n is a per-doc count that rides a (broadcastable) size table
     val ord = sh.join(dfc, "h")
       .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"h")))
       .withColumn("n", count(lit(1)).over(byDoc))
@@ -800,8 +803,9 @@ object TextOps {
       .filter($"pos" <=
         $"n" - expr(s"($CtNum * n + ${CtDen - 1}) div $CtDen") + 1)
       .select($"doc_id".as("d1"), $"h", $"n".as("n1"))
-    val full = ord.select($"doc_id".as("d2"), $"h".as("h2"),
-      $"n".as("n2"))
+    val docN = tk.select($"doc_id", size($"hs").cast("long").as("n"))
+    val full = sh.join(docN, "doc_id")
+      .select($"doc_id".as("d2"), $"h".as("h2"), $"n".as("n2"))
     val cand = pre.join(full, $"h" === $"h2" && $"d1" =!= $"d2" &&
         $"n2" >= expr(s"($CtNum * n1 + ${CtDen - 1}) div $CtDen"))
       .select($"d1", $"d2").distinct()
@@ -1824,6 +1828,43 @@ object TextOps {
         .select($"split", $"docs",
           round($"docs" * lit(1.0) / $"n_all", 4).as("share"))
         .orderBy($"split")
+    },
+
+    // ----- x102 cross-split leakage report: near-dup pairs straddling
+    // the x59 train/val/test boundary — the eval-integrity audit a
+    // pipeline runs AFTER splitting, because a random (hash) split
+    // sends ~2·p·q of every near-dup cluster across the boundary and
+    // each such pair inflates eval scores (the test doc is effectively
+    // in training). Composes two already-audited surfaces with zero
+    // new machinery: x6's lossy-free pair finding and x59's
+    // deterministic split stamp (ONE shared definition each, so this
+    // report cannot drift from either). The fix it feeds: drop the
+    // eval-side member (or re-split by cluster, not by doc). Scale
+    // shape: the pair list is the small side; the split stamp is a
+    // pure projection — two equi joins, no new corpus pass.
+    "x102_split_leakage" -> Q(
+      s"""WITH $pairCtes,
+         |sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (
+         |  SELECT doc_id,
+         |    ${TS.md5Long("CAST(doc_id AS VARCHAR) || '_split'")} % 100
+         |      AS b
+         |  FROM documents))
+         |SELECT d1, d2, a.split AS split1, b.split AS split2,
+         |  round(jacv, 6) AS jaccard
+         |FROM jac JOIN sp a ON d1 = a.doc_id
+         |JOIN sp b ON d2 = b.doc_id
+         |WHERE a.split <> b.split ORDER BY d1, d2""".stripMargin) {
+      (s, dir) =>
+      val sp = Tables(s, dir, "documents")
+        .select($"doc_id", T.splitOf($"doc_id").as("split"))
+      jaccardPairs(s, dir)
+        .join(sp.toDF("did1", "split1"), $"d1" === $"did1")
+        .join(sp.toDF("did2", "split2"), $"d2" === $"did2")
+        .filter($"split1" =!= $"split2")
+        .select($"d1", $"d2", $"split1", $"split2",
+          round($"jacv", 6).as("jaccard"))
+        .orderBy($"d1", $"d2")
     },
 
     // ----- x26 benchmark contamination check: 3-shingle containment of
