@@ -328,6 +328,47 @@ object EventOps {
 
     // ----- e2 sessionization: 30-min-gap sessions via lag + running sum
     // (streaming twin: flatMapGroupsWithState with event-time timeout)
+    // ----- x103 session-corpus export: each user session (e2's 30-min
+    // gap boundary, the SAME window construction) becomes one
+    // "behavioral document" — the ordered event-type token sequence —
+    // the events→text bridge that lets every text-side operator
+    // (tokenize, dedup, n-gram stats, LM training) run on behavioral
+    // data. Determinism: events order by (ts, event_id) inside the
+    // session and the tokens concatenate through a sort_array over
+    // (ts, event_id, type) structs — engine-identical to the oracle's
+    // ORDER BY string_agg. Scale shape: one user_id exchange carries
+    // both the session numbering and the per-session fold; the doc id
+    // is (user, session) — no global sequence.
+    "x103_session_corpus" -> Q(
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |    AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, event_type, sum(new_s) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS text
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val prev = lag(unix_micros($"ts"), 1).over(w)
+      Tables(s, dir, "events")
+        .withColumn("new_s",
+          when(prev.isNull || unix_micros($"ts") - prev > GapMicros, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid".as("session_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct($"ts", $"event_id",
+              $"event_type"))),
+            x => x.getField("event_type"))).as("text"))
+        .orderBy($"user_id", $"session_id")
+    },
+
     "e2_sessionize" -> Q(
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL

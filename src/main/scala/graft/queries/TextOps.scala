@@ -1867,6 +1867,52 @@ object TextOps {
         .orderBy($"d1", $"d2")
     },
 
+    // ----- x104 n-gram novelty scoring: per candidate doc, the
+    // fraction of its distinct 3-shingles ABSENT from the reference
+    // slice (x26's doc_id % 20 split convention) — the memorization /
+    // novelty quantity (Lee et al.'s dedup-improves-LMs line of work
+    // measures exactly this overlap): novelty ≈ 0 flags a doc the
+    // model has effectively already seen, high novelty marks genuinely
+    // new content worth its training slots. Exact integer ppm. Scale
+    // shape: both sides reduce to DISTINCT (doc, hash) / (hash)
+    // relations first, then ONE left join keyed on the 48-bit hash +
+    // one per-doc count — no arrays cross the shuffle, and the
+    // reference side is a deduplicated hash set (the same asset the
+    // x31 bloom builds from; swap the join for the bloom probe when
+    // the ref set outgrows a shuffle).
+    "x104_novelty" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
+         |  FROM tk WHERE len(tk) >= $K)),
+         |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+         |cand AS (SELECT doc_id, h FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS novel
+         |  FROM cand c LEFT JOIN ref r ON c.h = r.h GROUP BY 1)
+         |SELECT doc_id, n_grams, novel,
+         |  CAST((novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= K)
+        .select($"doc_id", explode(T.shingles($"tk", K)).as("sg"))
+        .select($"doc_id", T.md5Long($"sg").as("h"))
+        .distinct()
+      val ref = sh.filter($"doc_id" % 20 === 0).select($"h").distinct()
+        .withColumn("seen", lit(1))
+      sh.filter($"doc_id" % 20 =!= 0)
+        .join(ref, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("novel"))
+        .select($"doc_id", $"n_grams", $"novel",
+          expr("(novel * 1000000) div n_grams").as("novelty_ppm"))
+        .orderBy($"doc_id")
+    },
+
     // ----- x26 benchmark contamination check: 3-shingle containment of
     // each corpus doc against a (small) benchmark set. The benchmark
     // shingle index is BROADCAST — the 100 TB corpus side never

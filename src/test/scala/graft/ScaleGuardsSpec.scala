@@ -1420,6 +1420,33 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
 
+  test("x103 session corpus shares e2's session boundary exactly; " +
+    "x104 novelty stays in ppm bounds with both regimes present") {
+    // every (user, session) in the corpus export is an e2 session with
+    // the same event count — the two surfaces share one boundary
+    val corp = SparkEntry.queries("x103_session_corpus")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val sess = SparkEntry.queries("e2_sessionize")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(corp.toMap == sess.toMap,
+      "session-corpus boundary drifted from e2")
+    // and the text length is consistent with the token count
+    SparkEntry.queries("x103_session_corpus")(spark, dir)
+      .collect().take(200).foreach { r =>
+        assert(r.getString(3).split(" ").length == r.getLong(2)) }
+    val nov = SparkEntry.queries("x104_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(nov.length > 100)
+    nov.foreach { case (d, n, novel, ppm) =>
+      assert(novel <= n && ppm >= 0 && ppm <= 1000000L, s"doc $d")
+      assert(ppm == novel * 1000000L / n, s"doc $d ppm") }
+    // the corpus has both regimes: near-dups of ref docs (low novelty)
+    // and genuinely new content (high)
+    assert(nov.exists(_._4 < 300000L), "no low-novelty docs")
+    assert(nov.exists(_._4 > 700000L), "no high-novelty docs")
+  }
+
   test("x101 drift monitor: unbiased slice reads clean, topical cap " +
     "fires, every batch count is a subset of its cell's population") {
     val rows = SparkEntry.queries("x101_ann_drift")(spark, dir)
