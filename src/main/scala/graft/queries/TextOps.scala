@@ -79,7 +79,13 @@ object TextOps {
     * self-dedup and x33's incremental dedup. */
   private def signatureDf(s: org.apache.spark.sql.SparkSession,
       dir: String, sig: Int): org.apache.spark.sql.DataFrame =
-    Tables.spread(s, dir, "documents")
+    signatureOf(Tables.spread(s, dir, "documents"), sig)
+
+  /** MinHash signatures of an arbitrary documents frame — the
+    * batch-shaped entry the incremental cluster lifecycle feeds. */
+  private def signatureOf(docs: org.apache.spark.sql.DataFrame,
+      sig: Int): org.apache.spark.sql.DataFrame =
+    docs
       .select($"doc_id", T.wsTokens($"text").as("tk"))
       .filter(size($"tk") >= K)
       .select($"doc_id",
@@ -160,6 +166,71 @@ object TextOps {
       .select($"new_id", $"old_id".as("dup_of"), $"est_sim")
       .orderBy($"new_id")
   }
+
+  /** Incremental near-dup CLUSTER maintenance — the x33/x35 lifecycle
+    * applied to x7's pair graph, closing the loop from incremental
+    * pair FINDING to incremental cluster IDENTITY. Per batch:
+    * signatures and band rows land under `batch` partitions
+    * (delete-before-write); the batch's band rows BROADCAST-probe the
+    * full stored band table (history never reshuffles — the x33
+    * contract), candidates verify by signature agreement ≥ 0.25, and
+    * the verified edges land under the batch partition. Edge identity
+    * is pairwise-deterministic (band collision + signature agreement
+    * involve only the two docs — no corpus-level df statistics), so
+    * the union of per-batch edges over ANY batch decomposition is
+    * EXACTLY the one-shot x7 pair set — and the cluster labels from
+    * [[graft.ops.Components]] follow (StoreSpec pins both). Replays
+    * may duplicate a cross-batch pair into two partitions; union-find
+    * is insensitive to edge multiplicity, so the clusters are
+    * replay-stable. */
+  def appendDedupClusters(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val sig = signatureOf(docs, Sig).cache()
+    store.delete("cl_sigs", Seq("batch" -> batchId))
+    store.write("cl_sigs",
+      sig.select(lit(batchId).as("batch") +: $"doc_id" +:
+        (0 until Sig).map(i => col(s"h$i")): _*), Seq("batch"))
+    store.delete("cl_bands", Seq("batch" -> batchId))
+    store.write("cl_bands",
+      bandRowsOf(sig, Sig, Bands)
+        .select(lit(batchId).as("batch"), $"doc_id", $"b", $"k"),
+      Seq("batch"))
+    val newBands = bandRowsOf(sig, Sig, Bands)
+      .select($"doc_id".as("new_id"), $"b".as("b2"), $"k".as("k2"))
+    val cand = store.read("cl_bands", s)
+      .join(broadcast(newBands),
+        $"b" === $"b2" && $"k" === $"k2" && $"doc_id" =!= $"new_id")
+      .select(least($"doc_id", $"new_id").as("d1"),
+        greatest($"doc_id", $"new_id").as("d2"))
+      .distinct()
+    val sigs = store.read("cl_sigs", s)
+    val sigX = sigs.select($"doc_id" +:
+        (0 until Sig).map(i => col(s"h$i")): _*)
+      .toDF("d1" +: (0 until Sig).map(i => s"x$i"): _*)
+    val sigY = sigs.select($"doc_id" +:
+        (0 until Sig).map(i => col(s"h$i")): _*)
+      .toDF("d2" +: (0 until Sig).map(i => s"y$i"): _*)
+    val est = (0 until Sig)
+      .map(i => when(col(s"x$i") === col(s"y$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / Sig
+    val edges = sigY.join(broadcast(cand.join(sigX, "d1")), "d2")
+      .filter(est >= 0.25)
+      .select(lit(batchId).as("batch"), $"d1", $"d2")
+    store.delete("cl_edges", Seq("batch" -> batchId))
+    store.write("cl_edges", edges, Seq("batch"))
+    sig.unpersist()
+    ()
+  }
+
+  /** The maintained cluster labels over every ingested batch — x19's
+    * output shape from the persisted edge graph (the edge table IS the
+    * small thresholded pair graph; labeling it is cheap by design,
+    * pair finding on history never reruns). */
+  def dedupClustersStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    graft.ops.Components.connected(
+      store.read("cl_edges", s).select($"d1", $"d2"))
 
   /** x7 body, parameterized on signature size and band count: MinHash
     * signatures -> band-key collision candidates -> signature-agreement

@@ -499,6 +499,41 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"bucket").agg(max($"r").as("r"))) == merged)
   }
 
+  test("incremental dedup clusters: per-batch edges union to the " +
+    "one-shot x7 pair set and the stored labels match one-shot " +
+    "components; replay is cluster-stable") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-cl").toString
+    val store = new ParquetStore(s"$tmp/cl")
+    val docs = graft.Tables(spark, dir, "documents")
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    val storedEdges = store.read("cl_edges", spark)
+      .select($"d1", $"d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = TextOps.minhashLsh(spark, dir)
+      .select($"d1", $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedEdges == oneShot,
+      s"missed ${(oneShot -- storedEdges).take(5)}, " +
+        s"extra ${(storedEdges -- oneShot).take(5)}")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = labels(TextOps.dedupClustersStored(spark, store))
+    val direct = labels(graft.ops.Components.connected(
+      TextOps.minhashLsh(spark, dir).select($"d1", $"d2")))
+    assert(stored == direct, "stored clusters diverged from one-shot")
+    // replaying batch 0 after batch 1 landed may duplicate cross-batch
+    // pairs across partitions; the labels must not move
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    assert(labels(TextOps.dedupClustersStored(spark, store)) == stored)
+  }
+
   test("incremental KMV sketch: batches re-bottom-K to the one-shot " +
     "sketch bit for bit, replay idempotent") {
     import graft.queries.SketchOps
