@@ -1938,6 +1938,52 @@ object TextOps {
         .orderBy($"d1", $"d2")
     },
 
+    // ----- x105 13-gram collision decontamination: the PUBLISHED
+    // protocol (GPT-3's appendix; The Pile and successors follow it)
+    // — a training doc is flagged if it shares ANY 13-gram with the
+    // benchmark set, a deliberately blunter rule than x26's
+    // containment ratio because eval leakage at 13 contiguous tokens
+    // is near-certain memorization surface regardless of the rest of
+    // the doc. Exact, not sketched: a LEFT SEMI join (and its
+    // complement) on the 48-bit 13-gram hash — candidate side reduces
+    // to DISTINCT (doc, hash) first, benchmark side to a distinct
+    // hash set. Output = the per-doc verdict with the collision
+    // count (0 for clean docs — the production record is the keep
+    // list plus attribution for the dropped). Scale shape: one keyed
+    // join on the hash; at corpus scale the benchmark hash set is the
+    // x31 bloom's build side — swap the join for the bloom probe +
+    // confirm join, same discipline.
+    "x105_decontam_13gram" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("tk", 13)}) AS s
+         |  FROM tk WHERE len(tk) >= 13)),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+         |cand AS (SELECT doc_id, h FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS collisions
+         |  FROM cand c LEFT JOIN bench b ON c.h = b.h GROUP BY 1)
+         |SELECT doc_id, collisions, collisions > 0 AS contaminated
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables.spread(s, dir, "documents")
+        .select($"doc_id", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= 13)
+        .select($"doc_id", explode(T.shingles($"tk", 13)).as("sg"))
+        .select($"doc_id", T.md5Long($"sg").as("h"))
+        .distinct()
+      val bench = sh.filter($"doc_id" % 20 === 0).select($"h").distinct()
+        .withColumn("hit", lit(1))
+      sh.filter($"doc_id" % 20 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(sum(when($"hit".isNull, 0L).otherwise(1L)).as("collisions"))
+        .select($"doc_id", $"collisions",
+          ($"collisions" > 0).as("contaminated"))
+        .orderBy($"doc_id")
+    },
+
     // ----- x104 n-gram novelty scoring: per candidate doc, the
     // fraction of its distinct 3-shingles ABSENT from the reference
     // slice (x26's doc_id % 20 split convention) — the memorization /
