@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // range-join -> banded equi-join rewrite (graft.plans.BandedRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
+    // whole-operator top-k-per-key: partial-heap -> exchange -> exact
+    // final (graft.plans.TopKPerKey / graft.ops.TopK.perKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -80,6 +83,10 @@ object GraftExtensions {
         .contains(graft.plans.BandedRangeJoin))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.BandedRangeJoin)
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies ++=
+        Seq(graft.plans.TopKStrategy)
   }
 
   /** Register every testdata table as a temp view so the engine is

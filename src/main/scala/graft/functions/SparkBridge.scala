@@ -21,4 +21,22 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Session-bound Column → catalyst Expression conversion: unlike the
+    * lazy [[expression]] above (a ColumnNodeExpression placeholder the
+    * ANALYZER unwraps), this converts eagerly — what hand-built logical
+    * plans need, where the wrapped node (e.g. a SortOrder) must be a
+    * real catalyst node at construction time. */
+  def expressionFor(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
+  /** Wrap a hand-built LogicalPlan (e.g. a custom operator node) as a
+    * DataFrame — `Dataset.ofRows` is `private[sql]` in Spark 4. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

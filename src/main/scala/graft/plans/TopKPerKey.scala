@@ -1,0 +1,239 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator top-k-per-key — the missing physical shape behind
+  * every "rank window then `rn <= k`" pattern in this engine (ANN
+  * candidate ranking, dedup resolution, per-group leaderboards).
+  *
+  * Spark plans `row_number().over(partitionBy(K).orderBy(O)) <= k` as
+  * exchange(ALL rows) → sort → window → filter: the shuffle carries the
+  * ENTIRE candidate set even though at most k rows per key survive.
+  * This operator plans as the aggregation-style partial/final pair
+  * instead:
+  *
+  *   PartialTopKExec  — per input partition, one bounded heap per key
+  *                      (≤ k rows each); only per-partition survivors
+  *                      reach the exchange, so shuffled volume drops
+  *                      from |candidates| to ≤ keys·k·partitions — the
+  *                      map-side-combine principle applied to ranking.
+  *   (exchange on K)  — inserted by EnsureRequirements from the final
+  *                      operator's required distribution.
+  *   FinalTopKExec    — exact per-key top-k over the survivors, emitted
+  *                      rank-stamped (`rn` = 1..k in sort order), so the
+  *                      operator is a drop-in for the window+filter.
+  *
+  * Correctness under the partial phase's key-cap: when a partition
+  * sees more than [[PartialTopKExec.MaxPartialKeys]] distinct keys,
+  * overflow rows BYPASS (pass through unfiltered) rather than evict —
+  * the partial phase is only ever a superset filter, the final phase
+  * is the exact one. Determinism: callers supply a TOTAL order (the
+  * engine convention: rounded score, id tiebreak), so ranks are
+  * engine-exact and oracle-comparable.
+  *
+  * Registered via [[graft.GraftExtensions]] (`injectPlannerStrategy`);
+  * constructed through [[graft.ops.TopK.perKey]].
+  */
+final case class TopKPerKey(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    rnAttr: Attribute =
+      AttributeReference("rn", LongType, nullable = false)())
+  extends UnaryNode {
+
+  require(groupExprs.nonEmpty, "top-k-per-key needs grouping keys " +
+    "(global top-k is Spark's TakeOrderedAndProject already)")
+  require(k > 0, s"k must be positive, got $k")
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+
+  // rn is born here, not consumed from the child — without this the
+  // analyzer reports it as a missing input attribute
+  override def producedAttributes
+      : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr :: Nil)
+
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerKey = copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKPerKey =>
+      FinalTopKExec(t.groupExprs, t.order, t.k, t.rnAttr,
+        PartialTopKExec(t.groupExprs, t.order, t.k,
+          planLater(t.child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-partition bounded-heap logic. The heap is worst-first
+  * (reversed sort order), so `peek` is the row a better candidate
+  * evicts. */
+private[plans] object TopKHeaps {
+  type Heap = java.util.PriorityQueue[InternalRow]
+
+  def newHeap(k: Int, ord: LazilyGeneratedOrdering): Heap =
+    new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
+
+  /** Offer a row; copies only when the row is kept. */
+  def offer(pq: Heap, row: InternalRow, k: Int,
+      ord: LazilyGeneratedOrdering): Unit =
+    if (pq.size < k) pq.add(row.copy())
+    else if (ord.compare(row, pq.peek()) < 0) {
+      pq.poll(); pq.add(row.copy())
+    }
+}
+
+/** Map-side phase: per-key bounded heaps, overflow keys bypass. */
+final case class PartialTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val ords = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(gExprs, childOutput)
+      val ord = new LazilyGeneratedOrdering(ords, childOutput)
+      val heaps =
+        new java.util.HashMap[UnsafeRow, TopKHeaps.Heap]()
+      new Iterator[InternalRow] {
+        private var drain: java.util.Iterator[InternalRow] = _
+        private var ready: InternalRow = _
+        private def computeNext(): InternalRow = {
+          while (iter.hasNext) {
+            val row = iter.next()
+            val key = groupProj(row)
+            var pq = heaps.get(key)
+            if (pq == null) {
+              if (heaps.size() >= PartialTopKExec.MaxPartialKeys)
+                return row // bypass: superset is always safe
+              pq = TopKHeaps.newHeap(kk, ord)
+              heaps.put(key.copy(), pq)
+            }
+            TopKHeaps.offer(pq, row, kk, ord)
+          }
+          if (drain == null) {
+            val all = new java.util.ArrayList[InternalRow]()
+            heaps.values().forEach(pq => all.addAll(pq))
+            drain = all.iterator()
+          }
+          if (drain.hasNext) drain.next() else null
+        }
+        override def hasNext: Boolean = {
+          if (ready == null) ready = computeNext()
+          ready != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = ready; ready = null; numOut += 1; r
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): PartialTopKExec = copy(child = newChild)
+}
+
+object PartialTopKExec {
+  /** Heap-table cap per partition: past this many distinct keys the
+    * partial phase stops filtering new keys (bypass) instead of
+    * growing state — ~64k keys × k rows is the bound, never the key
+    * cardinality. */
+  val MaxPartialKeys: Int = 1 << 16
+}
+
+/** Reduce-side phase: exact per-key top-k with rank stamping. */
+final case class FinalTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val childOutput = child.output
+    val outAttrs = output
+    val gExprs = groupExprs
+    val ords = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(gExprs, childOutput)
+      val ord = new LazilyGeneratedOrdering(ords, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow, TopKHeaps.Heap]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = TopKHeaps.newHeap(kk, ord)
+          heaps.put(key.copy(), pq)
+        }
+        TopKHeaps.offer(pq, row, kk, ord)
+      }
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rnRow = new GenericInternalRow(1)
+      val groups = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var rows: Array[InternalRow] = Array.empty
+        private var i = 0
+        override def hasNext: Boolean = {
+          while (i >= rows.length && groups.hasNext) {
+            rows = groups.next().toArray(Array.empty[InternalRow])
+            java.util.Arrays.sort(rows, ord)
+            i = 0
+          }
+          i < rows.length
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          rnRow.update(0, (i + 1).toLong)
+          val out = proj(joined(rows(i), rnRow))
+          i += 1; numOut += 1
+          out
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): FinalTopKExec = copy(child = newChild)
+}

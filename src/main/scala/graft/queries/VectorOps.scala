@@ -1330,7 +1330,14 @@ object VectorOps {
       (s, dir) => abttSearch(s, dir)
     },
 
-    // ----- x9 brute-force cosine top-k: broadcast queries x corpus scan
+    // ----- x9 brute-force cosine top-k: broadcast queries x corpus
+    // scan. The rank runs through the custom TopKPerKey operator
+    // (graft.plans) instead of a row_number window: the scored frame
+    // reduces to ≤ queries·k rows per map partition in the partial
+    // heap BEFORE the exchange, so the per-query shuffle carries the
+    // survivors, not the whole corpus × query score matrix — identical
+    // rows/ranks under this total order (TopKSpec pins the pattern
+    // equality; the oracle pins it here).
     "x9_cosine_knn" -> Q(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
@@ -1350,10 +1357,8 @@ object VectorOps {
       val sc = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"),
           round(dot($"qv", $"v"), 4).as("cos"))
-      sc.withColumn("rn", row_number()
-          .over(Window.partitionBy($"qid").orderBy($"cos".desc, $"nid"))
-          .cast("long"))
-        .filter($"rn" <= 5)
+      graft.ops.TopK.perKey(sc, Seq("qid"),
+          Seq($"cos".desc, $"nid".asc), 5)
         .orderBy($"qid", $"rn")
     },
 

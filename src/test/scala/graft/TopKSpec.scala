@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TopK
+import graft.plans.{FinalTopKExec, PartialTopKExec}
+
+/** The custom top-k-per-key physical operator: bit-equality with the
+  * window+filter pattern it replaces, the partial/final plan shape with
+  * the exchange between, the shuffled-volume reduction that is its
+  * whole point, and the partial phase's key-cap bypass staying exact.
+  */
+class TopKSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("perKey equals the row_number window pattern exactly " +
+    "(rows AND ranks) on a total order") {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice")
+    val got = TopK.perKey(li, Seq("l_suppkey"),
+        Seq($"l_extendedprice".desc, $"l_partkey".asc), 3)
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice", $"rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val want = li
+      .withColumn("rn", row_number().over(Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc, $"l_partkey".asc)))
+      .filter($"rn" <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3).toLong)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("plans as partial -> exchange -> final, and the partial heap " +
+    "cuts the shuffled row count to at most keys*k per partition") {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice")
+      .repartition(8) // several map partitions so the bound is visible
+    val df = TopK.perKey(li, Seq("l_suppkey"),
+      Seq($"l_extendedprice".desc, $"l_partkey".asc), 3)
+    df.collect()
+    // recurse through AQE's stage wrappers — plain collect() stops at
+    // query-stage boundaries
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val partials = nodes.collect { case p: PartialTopKExec => p }
+    val finals = nodes.collect { case f: FinalTopKExec => f }
+    val plan = df.queryExecution.executedPlan
+    assert(partials.length == 1 && finals.length == 1, plan.toString)
+    assert(plan.toString.contains("Exchange"), plan.toString)
+    val inputRows = li.count()
+    val shuffled = partials.head.metrics("numOutputRows").value
+    val nKeys = li.select($"l_suppkey").distinct().count()
+    assert(shuffled <= nKeys * 3 * 8,
+      s"partial emitted $shuffled > ${nKeys * 3 * 8}")
+    assert(shuffled < inputRows / 2,
+      s"partial emitted $shuffled of $inputRows input rows")
+    // and the final output is exactly keys * min(k, group size)
+    assert(finals.head.metrics("numOutputRows").value ==
+      df.count())
+  }
+
+  test("key-cap bypass stays exact: 70k distinct keys through one " +
+    "partition (past MaxPartialKeys) still yield every per-key top-1") {
+    import spark.implicits._
+    val wide = spark.range(70000)
+      .select($"id".as("key"), ($"id" % 7).as("v"))
+      .coalesce(1) // one partition -> heap table overflows at 2^16
+    val got = TopK.perKey(wide, Seq("key"), Seq($"v".asc), 1)
+    assert(got.count() == 70000)
+    assert(got.filter($"rn" === 1).count() == 70000)
+  }
+
+  test("duplicate scores rank deterministically under the id tiebreak") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0),
+      (1L, 13L, 7.0), (2L, 20L, 1.0)).toDF("g", "id", "s")
+    val rows = TopK.perKey(df, Seq("g"), Seq($"s".desc, $"id".asc), 2)
+      .orderBy($"g", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 13L, 1L), (1L, 10L, 2L),
+      (2L, 20L, 1L)))
+  }
+}
