@@ -3695,18 +3695,22 @@ object VectorOps {
   /** The x86 core shared by the registry query and the incremental
     * lifecycle: in-cell top-k edges over an assigned (vec_id, v, cell)
     * frame. Keeps the src cell in the output so the incremental path
-    * can partition the persisted graph by it. */
+    * can partition the persisted graph by it. The rank runs through
+    * the TopKPerKey operator: the candidate frame here is the
+    * LARGEST rank input in the engine (every in-cell pair — O(Σ
+    * cell²) rows), and the partial heap reduces it to ≤ srcs·k rows
+    * per map partition before the exchange, instead of shuffling the
+    * whole pair frame into a window sort. */
   private[graft] def knnEdges(assigned: org.apache.spark.sql.DataFrame,
       k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
     val b = assigned.select($"vec_id".as("vec_id2"), $"v".as("v2"),
       $"cell".as("cell2"))
-    assigned.join(b, $"cell" === $"cell2" && $"vec_id" =!= $"vec_id2")
+    val pairs = assigned
+      .join(b, $"cell" === $"cell2" && $"vec_id" =!= $"vec_id2")
       .select($"cell", $"vec_id".as("src"), $"vec_id2".as("dst"),
         round(dot($"v", $"v2"), 4).as("cos"))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))
-        .cast("long"))
-      .filter($"rn" <= k)
+    graft.ops.TopK.perKey(pairs, Seq("src"),
+      Seq($"cos".desc, $"dst".asc), k)
   }
 
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
