@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // range-join -> banded equi-join rewrite (graft.plans.BandedRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
     // whole-operator top-k-per-key: partial-heap -> exchange -> exact
-    // final (graft.plans.TopKPerKey / graft.ops.TopK.perKey)
+    // final (graft.plans.TopKPerKey / graft.ops.TopK.perKey), plus the
+    // rewrite that upgrades row_number-window rank filters to it
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RankToTopK)
   }
 }
 
@@ -87,6 +89,10 @@ object GraftExtensions {
         .contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies ++=
         Seq(graft.plans.TopKStrategy)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RankToTopK))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RankToTopK)
   }
 
   /** Register every testdata table as a temp view so the engine is

@@ -14,26 +14,30 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
-/** Whole-operator top-k-per-key — the missing physical shape behind
+/** Whole-operator top-k-per-key — the heap-based physical shape behind
   * every "rank window then `rn <= k`" pattern in this engine (ANN
   * candidate ranking, dedup resolution, per-group leaderboards).
   *
-  * Spark plans `row_number().over(partitionBy(K).orderBy(O)) <= k` as
-  * exchange(ALL rows) → sort → window → filter: the shuffle carries the
-  * ENTIRE candidate set even though at most k rows per key survive.
-  * This operator plans as the aggregation-style partial/final pair
-  * instead:
+  * Spark 3.5+ already bounds the SHUFFLE for this pattern
+  * (`InferWindowGroupLimit`: sort → WindowGroupLimit(Partial) →
+  * exchange → sort → WindowGroupLimit(Final) → Window), but pays for
+  * it with two FULL partition sorts — the map side sorts the entire
+  * candidate partition (O(n log n) comparisons, sort buffers, spill
+  * surface) before limiting, and the reduce side re-sorts the
+  * survivors to drive the Window. This operator keeps the same
+  * shuffled-volume bound with NO sort anywhere (TopKSpec pins the
+  * plan sort-free):
   *
   *   PartialTopKExec  — per input partition, one bounded heap per key
-  *                      (≤ k rows each); only per-partition survivors
-  *                      reach the exchange, so shuffled volume drops
-  *                      from |candidates| to ≤ keys·k·partitions — the
-  *                      map-side-combine principle applied to ranking.
+  *                      (≤ k rows each, O(n log k), nothing
+  *                      materialized); only per-partition survivors
+  *                      reach the exchange — ≤ keys·k·partitions rows.
   *   (exchange on K)  — inserted by EnsureRequirements from the final
   *                      operator's required distribution.
   *   FinalTopKExec    — exact per-key top-k over the survivors, emitted
-  *                      rank-stamped (`rn` = 1..k in sort order), so the
-  *                      operator is a drop-in for the window+filter.
+  *                      rank-stamped (`rn` = 1..k in sort order — only
+  *                      the ≤ k kept rows are ever sorted), a drop-in
+  *                      for the window+filter.
   *
   * Correctness under the partial phase's key-cap: when a partition
   * sees more than [[PartialTopKExec.MaxPartialKeys]] distinct keys,

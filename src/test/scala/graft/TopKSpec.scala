@@ -73,6 +73,12 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     // and the final output is exactly keys * min(k, group size)
     assert(finals.head.metrics("numOutputRows").value ==
       df.count())
+    // the differentiator vs Spark's own WindowGroupLimit path (which
+    // keeps the same shuffle bound): NO sort operator anywhere — the
+    // stock plan sorts the full candidate partition map-side and the
+    // survivors reduce-side
+    assert(!nodes.exists(_.getClass.getSimpleName.startsWith("Sort")),
+      plan.toString)
   }
 
   test("key-cap bypass stays exact: 70k distinct keys through one " +
@@ -84,6 +90,42 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     val got = TopK.perKey(wide, Seq("key"), Seq($"v".asc), 1)
     assert(got.count() == 70000)
     assert(got.filter($"rn" === 1).count() == 70000)
+  }
+
+  test("RankToTopK rewrites the row_number window pattern automatically " +
+    "— same rows and rn, heap plan, residual predicates survive") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice")
+    def windowed = li.withColumn("rn", row_number().over(Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc, $"l_partkey".asc)))
+    val rewritten = windowed.filter($"rn" <= 3 && $"l_partkey" % 2 === 0)
+    rewritten.collect()
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("FinalTopK") && p.contains("PartialTopK"), p)
+    assert(!p.contains("WindowGroupLimit") &&
+      !p.contains("Window ["), p)
+    // rows, ranks, and the residual predicate all intact
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // reference computed WITHOUT the rewrite: disable by bounding rank
+    // through a non-literal the rule doesn't match
+    val kCol = org.apache.spark.sql.functions.lit(3)
+      .cast("int") + org.apache.spark.sql.functions.lit(0)
+    val want = windowed.filter($"rn" <= kCol &&
+        $"l_partkey" % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._3 == 3))
+    // rank equality (`rn = 1`) contributes the bound AND re-applies
+    val argmax = windowed.filter($"rn" === 1)
+    argmax.collect()
+    val ap = argmax.queryExecution.executedPlan.toString
+    assert(ap.contains("FinalTopK"), ap)
+    assert(argmax.count() ==
+      li.select($"l_suppkey").distinct().count())
   }
 
   test("duplicate scores rank deterministically under the id tiebreak") {
