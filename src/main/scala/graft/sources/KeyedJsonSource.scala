@@ -152,11 +152,43 @@ final class KeyedJsonTable(path: String) extends Table with SupportsRead {
 
 final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pruning: Array[Filter] = Array.empty
   private var required: StructType = KeyedJsonSource.Schema
   private var aggGroupKeys: Option[Seq[String]] = None
+  private var rowCap: Option[Int] = None
+
+  /** LIMIT pushdown (partial): every reader stops after `limit` rows —
+    * for a gzip object that means the stream stops DECOMPRESSING at
+    * the cap instead of draining the file. Partial because files are
+    * independent readers (Spark keeps its own global Limit). */
+  override def pushLimit(limit: Int): Boolean = {
+    rowCap = Some(limit)
+    true
+  }
+
+  /** Top-N pushdown (partial), accepted only when every sort key is a
+    * KEY column: a key is constant across its file, so all of a
+    * file's rows tie under the ordering and ANY `limit` of them can
+    * represent the file in the global top-N — each reader caps at
+    * `limit` rows and Spark's final TakeOrdered works on ≤ limit·files
+    * pre-bounded rows instead of the full corpus. An ordering that
+    * touches the payload can't be bounded per file → not pushed. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    val keysOnly = orders.forall(_.expression() match {
+      case f: NamedReference => f.fieldNames.length == 1 &&
+        (f.fieldNames()(0).equalsIgnoreCase("cx") ||
+          f.fieldNames()(0).equalsIgnoreCase("cy"))
+      case _ => false
+    })
+    if (keysOnly) { rowCap = Some(limit); true } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(KeyedJsonSource.prunable)
@@ -213,7 +245,7 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan = aggGroupKeys match {
     case Some(keys) => KeyedJsonCountScan(path, pruning, keys, aggOps)
-    case None => KeyedJsonScan(path, pruning, required)
+    case None => KeyedJsonScan(path, pruning, required, rowCap)
   }
 }
 
@@ -301,12 +333,14 @@ final case class KeyedFilePartition(cx: Long, cy: Long, file: String)
   extends InputPartition
 
 final case class KeyedJsonScan(path: String, pruning: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, rowCap: Option[Int] = None)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-keyed path=$path, PrunedBy: ${pruning.mkString("[", ", ", "]")}"
+    s"graft-keyed path=$path, PrunedBy: ${pruning.mkString("[", ", ", "]")}" +
+      rowCap.fold("")(n => s", PushedLimit: $n")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = Paths.get(path)
@@ -329,11 +363,11 @@ final case class KeyedJsonScan(path: String, pruning: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedJsonReaderFactory(required.fieldNames)
+    new KeyedJsonReaderFactory(required.fieldNames, rowCap)
 }
 
-final class KeyedJsonReaderFactory(cols: Array[String])
-    extends PartitionReaderFactory {
+final class KeyedJsonReaderFactory(cols: Array[String],
+    rowCap: Option[Int] = None) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -347,10 +381,14 @@ final class KeyedJsonReaderFactory(cols: Array[String])
           new InputStreamReader(stream, StandardCharsets.UTF_8))
       }
       private var line: String = _
+      private var emitted = 0
 
       override def next(): Boolean = {
+        // pushed LIMIT/TopN cap: stop decompressing at the cap
+        if (rowCap.exists(emitted >= _)) { line = null; return false }
         line = in.readLine()
         while (line != null && line.isEmpty) line = in.readLine()
+        if (line != null) emitted += 1
         line != null
       }
 

@@ -120,6 +120,35 @@ class KeyedSourceSpec extends AnyFunSuite with SparkSpec {
       .contains("COUNT(*), MINMAX(cy)"), "mixed aggs not pushed together")
   }
 
+  test("LIMIT pushes a per-reader row cap (partial); results exact") {
+    val q = read.limit(3)
+    assert(q.count() == 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), plan)
+    // partial: Spark's own global Limit stays on top
+    assert(plan.contains("Limit") || plan.contains("limit"), plan)
+  }
+
+  test("top-N over KEY columns pushes the cap; payload orderings " +
+    "don't") {
+    // keys are constant per file, so a key-only ordering lets each
+    // reader stand in with its first n rows — the global TakeOrdered
+    // then works on pre-bounded input
+    val byKey = read.orderBy($"cx".desc, $"cy".desc).limit(2)
+    val keyRows = byKey.select($"cx", $"cy").as[(Long, Long)].collect()
+    assert(keyRows.toSeq == Seq((2L, 10L), (2L, 10L)))
+    assert(byKey.queryExecution.executedPlan.toString
+      .contains("PushedLimit: 2"), "key-only top-N not pushed")
+    // ordering touching the payload cannot be bounded per file
+    val byValue = read.orderBy($"value").limit(2)
+    assert(byValue.count() == 2)
+    assert(!byValue.queryExecution.executedPlan.toString
+      .contains("PushedLimit"), "payload top-N must not push")
+    // and the payload ordering is still answered correctly
+    assert(byValue.select($"value").as[String].collect()
+      .forall(_.nonEmpty))
+  }
+
   test("aggregates the source cannot compute stay in Spark (sum, avg, " +
     "distinct count)") {
     val s = read
