@@ -80,23 +80,29 @@ object MlOps {
       s"i -> v[CAST(i AS INT)] * ($w)[CAST(i AS INT)])) + ${fixedBias(c)})"
   }
 
-  private def sqlFixedScore: String = {
+  /** Shared m4/m6 oracle fragments: the forward-pass CTE chain up to
+    * `zt` (logits, max, partition function) and the argmax CASE. */
+  private def sqlFixedCtes: String = {
     val ls = (0 until FixedK).map(c => s"${sqlWeightDot(c)} AS l$c")
     val names = (0 until FixedK).map(c => s"l$c")
     val mx = s"greatest(${names.mkString(", ")})"
     val z = names.map(n => s"exp($n - mx)").mkString(" + ")
-    val argmax = "CASE " + names.zipWithIndex
-      .map { case (n, c) => s"WHEN $n = mx THEN $c" }.mkString(" ") + " END"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |l AS (SELECT vec_id, ${ls.mkString(", ")} FROM e),
        |m AS (SELECT *, $mx AS mx FROM l),
-       |zt AS (SELECT *, ($z) AS z FROM m)
-       |SELECT vec_id, CAST($argmax AS BIGINT) AS predicted,
+       |zt AS (SELECT *, ($z) AS z FROM m)""".stripMargin
+  }
+  private def sqlArgmax: String =
+    "CASE " + (0 until FixedK)
+      .map(c => s"WHEN l$c = mx THEN $c").mkString(" ") + " END"
+
+  private def sqlFixedScore: String =
+    s"""WITH $sqlFixedCtes
+       |SELECT vec_id, CAST($sqlArgmax AS BIGINT) AS predicted,
        |  round(1.0 / z, 4) AS top_prob,
        |  round(exp(l0 - mx) / z, 4) AS p0
        |FROM zt ORDER BY vec_id""".stripMargin
-  }
 
   // ---- m5 fixed-TREE scoring: m4 oracle-checked the softmax forward
   // pass; this closes the remaining no-oracle surface around the GBT
@@ -206,6 +212,56 @@ object MlOps {
           round(lit(1.0) / z, 4).as("top_prob"),
           round(exp(l.head - mx) / z, 4).as("p0"))
         .orderBy($"vec_id")
+    },
+
+    // ----- m6: confusion matrix + per-class recall over the m4
+    // fixed-weight scorer — the evaluation record a scoring deployment
+    // stores beside its predictions (which classes leak into which,
+    // and each class's recall on the diagonal). Exact integers
+    // throughout: cell counts, class totals, cell share in ppm — so
+    // the whole evaluation hash-matches the oracle's replay of the
+    // forward pass + argmax + count pivot. (The synthetic labels are
+    // geometry-independent — x92 pinned that — so this matrix
+    // correctly reads near-uniform rows; the QUERY is the artifact.)
+    // Scale shape: scoring is the one corpus pass (codegen DotMatrix),
+    // the matrix is a ≤K² aggregation.
+    "m6_confusion" -> Q(
+      s"""WITH $sqlFixedCtes,
+         |p AS (SELECT vec_id, CAST($sqlArgmax AS BIGINT) AS predicted
+         |  FROM zt),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label
+         |  FROM embeddings),
+         |cells AS (SELECT true_label, predicted,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM p JOIN lab USING (vec_id) GROUP BY 1, 2),
+         |ct AS (SELECT true_label, CAST(sum(n) AS BIGINT)
+         |    AS class_total FROM cells GROUP BY 1)
+         |SELECT c.true_label, c.predicted, c.n, ct.class_total,
+         |  CAST((c.n * 1000000) // ct.class_total AS BIGINT)
+         |    AS cell_ppm
+         |FROM cells c JOIN ct USING (true_label)
+         |ORDER BY true_label, predicted""".stripMargin) { (s, dir) =>
+      import graft.StringToColumn
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("true_label"),
+          $"embedding".cast("array<double>").as("v"))
+      val withLogits = e.withColumn("ld",
+        graft.functions.DotMatrix($"v", fixedWeights))
+      val l = (0 until FixedK).map(c =>
+        element_at($"ld", c + 1) + lit(fixedBias(c)))
+      val predicted = -array_max(array(l.zipWithIndex.map {
+        case (lc, c) => struct(lc.as("l"), lit(-c).as("negc"))
+      }: _*)).getField("negc")
+      val cells = withLogits
+        .select($"true_label", predicted.cast("long").as("predicted"))
+        .groupBy($"true_label", $"predicted")
+        .agg(count(lit(1)).as("n"))
+      val ct = cells.groupBy($"true_label")
+        .agg(sum($"n").as("class_total"))
+      cells.join(ct, "true_label")
+        .select($"true_label", $"predicted", $"n", $"class_total",
+          expr("(n * 1000000) div class_total").as("cell_ppm"))
+        .orderBy($"true_label", $"predicted")
     },
 
     // ----- M1 per-key CCD change detection over event-derived series
