@@ -369,6 +369,35 @@ object EventOps {
         .orderBy($"user_id", $"session_id")
     },
 
+    // ----- e10 trending top-k: each hour's 3 most frequent event
+    // types with counts and ranks — the dashboard query every event
+    // pipeline serves. The rank spells as the standard row_number
+    // window and the RankToTopK rewrite plans it as the heap
+    // partial/final pair automatically (hour-keyed, so the aggregation
+    // and the rank share time-bounded cardinality: state and output
+    // are hours × types regardless of event volume).
+    "e10_trending" -> Q(
+      """WITH hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, event_type, n, row_number() OVER (
+        |    PARTITION BY h ORDER BY n DESC, event_type) AS rn FROM hc)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, event_type, n,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY h, rn""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        // filter DIRECTLY over the window (the cast comes after) so
+        // the RankToTopK pattern matches
+        .withColumn("rn", row_number().over(Window.partitionBy($"h")
+          .orderBy($"n".desc, $"event_type")))
+        .filter($"rn" <= 3)
+        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+          $"event_type", $"n", $"rn".cast("long").as("rn"))
+        .orderBy($"h", $"rn")
+    },
+
     "e2_sessionize" -> Q(
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL

@@ -831,6 +831,11 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** x106 training budget in corpus characters — deliberately larger
+    * than any single source so boosted small sources show epochs > 1
+    * (the quantity the report exists to expose). */
+  private val TrainBudgetChars = 2000000L
+
   /** x100 containment threshold as an exact rational (7/10): every
     * prefix length, length filter, and verification compares in long
     * arithmetic — no float τ boundary for the engines to disagree on. */
@@ -1674,6 +1679,42 @@ object TextOps {
         .select($"source", $"n_docs", $"chars_total", $"share6",
           $"natural6",
           round($"share6" * lit(1.0) / $"natural6", 4).as("boost"))
+        .orderBy($"source")
+    },
+
+    // ----- x106 token-budget allocation: the planning table behind a
+    // training run — given a fixed training budget, each source's
+    // allocation under the x54 temperature shares (ONE shared share
+    // definition) and the implied EPOCH COUNT over that source's
+    // actual data (alloc / corpus size, exact integer micro-epochs).
+    // epochs ≫ 1 on a boosted small source is the data-constrained-
+    // scaling warning (repeating data beyond ~4 epochs stops buying
+    // loss — Muennighoff et al.), surfaced as `over_repeated`. All
+    // arithmetic exact: budget·share6 div Σshare6, then ·1e6 div
+    // chars. Scale shape: everything after the x54 aggregation is
+    // |sources|-row arithmetic against one broadcast totals row.
+    "x106_token_budget" -> Q(
+      s"""WITH $sqlMixtureCtes,
+         |tt AS (SELECT CAST(sum(share6) AS BIGINT) AS s6 FROM u)
+         |SELECT u.source, u.chars_total, u.share6,
+         |  CAST(($TrainBudgetChars * u.share6) // tt.s6 AS BIGINT)
+         |    AS alloc_chars,
+         |  CAST(((($TrainBudgetChars * u.share6) // tt.s6) * 1000000)
+         |    // u.chars_total AS BIGINT) AS epochs_micro,
+         |  (((($TrainBudgetChars * u.share6) // tt.s6) * 1000000)
+         |    // u.chars_total) > 4000000 AS over_repeated
+         |FROM u CROSS JOIN tt ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val u = mixtureShares(s, dir)
+      val tt = u.agg(sum($"share6").as("s6tot"))
+      u.crossJoin(broadcast(tt))
+        .withColumn("alloc_chars",
+          expr(s"(${TrainBudgetChars}L * share6) div s6tot"))
+        .withColumn("epochs_micro",
+          expr("(alloc_chars * 1000000) div chars_total"))
+        .select($"source", $"chars_total", $"share6", $"alloc_chars",
+          $"epochs_micro",
+          ($"epochs_micro" > 4000000L).as("over_repeated"))
         .orderBy($"source")
     },
 

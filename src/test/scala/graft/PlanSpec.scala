@@ -575,6 +575,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       !p99.contains("BroadcastNestedLoopJoin"), p99)
   }
 
+  test("e10's rank window is rewritten to the heap top-k operator " +
+    "and no sort survives around its exchange") {
+    GraftExtensions.install(spark)
+    val p = finalPlanOf("e10_trending")
+    assert(p.contains("FinalTopK") && p.contains("PartialTopK"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+  }
+
   test("e8 interval join plans as an equi-join on user_id with the " +
     "time band as a residual — never a nested loop") {
     val p = finalPlanOf("e8_interval_join")
