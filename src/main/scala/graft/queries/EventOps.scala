@@ -110,6 +110,29 @@ object EventOps {
     events.groupBy(date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("c"))
 
+  /** e10's hourly per-type series — shared with the streaming twin
+    * ([[graft.streaming.SketchStream.hourlyTypeCounts]]); state run on
+    * a stream is hours × types rows, no watermark. */
+  private[graft] def hourlyTypeCounts(
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** e10's rank read over a maintained hourly-type series. */
+  private[graft] def trendingVerdicts(
+      hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hourly
+      .withColumn("rn", row_number().over(Window.partitionBy($"h")
+        .orderBy($"n".desc, $"event_type")))
+      .filter($"rn" <= 3)
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+        $"event_type", $"n", $"rn".cast("long").as("rn"))
+      .orderBy($"h", $"rn")
+  }
+
   /** x94's trailing-24h integer-exact z-test over an hourly series —
     * the read-side half the streaming twin runs over its maintained
     * series. z² > τ² rewritten as (24c − S)²·23 > τ²·24·(24Q − S²)
@@ -385,17 +408,9 @@ object EventOps {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, event_type, n,
         |  CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY h, rn""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "events")
-        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
-        .agg(count(lit(1)).as("n"))
-        // filter DIRECTLY over the window (the cast comes after) so
-        // the RankToTopK pattern matches
-        .withColumn("rn", row_number().over(Window.partitionBy($"h")
-          .orderBy($"n".desc, $"event_type")))
-        .filter($"rn" <= 3)
-        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
-          $"event_type", $"n", $"rn".cast("long").as("rn"))
-        .orderBy($"h", $"rn")
+      // the rank filter sits DIRECTLY over the window (cast after), so
+      // the RankToTopK pattern matches — see trendingVerdicts
+      trendingVerdicts(hourlyTypeCounts(Tables(s, dir, "events")))
     },
 
     "e2_sessionize" -> Q(

@@ -64,4 +64,17 @@ object SketchStream {
   /** The z-test read side over a maintained hourly series. */
   def burstVerdicts(hourly: DataFrame): DataFrame =
     graft.queries.EventOps.burstVerdicts(hourly)
+
+  /** e10's hourly per-type series maintained live (SAME
+    * `EventOps.hourlyTypeCounts` definition): state is hours × types
+    * rows, no watermark; the top-k rank (an ordered window streaming
+    * can't express) reads the live table batch-side through
+    * `trendingVerdicts` — the same write/read split as the burst
+    * twin, pinned bit-identical in StreamingSpec. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    graft.queries.EventOps.hourlyTypeCounts(events)
+
+  /** The trending-rank read side over a maintained series. */
+  def trendingVerdicts(hourly: DataFrame): DataFrame =
+    graft.queries.EventOps.trendingVerdicts(hourly)
 }

@@ -792,6 +792,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly-type series + batch rank reproduce the e10 " +
+    "trending top-k bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 hours x mixed types; hour 1 has a clear leader change
+    val types = Seq("view", "click", "purchase", "view", "view",
+      "click", "purchase", "purchase", "purchase", "view", "click",
+      "view")
+    val evs = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new java.sql.Timestamp(
+        base + (i % 3) * 3600000L + i * 60000L), t)
+    }
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = SketchStream.hourlyTypeCounts(
+        in.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(evs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = SketchStream
+        .trendingVerdicts(spark.table("trending")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val batch = queries.EventOps.trendingVerdicts(
+          queries.EventOps.hourlyTypeCounts(
+            evs.toDF("event_id", "ts", "event_type"))).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+      // state is the series, not the stream
+      assert(spark.table("trending").count() <= 3 * 3)
+    } finally q.stop()
+  }
+
   test("streaming sparse-index stats (df + corpus totals) are " +
     "bit-identical to the batch BM25 statistics over the same docs") {
     implicit val sqlCtx = spark.sqlContext
