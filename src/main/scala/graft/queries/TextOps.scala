@@ -627,6 +627,71 @@ object TextOps {
   /** Shared CTE chain for the x6/x19 near-dup pair graph, ending in
     * `jac(d1, d2, jacv)`: df-capped shingle inverted index -> pair
     * intersection counts -> Jaccard >= 0.5. */
+  /** The x55 pipeline body shared with x107: quality gates →
+    * first-occurrence exact dedup → benchmark decontamination →
+    * survivors (doc_id, n_tokens, stop_ratio, alpha_ratio, tk). */
+  private def corpusPrepSurvivors(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tkc = T.wsTokens($"text")
+    val nStop = size(filter(tkc, w => w.isin(Stopwords: _*)))
+      .cast("double")
+    val nTok = size(tkc)
+    val q = Tables.spread(s, dir, "documents").select($"doc_id",
+      tkc.as("tk"),
+      nTok.cast("long").as("n_tokens"),
+      round(nStop / nTok, 6).as("stop_ratio"),
+      round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
+        .cast("double") / length($"text"), 6).as("alpha_ratio"))
+    val g = q.filter($"n_tokens" >= 5 && $"alpha_ratio" >= 0.4 &&
+      $"stop_ratio" <= 0.8 && $"doc_id" % 20 =!= 0)
+    val surv = g
+      .withColumn("key", md5(concat_ws(" ", slice($"tk", 1, 8))))
+      .groupBy($"key")
+      .agg(min($"doc_id").as("doc_id"),
+        min_by($"n_tokens", $"doc_id").as("n_tokens"),
+        min_by($"stop_ratio", $"doc_id").as("stop_ratio"),
+        min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"),
+        min_by($"tk", $"doc_id").as("tk"))
+    val sh = surv.filter(size($"tk") >= K)
+      .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
+      .select($"doc_id", T.md5Long($"s").as("h")).distinct()
+    val bench = q.filter($"doc_id" % 20 === 0 && size($"tk") >= K)
+      .select($"doc_id".as("bd"), explode(T.shingles($"tk", K)).as("s"))
+      .select($"bd", T.md5Long($"s").as("h")).distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val bad = sh.join(broadcast(bench), "h")
+      .groupBy($"doc_id".as("cd"), $"bd").agg(count(lit(1)).as("i"))
+      .join(sz.select($"doc_id".as("cd"), $"n"), "cd")
+      .filter($"i" / $"n" >= 0.2)
+      .select($"cd").distinct()
+    surv.join(bad, surv("doc_id") === bad("cd"), "left_anti")
+  }
+
+  /** x107's leakage resolution, exposed for direct spec coverage (the
+    * sf0.01 corpus exercises the no-drop path only — its x6-grade
+    * near-dups share 8-token prefixes, so exact dedup already
+    * collapsed them): for every pair straddling a split boundary, drop
+    * the LOWER-precedence member (train < val < test), keeping the
+    * training copy. Two equi joins over the (small) pair list + one
+    * anti-join; a doc in several cross-boundary pairs drops once. */
+  private[graft] def resolveLeakage(
+      rel0: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def prec(c: org.apache.spark.sql.Column) =
+      when(c === "train", 0).when(c === "val", 1).otherwise(2)
+    val r = rel0.toDF("doc_id", "split")
+    val leak = pairs.toDF("d1", "d2")
+      .join(r.toDF("da", "sa"), $"d1" === $"da")
+      .join(r.toDF("db", "sb"), $"d2" === $"db")
+      .filter($"sa" =!= $"sb")
+    val drop = leak
+      .select(when(prec($"sa") > prec($"sb"), $"d1").otherwise($"d2")
+        .as("doc_id"))
+      .distinct()
+    r.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   private val pairCtes: String =
     s"""tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
        |  FROM documents),
@@ -1806,40 +1871,74 @@ object TextOps {
          |SELECT doc_id, n_tokens, stop_ratio, alpha_ratio
          |FROM surv WHERE doc_id NOT IN (SELECT cd FROM bad)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tkc = T.wsTokens($"text")
-      val nStop = size(filter(tkc, w => w.isin(Stopwords: _*)))
-        .cast("double")
-      val nTok = size(tkc)
-      val q = Tables.spread(s, dir, "documents").select($"doc_id",
-        tkc.as("tk"),
-        nTok.cast("long").as("n_tokens"),
-        round(nStop / nTok, 6).as("stop_ratio"),
-        round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
-          .cast("double") / length($"text"), 6).as("alpha_ratio"))
-      val g = q.filter($"n_tokens" >= 5 && $"alpha_ratio" >= 0.4 &&
-        $"stop_ratio" <= 0.8 && $"doc_id" % 20 =!= 0)
-      val surv = g
-        .withColumn("key", md5(concat_ws(" ", slice($"tk", 1, 8))))
-        .groupBy($"key")
-        .agg(min($"doc_id").as("doc_id"),
-          min_by($"n_tokens", $"doc_id").as("n_tokens"),
-          min_by($"stop_ratio", $"doc_id").as("stop_ratio"),
-          min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"),
-          min_by($"tk", $"doc_id").as("tk"))
-      val sh = surv.filter(size($"tk") >= K)
-        .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-        .select($"doc_id", T.md5Long($"s").as("h")).distinct()
-      val bench = q.filter($"doc_id" % 20 === 0 && size($"tk") >= K)
-        .select($"doc_id".as("bd"), explode(T.shingles($"tk", K)).as("s"))
-        .select($"bd", T.md5Long($"s").as("h")).distinct()
-      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val bad = sh.join(broadcast(bench), "h")
-        .groupBy($"doc_id".as("cd"), $"bd").agg(count(lit(1)).as("i"))
-        .join(sz.select($"doc_id".as("cd"), $"n"), "cd")
-        .filter($"i" / $"n" >= 0.2)
-        .select($"cd").distinct()
-      surv.join(bad, surv("doc_id") === bad("cd"), "left_anti")
+      corpusPrepSurvivors(s, dir)
         .select($"doc_id", $"n_tokens", $"stop_ratio", $"alpha_ratio")
+        .orderBy($"doc_id")
+    },
+
+    // ----- x107 dataset-release manifest: the artifact a data team
+    // actually ships — x55's prepared corpus (quality → exact dedup →
+    // decontamination, ONE shared body), stamped with x59's
+    // deterministic split, with cross-split near-dup leakage RESOLVED:
+    // for every x6-grade pair straddling a boundary, the
+    // lower-precedence member (train < val < test) is dropped, so an
+    // eval doc never keeps a near-twin in training — the fix x102
+    // reports the need for, applied. Output = (doc_id, split), the
+    // reproducible release list. Scale shape: the prep and pair
+    // machinery are the audited surfaces; the resolution itself is two
+    // equi joins on the (small) pair list plus an anti-join.
+    "x107_release_manifest" -> Q(
+      s"""WITH $pairCtes,
+         |r_t AS (SELECT doc_id, text, ${TS.wsTokens("text")} AS rtk
+         |  FROM documents),
+         |r_q AS (SELECT doc_id, rtk,
+         |    CAST(len(rtk) AS BIGINT) AS n_tokens,
+         |    round(len(list_filter(rtk, w -> w IN ($StopwordsSql)))
+         |      / len(rtk), 6) AS stop_ratio,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / length(text), 6) AS alpha_ratio
+         |  FROM r_t),
+         |r_g AS (SELECT * FROM r_q WHERE n_tokens >= 5
+         |  AND alpha_ratio >= 0.4 AND stop_ratio <= 0.8
+         |  AND doc_id % 20 <> 0),
+         |r_k AS (SELECT doc_id, rtk,
+         |    md5(array_to_string(rtk[1:8], ' ')) AS key FROM r_g),
+         |r_surv AS (SELECT min(doc_id) AS doc_id,
+         |    min_by(rtk, doc_id) AS rtk FROM r_k GROUP BY key),
+         |r_sh AS (SELECT DISTINCT doc_id, ${TS.md5Long("s")} AS h FROM (
+         |  SELECT doc_id, unnest(${TS.shingles("rtk", K)}) AS s
+         |  FROM r_surv WHERE len(rtk) >= $K)),
+         |r_bench AS (SELECT DISTINCT doc_id AS bd,
+         |    ${TS.md5Long("s")} AS h
+         |  FROM (SELECT doc_id, unnest(${TS.shingles("rtk", K)}) AS s
+         |    FROM r_t WHERE doc_id % 20 = 0 AND len(rtk) >= $K)),
+         |r_sz AS (SELECT doc_id, count(*) AS n FROM r_sh GROUP BY 1),
+         |r_bad AS (SELECT DISTINCT cd FROM (
+         |    SELECT r_sh.doc_id AS cd, bd, count(*) AS i
+         |    FROM r_sh JOIN r_bench USING (h) GROUP BY 1, 2) ov
+         |  JOIN r_sz ON ov.cd = r_sz.doc_id WHERE i / n >= 0.2),
+         |rel0 AS (SELECT doc_id FROM r_surv
+         |  WHERE doc_id NOT IN (SELECT cd FROM r_bad)),
+         |spl AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (
+         |  SELECT doc_id,
+         |    ${TS.md5Long("CAST(doc_id AS VARCHAR) || '_split'")} % 100
+         |      AS b
+         |  FROM rel0)),
+         |leak AS (SELECT d1, d2, a.split AS s1, b.split AS s2
+         |  FROM jac JOIN spl a ON d1 = a.doc_id
+         |  JOIN spl b ON d2 = b.doc_id WHERE a.split <> b.split),
+         |drp AS (SELECT DISTINCT CASE WHEN
+         |    (CASE s1 WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END)
+         |    > (CASE s2 WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2
+         |      END) THEN d1 ELSE d2 END AS doc_id FROM leak)
+         |SELECT doc_id, split FROM spl
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      resolveLeakage(
+        corpusPrepSurvivors(s, dir)
+          .select($"doc_id", T.splitOf($"doc_id").as("split")),
+        jaccardPairs(s, dir).select($"d1", $"d2"))
         .orderBy($"doc_id")
     },
 

@@ -1420,6 +1420,37 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
 
+  test("x107 leakage resolution: lower-precedence members drop once, " +
+    "same-split pairs untouched, manifest consistent with x55 + x59") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // synthetic: pairs crossing each boundary kind + one same-split
+    val rel = Seq((1L, "train"), (2L, "test"), (3L, "val"),
+      (4L, "train"), (5L, "test"), (6L, "val"), (7L, "train"),
+      (8L, "train")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (2L, 5L))
+      .toDF("d1", "d2")
+    val kept = TextOps.resolveLeakage(rel, pairs)
+      .collect().map(_.getLong(0)).toSet
+    // (1 train, 2 test) -> drop 2; (3 val, 4 train) -> drop 3;
+    // (5 test, 6 val) -> drop 5; (7,8) same split -> keep both;
+    // (2,5) both already dropped, same split anyway
+    assert(kept == Set(1L, 4L, 6L, 7L, 8L))
+    // the real manifest: a subset of x55's survivors, split-stamped
+    // identically to x59's rule, and (on this corpus) drop-free
+    // because exact dedup already collapsed the near-dup pairs
+    val m = SparkEntry.queries("x107_release_manifest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val prep = SparkEntry.queries("x55_corpus_prep")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(m.map(_._1).toSet.subsetOf(prep))
+    val splits = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExprs.splitOf(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    m.foreach { case (d, s) => assert(splits(d) == s, s"doc $d") }
+  }
+
   test("x103 session corpus shares e2's session boundary exactly; " +
     "x104 novelty stays in ppm bounds with both regimes present") {
     // every (user, session) in the corpus export is an e2 session with
