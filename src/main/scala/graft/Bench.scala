@@ -196,7 +196,7 @@ object Bench {
       "x49_semantic_dedup", "x86_knn_graph", "x87_nn_descent",
       // late-round-7 additions (multi-pass graph/training bodies)
       "x97_cc_contract", "x98_triangles", "x100_containment",
-      "x101_ann_drift")
+      "x101_ann_drift", "x107_release_manifest")
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
       val t0 = System.nanoTime()
