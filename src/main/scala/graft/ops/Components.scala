@@ -161,6 +161,11 @@ object Components {
       prev = cur
       iter += 1
     }
+    // an unconverged edge set is NOT a star forest — reading labels
+    // off it would silently mislabel; fail loudly instead (practical
+    // convergence is < 10 rounds, the cap exists only as a backstop)
+    require(converged,
+      s"star contraction did not converge within $maxIters rounds")
     // star forest: every non-root appears as hi exactly once, pointing
     // at its component minimum; roots appear only as lo
     val labels = edges.select($"hi".as("doc_id"), $"lo".as("comp"))
@@ -195,6 +200,12 @@ object Components {
       iter += 1
     }
     und.unpersist()
+    // a still-moving label sum means components deeper than the round
+    // cap — mislabeling silently is worse than failing (deep graphs
+    // should route through contract(), the O(log²)-round path)
+    require(cur == prev,
+      "label propagation did not converge within 50 rounds — " +
+        "use Components.contract for deep components")
     labels
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy($"m")).cast("long"))

@@ -1942,6 +1942,62 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ----- x108 per-source quality profile: each source's quality
+    // DISTRIBUTION (exact quartiles + integer mean, all in micro-
+    // quality units) — the governance report that catches a degrading
+    // source before it pollutes a mixture (x54 weights by volume; this
+    // is the quality axis beside it). ONE shared quality definition
+    // with x2/x93, integerized before any cross-row arithmetic;
+    // quartiles by exact rank selection (a7's discipline — the
+    // mergeable sketch replaces the sort at 100 TB, the exact form is
+    // what the oracle verifies bit-for-bit).
+    "x108_quality_profile" -> Q(
+      s"""WITH tk AS (SELECT doc_id, source, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    CAST(round(round(least(len(tk) / 50.0, 1.0) *
+         |      (1.0 - len(list_filter(tk, w -> w IN ($StopwordsSql)))
+         |        / len(tk)), 6) * 1000000.0) AS BIGINT) AS q6
+         |  FROM tk WHERE len(tk) >= 1),
+         |r AS (SELECT source, q6,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY q6, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n,
+         |    sum(q6) OVER (PARTITION BY source) AS sq FROM q)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+         |    THEN q6 END) AS BIGINT) AS p25_q6,
+         |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+         |    THEN q6 END) AS BIGINT) AS p50_q6,
+         |  CAST(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+         |    THEN q6 END) AS BIGINT) AS p75_q6,
+         |  CAST(max(sq) // max(n) AS BIGINT) AS mean_q6
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.spread(s, dir, "documents")
+        .select($"doc_id", $"source", T.wsTokens($"text").as("tk"))
+        .filter(size($"tk") >= 1)
+        .select($"doc_id", $"source",
+          round(qualityCol($"tk") * lit(1000000.0)).cast("long")
+            .as("q6"))
+      val bySrc = Window.partitionBy($"source")
+      val r = q
+        .withColumn("rn",
+          row_number().over(bySrc.orderBy($"q6", $"doc_id")))
+        .withColumn("n", count(lit(1)).over(bySrc))
+        .withColumn("sq", sum($"q6").over(bySrc))
+      def at(p: Double) =
+        max(when($"rn" === ceil(lit(p) * $"n").cast("long"), $"q6"))
+          .cast("long")
+      r.groupBy($"source").agg(
+          max($"n").cast("long").as("n_docs"),
+          at(0.25).as("p25_q6"), at(0.5).as("p50_q6"),
+          at(0.75).as("p75_q6"),
+          expr("max(sq) div max(n)").as("mean_q6"))
+        .orderBy($"source")
+    },
+
     // ----- x57 cross-source overlap matrix: for every source pair,
     // how many exact content keys (x5's 8-token fingerprint) appear in
     // BOTH — the governance report that catches a crawl source leaking
