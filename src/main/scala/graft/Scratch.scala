@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc timing scratchpad (not part of the driver contract).
-  * Times each named query N times after a warmup pass.
+  * Times each named query N times after a warmup pass, with the
+  * bench harness's per-run isolation (cache clear + GC) so numbers
+  * here reproduce BENCH warm numbers. SPARK_GRAFT_STAGES=1 adds a
+  * per-stage timing dump (top stages by duration) for attribution.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,18 +26,50 @@ object Scratch {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    val dumpStages = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Long, Int)]() // (stageId, name, millis, tasks)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val i = sc.stageInfo
+          val ms = (for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield a - b).getOrElse(-1L)
+          stageLog.add((i.stageId, i.name.takeWhile(_ != '\n').take(90),
+            ms, i.numTasks))
+        }
+      })
+    def isolate(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("x14_tfidf")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val c0 = System.nanoTime()
       fn(spark, sfDir).count() // warm
       val cold = (System.nanoTime() - c0) / 1e9
+      isolate()
       val times = (1 to 3).map { _ =>
+        stageLog.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        isolate()
+        dt
       }
       println(f"SCRATCH $name%-18s cold=$cold%.3f min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (dumpStages) {
+        import scala.jdk.CollectionConverters._
+        val stages = stageLog.asScala.toSeq.sortBy(-_._3).take(20)
+        stages.foreach { case (id, n, ms, nt) =>
+          println(f"  STAGE $id%5d ${ms}%6d ms tasks=$nt%3d  $n")
+        }
+        println(f"  STAGE-SUM ${stageLog.asScala.map(_._3).sum} ms over ${stageLog.size} stages")
+      }
     }
     spark.stop()
   }

@@ -39,4 +39,10 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The executor memory-manager page size `SortExec` sizes its sorter
+    * pages with (`private[spark]`) — for operators that degrade to an
+    * external sort. */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

@@ -135,6 +135,7 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = checksum(edges)
+    var prevEdges = edges
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -157,7 +158,14 @@ object Components {
         .distinct()
       edges = ss.localCheckpoint()
       val cur = checksum(edges)
-      converged = cur == prev
+      // fingerprint equality is strong evidence, not proof: a (count,
+      // xor-of-hashes) collision between DIFFERENT edge sets would
+      // satisfy it and silently mislabel. Confirm the fixpoint with
+      // ONE exact set-difference — counts already match, so a single
+      // one-sided except is the full equality check — paid only on
+      // the (rare) round whose fingerprints agree.
+      converged = cur == prev && edges.except(prevEdges).isEmpty
+      prevEdges = edges
       prev = cur
       iter += 1
     }

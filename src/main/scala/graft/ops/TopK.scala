@@ -22,11 +22,15 @@ object TopK {
       k: Int): DataFrame = {
     require(keys.nonEmpty, "perKey needs at least one key column")
     // self-registering: sessions built without the graft extensions
-    // (spark.sql.extensions) still plan the node
-    if (!df.sparkSession.experimental.extraStrategies
-        .contains(graft.plans.TopKStrategy))
-      df.sparkSession.experimental.extraStrategies ++=
-        Seq(graft.plans.TopKStrategy)
+    // (spark.sql.extensions) still plan the node. The check-then-add
+    // synchronizes on the experimental-methods holder so concurrent
+    // builders can't append the strategy twice (planning tolerates a
+    // duplicate, but global session state should not accrete them).
+    val exp = df.sparkSession.experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(graft.plans.TopKStrategy))
+        exp.extraStrategies ++= Seq(graft.plans.TopKStrategy)
+    }
     val analyzed = df.queryExecution.analyzed
     val attrs = analyzed.output
     def attr(n: String) = attrs.find(_.name == n).getOrElse(

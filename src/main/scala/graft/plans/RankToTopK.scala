@@ -29,34 +29,61 @@ import org.apache.spark.sql.types.IntegerType
   * Row-for-row equivalence needs the ordering to be TOTAL (ties
   * decided by the sort key, not by sort stability) — the engine-wide
   * convention (rounded score, id tiebreak), and the condition under
-  * which the DuckDB oracles hash-match at all.
+  * which the DuckDB oracles hash-match at all. For a NON-total
+  * ordering the heap still returns valid `row_number` results, but
+  * may pick different tie rows than the sort-based plan; sessions
+  * that need bit-stable tie selection across engine versions without
+  * a total order can switch the rewrite off with
+  * `spark.graft.topk.rewrite = false` (on by default).
   */
 object RankToTopK extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, Window(
-        Seq(a @ Alias(WindowExpression(RowNumber(), _), _)),
-        part, ord, wchild, _))
-        if part.nonEmpty && ord.nonEmpty =>
-      val rn = a.toAttribute
-      val conj = splitConj(cond)
-      val bounds = conj.flatMap(boundOf(_, rn))
-      if (bounds.isEmpty || bounds.min < 1) f
-      else {
-        val k = bounds.min
-        // pure upper bounds are subsumed by k; everything else stays
-        val rest = conj.filterNot(isPureUpperBound(_, rn))
-        val child = wchild match {
-          case WindowGroupLimit(_, _, _, _, c) => c
-          case c => c
+  /** Session kill-switch for the automatic rewrite (the explicit
+    * [[graft.ops.TopK.perKey]] builder is unaffected). */
+  val RewriteConf = "spark.graft.topk.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(RewriteConf, "true") != "true") plan
+    else plan.transformUp {
+      case f @ Filter(cond, Window(
+          Seq(a @ Alias(WindowExpression(RowNumber(), _), _)),
+          part, ord, wchild, _))
+          if part.nonEmpty && ord.nonEmpty =>
+        val rn = a.toAttribute
+        val conj = splitConj(cond)
+        val bounds = conj.flatMap(boundOf(_, rn))
+        if (bounds.isEmpty || bounds.min < 1) f
+        else {
+          val k = bounds.min
+          // pure upper bounds are subsumed by k; everything else stays
+          val rest = conj.filterNot(isPureUpperBound(_, rn))
+          // strip a WindowGroupLimit below the Window ONLY when it is
+          // provably the one InferWindowGroupLimit derived from this
+          // same filter (row_number over the same partition/order,
+          // limit >= k) — any other group limit changes which rows
+          // reach the window, so the plan is left alone rather than
+          // silently widened
+          val childOpt: Option[LogicalPlan] = wchild match {
+            case WindowGroupLimit(p2, o2, RowNumber(), lim, c)
+                if lim >= k &&
+                  p2.length == part.length &&
+                  p2.zip(part).forall(t => t._1.semanticEquals(t._2)) &&
+                  o2.length == ord.length &&
+                  o2.zip(ord).forall(t => t._1.semanticEquals(t._2)) =>
+              Some(c)
+            case _: WindowGroupLimit => None // foreign limit: leave be
+            case c => Some(c)
+          }
+          childOpt.fold(f: LogicalPlan) { child =>
+            val topk = TopKPerKey(part, ord, k, child)
+            val restored = Project(child.output :+
+              Alias(Cast(topk.rnAttr, IntegerType), a.name)(
+                exprId = a.exprId), topk)
+            if (rest.isEmpty) restored
+            else Filter(rest.reduce(And), restored)
+          }
         }
-        val topk = TopKPerKey(part, ord, k, child)
-        val restored = Project(child.output :+
-          Alias(Cast(topk.rnAttr, IntegerType), a.name)(
-            exprId = a.exprId), topk)
-        if (rest.isEmpty) restored else Filter(rest.reduce(And), restored)
-      }
-  }
+    }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)

@@ -174,7 +174,18 @@ object PartialTopKExec {
   val MaxPartialKeys: Int = 1 << 16
 }
 
-/** Reduce-side phase: exact per-key top-k with rank stamping. */
+/** Reduce-side phase: exact per-key top-k with rank stamping.
+  *
+  * Memory contract: the hash-of-heaps holds at most
+  * [[FinalTopKExec.MaxFinalKeys]] keys × k row copies. A partition
+  * whose key cardinality outgrows that degrades to an EXTERNAL
+  * (spilling) sort on (key, order) and streams per-key runs — the
+  * same bounded-memory guarantee as the sort-based WindowGroupLimit
+  * plan this operator replaces, paid only by the partitions that
+  * actually have pathological key counts. Exactness is preserved:
+  * rows already evicted from a key's heap were beaten by k better
+  * rows of that SAME key, so feeding heap survivors + the remaining
+  * input to the sort loses nothing a top-k could keep. */
 final case class FinalTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -189,50 +200,134 @@ final case class FinalTopKExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" ->
-      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+      SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numSortFallbacks" ->
+      SQLMetrics.createMetric(sparkContext,
+        "partitions degraded to external sort"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
+    val numFallbacks = longMetric("numSortFallbacks")
     val childOutput = child.output
     val outAttrs = output
     val gExprs = groupExprs
     val ords = order
     val kk = k
+    val keyCap = FinalTopKExec.maxFinalKeys
+    // an unorderable group type (no engine key is one today) cannot
+    // sort-degrade; it keeps the hash path whatever the cardinality
+    val canDegrade = gExprs.forall(e =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(e.dataType))
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val ord = new LazilyGeneratedOrdering(ords, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, TopKHeaps.Heap]()
-      while (iter.hasNext) {
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rnRow = new GenericInternalRow(1)
+      var overflowRow: InternalRow = null
+      while (iter.hasNext && overflowRow == null) {
         val row = iter.next()
         val key = groupProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
-          pq = TopKHeaps.newHeap(kk, ord)
-          heaps.put(key.copy(), pq)
-        }
-        TopKHeaps.offer(pq, row, kk, ord)
-      }
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      val rnRow = new GenericInternalRow(1)
-      val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var rows: Array[InternalRow] = Array.empty
-        private var i = 0
-        override def hasNext: Boolean = {
-          while (i >= rows.length && groups.hasNext) {
-            rows = groups.next().toArray(Array.empty[InternalRow])
-            java.util.Arrays.sort(rows, ord)
-            i = 0
+          if (canDegrade && heaps.size() >= keyCap)
+            overflowRow = row // key #cap+1: switch to the sort path
+          else {
+            pq = TopKHeaps.newHeap(kk, ord)
+            heaps.put(key.copy(), pq)
+            TopKHeaps.offer(pq, row, kk, ord)
           }
-          i < rows.length
+        } else TopKHeaps.offer(pq, row, kk, ord)
+      }
+      if (overflowRow == null) {
+        val groups = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var rows: Array[InternalRow] = Array.empty
+          private var i = 0
+          override def hasNext: Boolean = {
+            while (i >= rows.length && groups.hasNext) {
+              rows = groups.next().toArray(Array.empty[InternalRow])
+              java.util.Arrays.sort(rows, ord)
+              i = 0
+            }
+            i < rows.length
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            rnRow.update(0, (i + 1).toLong)
+            val out = proj(joined(rows(i), rnRow))
+            i += 1; numOut += 1
+            out
+          }
         }
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException
-          rnRow.update(0, (i + 1).toLong)
-          val out = proj(joined(rows(i), rnRow))
-          i += 1; numOut += 1
-          out
+      } else {
+        numFallbacks += 1
+        // external sort on (key asc, order): Spark's sorter spills
+        // past its memory grant, so this path is safe at ANY key
+        // cardinality. Prefix is degenerate (always 0) — correctness
+        // rides the full record comparator; no radix.
+        val keyOrders = gExprs.map(e => SortOrder(e,
+          org.apache.spark.sql.catalyst.expressions.Ascending))
+        val fullOrd =
+          new LazilyGeneratedOrdering(keyOrders ++ ords, childOutput)
+        val prefixComputer =
+          new org.apache.spark.sql.execution.UnsafeExternalRowSorter
+            .PrefixComputer {
+            private val zero = new org.apache.spark.sql.execution
+              .UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow) = zero
+          }
+        val sorter = org.apache.spark.sql.execution
+          .UnsafeExternalRowSorter.create(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .fromAttributes(childOutput),
+            fullOrd,
+            new org.apache.spark.util.collection.unsafe.sort
+              .PrefixComparator {
+              override def compare(a: Long, b: Long): Int = 0
+            },
+            prefixComputer,
+            org.apache.spark.sql.graftbridge.ColumnBridge.pageSizeBytes,
+            false)
+        val toUnsafe =
+          UnsafeProjection.create(childOutput, childOutput)
+        heaps.values().forEach { pq =>
+          val it = pq.iterator()
+          while (it.hasNext) sorter.insertRow(toUnsafe(it.next()))
+        }
+        heaps.clear()
+        sorter.insertRow(toUnsafe(overflowRow))
+        while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = _
+          private var count = 0
+          private var ready: InternalRow = _
+          private def advance(): InternalRow = {
+            while (sorted.hasNext) {
+              val r = sorted.next()
+              val key = groupProj(r)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); count = 0
+              }
+              if (count < kk) {
+                count += 1
+                rnRow.update(0, count.toLong)
+                return proj(joined(r, rnRow))
+              }
+            }
+            null
+          }
+          override def hasNext: Boolean = {
+            if (ready == null) ready = advance()
+            ready != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = ready; ready = null; numOut += 1; r
+          }
         }
       }
     }, preservesPartitioning = true)
@@ -240,4 +335,13 @@ final case class FinalTopKExec(
 
   override protected def withNewChildInternal(
       newChild: SparkPlan): FinalTopKExec = copy(child = newChild)
+}
+
+object FinalTopKExec {
+  /** Reduce-side heap-table key cap: past this many distinct keys in
+    * one partition the operator degrades to the external-sort path
+    * above instead of growing driver-invisible heap state without
+    * bound (spec-overridable so the fallback is testable without 64k
+    * distinct keys). */
+  @volatile private[graft] var maxFinalKeys: Int = 1 << 16
 }

@@ -1317,9 +1317,13 @@ object TextOps {
     // before ranking). Pair extraction is per-doc array windowing
     // (offsets 1 and 2), NOT a positional self-join: zero shuffle
     // before the pair aggregation; word counts and the two scalar
-    // totals broadcast. lift_ppm = n_pair·Nw²·1e6 div (N·n_a·n_b) —
-    // every intermediate < 2^63 at any corpus scale where counts fit
-    // int64 relative to the 1e6 scale.
+    // totals broadcast. lift_ppm = n_pair·Nw²·1e6 div (N·n_a·n_b),
+    // computed in 128-bit-wide integers (Spark DECIMAL(38,0), DuckDB
+    // HUGEINT): Nw² alone passes 2^63 once the corpus holds ~3e9
+    // tokens — and the ×1e6 scale pushed the numerator past long at
+    // sf0.1 already — so the wide type is the exact-arithmetic
+    // requirement, not padding. Products stay ≤ ~1e32 ≪ both
+    // int128 and decimal(38); the quotient is back in ppm range.
     "x67_pmi_cooccur" -> Q(
       s"""WITH tk AS (SELECT doc_id,
          |    regexp_extract_all(lower(text), '[a-z]+') AS tk
@@ -1340,8 +1344,9 @@ object TextOps {
          |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pr) AS np_all,
          |  (SELECT CAST(sum(n_w) AS BIGINT) FROM wc) AS nw_all),
          |sc AS (SELECT w1, w2, n_pair,
-         |    (n_pair * nw_all * nw_all * 1000000)
-         |      // (np_all * a.n_w * b.n_w) AS lift_ppm
+         |    CAST((CAST(n_pair AS HUGEINT) * nw_all * nw_all * 1000000)
+         |      // (CAST(np_all AS HUGEINT) * a.n_w * b.n_w)
+         |      AS BIGINT) AS lift_ppm
          |  FROM np JOIN wc a ON a.w = np.w1 JOIN wc b ON b.w = np.w2
          |  CROSS JOIN tot WHERE n_pair >= 5)
          |SELECT w1, w2, n_pair, lift_ppm, CAST(row_number() OVER (
@@ -1372,8 +1377,9 @@ object TextOps {
         .crossJoin(broadcast(tot))
         .filter($"n_pair" >= 5)
         .select($"w1", $"w2", $"n_pair",
-          expr("(n_pair * nw_all * nw_all * 1000000)" +
-            " div (np_all * na * nb)").as("lift_ppm"))
+          expr("(CAST(n_pair AS DECIMAL(38,0)) * nw_all * nw_all" +
+            " * 1000000) div (CAST(np_all AS DECIMAL(38,0)) * na * nb)")
+            .as("lift_ppm"))
         .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy($"lift_ppm".desc, $"w1", $"w2"))

@@ -274,8 +274,11 @@ object VectorOps {
     * cost), never a fixed plane count. */
   def planesFor(corpusSize: Long, targetOccupancy: Long = 1024L): Int = {
     val buckets = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    // the epsilon strips log-ratio float noise at exact powers of two
+    // (log2(2^29) evaluates to 29.000000000000004, whose ceil would
+    // charge a 2^39-vector corpus a spurious extra plane)
     math.max(DefaultPlanes,
-      math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+      math.ceil(math.log(buckets) / math.log(2.0) - 1e-9).toInt)
   }
 
   /** IVF cell count for a corpus of n vectors: cells ≈ sqrt(n), the
@@ -2990,7 +2993,7 @@ object VectorOps {
     * coarse book the residuals are relative to (x45's probe lists
     * need it: the query's residual differs per probed cell). */
   private def residualSetup(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame,
+      dir: String, codeK: Int = CodeK): (org.apache.spark.sql.DataFrame,
         Array[Array[Array[Double]]], Array[Array[Double]]) = {
     implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
     val coarse = kmeansBook(s, dir)
@@ -3003,11 +3006,11 @@ object VectorOps {
       .withColumn("v", zip_with($"v", $"ccv", (a, b) => a - b))
       .drop("ccid", "ccv")
       .cache()
-    val small = res.filter($"vec_id" < CodeK)
+    val small = res.filter($"vec_id" < codeK)
       .select($"vec_id", $"v").collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(small.length == CodeK,
-      s"residual PQ training needs vec_ids 0..${CodeK - 1}")
+    require(small.length == codeK,
+      s"residual PQ training needs vec_ids 0..${codeK - 1}")
     val init = Array.tabulate(SubM)(ss => small.map(subOf(_, ss)))
     val sub = subspaceRows(res)
     val books = (1 to PqBookIters).foldLeft(init)((b, _) =>
@@ -3088,8 +3091,9 @@ object VectorOps {
     * only exchange is the per-query rank window. */
   private[graft] def annIvfPqResidualProbe(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      nprobe: Int = 2, k: Int = 3): org.apache.spark.sql.DataFrame = {
-    val (res, books, coarse) = residualSetup(s, dir)
+      nprobe: Int = 2, k: Int = 3, codeK: Int = CodeK)
+      : org.apache.spark.sql.DataFrame = {
+    val (res, books, coarse) = residualSetup(s, dir, codeK)
     val (coded, qids, _) = pqSetup(res, Some(books), residualLut = true)
     val qraw = normalizedEmbeddings(s, dir)
       .filter($"vec_id" < PqQueries)
@@ -3292,9 +3296,10 @@ object VectorOps {
     * (`ann_coarse_book`: cid, cv) and the per-subspace PQ codebooks
     * (`ann_pq_books`: s, cid, cv). */
   def persistAnnBooks(s: org.apache.spark.sql.SparkSession,
-      dir: String, store: graft.store.Store): Unit = {
+      dir: String, store: graft.store.Store,
+      cells: Int = DefaultCells): Unit = {
     implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
-    val coarse = kmeansBook(s, dir)
+    val coarse = kmeansBook(s, dir, cells)
     store.write("ann_coarse_book",
       s.createDataset(coarse.toIndexedSeq.zipWithIndex.map {
           case (cv, c) => SubCentRow(0, c.toLong, cv.toSeq, 0.0)
@@ -3309,6 +3314,17 @@ object VectorOps {
         } yield SubCentRow(ss, c.toLong, cv.toSeq, 0.0))
         .toDF("s", "cid", "cv", "n2").select($"s", $"cid", $"cv"),
       Seq.empty)
+  }
+
+  /** [[persistAnnBooks]] with corpus-scaled coarse geometry — the
+    * production book-training seam. The persisted book then carries
+    * the scaled cell count into every downstream incremental path
+    * ([[appendAnnCorpus]], [[appendKnnGraph]], [[annIvfPqFromStore]])
+    * automatically: they read geometry from the book, not a knob. */
+  def persistAnnBooksScaled(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store): Unit = {
+    val (c, _) = scaledGeometry(s, dir)
+    persistAnnBooks(s, dir, store, c)
   }
 
   /** Load the persisted [[persistAnnBooks]] artifacts back into driver
@@ -3692,6 +3708,48 @@ object VectorOps {
       .orderBy($"src", $"rn")
   }
 
+  /** Corpus-scaled geometry for the production entry points below:
+    * ONE metadata-only count resolves (cells, planes) via
+    * [[cellsFor]]/[[planesFor]]. The registry bodies stay pinned at
+    * [[DefaultCells]]/[[DefaultPlanes]] so the DuckDB oracles replay
+    * bit-for-bit; these overloads exist so a production caller
+    * CANNOT accidentally run O(n²/DefaultCells) in-cell blocking at
+    * corpus scale by taking the pinned default. */
+  private[graft] def scaledGeometry(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val n = Tables.spread(s, dir, "embeddings").count()
+    (cellsFor(n), planesFor(n))
+  }
+
+  /** [[knnGraph]] with corpus-scaled cell count — the production
+    * default; per-cell pair work stays ~constant as the corpus grows. */
+  def knnGraphScaled(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val (c, _) = scaledGeometry(s, dir)
+    knnGraph(s, dir, c, k)
+  }
+
+  /** [[nnDescentRound]] with corpus-scaled cells AND planes. */
+  def nnDescentRoundScaled(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val (c, p) = scaledGeometry(s, dir)
+    nnDescentRound(s, dir, c, p, k)
+  }
+
+  /** [[annIvfTrained]] with corpus-scaled cell count. */
+  def annIvfTrainedScaled(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val (c, _) = scaledGeometry(s, dir)
+    annIvfTrained(s, dir, cells = c, k = k)
+  }
+
+  /** [[semDedup]] with corpus-scaled cell count. */
+  def semDedupScaled(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = SemDedupTau): org.apache.spark.sql.DataFrame = {
+    val (c, _) = scaledGeometry(s, dir)
+    semDedup(s, dir, c, threshold)
+  }
+
   /** The x86 core shared by the registry query and the incremental
     * lifecycle: in-cell top-k edges over an assigned (vec_id, v, cell)
     * frame. Keeps the src cell in the output so the incremental path
@@ -3934,33 +3992,44 @@ object VectorOps {
       planes: Int = DefaultPlanes, k: Int = KnnGraphK)
       : org.apache.spark.sql.DataFrame = {
     val n = normalizedEmbeddings(s, dir)
+    // ONE cached frame carries assignment + bucket + vector; every
+    // later stage (both blockings, both score re-attaches) reads it,
+    // so the corpus scans parquet exactly once per action
     val a = bucketed(
       (if (cells <= MaxLiteralCells) literalCells(n, cells)
        else joinCells(n, cells)).select($"vec_id", $"v", $"cell"),
       planes).cache()
-    val b = a.select($"vec_id".as("vec_id2"), $"v".as("v2"),
+    // candidate IDS from either blocking — vectors stay OUT of the
+    // blocked joins, so the union/distinct shuffles 16-byte id pairs,
+    // not 512-byte embeddings, and the 64-dim dot runs ONCE per
+    // distinct pair below instead of once per blocking that proposed
+    // it (the r7 body scored both branches then distinct'd the
+    // already-scored triples — double arithmetic AND a fat exchange)
+    val ids = a.select($"vec_id", $"cell", $"bkt")
+    val ids2 = ids.select($"vec_id".as("vec_id2"),
       $"cell".as("cell2"), $"bkt".as("bkt2"))
-    // candidates from EITHER blocking (equi-join per blocking; the
-    // union-distinct realizes the OR without a nested-loop join)
-    def pairsOn(key: Column): org.apache.spark.sql.DataFrame =
-      a.join(b, key && $"vec_id" =!= $"vec_id2")
-        .select($"vec_id".as("src"), $"vec_id2".as("dst"),
-          round(dot($"v", $"v2"), 4).as("cos"))
-    val p0 = pairsOn($"cell" === $"cell2")
-      .union(pairsOn($"bkt" === $"bkt2")).distinct().cache()
-    val edges = p0
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst")))
-      .filter($"rn" <= k)
-      .select($"src", $"dst").cache()
+    def idPairsOn(key: Column): org.apache.spark.sql.DataFrame =
+      ids.join(ids2, key && $"vec_id" =!= $"vec_id2")
+        .select($"vec_id".as("src"), $"vec_id2".as("dst"))
+    val cand = idPairsOn($"cell" === $"cell2")
+      .union(idPairsOn($"bkt" === $"bkt2")).distinct()
+    // score once per pair: two id-equi re-attach joins against the
+    // cached assignment (no second parquet scan)
+    val va = a.select($"vec_id".as("src"), $"v".as("va"))
+    val vb = a.select($"vec_id".as("dst"), $"v".as("vb"))
+    val p0 = cand.join(va, "src").join(vb, "dst")
+      .select($"src", $"dst", round(dot($"va", $"vb"), 4).as("cos"))
+      .cache()
+    val edges = graft.ops.TopK.perKey(p0, Seq("src"),
+      Seq($"cos".desc, $"dst".asc), k)
+      .select($"src", $"dst")
     // symmetrized adjacency: NN-descent explores both directions
     val und = edges
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
     // 2-hop proposals a -> b -> c, a != c (bounded: k² per bridge);
     // pairs the blockings ALREADY scored are anti-joined out so the
-    // bulk of the candidate set reuses p0's scores instead of paying
-    // the two id-equi re-attach joins a second time — only the
+    // bulk of the candidate set reuses p0's scores — only the
     // genuinely new 2-hop pairs (O(n·k²) of them) get scored here
     val fresh = und.select($"src".as("a"), $"dst".as("b"))
       .join(und.select($"src".as("b2"), $"dst".as("c")), $"b" === $"b2")
@@ -3968,11 +4037,11 @@ object VectorOps {
       .select($"a", $"c").distinct()
       .join(p0.select($"src".as("a"), $"dst".as("c")),
         Seq("a", "c"), "left_anti")
-    val va = n.select($"vec_id".as("a"), $"v".as("va"))
-    val vc = n.select($"vec_id".as("c"), $"v".as("vc"))
-    val scoredFresh = fresh.join(va, "a").join(vc, "c")
+    val scoredFresh = fresh
+      .join(va.withColumnRenamed("src", "a"), "a")
+      .join(vb.withColumnRenamed("dst", "c"), "c")
       .select($"a".as("src"), $"c".as("dst"),
-        round(dot($"va", $"vc"), 4).as("cos"))
+        round(dot($"va", $"vb"), 4).as("cos"))
     p0.select($"src", $"dst", $"cos").union(scoredFresh)
       .withColumn("rn", row_number()
         .over(Window.partitionBy($"src").orderBy($"cos".desc, $"dst"))

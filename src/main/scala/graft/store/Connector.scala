@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Pluggable external-storage transport — the seam that makes the
@@ -104,8 +103,7 @@ final class KeyedApi(store: Store, spark: SparkSession) {
 
   private def sel(entity: String, k1: String, v1: Long, k2: String,
       v2: Long): DataFrame =
-    store.read(entity, spark).filter(col(k1) === lit(v1) &&
-      col(k2) === lit(v2))
+    store.readKeyed(entity, Seq(k1 -> v1, k2 -> v2), spark)
 
   def setup(): Unit = store match {
     case c: ConnectorStore => c.connector.setup(); case _ => ()

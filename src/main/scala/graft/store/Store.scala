@@ -20,6 +20,22 @@ trait Store extends Serializable {
   def write(entity: String, df: DataFrame, keys: Seq[String]): Unit
   def read(entity: String, spark: SparkSession): DataFrame
 
+  /** Key-addressed point read — the reference's O(1) GET
+    * (ref: blackmagic/data/ceph.py:125-129,338-351: one object per
+    * key, listing never scales with the store). Base semantics:
+    * `read` + equality filters, correct for every impl; the
+    * partitioned stores override it to resolve the key DIRECTLY to
+    * its partition directory, so per-request cost is O(one partition
+    * listing) instead of O(store) — the difference between a flat and
+    * a super-linear serving path at tile scale (a 2,500-chip tile is
+    * 2,500 keyed reads; each must not re-list 2,500 partitions). */
+  def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    keyValues.foldLeft(read(entity, spark)) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v)) }
+  }
+
   /** S12 explicit keyed delete (ref: blackmagic/data/__init__.py:57-70
     * delete_tile/chip/pixels/segments/predictions): drop ONE key
     * partition, leave every other key untouched, succeed when the key
@@ -54,8 +70,11 @@ private[store] object PartitionedDelete {
     orderCache.remove(s"$root/$entity"); ()
   }
 
-  def apply(root: String, entity: String,
-      keyValues: Seq[(String, Any)]): Unit = {
+  /** Key values reordered to the on-disk partition-key order (layout
+    * discovery + cache as described above); falls back to the
+    * caller's order when the entity is absent or unpartitioned. */
+  private[store] def orderedKeys(root: String, entity: String,
+      keyValues: Seq[(String, Any)]): Seq[(String, Any)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val base = new org.apache.hadoop.fs.Path(s"$root/$entity")
     val fs = base.getFileSystem(conf)
@@ -84,7 +103,7 @@ private[store] object PartitionedDelete {
     val cacheKey = s"$root/$entity"
     val cached = Option(orderCache.get(cacheKey))
       .filter(_.toSet == kv.keySet)
-    val keys = cached.map(_.map(k => k -> kv(k))).getOrElse {
+    cached.map(_.map(k => k -> kv(k))).getOrElse {
       chainOrder(base, kv.size) match {
         case Some(o) if kv.keySet == o.toSet =>
           orderCache.put(cacheKey, o)
@@ -92,9 +111,48 @@ private[store] object PartitionedDelete {
         case _ => keyValues
       }
     }
-    val part = keys.map { case (k, v) => s"$k=$v" }.mkString("/")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$entity/$part"), true)
+  }
+
+  /** The key's partition directory, in layout order. */
+  private def partPath(root: String, entity: String,
+      keyValues: Seq[(String, Any)]): org.apache.hadoop.fs.Path = {
+    val part = orderedKeys(root, entity, keyValues)
+      .map { case (k, v) => s"$k=$v" }.mkString("/")
+    new org.apache.hadoop.fs.Path(s"$root/$entity/$part")
+  }
+
+  def apply(root: String, entity: String,
+      keyValues: Seq[(String, Any)]): Unit = {
+    val p = partPath(root, entity, keyValues)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
     () // delete returns false when absent — idempotent by contract
+  }
+
+  /** Key-addressed read for the partitioned layouts: resolve the key
+    * to its partition directory and list ONLY that — one directory
+    * listing per request regardless of how many keys the entity
+    * holds (the reference's per-key GET, ceph.py:125-129). `basePath`
+    * keeps the partition columns in the result, so the frame is
+    * column-identical to `read(...).filter(key)`. A missing partition
+    * falls back to the filtered full read: same zero rows (or the
+    * same entity-absent error) as the unkeyed path, and the rare
+    * miss never costs more than the old behavior did on every call. */
+  def read(root: String, entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession, fmt: String): DataFrame = {
+    val p = partPath(root, entity, keyValues)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val exists = try fs.exists(p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (exists)
+      spark.read.option("basePath", s"$root/$entity").format(fmt)
+        .load(p.toString)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      keyValues.foldLeft(
+        spark.read.format(fmt).load(s"$root/$entity")) {
+        case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+    }
   }
 }
 
@@ -113,6 +171,10 @@ final class ParquetStore(root: String) extends Store {
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
+
+  override def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession): DataFrame =
+    PartitionedDelete.read(root, entity, keyValues, spark, "parquet")
 
   override def delete(entity: String,
       keyValues: Seq[(String, Any)]): Unit =
@@ -149,6 +211,10 @@ final class ClusteredParquetStore(root: String, clusterKeys: Seq[String],
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
+
+  override def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession): DataFrame =
+    PartitionedDelete.read(root, entity, keyValues, spark, "parquet")
 
   override def delete(entity: String,
       keyValues: Seq[(String, Any)]): Unit =
@@ -190,6 +256,10 @@ final class ZOrderStore(root: String, xCol: String, yCol: String,
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/$entity")
+
+  override def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession): DataFrame =
+    PartitionedDelete.read(root, entity, keyValues, spark, "parquet")
 
   override def delete(entity: String,
       keyValues: Seq[(String, Any)]): Unit =
@@ -362,6 +432,15 @@ final class JsonStore(root: String) extends Store {
 
   override def read(entity: String, spark: SparkSession): DataFrame =
     spark.read.json(s"$root/$entity")
+
+  /** Partition-scoped GET like the parquet stores. Caveat inherent to
+    * JSON: schema inference sees only this partition's objects, so a
+    * column absent from every object AT THIS KEY is absent from the
+    * frame (the full read infers over all keys). The serving path
+    * reads fixed-schema entities, where the two agree. */
+  override def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+      spark: SparkSession): DataFrame =
+    PartitionedDelete.read(root, entity, keyValues, spark, "json")
 
   override def delete(entity: String,
       keyValues: Seq[(String, Any)]): Unit =

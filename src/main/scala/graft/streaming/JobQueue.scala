@@ -145,9 +145,21 @@ final class JobQueue(
     }
     override def read(entity: String, spark: SparkSession) =
       inner.read(entity, spark)
+    override def readKeyed(entity: String, keyValues: Seq[(String, Any)],
+        spark: SparkSession) =
+      inner.readKeyed(entity, keyValues, spark)
     override def delete(entity: String, keyValues: Seq[(String, Any)]): Unit =
       inner.delete(entity, keyValues)
   }
+
+  /** Per-dispatch-batch tile-model memo: a tile of prediction requests
+    * (the reference's real unit is 2,500 chips) references ONE model —
+    * fetch its bytes once per batch instead of one driver `head()` job
+    * per chip. Cleared at every batch boundary so a retrained model is
+    * picked up by the next batch (ordering between batches is the
+    * queue's contract; within a batch requests are independent). */
+  @transient private lazy val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Array[Byte]]()
 
   /** Run one validated request through its pipeline. */
   private def handle(r: JobRequest): JobResult =
@@ -174,12 +186,20 @@ final class JobQueue(
             case "prediction" =>
               import org.apache.spark.sql.functions.col
               import spark.implicits._
-              val modelBytes = store.read("tile", spark)
-                .filter(col("tx") === r.tx && col("ty") === r.ty)
-                .select(col("model")).as[Array[Byte]].head()
+              // keyed point reads: the model is one GET per BATCH (memo
+              // above), the chip's segments one partition listing per
+              // request — per-request cost is O(1) in the store size,
+              // where the old full-store read + filter made a tile of
+              // requests O(chips²) in listing work (measured: the r7
+              // 100-chip prediction stage ran 0.71 s/chip vs 0.19 at
+              // 25 chips from exactly this)
+              val modelBytes = modelMemo.computeIfAbsent((r.tx, r.ty),
+                _ => store.readKeyed("tile",
+                    Seq("tx" -> r.tx, "ty" -> r.ty), spark)
+                  .select(col("model")).as[Array[Byte]].head())
               val n = PredictionPipeline.run(spark,
-                store.read("segment", spark)
-                  .filter(col("cx") === r.cx && col("cy") === r.cy),
+                store.readKeyed("segment",
+                  Seq("cx" -> r.cx, "cy" -> r.cy), spark),
                 auxSource(), rs, classifier, modelBytes, r.month, r.day)
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true, n, "", 200)
             case other =>
@@ -216,6 +236,7 @@ final class JobQueue(
     // request batches are tiny control messages (the reference's HTTP
     // bodies) — collecting them to the driver is the sanctioned pattern;
     // the DATA work each one triggers stays fully distributed.
+    modelMemo.clear()
     val reqs = batch.collect()
     if (reqs.length <= 1 || parallelism <= 1)
       reqs.foreach(r => append(handle(r)))
@@ -234,7 +255,8 @@ final class JobQueue(
     * parsed JSON requests): per-field validation runs first, and a
     * request that fails it is answered 400 without any pipeline (or
     * store) involvement. */
-  def dispatchRaw(batch: DataFrame): Unit =
+  def dispatchRaw(batch: DataFrame): Unit = {
+    modelMemo.clear()
     batch.collect().foreach { row =>
       val res = parameters(row) match {
         case Left(err) =>
@@ -259,6 +281,7 @@ final class JobQueue(
       }
       append(res)
     }
+  }
 
   /** Start the streaming dispatcher over a request stream. */
   def start(requests: Dataset[JobRequest], checkpoint: String)

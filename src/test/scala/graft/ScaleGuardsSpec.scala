@@ -687,6 +687,79 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"query $q regressed"))
   }
 
+  test("x45 residual path at codeK=64: nprobe monotonicity holds " +
+    "under the wider book too (the geometry-headroom claim, extended " +
+    "from x42's flat path to the residual one)") {
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .filter(_.getLong(3) == 1L)
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r1 = rank1(VectorOps.annIvfPqResidualProbe(spark, dir,
+      nprobe = 1, codeK = 64))
+    val r2 = rank1(VectorOps.annIvfPqResidualProbe(spark, dir,
+      nprobe = 2, codeK = 64))
+    val r4 = rank1(VectorOps.annIvfPqResidualProbe(spark, dir,
+      nprobe = 4, codeK = 64))
+    assert(r1.nonEmpty && r1.keySet == r2.keySet && r2.keySet == r4.keySet)
+    // candidate pools only grow with nprobe and per-candidate scores
+    // are probe-independent, so the best offset-corrected ADC is
+    // monotone — at ANY codebook width
+    r1.keySet.foreach { q =>
+      assert(r2(q) >= r1(q), s"query $q: nprobe 2 < 1 at codeK=64")
+      assert(r4(q) >= r2(q), s"query $q: nprobe 4 < 2 at codeK=64")
+    }
+  }
+
+  test("production entry points default to corpus-scaled geometry: " +
+    "the scaled default engages past the fixed-geometry crossover " +
+    "while registry bodies stay pinned") {
+    val n = VectorOps.normalizedEmbeddings(spark, dir).count()
+    val (cells, planes) = VectorOps.scaledGeometry(spark, dir)
+    // this corpus is past the 256-vector crossover, so the scaled
+    // default must EXCEED the pinned registry geometry
+    assert(n > 256, s"fixture too small: $n")
+    assert(cells == VectorOps.cellsFor(n) && cells > 16,
+      s"cells $cells for n=$n")
+    assert(planes == VectorOps.planesFor(n), s"planes $planes")
+    // the knob keeps scaling: every corpus doubling past the
+    // occupancy target adds a plane; cells track sqrt(n)
+    assert(VectorOps.cellsFor(1000000L) == 1000)
+    assert(VectorOps.planesFor(1L << 40) ==
+      VectorOps.planesFor(1L << 39) + 1)
+    // the scaled entry points run end-to-end with the wider geometry
+    // and keep the engine's output contract (ranks 1..k per source)
+    val g = VectorOps.knnGraphScaled(spark, dir).collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val rns = rows.map(_.getLong(3)).sorted.toSeq
+      assert(rows.length <= 4 && rns == (1L to rows.length),
+        s"src $src ranks $rns")
+    }
+    val ivf = VectorOps.annIvfTrainedScaled(spark, dir).collect()
+    assert(ivf.nonEmpty && ivf.forall(r => r.getLong(3) >= 1 &&
+      r.getLong(3) <= 3))
+  }
+
+  test("eager iterative bodies (graph contraction, incremental graph " +
+    "append) leave no pinned cache blocks behind") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    // star contraction over a 2000-edge chain forest
+    val pairs = spark.range(2000)
+      .select(($"id" * 2).as("a"), ($"id" * 2 + 2).as("b"))
+    assert(graft.ops.Components.contract(pairs).count() > 0)
+    // incremental k-NN graph append through a store
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hygiene").toString
+    val store = new graft.store.ParquetStore(root)
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val batch = VectorOps.normalizedEmbeddings(spark, dir)
+      .filter($"vec_id" < 64)
+    VectorOps.appendKnnGraph(spark, batch, 0L, store)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "eager iterative body left cached blocks pinned")
+  }
+
   test("x33 incremental dedup agrees with x7's self-dedup on the " +
     "new-vs-old slice") {
     // x7 over the whole corpus, restricted to odd(new)/even(old)

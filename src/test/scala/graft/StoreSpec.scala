@@ -600,4 +600,54 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
         java.nio.file.Paths.get(f)))
     assert(stamp2 == stamp, "no-op compaction rewrote files")
   }
+
+  // The serving-path scale contract (the reference's O(1) GET,
+  // ceph.py:125-129): a keyed read of a partitioned store resolves
+  // DIRECTLY to the key's partition directory — the scan's input
+  // files all live under that one partition no matter how many other
+  // keys the entity holds, so per-request listing cost is O(1) in the
+  // store size (the r7 100-chip prediction stage was super-linear
+  // precisely because every request re-listed every partition).
+  test("keyed point read scans only its own partition") {
+    val tmp = Files.createTempDirectory("graft-keyed-read").toString
+    val stores: Seq[(String, Store)] = Seq(
+      "parquet" -> new ParquetStore(s"$tmp/pq"),
+      "json" -> new JsonStore(s"$tmp/js"))
+    stores.foreach { case (name, store) =>
+      val df = (0L until 8L).map(k => (k, k * 10, s"v$k"))
+        .toDF("cx", "cy", "v")
+      store.write("seg", df, Seq("cx", "cy"))
+      val one = store.readKeyed("seg", Seq("cx" -> 3L, "cy" -> 30L), spark)
+      // column-identical to the filtered full read, rows identical
+      val full = store.read("seg", spark)
+        .filter($"cx" === 3L && $"cy" === 30L)
+      assert(one.columns.sorted.toSeq == full.columns.sorted.toSeq,
+        s"[$name] schema")
+      assert(one.select($"v").as[String].collect().toSet == Set("v3"),
+        s"[$name] rows")
+      // the O(1) listing: every input file is inside the key's own
+      // partition directory — 7 other partitions never listed/read
+      val files = one.inputFiles
+      assert(files.nonEmpty && files.forall(_.contains("cx=3")),
+        s"[$name] inputFiles: ${files.mkString(", ")}")
+      // caller key order must not matter (layout order is discovered,
+      // same as keyed delete)
+      val rev = store.readKeyed("seg", Seq("cy" -> 30L, "cx" -> 3L), spark)
+      assert(rev.select($"v").as[String].collect().toSet == Set("v3"),
+        s"[$name] reversed key order")
+      assert(rev.inputFiles.forall(_.contains("cx=3")), s"[$name] rev list")
+      // absent key: zero rows, same schema, no error — a GET miss
+      val miss = store.readKeyed("seg", Seq("cx" -> 99L, "cy" -> 0L), spark)
+      assert(miss.count() == 0, s"[$name] miss")
+      assert(miss.columns.sorted.toSeq == full.columns.sorted.toSeq,
+        s"[$name] miss schema")
+    }
+    // non-partitioned impls keep the contract via the default
+    // read+filter (rows identical, just without the listing economy)
+    val mem = new ConnectorStore(new InMemoryConnector)
+    mem.write("seg", Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("cx", "cy", "v"), Seq("cx", "cy"))
+    assert(mem.readKeyed("seg", Seq("cx" -> 2L, "cy" -> 20L), spark)
+      .select($"v").as[String].collect().toSeq == Seq("b"))
+  }
 }

@@ -92,4 +92,72 @@ class TileLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(store.read("prediction", spark)
       .select($"cx").distinct().count() == NChips)
   }
+
+  /** Store wrapper counting full-entity vs keyed reads, so the test
+    * below pins the serving path's READ PATTERN — the thing that made
+    * the r7 100-chip prediction stage super-linear (0.19 → 0.71
+    * s/chip): every full `read` lists every partition in the store,
+    * so N requests × N partitions is O(N²) metadata. */
+  private final class CountingStore(inner: graft.store.Store)
+      extends graft.store.Store {
+    val fullReads =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val keyedReads =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private def bump(m: java.util.concurrent.ConcurrentHashMap[
+        String, Integer], e: String): Unit =
+      m.merge(e, 1, (a, b) => a + b)
+    def reset(): Unit = { fullReads.clear(); keyedReads.clear() }
+    override def write(entity: String,
+        df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit =
+      inner.write(entity, df, keys)
+    override def read(entity: String,
+        spark: org.apache.spark.sql.SparkSession) = {
+      bump(fullReads, entity); inner.read(entity, spark)
+    }
+    override def readKeyed(entity: String,
+        keyValues: Seq[(String, Any)],
+        spark: org.apache.spark.sql.SparkSession) = {
+      bump(keyedReads, entity); inner.readKeyed(entity, keyValues, spark)
+    }
+    override def delete(entity: String,
+        keyValues: Seq[(String, Any)]): Unit =
+      inner.delete(entity, keyValues)
+  }
+
+  test("prediction serving path is key-addressed: zero full-store " +
+    "reads per request, one model fetch per batch") {
+    implicit val reqEnc = org.apache.spark.sql.Encoders.product[JobRequest]
+    val root = Files.createTempDirectory("graft-tile-keyed").toString
+    val store = new CountingStore(new ParquetStore(root))
+    val jq = new JobQueue(spark, store,
+      ardSource = (cx, cy) => SyntheticTile.chip(spark, cx, cy, Side, Obs),
+      auxSource = () => SyntheticTile.aux(spark, NChips, Side),
+      classifier = new GradientBoostedClassifier(
+        BoostConfig(numRound = 5, numClass = 4, maxDepth = 3)))
+    jq.dispatch(spark.createDataset((0 until NChips).map(k =>
+      JobRequest("segment", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+        0, 0, "", 0, 0))))
+    jq.dispatch(spark.createDataset(Seq(
+      JobRequest("tile", 0, 0, 7, 9, "1987-07-01", 0, 0))))
+    assert(jq.results.forall(_.ok), jq.results.filterNot(_.ok).toString)
+
+    // the serving stage: every read of tile/segment must be keyed —
+    // a full read here is what turns a tile of requests O(chips²)
+    store.reset()
+    jq.dispatch(spark.createDataset((0 until NChips).map(k =>
+      JobRequest("prediction", SyntheticTile.cxOf(k), SyntheticTile.Cy,
+        7, 9, "", 7, 1))))
+    val pred = jq.results.filter(_.kind == "prediction")
+    assert(pred.length == NChips && pred.forall(_.ok),
+      pred.filterNot(_.ok).toString)
+    assert(store.fullReads.isEmpty,
+      s"full-store reads in the serving path: ${store.fullReads}")
+    assert(store.keyedReads.get("segment") == NChips,
+      s"keyed segment reads: ${store.keyedReads}")
+    // one tile of requests = ONE model fetch (per-batch memo), not one
+    // driver head() job per chip
+    assert(store.keyedReads.get("tile") == 1,
+      s"keyed tile reads: ${store.keyedReads}")
+  }
 }

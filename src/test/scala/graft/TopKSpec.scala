@@ -138,4 +138,88 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq == Seq((1L, 13L, 1L), (1L, 10L, 2L),
       (2L, 20L, 1L)))
   }
+
+  test("final-phase key cap degrades to the external-sort path and " +
+    "stays exact (rows, ranks, multi-row groups)") {
+    import spark.implicits._
+    val saved = FinalTopKExec.maxFinalKeys
+    FinalTopKExec.maxFinalKeys = 64 // force the fallback without 64k keys
+    try {
+      // 1,000 keys × 5 rows through ONE reduce partition: far past the
+      // lowered cap, so the partition must take the sort path — and the
+      // result must still be per-key exact top-2 with correct ranks
+      val wide = spark.range(5000)
+        .select(($"id" % 1000).as("key"), $"id".as("v"))
+        .coalesce(1)
+      val got = TopK.perKey(wide, Seq("key"), Seq($"v".desc, $"key".asc), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // per-key top-2 by v desc: v = key + 4000 (rn 1) and key + 3000
+      val want = (0L until 1000L).flatMap(k =>
+        Seq((k, k + 4000, 1L), (k, k + 3000, 2L))).toSet
+      assert(got == want)
+    } finally FinalTopKExec.maxFinalKeys = saved
+  }
+
+  test("spark.graft.topk.rewrite=false switches the automatic rewrite " +
+    "off; explicit TopK.perKey still plans the operator") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice")
+    def windowed = li.withColumn("rn", row_number().over(Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc, $"l_partkey".asc)))
+      .filter($"rn" <= 3)
+    spark.conf.set(graft.plans.RankToTopK.RewriteConf, "false")
+    try {
+      val p = windowed.queryExecution.executedPlan.toString
+      assert(!p.contains("FinalTopK"), p)
+      assert(p.contains("Window"), p)
+      // the builder API is an explicit opt-in, not subject to the conf
+      val ep = TopK.perKey(li, Seq("l_suppkey"),
+        Seq($"l_extendedprice".desc), 3)
+        .queryExecution.executedPlan.toString
+      assert(ep.contains("FinalTopK"), ep)
+    } finally spark.conf.unset(graft.plans.RankToTopK.RewriteConf)
+    // back on: the rewrite fires again
+    val p2 = windowed.queryExecution.executedPlan.toString
+    assert(p2.contains("FinalTopK"), p2)
+  }
+
+  test("a foreign WindowGroupLimit (smaller limit than k) blocks the " +
+    "rewrite instead of being silently dropped") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
+      Literal, RowFrame, RowNumber, SortOrder => CSortOrder,
+      SpecifiedWindowFrame, UnboundedPreceding, CurrentRow,
+      WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      LocalRelation, Window => LWindow, WindowGroupLimit}
+    val g = Symbol("g").long
+    val v = Symbol("v").long
+    val rel = LocalRelation(g, v)
+    val ord = CSortOrder(v, Ascending)
+    val spec = WindowSpecDefinition(Seq(g), Seq(ord),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val rnAlias = Alias(WindowExpression(RowNumber(), spec), "rn")()
+    def planWith(child: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan) =
+      LFilter(rnAlias.toAttribute <= Literal(3),
+        LWindow(Seq(rnAlias), Seq(g), Seq(ord), child))
+    // a group limit SMALLER than k below the window: dropping it would
+    // change results — the rule must leave the whole plan unrewritten
+    val foreign = planWith(
+      WindowGroupLimit(Seq(g), Seq(ord), RowNumber(), 1, rel))
+    assert(graft.plans.RankToTopK(foreign) == foreign)
+    // the limit InferWindowGroupLimit derives (same spec, limit >= k)
+    // IS stripped and subsumed by the heap operator
+    val inferred = planWith(
+      WindowGroupLimit(Seq(g), Seq(ord), RowNumber(), 3, rel))
+    val rewritten = graft.plans.RankToTopK(inferred)
+    assert(rewritten != inferred)
+    assert(rewritten.collectFirst {
+      case t: graft.plans.TopKPerKey => t }.exists(_.child == rel))
+  }
 }
