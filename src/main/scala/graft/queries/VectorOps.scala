@@ -3820,6 +3820,101 @@ object VectorOps {
       .select($"src", $"dst", $"cos", $"rn")
       .orderBy($"src", $"rn")
 
+  /** Rebalance the persisted k-NN corpus: split every cell whose
+    * member count exceeds `cap` into TWO cells via a deterministic
+    * in-cell 2-means (seed 0 = the min-id member, seed 1 = the member
+    * farthest from it — the Gonzalez max-min convention of
+    * [[farthestPointSeeds]] — then two Lloyd rounds over exact integer
+    * sufficient statistics), extend the persisted coarse book with the
+    * new centroids, and rewrite + re-edge ONLY the touched cells.
+    *
+    * This is the fourth index-lifecycle verb (append =
+    * [[appendKnnGraph]], compact = [[compactAnnCorpus]], delete =
+    * [[tombstoneAnnVectors]], REBALANCE = this): a skewed ingest
+    * stream concentrates vectors in a few hot cells, and in-cell work
+    * is quadratic in cell population — one cell holding 1% of a 1e9
+    * corpus costs (1e7)² pair work where balanced cells cost (3e4)².
+    * Splitting hot cells restores the √n economy without retraining
+    * or re-encoding the other 99% of the index: per split, the work
+    * is a few scans of THAT cell's partition; untouched cells' files
+    * are never opened (StoreSpec pins their mtimes unchanged).
+    *
+    * One pass halves the hot cells; callers iterate until it returns
+    * 0 for a hard cap (each round's work shrinks geometrically). A
+    * degenerate cell (all members identical) keeps its members in the
+    * low half and leaves the new centroid empty — harmless, probes of
+    * it just find nothing. Bounded collects only: hot-cell ids,
+    * touched (batch, cell) pairs, and the book. Returns the number of
+    * cells split. */
+  def rebalanceKnnCells(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, cap: Int): Int = {
+    require(cap > 1, s"rebalance cap must exceed 1, got $cap")
+    val vecs = store.read("knn_vectors", s)
+      .select($"batch".cast("long").as("batch"),
+        $"cell".cast("long").as("cell"), $"vec_id", $"v")
+    val hot = vecs.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .filter($"n" > cap)
+      .select($"cell").collect().map(_.getLong(0)).sorted
+    if (hot.isEmpty) return 0
+    val book = scala.collection.mutable.ArrayBuffer(
+      store.read("ann_coarse_book", s).select($"cid", $"cv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2).toIndexedSeq: _*)
+    var moved = List.empty[org.apache.spark.sql.DataFrame]
+    var newCells = List.empty[Long]
+    hot.foreach { c =>
+      // every step below scans ONLY cell c's partitions (directory-
+      // pruned); the cache serves the eager seed/round jobs
+      val members = vecs.filter($"cell" === c)
+        .select($"batch", $"vec_id", $"v").cache()
+      try {
+        val s0 = members.agg(min(struct($"vec_id", $"v")).as("m"))
+          .select($"m.v").head().getSeq[Double](0).toArray
+        val far = members.agg(min(struct(
+            round(dot($"v", lit(s0)), 4).as("cos"),
+            $"vec_id".as("vid"), $"v".as("sv"))).as("m"))
+          .select($"m.sv").head().getSeq[Double](0).toArray
+        val iv = members.withColumn("ivd", intComps($"v"))
+        val pair = (1 to 2).foldLeft(Array(s0, far))((cc, _) =>
+          kmeansRound(iv, cc))
+        val nc = book.length.toLong
+        book(c.toInt) = pair(0) // cids are 0..n-1 by construction
+        book += pair(1)
+        newCells ::= nc
+        moved ::= assignCells(members, pair)
+          .select($"batch",
+            when($"cell" === 0L, lit(c)).otherwise(lit(nc)).as("cell"),
+            $"vec_id", $"v")
+      } finally members.unpersist()
+    }
+    // the reassigned rows must MATERIALIZE before their source
+    // partitions are dropped — the frames above lazily read them
+    val newVecs = moved.reduce(_ unionByName _).localCheckpoint(true)
+    val touched = vecs.filter($"cell".isin(hot: _*))
+      .select($"batch", $"cell").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    touched.foreach { case (b, c) =>
+      store.delete("knn_vectors", Seq("batch" -> b, "cell" -> c)) }
+    store.write("knn_vectors", newVecs, Seq("batch", "cell"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[CentRow]
+    store.write("ann_coarse_book",
+      s.createDataset(book.toIndexedSeq.zipWithIndex.map {
+        case (cv, i) => CentRow(i.toLong, cv.toSeq) })
+        .toDF("cid", "cv"), Seq.empty)
+    // re-edge split + new cells from the rewritten store; untouched
+    // cells' graph partitions are never read or rewritten
+    val affected = (hot ++ newCells).distinct
+    val members2 = store.read("knn_vectors", s)
+      .filter($"cell".isin(affected: _*))
+      .select($"vec_id", $"v", $"cell".cast("long").as("cell")).cache()
+    val edges = knnEdges(members2)
+      .select($"cell", $"src", $"dst", $"cos", $"rn")
+    affected.foreach(c => store.delete("knn_graph", Seq("cell" -> c)))
+    store.write("knn_graph", edges, Seq("cell"))
+    members2.unpersist()
+    hot.length
+  }
+
   /** x91 body: filtered (metadata-constrained) ANN — the search shape
     * every production vector store grew (Qdrant/Milvus/pgvector
     * filtered search): each query's candidates must ALSO satisfy a

@@ -601,6 +601,92 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(stamp2 == stamp, "no-op compaction rewrote files")
   }
 
+  test("k-NN cell rebalance splits only hot cells, grows the book, " +
+    "preserves every vector, and never touches cold cells' files") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-rebalance").toString
+    val store = new ParquetStore(root)
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val batch = VectorOps.normalizedEmbeddings(spark, dir)
+    VectorOps.appendKnnGraph(spark, batch, 0L, store)
+    val before = store.read("knn_vectors", spark)
+      .groupBy($"cell").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val total = before.values.sum
+    val ids = store.read("knn_vectors", spark)
+      .select($"vec_id").as[Long].collect().toSet
+    // cap chosen between the max and the mean so SOME cells are hot
+    // and some are cold on this corpus
+    val cap = (before.values.max + before.values.sum /
+      before.size) / 2
+    val hot = before.filter(_._2 > cap).keys.toSeq.sorted
+    assert(hot.nonEmpty && hot.size < before.size,
+      s"fixture skew assumption broke: $before cap=$cap")
+    // cold cells' graph partition files must survive BYTE-untouched
+    def graphFiles(cells: Seq[Long]) = cells.flatMap { c =>
+      val d = java.nio.file.Paths.get(s"$root/knn_graph/cell=$c")
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.list(d).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+      else Seq.empty
+    }
+    val cold = before.keys.toSeq.filterNot(hot.contains).sorted
+    val stamp = graphFiles(cold).sorted.map(f =>
+      f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+
+    val splits = VectorOps.rebalanceKnnCells(spark, store, cap.toInt)
+    assert(splits == hot.size, s"split $splits of ${hot.size} hot cells")
+
+    // every vector survives, exactly once
+    val after = store.read("knn_vectors", spark)
+      .groupBy($"cell").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(after.values.sum == total)
+    assert(store.read("knn_vectors", spark)
+      .select($"vec_id").as[Long].collect().toSet == ids)
+    // each split cell genuinely divided: both halves smaller than the
+    // parent (2-means with distinct members never leaves one side
+    // empty on this corpus), cold cells byte-identical in count
+    hot.zipWithIndex.foreach { case (c, i) =>
+      val nc = before.size.toLong + i
+      assert(after.getOrElse(c, 0L) < before(c), s"cell $c did not shrink")
+      assert(after.getOrElse(c, 0L) + after.getOrElse(nc, 0L) == before(c),
+        s"cell $c halves don't sum: $after")
+    }
+    cold.foreach(c => assert(after(c) == before(c), s"cold cell $c moved"))
+    // the persisted book grew by one centroid per split
+    assert(store.read("ann_coarse_book", spark).count() ==
+      before.size + splits)
+    // cold cells' graph files were never rewritten
+    val stamp2 = graphFiles(cold).sorted.map(f =>
+      f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    assert(stamp2 == stamp, "rebalance rewrote a cold cell's graph")
+    // the rebalanced graph stays internally consistent: edges of a
+    // split cell are exactly the in-cell top-k over its new members
+    val g = store.read("knn_graph", spark)
+    val c0 = hot.head
+    val mem = store.read("knn_vectors", spark)
+      .filter($"cell" === c0)
+      .select($"vec_id", $"v", $"cell".cast("long").as("cell"))
+    val want = VectorOps.knnEdges(mem)
+      .select($"src", $"dst", $"cos", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val got = g.filter($"cell" === c0)
+      .select($"src", $"dst", $"cos", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // a later append works against the GROWN book (the literal/join
+    // assignment switch takes any cell count)
+    VectorOps.appendKnnGraph(spark, batch.filter($"vec_id" < 8)
+      .withColumn("vec_id", $"vec_id" + 100000L), 1L, store)
+    assert(store.read("knn_vectors", spark).count() == total + 8)
+  }
+
   // The serving-path scale contract (the reference's O(1) GET,
   // ceph.py:125-129): a keyed read of a partitioned store resolves
   // DIRECTLY to the key's partition directory — the scan's input
