@@ -721,6 +721,19 @@ object TextOps {
       (lit(1.0) - nStop / nTok), 6)
   }
 
+  /** The per-doc integerized quality frame behind x108 — shared with
+    * the ScaleGuardsSpec case pinning the approx_percentile
+    * (mergeable-sketch) swap against the exact quartiles. */
+  private[graft] def qualityBySource(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.TextExprs.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+      .select($"doc_id", $"source",
+        round(qualityCol($"tk") * lit(1000000.0)).cast("long")
+          .as("q6"))
+
   /** x93 body: canonical-by-QUALITY resolution of near-dup clusters —
     * the production dedup selection rule. x19 gives the transitive
     * near-dup components; of each cluster this keeps the member with
@@ -1981,12 +1994,7 @@ object TextOps {
          |FROM r GROUP BY source ORDER BY source""".stripMargin) {
       (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val q = Tables.spread(s, dir, "documents")
-        .select($"doc_id", $"source", T.wsTokens($"text").as("tk"))
-        .filter(size($"tk") >= 1)
-        .select($"doc_id", $"source",
-          round(qualityCol($"tk") * lit(1000000.0)).cast("long")
-            .as("q6"))
+      val q = qualityBySource(s, dir)
       val bySrc = Window.partitionBy($"source")
       val r = q
         .withColumn("rn",

@@ -299,6 +299,13 @@ object ZOrderStore {
   * (root, entity) serialize on a companion-object lock shared by ALL
   * instances; ACROSS JVMs the read-merge-rewrite has no coordination,
   * so this store requires a single writing driver per entity.
+  *
+  * Keyed point reads: the default `readKeyed` (read + equality
+  * filters) gets Spark's BUCKET pruning — 1 of N bucket groups
+  * scanned — provided the session sets
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+  * (the heuristic otherwise drops the bucketed scan on filter-only
+  * plans, and the pruning with it). StoreSpec pins the pruned plan.
   */
 final class BucketedStore(root: String, buckets: Int) extends Store {
   import BucketedStore.{entityKeys, lockFor}

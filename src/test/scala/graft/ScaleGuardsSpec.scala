@@ -740,6 +740,37 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       r.getLong(3) <= 3))
   }
 
+  test("x108's documented 100 TB swap holds: approx_percentile (the " +
+    "mergeable GK sketch) reproduces the exact per-source quartiles " +
+    "within its accuracy parameter on this corpus") {
+    import spark.implicits._
+    // the exact profile (the oracle-checked registry body)
+    val exact = SparkEntry.queries("x108_quality_profile")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the at-scale form: ONE mergeable-sketch aggregation, no rank
+    // window, no per-source sort — map-side partials merge like any
+    // hash agg, so the quantile report costs one exchange at any scale
+    val q = graft.queries.TextOps.qualityBySource(spark, dir)
+    val approx = q.groupBy($"source")
+      .agg(percentile_approx($"q6", array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("qs"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (src, (p25, p50, p75)) =>
+      val (qs, n) = approx(src)
+      // accuracy 10000 => rank error <= n/10000 ranks; translate to a
+      // value tolerance via the observed interquartile spread
+      val spread = math.max(1L, (p75 - p25) / 2)
+      val tol = math.max(spread / 5, (n / 100) + 1)
+      Seq(p25, p50, p75).zip(qs).foreach { case (want, got) =>
+        assert(math.abs(got - want) <= math.max(tol, want / 20),
+          s"source $src: sketch $got vs exact $want (tol $tol)")
+      }
+    }
+  }
+
   test("eager iterative bodies (graph contraction, incremental graph " +
     "append) leave no pinned cache blocks behind") {
     import spark.implicits._

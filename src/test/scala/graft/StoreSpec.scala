@@ -735,5 +735,25 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .toDF("cx", "cy", "v"), Seq("cx", "cy"))
     assert(mem.readKeyed("seg", Seq("cx" -> 2L, "cy" -> 20L), spark)
       .select($"v").as[String].collect().toSeq == Seq("b"))
+    // the bucketed layout gets its own listing economy: the default
+    // readKeyed's equality filters trigger Spark's BUCKET pruning —
+    // 1 of N bucket groups scanned. autoBucketedScan must be off for
+    // a filter-only plan (Spark's heuristic otherwise drops the
+    // bucketed scan, and with it the pruning) — the conf a serving
+    // deployment over bucketed entities sets (BucketedStore doc).
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val bkt = new BucketedStore(s"$tmp/bk", buckets = 8)
+      bkt.write("seg", (0L until 64L).map(k => (k, s"v$k"))
+        .toDF("k", "v"), Seq("k"))
+      val one = bkt.readKeyed("seg", Seq("k" -> 7L), spark)
+      assert(one.select($"v").as[String].collect().toSeq == Seq("v7"))
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
 }
