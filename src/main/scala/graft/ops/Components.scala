@@ -193,9 +193,12 @@ object Components {
       .withColumn("m", $"n").localCheckpoint()
     // labels only ever decrease, so the label SUM is strictly monotone
     // until the fixpoint: convergence = unchanged sum, ONE small
-    // aggregate per iteration
-    def labelSum(): Long = labels.agg(sum($"m")).first().getLong(0)
-    var prev = -1L
+    // aggregate per iteration. DECIMAL(38): an int64 sum overflows
+    // (ANSI-fails) around 4e9 nodes with full-range ids — exactly the
+    // scale this beyond-driver path exists for.
+    def labelSum(): java.math.BigDecimal =
+      labels.agg(sum($"m".cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev: java.math.BigDecimal = null
     var cur = labelSum()
     var iter = 0
     while (cur != prev && iter < 50) {

@@ -303,8 +303,9 @@ object EventOps {
          |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
          |    UNION ALL SELECT z FROM tri) GROUP BY n)
          |SELECT d.src AS user_id, d.deg, COALESCE(pn.tri, 0) AS tri,
-         |  CASE WHEN d.deg >= 2 THEN CAST(2000000 * COALESCE(pn.tri, 0)
-         |      // (d.deg * (d.deg - 1)) AS BIGINT)
+         |  CASE WHEN d.deg >= 2 THEN CAST(
+         |      (2000000 * CAST(COALESCE(pn.tri, 0) AS HUGEINT))
+         |      // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
          |    ELSE 0 END AS lcc_ppm
          |FROM deg d LEFT JOIN pn ON d.src = pn.n
          |ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -328,11 +329,15 @@ object EventOps {
       val pn = tri.select($"x".as("n"))
         .union(tri.select($"y")).union(tri.select($"z"))
         .groupBy($"n").agg(count(lit(1)).as("tri"))
+      // 128-bit-wide intermediates (the x67 discipline): a hub with
+      // deg ~3e6 puts 2e6·C(deg,2) past int64 — lcc must stay exact
+      // at any degree the co-activity graph can produce
       deg.join(pn, $"src" === $"n", "left")
         .select($"src".as("user_id"), $"deg",
           coalesce($"tri", lit(0L)).as("tri"),
           when($"deg" >= 2, expr(
-              "(2000000 * coalesce(tri, 0)) div (deg * (deg - 1))"))
+              "(2000000 * CAST(coalesce(tri, 0) AS DECIMAL(38,0)))" +
+                " div (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"))
             .otherwise(0L).as("lcc_ppm"))
         .orderBy($"user_id")
     },

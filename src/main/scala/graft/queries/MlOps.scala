@@ -237,8 +237,8 @@ object MlOps {
          |ct AS (SELECT true_label, CAST(sum(n) AS BIGINT)
          |    AS class_total FROM cells GROUP BY 1)
          |SELECT c.true_label, c.predicted, c.n, ct.class_total,
-         |  CAST((c.n * 1000000) // ct.class_total AS BIGINT)
-         |    AS cell_ppm
+         |  CAST((CAST(c.n AS HUGEINT) * 1000000) // ct.class_total
+         |    AS BIGINT) AS cell_ppm
          |FROM cells c JOIN ct USING (true_label)
          |ORDER BY true_label, predicted""".stripMargin) { (s, dir) =>
       import graft.StringToColumn
@@ -260,7 +260,10 @@ object MlOps {
         .agg(sum($"n").as("class_total"))
       cells.join(ct, "true_label")
         .select($"true_label", $"predicted", $"n", $"class_total",
-          expr("(n * 1000000) div class_total").as("cell_ppm"))
+          // 128-bit-wide numerator (x67 discipline): a >1e13-row
+          // class would push n·1e6 past int64
+          expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div class_total")
+            .as("cell_ppm"))
         .orderBy($"true_label", $"predicted")
     },
 

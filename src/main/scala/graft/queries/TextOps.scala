@@ -1777,15 +1777,20 @@ object TextOps {
     // arithmetic exact: budget·share6 div Σshare6, then ·1e6 div
     // chars. Scale shape: everything after the x54 aggregation is
     // |sources|-row arithmetic against one broadcast totals row.
+    // 128-bit-wide intermediates (the x67 discipline): at a REAL
+    // training budget (1e14 chars for a 100 TB corpus) both
+    // budget·share6 and alloc·1e6 pass 2^63
     "x106_token_budget" -> Q(
       s"""WITH $sqlMixtureCtes,
          |tt AS (SELECT CAST(sum(share6) AS BIGINT) AS s6 FROM u)
          |SELECT u.source, u.chars_total, u.share6,
-         |  CAST(($TrainBudgetChars * u.share6) // tt.s6 AS BIGINT)
-         |    AS alloc_chars,
-         |  CAST(((($TrainBudgetChars * u.share6) // tt.s6) * 1000000)
+         |  CAST((CAST($TrainBudgetChars AS HUGEINT) * u.share6) // tt.s6
+         |    AS BIGINT) AS alloc_chars,
+         |  CAST((((CAST($TrainBudgetChars AS HUGEINT) * u.share6)
+         |      // tt.s6) * 1000000)
          |    // u.chars_total AS BIGINT) AS epochs_micro,
-         |  (((($TrainBudgetChars * u.share6) // tt.s6) * 1000000)
+         |  ((((CAST($TrainBudgetChars AS HUGEINT) * u.share6) // tt.s6)
+         |      * 1000000)
          |    // u.chars_total) > 4000000 AS over_repeated
          |FROM u CROSS JOIN tt ORDER BY source""".stripMargin) {
       (s, dir) =>
@@ -1793,9 +1798,11 @@ object TextOps {
       val tt = u.agg(sum($"share6").as("s6tot"))
       u.crossJoin(broadcast(tt))
         .withColumn("alloc_chars",
-          expr(s"(${TrainBudgetChars}L * share6) div s6tot"))
+          expr(s"(CAST($TrainBudgetChars AS DECIMAL(38,0)) * share6)" +
+            " div s6tot"))
         .withColumn("epochs_micro",
-          expr("(alloc_chars * 1000000) div chars_total"))
+          expr("(CAST(alloc_chars AS DECIMAL(38,0)) * 1000000)" +
+            " div chars_total"))
         .select($"source", $"chars_total", $"share6", $"alloc_chars",
           $"epochs_micro",
           ($"epochs_micro" > 4000000L).as("over_repeated"))

@@ -3849,6 +3849,18 @@ object VectorOps {
   def rebalanceKnnCells(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, cap: Int): Int = {
     require(cap > 1, s"rebalance cap must exceed 1, got $cap")
+    // refuse when the same store also holds a PQ-coded ann_corpus:
+    // its codes are cell-addressed against the CURRENT book and carry
+    // no raw vectors to reassign, so growing the shared coarse book
+    // would silently desync every search over it. Corpus rebalance
+    // needs the raw-vector entity; fail loudly instead of corrupting.
+    val hasCodedCorpus =
+      try { store.read("ann_corpus", s); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    require(!hasCodedCorpus,
+      "rebalanceKnnCells would desync the PQ-coded ann_corpus in this " +
+        "store (codes are cell-addressed and carry no raw vectors); " +
+        "rebalance stores holding only the raw-vector k-NN lifecycle")
     val vecs = store.read("knn_vectors", s)
       .select($"batch".cast("long").as("batch"),
         $"cell".cast("long").as("cell"), $"vec_id", $"v")

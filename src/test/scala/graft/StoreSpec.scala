@@ -685,6 +685,18 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     VectorOps.appendKnnGraph(spark, batch.filter($"vec_id" < 8)
       .withColumn("vec_id", $"vec_id" + 100000L), 1L, store)
     assert(store.read("knn_vectors", spark).count() == total + 8)
+
+    // guard: a store that ALSO holds the PQ-coded corpus refuses to
+    // rebalance — its codes are cell-addressed against the shared
+    // book and carry no raw vectors, so a grown book would silently
+    // desync every stored search
+    store.write("ann_corpus",
+      Seq((0L, 0L, 1L)).toDF("batch", "cell", "vec_id"),
+      Seq("batch", "cell"))
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.rebalanceKnnCells(spark, store, 2)
+    }
+    assert(e.getMessage.contains("desync"), e.getMessage)
   }
 
   // The serving-path scale contract (the reference's O(1) GET,
