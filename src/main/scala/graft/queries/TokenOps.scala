@@ -178,5 +178,49 @@ object TokenOps {
           round($"n_tokens" * lit(1.0) / $"n_words", 4)
             .as("tokens_per_word"))
         .orderBy($"doc_id")
+    },
+
+    // ----- x109 per-source tokenizer fertility: how many learned
+    // subwords the tokenizer spends per word (and how many characters
+    // each token covers) for EVERY source — the standard tokenizer-
+    // coverage evaluation (Rust et al. 2021's fertility metric): a
+    // source with outlier fertility is poorly covered by the trained
+    // vocab, trains on fragment soup, and silently over-costs its
+    // share of the x106 token budget. Same scale shape as x63 (the
+    // vocab broadcast-joins, the corpus never shuffles before one
+    // source-sized rollup); ratios in exact ppm over 128-bit-wide
+    // numerators (the x67 discipline — 1e14 tokens × 1e6 passes 2^63).
+    "x109_tokenizer_fertility" -> Q(
+      s"""WITH ${sqlBpeCtes(Merges)},
+         |enc AS (SELECT w, CAST(len(${symbolsSql("s")}) AS BIGINT)
+         |    AS n_sub FROM w$Merges),
+         |dt AS (SELECT source,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |  CAST((CAST(sum(n_sub) AS HUGEINT) * 1000000) // count(*)
+         |    AS BIGINT) AS fertility_ppm,
+         |  CAST((CAST(sum(length(w)) AS HUGEINT) * 1000000)
+         |    // sum(n_sub) AS BIGINT) AS chars_per_token_ppm
+         |FROM dt JOIN enc USING (w)
+         |GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val (_, vocab) = trainBpe(s, dir)
+      val enc = vocab.select($"w", size(symbols($"s")).cast("long")
+        .as("n_sub"))
+      Tables.spread(s, dir, "documents")
+        .select($"source", explode(regexp_extract_all(lower($"text"),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .join(broadcast(enc), Seq("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_tokens"),
+          sum(length($"w")).as("n_chars"))
+        .select($"source", $"n_words", $"n_tokens", $"n_chars",
+          expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000)" +
+            " div n_words").as("fertility_ppm"),
+          expr("(CAST(n_chars AS DECIMAL(38,0)) * 1000000)" +
+            " div n_tokens").as("chars_per_token_ppm"))
+        .orderBy($"source")
     })
 }

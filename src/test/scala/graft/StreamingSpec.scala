@@ -656,6 +656,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(0)).sorted
     assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
   }
+  test("k-NN graph ingest stream: micro-batches re-edge only touched " +
+    "cells and the stored graph matches the one-shot x86 build") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-graphstream").toString
+    val store = new ParquetStore(s"$tmp/g")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val raw = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = GraphIngest.start(in.toDF().toDF("vec_id", "embedding"),
+      store, s"$tmp/ckpt")
+    try {
+      in.addData(raw.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "cos", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val got = rows(VectorOps.knnGraphStored(spark, store))
+    assert(got.nonEmpty)
+    // the streamed two-batch graph is row-identical to a one-shot
+    // build over the SAME persisted quantizer — cells depend only on
+    // the book, in-cell edges only on cell members
+    val (coarse, _) = VectorOps.loadAnnBooks(spark, store)
+    val one = rows(VectorOps.knnEdges(
+        VectorOps.assignCells(
+          VectorOps.normalizedEmbeddings(spark, dir), coarse)
+          .select($"vec_id", $"v", $"cell"))
+      .select($"src", $"dst", $"cos", $"rn").orderBy($"src", $"rn"))
+    assert(got == one, "streamed graph diverged from one-shot")
+    // both micro-batches landed as their own vector partitions
+    val batches = store.read("knn_vectors", spark)
+      .select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
