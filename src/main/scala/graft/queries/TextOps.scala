@@ -539,6 +539,59 @@ object TextOps {
     * stage (proximity, reranking features) runs on that sliver only.
     * The output carries the per-query candidate/pruned counts as
     * governance columns. */
+  /** x110 feature row: the pair-level signals a cross-encoder stand-in
+    * scores (NOT private — Spark's deserializer needs the ctor). */
+  final case class PairFeat(qid: Long, doc_id: Long,
+      ov: Long, smtf: Long, bm25: Long, dl: Long)
+
+  /** The x110 stand-in model weights over (ov, smtf, bm25, dl) —
+    * literal in BOTH engines (the m4 fixed-weights discipline). */
+  private[graft] val CeWeights = Array(500000L, 3000L, 1L, -100L)
+
+  /** x110 body: BM25 top-20 shortlist per query, reranked by the
+    * batched [[graft.ml.CrossEncoder]] pair scorer (broadcast model
+    * bytes, mapPartitions batches — the M3 inference seam). The model
+    * only ever sees queries×shortlist pairs; the corpus-sized work is
+    * x47's retrieval, already audited. */
+  private[graft] def rerankCross(s: org.apache.spark.sql.SparkSession,
+      dir: String, shortlist: Int = 20, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, _, dl, _) = bm25Parts(s, dir)
+    val sl = bm25TopK(s, dir, shortlist)
+      .select($"qid", $"doc_id", $"bm25")
+    val qv = tf.filter($"doc_id" < 4)
+      .select($"doc_id".as("qid"), $"term", $"tf".as("tfq"))
+    val ftr = sl.join(qv, "qid")
+      .join(tf, Seq("doc_id", "term"))
+      .groupBy($"qid", $"doc_id", $"bm25")
+      .agg(count(lit(1)).as("ov"), sum(least($"tfq", $"tf")).as("smtf"))
+      .join(dl, "doc_id")
+      .select($"qid", $"doc_id", $"ov", $"smtf",
+        $"bm25".cast("long").as("bm25"), $"dl")
+    implicit val featEnc =
+      org.apache.spark.sql.Encoders.product[PairFeat]
+    implicit val scEnc = org.apache.spark.sql.Encoders
+      .tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val bcModel = s.sparkContext.broadcast(
+      graft.ml.CrossEncoder.model(CeWeights))
+    val scored = ftr.as[PairFeat].mapPartitions { it =>
+      it.grouped(32768).flatMap { batch =>
+        val scores = graft.ml.CrossEncoder.scoreBatch(bcModel.value,
+          batch.iterator.map(p => Array(p.ov, p.smtf, p.bm25, p.dl)))
+        batch.iterator.zip(scores)
+          .map { case (p, sc) => (p.qid, p.doc_id, sc) }
+      }
+    }.toDF("qid", "doc_id", "ce_score")
+    scored.withColumn("rn", row_number().over(Window
+        .partitionBy($"qid").orderBy($"ce_score".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   private[graft] def bm25Wand(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1596,6 +1649,40 @@ object TextOps {
     // rank; the top-k rows are provably identical to x47's, and the
     // cand/pruned counts expose the prune rate. The oracle replays the
     // ub table, the rarest-term threshold walk, and the prune.
+    // ----- x110 cross-encoder reranking: the third retrieval stage
+    // (x47 sparse / x13 dense retrieve → top-20 shortlist → PAIRWISE
+    // model rerank → top-5). The scorer runs through the M3 seam —
+    // broadcast model bytes + batched mapPartitions scoring
+    // (ml.CrossEncoder), never a per-row UDF — with a deterministic
+    // linear stand-in model whose integer arithmetic the oracle
+    // replays exactly (weights 500000·overlap + 3000·Σmin(tf) +
+    // bm25 − 100·dl). Scale shape: the expensive model touches ONLY
+    // queries×20 shortlist pairs, never the corpus; feature assembly
+    // is two posting equi-joins + one pair-sized rollup.
+    "x110_rerank_cross" -> Q(
+      s"""WITH ${sqlBm25Ctes},
+         |sl AS (SELECT qid, doc_id, bm25 FROM bmr WHERE rn <= 20),
+         |qv AS (SELECT doc_id AS qid, term, tf AS tfq FROM tf
+         |  WHERE doc_id < 4),
+         |ftr AS (SELECT sl.qid, sl.doc_id, sl.bm25,
+         |    CAST(count(*) AS BIGINT) AS ov,
+         |    CAST(sum(least(qv.tfq, d.tf)) AS BIGINT) AS smtf
+         |  FROM sl JOIN qv ON qv.qid = sl.qid
+         |  JOIN tf d ON d.doc_id = sl.doc_id AND d.term = qv.term
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT f.qid, f.doc_id,
+         |    500000 * f.ov + 3000 * f.smtf + f.bm25 - 100 * dlr.dl
+         |      AS ce_score
+         |  FROM ftr f JOIN dlr ON dlr.doc_id = f.doc_id),
+         |r AS (SELECT qid, doc_id, ce_score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ce_score DESC, doc_id) AS rn
+         |  FROM sc)
+         |SELECT qid, doc_id, CAST(ce_score AS BIGINT) AS ce_score,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => rerankCross(s, dir)
+    },
+
     "x75_bm25_wand" -> Q(
       s"""WITH ${sqlBm25Ctes},
          |aci AS (SELECT tf.term, tf.doc_id, $sqlCi AS ci

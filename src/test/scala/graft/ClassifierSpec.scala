@@ -126,4 +126,24 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(p.length == 9)
     assert((3 until 9).forall(c => p(c) == 0f))
   }
+
+  test("cross-encoder seam: model bytes round-trip, batched scores " +
+    "equal the exact dot, width mismatch fails loudly") {
+    import graft.ml.CrossEncoder
+    val w = Array(500000L, 3000L, 1L, -100L)
+    val bytes = CrossEncoder.model(w)
+    assert(CrossEncoder.weightsOf(bytes).sameElements(w))
+    val feats = Array(
+      Array(3L, 7L, 1234567L, 40L),
+      Array(0L, 0L, 0L, 0L),
+      Array(1L, -2L, 10L, 1L))
+    val got = CrossEncoder.scoreBatch(bytes, feats.iterator).toSeq
+    val want = feats.toSeq.map(f =>
+      f.zip(w).map { case (a, b) => a * b }.sum)
+    assert(got == want)
+    intercept[IllegalArgumentException] {
+      CrossEncoder.scoreBatch(bytes,
+        Iterator(Array(1L, 2L))).toSeq
+    }
+  }
 }
