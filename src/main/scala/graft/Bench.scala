@@ -196,7 +196,9 @@ object Bench {
       "x49_semantic_dedup", "x86_knn_graph", "x87_nn_descent",
       // late-round-7 additions (multi-pass graph/training bodies)
       "x97_cc_contract", "x98_triangles", "x100_containment",
-      "x101_ann_drift", "x107_release_manifest")
+      "x101_ann_drift", "x107_release_manifest",
+      // round-8 additions over the BPE / BM25 chains
+      "x109_tokenizer_fertility", "x110_rerank_cross")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced

@@ -92,7 +92,11 @@ private[plans] object TopKHeaps {
   type Heap = java.util.PriorityQueue[InternalRow]
 
   def newHeap(k: Int, ord: LazilyGeneratedOrdering): Heap =
-    new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
+    // initial CAPACITY only (the queue grows) — clamped so a huge k
+    // (a user's `rn <= 2_000_000_000` still rewrites here) neither
+    // overflows k+1 negative nor pre-allocates k slots per key
+    new java.util.PriorityQueue[InternalRow](
+      math.min(k, 1 << 10) + 1, ord.reverse)
 
   /** Offer a row; copies only when the row is kept. */
   def offer(pq: Heap, row: InternalRow, k: Int,

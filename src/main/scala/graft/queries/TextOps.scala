@@ -414,18 +414,28 @@ object TextOps {
       floor((($"idf" * (($"tf" * lit(2.2)) / ($"tf" + $"nrm"))))
         * lit(1000000.0) + lit(0.5)))
 
-  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The unranked (qid, doc_id, bm25) score relation — the x47 core,
+    * shared by the rank query below and x111's exclusion-then-rank.
+    * `qMax` widens the query set past the registry's pinned 4 (spec
+    * use: exercising exclusion on queries that HAVE near-dups). */
+  private[graft] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String, qMax: Long = 4L): org.apache.spark.sql.DataFrame = {
     val (tf, df, dl, st) = bm25Parts(s, dir)
-    val qt = tf.filter($"doc_id" < 4).select($"doc_id".as("qid"), $"term")
+    val qt = tf.filter($"doc_id" < qMax)
+      .select($"doc_id".as("qid"), $"term")
     val contrib = withCi(tf.join(qt, "term").filter($"doc_id" =!= $"qid")
       .join(df, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(st)))
-    val sc = contrib.groupBy($"qid", $"doc_id")
+    contrib.groupBy($"qid", $"doc_id")
       .agg(sum($"ci").as("bm25"))
-    sc.withColumn("rn", row_number().over(Window.partitionBy($"qid")
+  }
+
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(s, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
         .orderBy($"bm25".desc, $"doc_id")).cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
@@ -592,6 +602,28 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x111 body: BM25 candidates anti-joined against near-dups of the
+    * query (both pair orientations), then ranked top-k. The exclusion
+    * set is queries×their-near-dups — tiny — so the anti-join is a
+    * broadcast; nothing beyond the two audited parents shuffles. */
+  private[graft] def hardNegatives(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 10, qMax: Long = 4L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = jaccardPairs(s, dir).select($"d1", $"d2")
+    val ex = pr.filter($"d1" < qMax)
+      .select($"d1".as("qid"), $"d2".as("nd"))
+      .union(pr.filter($"d2" < qMax)
+        .select($"d2".as("qid"), $"d1".as("nd")))
+    bm25Scores(s, dir, qMax)
+      .join(broadcast(ex.withColumnRenamed("nd", "doc_id")),
+        Seq("qid", "doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   private[graft] def bm25Wand(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -745,23 +777,33 @@ object TextOps {
     r.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  private val pairCtes: String =
-    s"""tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+  /** The near-dup pair bundle with every CTE name under a prefix, so
+    * it composes into a WITH alongside bundles whose names collide
+    * (the BM25 chain also defines `tk`/`df`). `pairCtesP("")` is the
+    * historical unprefixed text, byte-for-byte. */
+  private def pairCtesP(p: String): String =
+    s"""${p}tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
        |  FROM documents),
-       |sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
+       |${p}sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
        |  SELECT doc_id, unnest(${TS.shingles("tk", K)}) AS s
-       |  FROM tk WHERE len(tk) >= $K)),
-       |df AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-       |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN df USING (h)
-       |  WHERE df.c <= $DfCap),
-       |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-       |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM ${p}tk WHERE len(tk) >= $K)),
+       |${p}df AS (SELECT h, count(*) AS c FROM ${p}sh GROUP BY h),
+       |${p}shf AS (SELECT ${p}sh.doc_id, ${p}sh.h FROM ${p}sh
+       |  JOIN ${p}df USING (h)
+       |  WHERE ${p}df.c <= $DfCap),
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}shf
+       |  GROUP BY doc_id),
+       |${p}pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    count(*) AS i
+       |  FROM ${p}shf a JOIN ${p}shf b ON a.h = b.h
+       |    AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |jac AS (SELECT d1, d2, i / (x.n + y.n - i) AS jacv
-       |  FROM pairs JOIN sz x ON pairs.d1 = x.doc_id
-       |    JOIN sz y ON pairs.d2 = y.doc_id
+       |${p}jac AS (SELECT d1, d2, i / (x.n + y.n - i) AS jacv
+       |  FROM ${p}pairs JOIN ${p}sz x ON ${p}pairs.d1 = x.doc_id
+       |    JOIN ${p}sz y ON ${p}pairs.d2 = y.doc_id
        |  WHERE i / (x.n + y.n - i) >= 0.5)""".stripMargin
+
+  private val pairCtes: String = pairCtesP("")
 
   /** x2's composite quality score of a raw-case token array — ONE
     * definition shared by the x2 report and the x93 canonical
@@ -1681,6 +1723,30 @@ object TextOps {
          |  CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => rerankCross(s, dir)
+    },
+
+    // ----- x111 hard-negative mining: the retrieval-training data
+    // prep step (DPR/ColBERT protocol) — per query, the top BM25
+    // candidates EXCLUDING near-duplicates of the query itself; a
+    // near-dup ranked as a "negative" is a false negative that
+    // actively damages contrastive training, the reason every dense-
+    // retrieval recipe filters them. Composes two audited relations
+    // (x47's score table, x6's near-dup pair graph — prefixed CTE
+    // bundle, shared definitions) through one anti-join; the rank
+    // runs AFTER exclusion so the k negatives are all usable.
+    "x111_hard_negatives" -> Q(
+      s"""WITH ${pairCtesP("p_")}, ${sqlBm25Ctes},
+         |ex AS (SELECT d1 AS qid, d2 AS nd FROM p_jac WHERE d1 < 4
+         |  UNION ALL SELECT d2, d1 FROM p_jac WHERE d2 < 4),
+         |hn AS (SELECT b.qid, b.doc_id, b.bm25 FROM bsc b
+         |  LEFT JOIN ex ON ex.qid = b.qid AND ex.nd = b.doc_id
+         |  WHERE ex.nd IS NULL),
+         |r AS (SELECT qid, doc_id, bm25, row_number() OVER (
+         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM hn)
+         |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => hardNegatives(s, dir)
     },
 
     "x75_bm25_wand" -> Q(

@@ -771,6 +771,35 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x111 hard-negative exclusion engages: a query's near-dup is " +
+    "a scored BM25 candidate yet never appears among its negatives, " +
+    "and the rank refills to k after exclusion") {
+    import spark.implicits._
+    // doc 8 ⋈ doc 245 is this corpus's lowest-id near-dup pair (x6);
+    // widen the query set to include doc 8 so exclusion has work
+    val pair = SparkEntry.queries("x6_ngram_jaccard")(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .minBy { case (a, b) => math.min(a, b) }
+    val (q, dup) = if (pair._1 < pair._2) pair else pair.swap
+    val qMax = q + 1
+    // the near-dup IS a candidate (near-identical text shares terms)
+    val cand = TextOps.bm25Scores(spark, dir, qMax)
+      .filter($"qid" === q && $"doc_id" === dup)
+    assert(cand.count() == 1, s"near-dup $dup not even scored for $q")
+    val hn = TextOps.hardNegatives(spark, dir, k = 10, qMax = qMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // ...but is never emitted as a negative
+    assert(!hn.exists(r => r._1 == q && r._2 == dup),
+      s"near-dup $dup emitted as a hard negative of $q")
+    // the rank refills: every query still gets k usable negatives
+    // with contiguous ranks
+    hn.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"qid $qid ranks not contiguous")
+      assert(rows.length == 10, s"qid $qid only ${rows.length} negatives")
+    }
+  }
+
   test("eager iterative bodies (graph contraction, incremental graph " +
     "append) leave no pinned cache blocks behind") {
     import spark.implicits._
