@@ -87,14 +87,18 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 10) { sinceGc = 0; System.gc() }
     }
+    // a FAILED query records -1 (visible in the JSON), never its
+    // time-to-failure — the r7 x67 overflow hid behind an honest-
+    // looking elapsed number for a whole round
     val registry = (if (lifecycleOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         perQueryIsolate()
-        name -> dt
+        name -> (if (ok) dt else -1.0)
     }
     // tile-scale lifecycle: segment -> tile -> prediction over a chip
     // grid through the job queue (the reference's own suite ordering,
@@ -206,14 +210,18 @@ object Bench {
     // per-query cost while shedding one-shot noise spikes.
     val warm = (if (lifecycleOnly) Seq.empty else warmSet)
       .flatMap(n => SparkEntry.queries.get(n).map { fn =>
-      val dt = (1 to 2).map { _ =>
+      // only SUCCESSFUL runs compete for the min — a fast failure
+      // must not masquerade as a fast query; both failing records -1
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val d = (System.nanoTime() - t0) / 1e9
         perQueryIsolate()
-        d
-      }.min
-      n -> dt
+        (ok, d)
+      }
+      val good = runs.filter(_._1).map(_._2)
+      n -> (if (good.nonEmpty) good.min else -1.0)
     })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -63,12 +63,18 @@ object Scratch {
       }
       println(f"SCRATCH $name%-18s cold=$cold%.3f min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
       if (dumpStages) {
+        // flush the async listener bus so the last run's stage events
+        // are all delivered before reading the log; drop stages with
+        // missing timestamps instead of summing their -1 sentinels
+        try org.apache.spark.sql.graftbridge.ColumnBridge
+          .flushListenerBus(spark)
+        catch { case _: Throwable => () }
         import scala.jdk.CollectionConverters._
-        val stages = stageLog.asScala.toSeq.sortBy(-_._3).take(20)
-        stages.foreach { case (id, n, ms, nt) =>
+        val done = stageLog.asScala.toSeq.filter(_._3 >= 0)
+        done.sortBy(-_._3).take(20).foreach { case (id, n, ms, nt) =>
           println(f"  STAGE $id%5d ${ms}%6d ms tasks=$nt%3d  $n")
         }
-        println(f"  STAGE-SUM ${stageLog.asScala.map(_._3).sum} ms over ${stageLog.size} stages")
+        println(f"  STAGE-SUM ${done.map(_._3).sum} ms over ${done.size} stages")
       }
     }
     spark.stop()

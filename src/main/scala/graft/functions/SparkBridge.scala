@@ -45,4 +45,9 @@ object ColumnBridge {
     * external sort. */
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** Drain the async listener bus (`private[spark]`) — harness code
+    * that reads listener-collected state must flush first. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

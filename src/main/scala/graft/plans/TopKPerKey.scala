@@ -126,11 +126,13 @@ final case class PartialTopKExec(
     val gExprs = groupExprs
     val ords = order
     val kk = k
+    val rowCap = PartialTopKExec.maxPartialRows
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val ord = new LazilyGeneratedOrdering(ords, childOutput)
       val heaps =
         new java.util.HashMap[UnsafeRow, TopKHeaps.Heap]()
+      var retained = 0L
       new Iterator[InternalRow] {
         private var drain: java.util.Iterator[InternalRow] = _
         private var ready: InternalRow = _
@@ -140,11 +142,19 @@ final case class PartialTopKExec(
             val key = groupProj(row)
             var pq = heaps.get(key)
             if (pq == null) {
-              if (heaps.size() >= PartialTopKExec.MaxPartialKeys)
+              if (heaps.size() >= PartialTopKExec.MaxPartialKeys ||
+                retained >= rowCap)
                 return row // bypass: superset is always safe
               pq = TopKHeaps.newHeap(kk, ord)
               heaps.put(key.copy(), pq)
             }
+            // a row that would GROW a full heap table bypasses; a
+            // replacement (evict+add at size k) is allowed — it keeps
+            // `retained` flat, so state stays bounded in BOTH the key
+            // and the k dimension (a huge-k rank filter must not
+            // buffer the partition on the JVM heap)
+            if (pq.size < kk && retained >= rowCap) return row
+            if (pq.size < kk) retained += 1
             TopKHeaps.offer(pq, row, kk, ord)
           }
           if (drain == null) {
@@ -176,17 +186,26 @@ object PartialTopKExec {
     * growing state — ~64k keys × k rows is the bound, never the key
     * cardinality. */
   val MaxPartialKeys: Int = 1 << 16
+
+  /** Total retained-ROW cap per partition (the k dimension of the
+    * memory bound): a rank filter with a huge k would otherwise
+    * buffer keys×k row copies regardless of the key cap. Past it,
+    * rows that would grow a heap bypass instead (superset-safe).
+    * Spec-overridable. */
+  @volatile private[graft] var maxPartialRows: Long = 1L << 22
 }
 
 /** Reduce-side phase: exact per-key top-k with rank stamping.
   *
-  * Memory contract: the hash-of-heaps holds at most
-  * [[FinalTopKExec.MaxFinalKeys]] keys × k row copies. A partition
-  * whose key cardinality outgrows that degrades to an EXTERNAL
-  * (spilling) sort on (key, order) and streams per-key runs — the
-  * same bounded-memory guarantee as the sort-based WindowGroupLimit
-  * plan this operator replaces, paid only by the partitions that
-  * actually have pathological key counts. Exactness is preserved:
+  * Memory contract: the hash-of-heaps is bounded in BOTH dimensions —
+  * at most [[FinalTopKExec.maxFinalKeys]] distinct keys AND at most
+  * [[FinalTopKExec.maxFinalRows]] retained row copies (keys × k; the
+  * row cap is what stops a huge-k rank filter from buffering the
+  * partition). A partition that outgrows either degrades to an
+  * EXTERNAL (spilling) sort on (key, order) and streams per-key
+  * runs — the same bounded-memory guarantee as the sort-based
+  * WindowGroupLimit plan this operator replaces, paid only by the
+  * partitions that actually go pathological. Exactness is preserved:
   * rows already evicted from a key's heap were beaten by k better
   * rows of that SAME key, so feeding heap survivors + the remaining
   * input to the sort loses nothing a top-k could keep. */
@@ -231,6 +250,8 @@ final case class FinalTopKExec(
       val joined = new JoinedRow
       val rnRow = new GenericInternalRow(1)
       var overflowRow: InternalRow = null
+      var retained = 0L
+      val rowCap = FinalTopKExec.maxFinalRows
       while (iter.hasNext && overflowRow == null) {
         val row = iter.next()
         val key = groupProj(row)
@@ -241,9 +262,17 @@ final case class FinalTopKExec(
           else {
             pq = TopKHeaps.newHeap(kk, ord)
             heaps.put(key.copy(), pq)
+            retained += 1
             TopKHeaps.offer(pq, row, kk, ord)
           }
-        } else TopKHeaps.offer(pq, row, kk, ord)
+        } else if (pq.size < kk && canDegrade && retained >= rowCap)
+          // the k dimension of the bound: a huge-k rank filter must
+          // degrade to the spilling sort, not buffer keys×k copies
+          overflowRow = row
+        else {
+          if (pq.size < kk) retained += 1
+          TopKHeaps.offer(pq, row, kk, ord)
+        }
       }
       if (overflowRow == null) {
         val groups = heaps.values().iterator()
@@ -348,4 +377,9 @@ object FinalTopKExec {
     * bound (spec-overridable so the fallback is testable without 64k
     * distinct keys). */
   @volatile private[graft] var maxFinalKeys: Int = 1 << 16
+
+  /** Retained-ROW cap (the k dimension): a rank filter with a huge k
+    * over few keys degrades to the sort path once keys×k copies
+    * would pass this, instead of buffering the partition on-heap. */
+  @volatile private[graft] var maxFinalRows: Long = 1L << 22
 }

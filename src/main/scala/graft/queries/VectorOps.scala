@@ -3847,15 +3847,19 @@ object VectorOps {
     * touched (batch, cell) pairs, and the book. Returns the number of
     * cells split. */
   def rebalanceKnnCells(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store, cap: Int): Int = {
+      store: graft.store.Store, cap: Int,
+      k: Int = KnnGraphK): Int = {
     require(cap > 1, s"rebalance cap must exceed 1, got $cap")
     // refuse when the same store also holds a PQ-coded ann_corpus:
     // its codes are cell-addressed against the CURRENT book and carry
     // no raw vectors to reassign, so growing the shared coarse book
     // would silently desync every search over it. Corpus rebalance
     // needs the raw-vector entity; fail loudly instead of corrupting.
+    // Detection probes for ROWS (limit-1 count), not for whether
+    // read() throws — a lazy Store impl, or one returning an empty
+    // frame for unknown entities, must not invert the guard.
     val hasCodedCorpus =
-      try { store.read("ann_corpus", s); true }
+      try store.read("ann_corpus", s).limit(1).count() > 0
       catch { case scala.util.control.NonFatal(_) => false }
     require(!hasCodedCorpus,
       "rebalanceKnnCells would desync the PQ-coded ann_corpus in this " +
@@ -3919,7 +3923,10 @@ object VectorOps {
     val members2 = store.read("knn_vectors", s)
       .filter($"cell".isin(affected: _*))
       .select($"vec_id", $"v", $"cell".cast("long").as("cell")).cache()
-    val edges = knnEdges(members2)
+    // `k` must match the k the graph was BUILT with (appendKnnGraph's
+    // caller knob) — re-edging split cells at a different k would
+    // leave the stored graph mixed-degree across cells
+    val edges = knnEdges(members2, k)
       .select($"cell", $"src", $"dst", $"cos", $"rn")
     affected.foreach(c => store.delete("knn_graph", Seq("cell" -> c)))
     store.write("knn_graph", edges, Seq("cell"))
@@ -4127,9 +4134,12 @@ object VectorOps {
     val p0 = cand.join(va, "src").join(vb, "dst")
       .select($"src", $"dst", round(dot($"va", $"vb"), 4).as("cos"))
       .cache()
+    // cached: `und` references edges twice and `fresh` self-joins und,
+    // so without the pin the top-k operator over p0 would re-execute
+    // once per plan occurrence (up to 4×) in the single final action
     val edges = graft.ops.TopK.perKey(p0, Seq("src"),
       Seq($"cos".desc, $"dst".asc), k)
-      .select($"src", $"dst")
+      .select($"src", $"dst").cache()
     // symmetrized adjacency: NN-descent explores both directions
     val und = edges
       .union(edges.select($"dst".as("src"), $"src".as("dst")))

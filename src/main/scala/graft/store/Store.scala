@@ -133,26 +133,43 @@ private[store] object PartitionedDelete {
     * to its partition directory and list ONLY that — one directory
     * listing per request regardless of how many keys the entity
     * holds (the reference's per-key GET, ceph.py:125-129). `basePath`
-    * keeps the partition columns in the result, so the frame is
-    * column-identical to `read(...).filter(key)`. A missing partition
-    * falls back to the filtered full read: same zero rows (or the
-    * same entity-absent error) as the unkeyed path, and the rare
-    * miss never costs more than the old behavior did on every call. */
+    * keeps the partition columns in the result.
+    *
+    * Schema stability: partition-column TYPES are inferred from the
+    * directory names a read can see, so a single-partition listing
+    * could infer differently than the full listing (ts=3 alone reads
+    * int; alongside ts=5e9 it reads long). Both the hit and the miss
+    * path therefore cast each key column to the CALLER's key-value
+    * type — a keyed read's schema is deterministic in the call, never
+    * in which partitions happen to exist. A missing partition falls
+    * back to the filtered full read: same zero rows (or the same
+    * entity-absent error) as the unkeyed path. */
   def read(root: String, entity: String, keyValues: Seq[(String, Any)],
       spark: SparkSession, fmt: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def dtOf(v: Any): Option[String] = v match {
+      case _: Long | _: java.lang.Long => Some("bigint")
+      case _: Int | _: java.lang.Integer => Some("int")
+      case _: Short | _: java.lang.Short => Some("smallint")
+      case _: String => Some("string")
+      case _: Double | _: java.lang.Double => Some("double")
+      case _: Boolean | _: java.lang.Boolean => Some("boolean")
+      case _ => None // unknown key type: leave the inferred column
+    }
+    def keyTyped(df: DataFrame): DataFrame =
+      keyValues.foldLeft(df) { case (d, (k, v)) =>
+        dtOf(v).fold(d)(t => d.withColumn(k, col(k).cast(t))) }
     val p = partPath(root, entity, keyValues)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val exists = try fs.exists(p)
       catch { case scala.util.control.NonFatal(_) => false }
     if (exists)
-      spark.read.option("basePath", s"$root/$entity").format(fmt)
-        .load(p.toString)
-    else {
-      import org.apache.spark.sql.functions.{col, lit}
-      keyValues.foldLeft(
+      keyTyped(spark.read.option("basePath", s"$root/$entity")
+        .format(fmt).load(p.toString))
+    else
+      keyTyped(keyValues.foldLeft(
         spark.read.format(fmt).load(s"$root/$entity")) {
-        case (df, (k, v)) => df.filter(col(k) === lit(v)) }
-    }
+        case (df, (k, v)) => df.filter(col(k) === lit(v)) })
   }
 }
 

@@ -181,6 +181,11 @@ final class JobQueue(
                 classifier, r.tx, r.ty,
                 TrainingPipeline.Params(date = r.date,
                   targetSamples = 1000000, classMin = 1, classMax = 1000000))
+              // a retrain invalidates this tile's memoized model so a
+              // LATER prediction in the same batch (sequential
+              // dispatch honors in-batch order) scores with the fresh
+              // bytes, matching the pre-memo read-per-request path
+              modelMemo.remove((r.tx, r.ty))
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true,
                 out.trainRows, "", 200)
             case "prediction" =>

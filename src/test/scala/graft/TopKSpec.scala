@@ -161,6 +161,37 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     } finally FinalTopKExec.maxFinalKeys = saved
   }
 
+  test("retained-row cap (the k dimension): a huge-k rank over few " +
+    "keys degrades to the sort path and stays exact") {
+    import spark.implicits._
+    val savedRows = FinalTopKExec.maxFinalRows
+    val savedPartial = graft.plans.PartialTopKExec.maxPartialRows
+    FinalTopKExec.maxFinalRows = 1000
+    graft.plans.PartialTopKExec.maxPartialRows = 1000
+    try {
+      // 4 keys × 5,000 rows with k = 2,000: retained rows would reach
+      // 8,000 ≫ the lowered cap, so both phases must shed/degrade —
+      // and the answer must still be each key's exact top-2000
+      val wide = spark.range(20000)
+        .select(($"id" % 4).as("key"), $"id".as("v"))
+        .coalesce(1)
+      val got = TopK.perKey(wide, Seq("key"), Seq($"v".desc), 2000)
+      assert(got.count() == 8000)
+      // spot-check exactness: rank 1 per key is the key's max value
+      val r1 = got.filter($"rn" === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L until 4L).forall(k => r1(k) == 19996 + k), r1.toString)
+      // and the worst kept rank is exactly the 2000th best
+      val rLast = got.filter($"rn" === 2000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L until 4L).forall(k => rLast(k) == 19996 + k - 4 * 1999),
+        rLast.toString)
+    } finally {
+      FinalTopKExec.maxFinalRows = savedRows
+      graft.plans.PartialTopKExec.maxPartialRows = savedPartial
+    }
+  }
+
   test("spark.graft.topk.rewrite=false switches the automatic rewrite " +
     "off; explicit TopK.perKey still plans the operator") {
     import spark.implicits._
