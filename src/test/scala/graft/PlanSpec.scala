@@ -557,6 +557,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p75.contains("CartesianProduct"), p75)
   }
 
+  test("x110/x111 retrieval-stage plans: the pairwise scorer sees only " +
+    "the shortlist (mapPartitions above a pair-sized frame, corpus " +
+    "joins key-equi), the hard-negative exclusion rides a broadcast " +
+    "anti-join — no cartesian anywhere") {
+    // x110: feature assembly is posting equi-joins; the batched model
+    // runs in a MapPartitions above the pair rollup, never the corpus.
+    // The only nested loop is the BM25 chain's sanctioned 1-row
+    // corpus-totals broadcast cross (same as x47/x75)
+    val p110 = finalPlanOf("x110_rerank_cross")
+    assert(p110.contains("MapPartitions"), p110)
+    assert(!p110.contains("CartesianProduct"), p110)
+    p110.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight, Cross"), l))
+    // x111: the near-dup exclusion set broadcasts into a left-anti;
+    // same 1-row totals cross as every BM25 consumer, nothing else
+    val p111 = finalPlanOf("x111_hard_negatives")
+    assert(p111.contains("BroadcastHashJoin") &&
+      p111.contains("LeftAnti"), p111)
+    assert(!p111.contains("CartesianProduct"), p111)
+    p111.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight, Cross"), l))
+  }
+
   test("x98/x100 pair generation is key-equi; x99 joins only against " +
     "the literal source-pair relation — no nested loops anywhere") {
     // x98: orientation + wedge + closure joins all equi on node ids
