@@ -3934,6 +3934,31 @@ object VectorOps {
     hot.length
   }
 
+  /** Iterate [[rebalanceKnnCells]] to a HARD cap: one pass halves the
+    * hot cells, so reaching the cap is geometric in rounds; a round
+    * that splits nothing ends the loop (a degenerate cell of > cap
+    * identical vectors cannot split — loud failure beats spinning).
+    * Returns total splits. */
+  def rebalanceKnnCellsToCap(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, cap: Int, k: Int = KnnGraphK,
+      maxRounds: Int = 32): Int = {
+    var total = 0
+    var round = 0
+    var moved = -1
+    while (moved != 0 && round < maxRounds) {
+      moved = rebalanceKnnCells(s, store, cap, k)
+      total += moved
+      round += 1
+    }
+    val worst = store.read("knn_vectors", s)
+      .groupBy($"cell").count()
+      .agg(max($"count")).first().getLong(0)
+    require(worst <= cap,
+      s"rebalance stalled: a cell still holds $worst > $cap members " +
+        "(identical-vector degenerate cell?)")
+    total
+  }
+
   /** x91 body: filtered (metadata-constrained) ANN — the search shape
     * every production vector store grew (Qdrant/Milvus/pgvector
     * filtered search): each query's candidates must ALSO satisfy a

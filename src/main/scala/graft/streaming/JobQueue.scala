@@ -237,23 +237,27 @@ final class JobQueue(
     * independent by the queue's contract (ordering exists BETWEEN
     * batches, via the stream trigger); each writes its own key
     * partitions, so concurrent keyed overwrites never collide. */
+  /** Run one action per item on up to `parallelism` driver threads —
+    * the reference's per-request worker Pool (ref:
+    * blackmagic/__init__.py:29-30), shared by both dispatch forms. */
+  private def parallelEach[T](items: Array[T])(f: T => Unit): Unit =
+    if (items.length <= 1 || parallelism <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.length))
+      try pool.invokeAll(java.util.Arrays.asList(items.map(it =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = f(it)
+        }): _*)).forEach(_.get())
+      finally pool.shutdown()
+    }
+
   def dispatch(batch: Dataset[JobRequest]): Unit = {
     // request batches are tiny control messages (the reference's HTTP
     // bodies) — collecting them to the driver is the sanctioned pattern;
     // the DATA work each one triggers stays fully distributed.
     modelMemo.clear()
-    val reqs = batch.collect()
-    if (reqs.length <= 1 || parallelism <= 1)
-      reqs.foreach(r => append(handle(r)))
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, reqs.length))
-      try pool.invokeAll(java.util.Arrays.asList(reqs.map(r =>
-        new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = append(handle(r))
-        }): _*)).forEach(_.get())
-      finally pool.shutdown()
-    }
+    parallelEach(batch.collect())(r => append(handle(r)))
   }
 
   /** Process one micro-batch of RAW rows (any nullable schema, e.g.
@@ -262,7 +266,7 @@ final class JobQueue(
     * store) involvement. */
   def dispatchRaw(batch: DataFrame): Unit = {
     modelMemo.clear()
-    batch.collect().foreach { row =>
+    parallelEach(batch.collect()) { row =>
       val res = parameters(row) match {
         case Left(err) =>
           def lv(f: String) =

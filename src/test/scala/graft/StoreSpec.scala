@@ -686,6 +686,15 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .withColumn("vec_id", $"vec_id" + 100000L), 1L, store)
     assert(store.read("knn_vectors", spark).count() == total + 8)
 
+    // the to-cap loop drives EVERY cell under a hard cap (one pass
+    // only halves hot cells; production callers want the invariant)
+    val hardCap = math.max(2L, cap / 2).toInt
+    VectorOps.rebalanceKnnCellsToCap(spark, store, hardCap)
+    val worst = store.read("knn_vectors", spark)
+      .groupBy($"cell").count()
+      .agg(max($"count")).first().getLong(0)
+    assert(worst <= hardCap, s"worst cell $worst > hard cap $hardCap")
+
     // guard: a store that ALSO holds the PQ-coded corpus refuses to
     // rebalance — its codes are cell-addressed against the shared
     // book and carry no raw vectors, so a grown book would silently

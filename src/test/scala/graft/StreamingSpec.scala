@@ -395,11 +395,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         Some(1)))
       .toDF("kind", "cx", "cy", "tx", "ty", "date", "month", "day")
     jq.dispatchRaw(raw)
-    val res = jq.results.reverse
-    assert(res.forall(r => r.status == 400 && !r.ok))
-    assert(res(0).error.contains("cx")) // segment: names the missing field
-    assert(res(1).error.contains("date")) // tile
-    assert(res(2).error.contains("month")) // prediction
+    // raw dispatch runs on the worker pool, so the log is completion-
+    // ordered: match results by kind, not position
+    val res = jq.results
+    assert(res.length == 3 && res.forall(r => r.status == 400 && !r.ok))
+    assert(res.exists(r => r.kind == "segment" && r.error.contains("cx")))
+    assert(res.exists(r => r.kind == "tile" && r.error.contains("date")))
+    assert(res.exists(r =>
+      r.kind == "prediction" && r.error.contains("month")))
     // 400s happen BEFORE any pipeline: no entity was ever created
     Seq("segment", "pixel", "chip", "tile", "prediction").foreach { e =>
       assert(!Files.exists(java.nio.file.Paths.get(root, e)),
