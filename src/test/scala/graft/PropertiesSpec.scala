@@ -124,4 +124,53 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(joined.length == 15)
     joined.foreach(r => assert(r.getAs[Int]("a") == r.getAs[Int]("v") * 10))
   }
+
+  test("TopK.perKey equals the window pattern for random data, random " +
+    "k, and random (tiny) key/row caps — all four fallback paths") {
+    import graft.plans.{FinalTopKExec, PartialTopKExec}
+    val savedFK = FinalTopKExec.maxFinalKeys
+    val savedFR = FinalTopKExec.maxFinalRows
+    val savedPR = PartialTopKExec.maxPartialRows
+    try {
+      val caseGen = for {
+        nRows <- Gen.chooseNum(1, 400)
+        nKeys <- Gen.chooseNum(1, 24)
+        k <- Gen.chooseNum(1, 40)
+        fKeys <- Gen.chooseNum(1, 30)
+        fRows <- Gen.chooseNum(1L, 200L)
+        pRows <- Gen.chooseNum(1L, 200L)
+        vals <- Gen.listOfN(nRows, Gen.chooseNum(-1000L, 1000L))
+      } yield (nKeys, k, fKeys, fRows, pRows, vals)
+      (1 to 10).foreach { i =>
+        val (nKeys, k, fKeys, fRows, pRows, vals) =
+          sample(caseGen, 100L + i)
+        FinalTopKExec.maxFinalKeys = fKeys
+        FinalTopKExec.maxFinalRows = fRows
+        PartialTopKExec.maxPartialRows = pRows
+        val df = vals.zipWithIndex
+          .map { case (v, id) => (id.toLong % nKeys, id.toLong, v) }
+          .toDF("key", "id", "v")
+          .repartition(3)
+        val got = ops.TopK
+          .perKey(df, Seq("key"), Seq($"v".desc, $"id".asc), k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val want = df.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"key").orderBy($"v".desc, $"id".asc)))
+          .filter($"rn" <= k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3).toLong)).toSet
+        assert(got == want,
+          s"case $i: keys=$nKeys k=$k caps=($fKeys,$fRows,$pRows) " +
+            s"rows=${vals.length}")
+      }
+    } finally {
+      FinalTopKExec.maxFinalKeys = savedFK
+      FinalTopKExec.maxFinalRows = savedFR
+      PartialTopKExec.maxPartialRows = savedPR
+    }
+  }
 }
