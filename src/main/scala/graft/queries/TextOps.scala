@@ -414,6 +414,95 @@ object TextOps {
       floor((($"idf" * (($"tf" * lit(2.2)) / ($"tf" + $"nrm"))))
         * lit(1000000.0) + lit(0.5)))
 
+  private[graft] val SparseBuckets = 64
+
+  /** Append one document batch to the PERSISTED sparse (BM25) index —
+    * the x33/x35/ANN/graph incremental pattern applied to sparse
+    * retrieval, completing the maintained-index matrix (band index,
+    * ANN books+corpus, k-NN graph, sketches, and now postings).
+    *
+    * Layout: `sparse_postings` (batch, bucket) with bucket =
+    * hash(term) mod [[SparseBuckets]] and the doc length DENORMALIZED
+    * onto every posting row (the production inverted-index trick: the
+    * scorer needs dl per candidate, and a separate corpus-sized dl
+    * table would force a corpus join per query); `sparse_df` holds
+    * per-batch PARTIAL document frequencies under the same bucketing
+    * (global df = sum of partials for the queried terms only);
+    * `sparse_totals` one row per batch. Delete-before-write per batch
+    * partition, so replays are idempotent.
+    *
+    * The incremental economy: a day's append tokenizes only that
+    * day's documents; a query reads only its terms' BUCKET directories
+    * across batches plus the batch-count-bounded totals — history is
+    * never re-tokenized, re-scanned corpus-wide, or reshuffled. */
+  def appendSparseIndex(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val docs = tokenized(batch)
+    val withDl = docs.select($"doc_id", $"tk",
+      size($"tk").cast("long").as("dl"))
+    val tf = withDl.select($"doc_id", $"dl", explode($"tk").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
+    store.delete("sparse_postings", Seq("batch" -> batchId))
+    store.write("sparse_postings",
+      tf.select(lit(batchId).as("batch"), $"bucket", $"term",
+        $"doc_id", $"tf", $"dl"),
+      Seq("batch", "bucket"))
+    val dfp = tf.groupBy($"bucket", $"term").agg(count(lit(1)).as("df"))
+    store.delete("sparse_df", Seq("batch" -> batchId))
+    store.write("sparse_df",
+      dfp.select(lit(batchId).as("batch"), $"bucket", $"term", $"df"),
+      Seq("batch", "bucket"))
+    val tot = withDl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").cast("double").as("sum_dl"))
+    store.delete("sparse_totals", Seq("batch" -> batchId))
+    store.write("sparse_totals",
+      tot.select(lit(batchId).as("batch"), $"n_docs", $"sum_dl"),
+      Seq("batch"))
+  }
+
+  /** Exact BM25 over the persisted index for a bounded query set
+    * (qid → term list): postings and df partials are read ONLY for
+    * the queried terms' buckets (directory-pruned within every batch
+    * partition), totals sum over batch-count-many rows, and the
+    * scoring expression is the SAME [[withCi]] the one-shot x47
+    * uses — StoreSpec pins a two-batch stored search row-identical to
+    * the one-shot rank. `excludeSelf` drops doc_id == qid rows (the
+    * registry query convention where queries ARE corpus docs). */
+  def bm25SearchStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, queries: Seq[(Long, Seq[String])],
+      k: Int = 5, excludeSelf: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "stored BM25 search needs queries")
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
+    // bounded collect: ≤ |distinct query terms| bucket ids
+    val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
+    val post = store.read("sparse_postings", s)
+      .filter($"bucket".isin(qb.map(Long.box): _*))
+      .select($"term", $"doc_id", $"tf", $"dl")
+    val dfq = store.read("sparse_df", s)
+      .filter($"bucket".isin(qb.map(Long.box): _*))
+      .groupBy($"term").agg(sum($"df").as("df"))
+    val tot = store.read("sparse_totals", s)
+      .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+    val cand = post.join(broadcast(qt.select($"qid", $"term")), "term")
+    val scored = withCi(
+      (if (excludeSelf) cand.filter($"doc_id" =!= $"qid") else cand)
+        .join(dfq, "term")
+        .crossJoin(broadcast(tot)))
+      .groupBy($"qid", $"doc_id").agg(sum($"ci").as("bm25"))
+    scored.withColumn("rn", row_number().over(Window
+        .partitionBy($"qid").orderBy($"bm25".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** The unranked (qid, doc_id, bm25) score relation — the x47 core,
     * shared by the rank query below and x111's exclusion-then-rank.
     * `qMax` widens the query set past the registry's pinned 4 (spec

@@ -35,4 +35,25 @@ object SparseIndexStream {
     * documents frame. */
   def corpusTotals(docs: DataFrame): DataFrame =
     graft.queries.TextOps.corpusTotals(graft.queries.TextOps.tokenized(docs))
+
+  /** Start the PERSISTED-index append stream (the postings half; the
+    * two aggregations above are the live-statistics half): each
+    * micro-batch of raw (doc_id, text) rows lands its postings, df
+    * partials, and totals under its own batch partition via
+    * [[graft.queries.TextOps.appendSparseIndex]] —
+    * delete-before-write, so replays overwrite themselves and the
+    * sink stays exactly-once through retries. Searches over the
+    * accumulating index go through
+    * [[graft.queries.TextOps.bm25SearchStored]], which reads only the
+    * queried terms' bucket directories. */
+  def start(docs: DataFrame, store: graft.store.Store,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.queries.TextOps.appendSparseIndex(b.sparkSession, b,
+          id, store)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -708,6 +708,55 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("desync"), e.getMessage)
   }
 
+  test("persisted sparse (BM25) index: two appended batches reproduce " +
+    "the one-shot rank exactly, replay is idempotent, and a query " +
+    "reads only its terms' bucket directories") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-sparse").toString
+    val store = new ParquetStore(root)
+    val docs = graft.Tables.spread(spark, dir, "documents")
+    TextOps.appendSparseIndex(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    TextOps.appendSparseIndex(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    // queries = the registry convention: docs 0..3's distinct terms
+    val qs = TextOps.tokenized(docs.filter($"doc_id" < 4))
+      .select($"doc_id", $"tk").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).distinct.toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "bm25", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = rows(TextOps.bm25SearchStored(spark, store, qs))
+    assert(got.nonEmpty)
+    // row-identical to the one-shot x47 rank over the same corpus —
+    // same scoring expression, df = sum of batch partials, totals =
+    // sum of batch rows
+    assert(got == rows(TextOps.bm25TopK(spark, dir)),
+      "stored sparse search diverged from one-shot x47")
+    // replaying a batch overwrites itself (delete-before-write)
+    TextOps.appendSparseIndex(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    assert(rows(TextOps.bm25SearchStored(spark, store, qs)) == got)
+    // the bucketed layout makes a term lookup O(its bucket), not
+    // O(index): the bucket equality reaches the scan as a PARTITION
+    // filter (inputFiles reflects the pre-pruning listing, so the
+    // plan — not the file list — is the witness)
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit("the")), lit(64)).cast("long"))
+      .head().getLong(0)
+    val pruned = store.read("sparse_postings", spark)
+      .filter($"bucket" === b)
+    pruned.collect()
+    val planLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(planLine.contains("bucket") && planLine.contains(s"= $b)"),
+      planLine)
+  }
+
   // The serving-path scale contract (the reference's O(1) GET,
   // ceph.py:125-129): a keyed read of a partitioned store resolves
   // DIRECTLY to the key's partition directory — the scan's input

@@ -703,6 +703,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
   }
 
+  test("sparse-index ingest stream: streamed postings reproduce the " +
+    "one-shot BM25 rank over the same corpus") {
+    import graft.queries.TextOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-sparsestream").toString
+    val store = new ParquetStore(s"$tmp/sp")
+    val raw = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = SparseIndexStream.start(in.toDF().toDF("doc_id", "text"),
+      store, s"$tmp/ckpt")
+    try {
+      in.addData(raw.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val qs = TextOps.tokenized(
+        graft.Tables.spread(spark, dir, "documents")
+          .filter($"doc_id" < 4))
+      .select($"doc_id", $"tk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).distinct.toSeq)
+      .toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "bm25", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = rows(TextOps.bm25SearchStored(spark, store, qs))
+    assert(got.nonEmpty &&
+      got == rows(TextOps.bm25TopK(spark, dir)),
+      "streamed sparse index diverged from one-shot x47")
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
