@@ -438,28 +438,39 @@ object TextOps {
   def appendSparseIndex(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
-    val docs = tokenized(batch)
-    val withDl = docs.select($"doc_id", $"tk",
-      size($"tk").cast("long").as("dl"))
-    val tf = withDl.select($"doc_id", $"dl", explode($"tk").as("term"))
+    // eager function with three writes over shared lineage: cache the
+    // tokenized frame and the tf table so the batch is tokenized and
+    // aggregated ONCE, not once per write (the incremental-economy
+    // claim is per-day work = one pass over that day), and unpersist
+    // before returning — this is not a lazy registry body
+    val docs = tokenized(batch).cache()
+    val tf = docs
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
       .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
-    store.delete("sparse_postings", Seq("batch" -> batchId))
-    store.write("sparse_postings",
-      tf.select(lit(batchId).as("batch"), $"bucket", $"term",
-        $"doc_id", $"tf", $"dl"),
-      Seq("batch", "bucket"))
-    val dfp = tf.groupBy($"bucket", $"term").agg(count(lit(1)).as("df"))
-    store.delete("sparse_df", Seq("batch" -> batchId))
-    store.write("sparse_df",
-      dfp.select(lit(batchId).as("batch"), $"bucket", $"term", $"df"),
-      Seq("batch", "bucket"))
-    val tot = withDl.agg(count(lit(1)).as("n_docs"),
-      sum($"dl").cast("double").as("sum_dl"))
-    store.delete("sparse_totals", Seq("batch" -> batchId))
-    store.write("sparse_totals",
-      tot.select(lit(batchId).as("batch"), $"n_docs", $"sum_dl"),
-      Seq("batch"))
+      .cache()
+    try {
+      store.delete("sparse_postings", Seq("batch" -> batchId))
+      store.write("sparse_postings",
+        tf.select(lit(batchId).as("batch"), $"bucket", $"term",
+          $"doc_id", $"tf", $"dl"),
+        Seq("batch", "bucket"))
+      val dfp = tf.groupBy($"bucket", $"term")
+        .agg(count(lit(1)).as("df"))
+      store.delete("sparse_df", Seq("batch" -> batchId))
+      store.write("sparse_df",
+        dfp.select(lit(batchId).as("batch"), $"bucket", $"term", $"df"),
+        Seq("batch", "bucket"))
+      // totals through the SHARED definition (the same corpusTotals
+      // x47's bm25Parts and SparseIndexStream consume), so the stored
+      // search's statistics cannot drift from the one-shot scorer's
+      store.delete("sparse_totals", Seq("batch" -> batchId))
+      store.write("sparse_totals",
+        corpusTotals(docs)
+          .select(lit(batchId).as("batch"), $"n_docs", $"sum_dl"),
+        Seq("batch"))
+    } finally { tf.unpersist(); docs.unpersist() }
   }
 
   /** Exact BM25 over the persisted index for a bounded query set

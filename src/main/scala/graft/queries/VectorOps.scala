@@ -3841,11 +3841,14 @@ object VectorOps {
     *
     * One pass halves the hot cells; callers iterate until it returns
     * 0 for a hard cap (each round's work shrinks geometrically). A
-    * degenerate cell (all members identical) keeps its members in the
-    * low half and leaves the new centroid empty — harmless, probes of
-    * it just find nothing. Bounded collects only: hot-cell ids,
-    * touched (batch, cell) pairs, and the book. Returns the number of
-    * cells split. */
+    * DEGENERATE cell (all members identical — the 2-means cannot
+    * separate anything) is detected before any write: it does not
+    * split, does not grow the book, and is not rewritten, and it does
+    * not count toward the return value — so an iterating caller
+    * terminates immediately instead of mutating the persisted index
+    * once per round. Bounded collects only: hot-cell ids, touched
+    * (batch, cell) pairs, and the book. Returns the number of cells
+    * ACTUALLY split. */
   def rebalanceKnnCells(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, cap: Int,
       k: Int = KnnGraphK): Int = {
@@ -3878,9 +3881,11 @@ object VectorOps {
         .sortBy(_._1).map(_._2).toIndexedSeq: _*)
     var moved = List.empty[org.apache.spark.sql.DataFrame]
     var newCells = List.empty[Long]
+    var splitCells = List.empty[Long]
+    var splits = 0
     hot.foreach { c =>
       // every step below scans ONLY cell c's partitions (directory-
-      // pruned); the cache serves the eager seed/round jobs
+      // pruned); the cache serves the eager seed/round/count jobs
       val members = vecs.filter($"cell" === c)
         .select($"batch", $"vec_id", $"v").cache()
       try {
@@ -3893,20 +3898,32 @@ object VectorOps {
         val iv = members.withColumn("ivd", intComps($"v"))
         val pair = (1 to 2).foldLeft(Array(s0, far))((cc, _) =>
           kmeansRound(iv, cc))
-        val nc = book.length.toLong
-        book(c.toInt) = pair(0) // cids are 0..n-1 by construction
-        book += pair(1)
-        newCells ::= nc
-        moved ::= assignCells(members, pair)
-          .select($"batch",
-            when($"cell" === 0L, lit(c)).otherwise(lit(nc)).as("cell"),
-            $"vec_id", $"v")
+        // a DEGENERATE cell (identical members: both centroids tie,
+        // everyone re-assigns to side 0) must not count as a split,
+        // grow the book, or rewrite anything — it cannot divide, and
+        // a caller loop must see 0 so it stops instead of mutating
+        // the persisted index once per round until its round cap
+        val asg = assignCells(members, pair)
+        if (asg.filter($"cell" =!= 0L).limit(1).count() > 0) {
+          val nc = book.length.toLong
+          book(c.toInt) = pair(0) // cids are 0..n-1 by construction
+          book += pair(1)
+          newCells ::= nc
+          splitCells ::= c
+          splits += 1
+          moved ::= asg
+            .select($"batch",
+              when($"cell" === 0L, lit(c)).otherwise(lit(nc)).as("cell"),
+              $"vec_id", $"v")
+        }
       } finally members.unpersist()
     }
+    if (splits == 0) return 0
     // the reassigned rows must MATERIALIZE before their source
-    // partitions are dropped — the frames above lazily read them
+    // partitions are dropped — the frames above lazily read them.
+    // Only ACTUALLY-SPLIT cells rewrite; degenerates stay untouched.
     val newVecs = moved.reduce(_ unionByName _).localCheckpoint(true)
-    val touched = vecs.filter($"cell".isin(hot: _*))
+    val touched = vecs.filter($"cell".isin(splitCells: _*))
       .select($"batch", $"cell").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     touched.foreach { case (b, c) =>
@@ -3919,7 +3936,7 @@ object VectorOps {
         .toDF("cid", "cv"), Seq.empty)
     // re-edge split + new cells from the rewritten store; untouched
     // cells' graph partitions are never read or rewritten
-    val affected = (hot ++ newCells).distinct
+    val affected = (splitCells ++ newCells).distinct
     val members2 = store.read("knn_vectors", s)
       .filter($"cell".isin(affected: _*))
       .select($"vec_id", $"v", $"cell".cast("long").as("cell")).cache()
@@ -3931,7 +3948,7 @@ object VectorOps {
     affected.foreach(c => store.delete("knn_graph", Seq("cell" -> c)))
     store.write("knn_graph", edges, Seq("cell"))
     members2.unpersist()
-    hot.length
+    splits
   }
 
   /** Iterate [[rebalanceKnnCells]] to a HARD cap: one pass halves the

@@ -157,9 +157,22 @@ final class JobQueue(
     * fetch its bytes once per batch instead of one driver `head()` job
     * per chip. Cleared at every batch boundary so a retrained model is
     * picked up by the next batch (ordering between batches is the
-    * queue's contract; within a batch requests are independent). */
+    * queue's contract; within a batch requests are independent).
+    *
+    * A MIXED batch (any tile retrain alongside predictions) disables
+    * the memo for that whole batch: under the worker pool there is no
+    * in-batch ordering, so memoizing could pin pre-retrain bytes for
+    * a prediction dispatched after the retrain — with the memo off,
+    * every prediction reads the store directly, exactly the pre-memo
+    * behavior. Pure-prediction batches (the hot path) keep the memo. */
   @transient private lazy val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[(Long, Long), Array[Byte]]()
+  @volatile private var memoOff = false
+
+  private def resetMemo(batchHasTile: Boolean): Unit = {
+    modelMemo.clear()
+    memoOff = batchHasTile
+  }
 
   /** Run one validated request through its pipeline. */
   private def handle(r: JobRequest): JobResult =
@@ -181,11 +194,6 @@ final class JobQueue(
                 classifier, r.tx, r.ty,
                 TrainingPipeline.Params(date = r.date,
                   targetSamples = 1000000, classMin = 1, classMax = 1000000))
-              // a retrain invalidates this tile's memoized model so a
-              // LATER prediction in the same batch (sequential
-              // dispatch honors in-batch order) scores with the fresh
-              // bytes, matching the pre-memo read-per-request path
-              modelMemo.remove((r.tx, r.ty))
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true,
                 out.trainRows, "", 200)
             case "prediction" =>
@@ -198,10 +206,14 @@ final class JobQueue(
               // requests O(chips²) in listing work (measured: the r7
               // 100-chip prediction stage ran 0.71 s/chip vs 0.19 at
               // 25 chips from exactly this)
-              val modelBytes = modelMemo.computeIfAbsent((r.tx, r.ty),
-                _ => store.readKeyed("tile",
+              def fetchModel(): Array[Byte] =
+                store.readKeyed("tile",
                     Seq("tx" -> r.tx, "ty" -> r.ty), spark)
-                  .select(col("model")).as[Array[Byte]].head())
+                  .select(col("model")).as[Array[Byte]].head()
+              val modelBytes =
+                if (memoOff) fetchModel() // mixed batch: no memo
+                else modelMemo.computeIfAbsent((r.tx, r.ty),
+                  _ => fetchModel())
               val n = PredictionPipeline.run(spark,
                 store.readKeyed("segment",
                   Seq("cx" -> r.cx, "cy" -> r.cy), spark),
@@ -227,19 +239,12 @@ final class JobQueue(
         }
     }
 
-  /** Process one micro-batch of typed requests. Requests within a
-    * batch run on up to `parallelism` driver threads — the Spark
-    * mapping of the reference's per-request worker Pool
-    * (ref: blackmagic/__init__.py:29-30, segment.py:189-195): each
-    * request's jobs are small relative to cluster capacity, so
-    * sequential dispatch would starve the executors between the many
-    * tiny per-chip stages. Requests in one micro-batch are
-    * independent by the queue's contract (ordering exists BETWEEN
-    * batches, via the stream trigger); each writes its own key
-    * partitions, so concurrent keyed overwrites never collide. */
   /** Run one action per item on up to `parallelism` driver threads —
-    * the reference's per-request worker Pool (ref:
-    * blackmagic/__init__.py:29-30), shared by both dispatch forms. */
+    * the Spark mapping of the reference's per-request worker Pool
+    * (ref: blackmagic/__init__.py:29-30, segment.py:189-195), shared
+    * by both dispatch forms: each request's jobs are small relative
+    * to cluster capacity, so sequential dispatch would starve the
+    * executors between the many tiny per-chip stages. */
   private def parallelEach[T](items: Array[T])(f: T => Unit): Unit =
     if (items.length <= 1 || parallelism <= 1) items.foreach(f)
     else {
@@ -252,21 +257,32 @@ final class JobQueue(
       finally pool.shutdown()
     }
 
+  /** Process one micro-batch of typed requests on the worker pool.
+    * Request batches are tiny control messages (the reference's HTTP
+    * bodies) — collecting them to the driver is the sanctioned
+    * pattern; the DATA work each one triggers stays fully
+    * distributed. Requests within a batch are independent by the
+    * queue's contract (ordering exists BETWEEN batches, via the
+    * stream trigger); each writes its own key partitions, so
+    * concurrent keyed overwrites never collide. */
   def dispatch(batch: Dataset[JobRequest]): Unit = {
-    // request batches are tiny control messages (the reference's HTTP
-    // bodies) — collecting them to the driver is the sanctioned pattern;
-    // the DATA work each one triggers stays fully distributed.
-    modelMemo.clear()
-    parallelEach(batch.collect())(r => append(handle(r)))
+    val reqs = batch.collect()
+    resetMemo(reqs.exists(_.kind == "tile"))
+    parallelEach(reqs)(r => append(handle(r)))
   }
 
   /** Process one micro-batch of RAW rows (any nullable schema, e.g.
-    * parsed JSON requests): per-field validation runs first, and a
-    * request that fails it is answered 400 without any pipeline (or
-    * store) involvement. */
+    * parsed JSON requests) on the worker pool: per-field validation
+    * runs first, and a request that fails it is answered 400 without
+    * any pipeline (or store) involvement. */
   def dispatchRaw(batch: DataFrame): Unit = {
-    modelMemo.clear()
-    parallelEach(batch.collect()) { row =>
+    val rows = batch.collect()
+    resetMemo(rows.exists { r =>
+      r.schema.fieldNames.contains("kind") &&
+        !r.isNullAt(r.fieldIndex("kind")) &&
+        r.get(r.fieldIndex("kind")) == "tile"
+    })
+    parallelEach(rows) { row =>
       val res = parameters(row) match {
         case Left(err) =>
           def lv(f: String) =

@@ -156,13 +156,20 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getLong(3))).toSet
-        val want = df.withColumn("rn", row_number().over(
+        // the oracle must NOT itself replan through TopKPerKey (any
+        // suite that ran GraftExtensions.install on the shared
+        // session leaves RankToTopK active, which would make this a
+        // self-comparison under the same mutated caps): pin the
+        // rewrite off for the reference computation
+        spark.conf.set(graft.plans.RankToTopK.RewriteConf, "false")
+        val want = try df.withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy($"key").orderBy($"v".desc, $"id".asc)))
           .filter($"rn" <= k)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getInt(3).toLong)).toSet
+        finally spark.conf.unset(graft.plans.RankToTopK.RewriteConf)
         assert(got == want,
           s"case $i: keys=$nKeys k=$k caps=($fKeys,$fRows,$pRows) " +
             s"rows=${vals.length}")

@@ -745,7 +745,8 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     // filter (inputFiles reflects the pre-pruning listing, so the
     // plan — not the file list — is the witness)
     val b = spark.range(1)
-      .select(pmod(xxhash64(lit("the")), lit(64)).cast("long"))
+      .select(pmod(xxhash64(lit("the")), lit(TextOps.SparseBuckets))
+        .cast("long"))
       .head().getLong(0)
     val pruned = store.read("sparse_postings", spark)
       .filter($"bucket" === b)
