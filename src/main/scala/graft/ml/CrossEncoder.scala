@@ -35,7 +35,11 @@ object CrossEncoder {
     Array.fill(model.length / 8)(bb.getLong())
   }
 
-  /** Score one batch: dot(weights, features) per row, exact longs. */
+  /** Score one batch: dot(weights, features) per row, exact longs.
+    * Overflow-checked (Math.multiplyExact/addExact): a pathological
+    * weight/feature combination fails loudly like the engine's other
+    * exact-integer paths instead of silently wrapping away from the
+    * oracle's unwrapped BIGINT arithmetic. */
   def scoreBatch(model: Array[Byte], batch: Iterator[Array[Long]])
       : Iterator[Long] = {
     val w = weightsOf(model)
@@ -44,7 +48,9 @@ object CrossEncoder {
         s"feature width ${f.length} != model width ${w.length}")
       var s = 0L
       var i = 0
-      while (i < w.length) { s += w(i) * f(i); i += 1 }
+      while (i < w.length) {
+        s = Math.addExact(s, Math.multiplyExact(w(i), f(i))); i += 1
+      }
       s
     }
   }

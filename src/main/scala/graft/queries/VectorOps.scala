@@ -3899,12 +3899,18 @@ object VectorOps {
         val pair = (1 to 2).foldLeft(Array(s0, far))((cc, _) =>
           kmeansRound(iv, cc))
         // a DEGENERATE cell (identical members: both centroids tie,
-        // everyone re-assigns to side 0) must not count as a split,
+        // everyone re-assigns to ONE side) must not count as a split,
         // grow the book, or rewrite anything — it cannot divide, and
         // a caller loop must see 0 so it stops instead of mutating
-        // the persisted index once per round until its round cap
+        // the persisted index once per round until its round cap.
+        // BOTH sides must be nonempty: an all-on-side-1 assignment is
+        // just as degenerate as all-on-side-0 — counting it as a
+        // split would relocate the whole oversized population into
+        // the new cell and rewrite the same rows every round
         val asg = assignCells(members, pair)
-        if (asg.filter($"cell" =!= 0L).limit(1).count() > 0) {
+        val side1 = asg.filter($"cell" =!= 0L).limit(1).count() > 0
+        val side0 = asg.filter($"cell" === 0L).limit(1).count() > 0
+        if (side0 && side1) {
           val nc = book.length.toLong
           book(c.toInt) = pair(0) // cids are 0..n-1 by construction
           book += pair(1)

@@ -113,11 +113,22 @@ private[store] object PartitionedDelete {
     }
   }
 
-  /** The key's partition directory, in layout order. */
+  /** The key's partition directory, in layout order. Key VALUES go
+    * through Spark's own partition-path escaping
+    * (ExternalCatalogUtils.escapePathName — '/', '=', '%', ':',
+    * spaces, …), so the path built here is byte-identical to the
+    * directory Spark's partitioned writers actually created: without
+    * it a String key containing such a character would make readKeyed
+    * silently fall back to the full-scan path (losing the O(1)
+    * contract) and delete no-op on a nonexistent path (breaking
+    * delete-before-write idempotency). Numeric keys are unaffected. */
   private def partPath(root: String, entity: String,
       keyValues: Seq[(String, Any)]): org.apache.hadoop.fs.Path = {
     val part = orderedKeys(root, entity, keyValues)
-      .map { case (k, v) => s"$k=$v" }.mkString("/")
+      .map { case (k, v) =>
+        s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))}" }
+      .mkString("/")
     new org.apache.hadoop.fs.Path(s"$root/$entity/$part")
   }
 

@@ -145,5 +145,11 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       CrossEncoder.scoreBatch(bytes,
         Iterator(Array(1L, 2L))).toSeq
     }
+    // overflow fails loudly (checked arithmetic) instead of silently
+    // wrapping away from the oracle's unwrapped BIGINT scores
+    intercept[ArithmeticException] {
+      CrossEncoder.scoreBatch(bytes,
+        Iterator(Array(Long.MaxValue, 0L, 0L, 0L))).toSeq
+    }
   }
 }

@@ -765,6 +765,33 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
   // keys the entity holds, so per-request listing cost is O(1) in the
   // store size (the r7 100-chip prediction stage was super-linear
   // precisely because every request re-listed every partition).
+  // String key values with partition-path special characters ('/',
+  // '=', ':', '%', spaces) must hit the same escaped directory Spark's
+  // partitioned writer created: unescaped path building would make
+  // readKeyed silently fall back to the full scan (correct rows, O(1)
+  // claim lost) and — worse — delete no-op on a nonexistent path,
+  // breaking the delete-before-write idempotency contract.
+  test("keyed read/delete resolve escaped string-key partitions") {
+    val tmp = Files.createTempDirectory("graft-esc-key").toString
+    val store = new ParquetStore(tmp)
+    val ugly = "a/b=c:d e%f"
+    store.write("ent",
+      Seq((ugly, 1L, "hit"), ("plain", 2L, "other"))
+        .toDF("name", "id", "v"),
+      Seq("name"))
+    val one = store.readKeyed("ent", Seq("name" -> ugly), spark)
+    assert(one.select($"v").as[String].collect().toSet == Set("hit"))
+    // the O(1) path resolved (not the full-scan fallback): no input
+    // file from any OTHER key's partition was listed
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(!_.contains("name=plain")),
+      one.inputFiles.mkString(", "))
+    // keyed delete drops the escaped partition — not a silent no-op
+    store.delete("ent", Seq("name" -> ugly))
+    assert(store.read("ent", spark)
+      .select($"v").as[String].collect().toSet == Set("other"))
+  }
+
   test("keyed point read scans only its own partition") {
     val tmp = Files.createTempDirectory("graft-keyed-read").toString
     val stores: Seq[(String, Store)] = Seq(
