@@ -425,20 +425,28 @@ object TextOps {
     * hash(term) mod [[SparseBuckets]] and the doc length DENORMALIZED
     * onto every posting row (the production inverted-index trick: the
     * scorer needs dl per candidate, and a separate corpus-sized dl
-    * table would force a corpus join per query); `sparse_df` holds
-    * per-batch PARTIAL document frequencies under the same bucketing
-    * (global df = sum of partials for the queried terms only);
-    * `sparse_totals` one row per batch. Delete-before-write per batch
-    * partition, so replays are idempotent.
+    * table would force a corpus join per query); `sparse_docs` is the
+    * VERSION REGISTRY — one (batch, doc_id, dl) row per ingested doc,
+    * bucketed on hash(doc_id) so a day's registry write parallelizes
+    * like the postings write. The registry is what makes UPDATES
+    * sound: re-ingesting a changed document in a later batch leaves
+    * the old batch's postings physically in place, and the search
+    * resolves latest-batch-wins per doc against the registry — df and
+    * totals are DERIVED from the live set at query time (per-batch
+    * partials cannot express "this doc's older copy no longer
+    * counts", which is exactly how a partial-df design double-counts
+    * updated docs). Delete-before-write per batch partition, so
+    * replays are idempotent.
     *
     * The incremental economy: a day's append tokenizes only that
     * day's documents; a query reads only its terms' BUCKET directories
-    * across batches plus the batch-count-bounded totals — history is
+    * across batches plus the registry (≈1% the postings' size; one
+    * row per live doc after [[compactSparseIndex]]) — history is
     * never re-tokenized, re-scanned corpus-wide, or reshuffled. */
   def appendSparseIndex(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
-    // eager function with three writes over shared lineage: cache the
+    // eager function with two writes over shared lineage: cache the
     // tokenized frame and the tf table so the batch is tokenized and
     // aggregated ONCE, not once per write (the incremental-economy
     // claim is per-day work = one pass over that day), and unpersist
@@ -456,31 +464,64 @@ object TextOps {
         tf.select(lit(batchId).as("batch"), $"bucket", $"term",
           $"doc_id", $"tf", $"dl"),
         Seq("batch", "bucket"))
-      val dfp = tf.groupBy($"bucket", $"term")
-        .agg(count(lit(1)).as("df"))
-      store.delete("sparse_df", Seq("batch" -> batchId))
-      store.write("sparse_df",
-        dfp.select(lit(batchId).as("batch"), $"bucket", $"term", $"df"),
-        Seq("batch", "bucket"))
-      // totals through the SHARED definition (the same corpusTotals
-      // x47's bm25Parts and SparseIndexStream consume), so the stored
-      // search's statistics cannot drift from the one-shot scorer's
-      store.delete("sparse_totals", Seq("batch" -> batchId))
-      store.write("sparse_totals",
-        corpusTotals(docs)
-          .select(lit(batchId).as("batch"), $"n_docs", $"sum_dl"),
-        Seq("batch"))
+      store.delete("sparse_docs", Seq("batch" -> batchId))
+      store.write("sparse_docs",
+        docs.select(lit(batchId).as("batch"),
+          pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
+          $"doc_id", size($"tk").cast("long").as("dl")),
+        Seq("batch", "dbucket"))
     } finally { tf.unpersist(); docs.unpersist() }
   }
 
+  /** Tombstone-delete documents from the persisted sparse index — the
+    * same metadata-row delete verb as the dense side's
+    * [[VectorOps.tombstoneAnnVectors]]: deletes land as rows in a
+    * `sparse_tombstones` entity partitioned by doc_id (re-deleting is
+    * a per-id dynamic-partition overwrite — idempotent, earlier
+    * tombstones survive), the search anti-joins them out at read
+    * time, and the postings are NEVER rewritten — at 100 TB a delete
+    * is a metadata row, folded physically by [[compactSparseIndex]]
+    * when the small-file maintenance job runs anyway. */
+  def tombstoneSparseDocs(s: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long], store: graft.store.Store): Unit = {
+    require(ids.nonEmpty, "tombstone call with no ids")
+    store.write("sparse_tombstones",
+      s.createDataFrame(ids.map(id => (id, 1))).toDF("doc_id", "dead"),
+      Seq("doc_id"))
+  }
+
+  /** The live-version registry: latest batch wins per doc_id,
+    * tombstoned docs removed. One row per LIVE doc — (doc_id, batch,
+    * dl). Shared by the stored search (version resolution + corpus
+    * totals) and compaction (the keep set). */
+  private def liveSparseDocs(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame = {
+    val reg = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val live0 = reg.groupBy($"doc_id")
+      .agg(max(struct($"batch", $"dl")).as("m"))
+      .select($"doc_id", $"m.batch".as("batch"), $"m.dl".as("dl"))
+    val tomb = try Some(store.read("sparse_tombstones", s)
+        .select($"doc_id".cast("long").as("doc_id")))
+      catch { case scala.util.control.NonFatal(_) => None }
+    tomb.fold(live0)(t => live0.join(t, Seq("doc_id"), "left_anti"))
+  }
+
   /** Exact BM25 over the persisted index for a bounded query set
-    * (qid → term list): postings and df partials are read ONLY for
-    * the queried terms' buckets (directory-pruned within every batch
-    * partition), totals sum over batch-count-many rows, and the
-    * scoring expression is the SAME [[withCi]] the one-shot x47
-    * uses — StoreSpec pins a two-batch stored search row-identical to
-    * the one-shot rank. `excludeSelf` drops doc_id == qid rows (the
-    * registry query convention where queries ARE corpus docs). */
+    * (qid → term list): postings are read ONLY for the queried terms'
+    * buckets (directory-pruned within every batch partition), then
+    * resolved against the version registry — one (doc_id, batch)
+    * equi-join against the thin [[liveSparseDocs]] frame — so a doc
+    * re-ingested in a later batch scores exactly once, from its
+    * LATEST version, and tombstoned docs never score
+    * (StoreSpec pins stored search over an update history
+    * row-identical to a one-shot over the latest versions). df for
+    * the queried terms and the corpus totals are derived from the
+    * live set (a term's postings all live in its bucket, so the
+    * bucket-pruned read IS the term's full live posting list); the
+    * scoring expression is the SAME [[withCi]] the one-shot x47 uses.
+    * `excludeSelf` drops doc_id == qid rows (the registry query
+    * convention where queries ARE corpus docs). */
   def bm25SearchStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, queries: Seq[(Long, Seq[String])],
       k: Int = 5, excludeSelf: Boolean = true)
@@ -493,15 +534,24 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
+    val live = liveSparseDocs(s, store)
+    // corpus statistics over the LIVE set: exact under updates and
+    // deletes, where summed per-batch partials double-count — the
+    // registry scan is ~1% of a postings scan and collapses to one
+    // row per doc after compaction
+    val tot = live.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").cast("double").as("sum_dl"))
     val post = store.read("sparse_postings", s)
       .filter($"bucket".isin(qb.map(Long.box): _*))
-      .select($"term", $"doc_id", $"tf", $"dl")
-    val dfq = store.read("sparse_df", s)
-      .filter($"bucket".isin(qb.map(Long.box): _*))
-      .groupBy($"term").agg(sum($"df").as("df"))
-    val tot = store.read("sparse_totals", s)
-      .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
-    val cand = post.join(broadcast(qt.select($"qid", $"term")), "term")
+      .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+        $"tf", $"dl")
+      .join(live.select($"doc_id", $"batch"), Seq("doc_id", "batch"))
+    // all LIVE postings of the queried terms: candidate rows AND the
+    // terms' exact document frequencies come from this one frame
+    val tpost = post
+      .join(broadcast(qt.select($"term").distinct()), "term")
+    val dfq = tpost.groupBy($"term").agg(count(lit(1)).as("df"))
+    val cand = tpost.join(broadcast(qt.select($"qid", $"term")), "term")
     val scored = withCi(
       (if (excludeSelf) cand.filter($"doc_id" =!= $"qid") else cand)
         .join(dfq, "term")
@@ -512,6 +562,98 @@ object TextOps {
         .cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** One-shot exact BM25 over an arbitrary documents frame with an
+    * explicit query set — the spec's independent twin for
+    * [[bm25SearchStored]]: same [[withCi]] arithmetic, frames built
+    * directly from the given docs (so "stored search over an update
+    * history" can be pinned row-identical to "one-shot over the
+    * latest versions"). */
+  private[graft] def bm25SearchOver(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int = 5,
+      excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tkd = tokenized(docs)
+    val tf = tkd
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfr = termDf(tkd)
+    val tot = corpusTotals(tkd)
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val cand = tf.join(broadcast(qt), "term")
+    val scored = withCi(
+      (if (excludeSelf) cand.filter($"doc_id" =!= $"qid") else cand)
+        .join(dfr, "term")
+        .crossJoin(broadcast(tot)))
+      .groupBy($"qid", $"doc_id").agg(sum($"ci").as("bm25"))
+    scored.withColumn("rn", row_number().over(Window
+        .partitionBy($"qid").orderBy($"bm25".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Compact the persisted sparse index: fold every batch partition
+    * into ONE consolidated batch keeping each doc's LATEST version
+    * only, and fold tombstones physically — the
+    * [[VectorOps.compactAnnCorpus]] staging discipline applied to
+    * postings. After compaction the registry holds one row per live
+    * doc and a search's version-resolution join degenerates to a
+    * same-size equi-join; the batch-per-day small-file tax is gone.
+    * At no point does a write read the files it replaces (the
+    * consolidated copy lands in staging entities first, then source
+    * partitions drop, then staged rows move into place). Run as the
+    * index's offline maintenance job, not under a concurrent
+    * writer. */
+  def compactSparseIndex(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, intoBatch: Long = 0L): Unit = {
+    val reg = store.read("sparse_docs", s)
+    // bounded collects: one row per ingested batch; tombstone presence
+    val batches = reg.select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val hasTomb =
+      try store.read("sparse_tombstones", s).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (batches.length <= 1 &&
+      batches.headOption.forall(_ == intoBatch) && !hasTomb)
+      return // already compact
+    val live = liveSparseDocs(s, store)
+    store.write("sparse_postings_stage",
+      store.read("sparse_postings", s)
+        .select($"batch".cast("long").as("batch"),
+          $"bucket".cast("long").as("bucket"), $"term", $"doc_id",
+          $"tf", $"dl")
+        .join(live.select($"doc_id", $"batch"), Seq("doc_id", "batch"))
+        .select(lit(intoBatch).as("batch"), $"bucket", $"term",
+          $"doc_id", $"tf", $"dl"),
+      Seq("batch", "bucket"))
+    store.write("sparse_docs_stage",
+      live.select(lit(intoBatch).as("batch"),
+        pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
+        $"doc_id", $"dl"),
+      Seq("batch", "dbucket"))
+    batches.foreach { b =>
+      store.delete("sparse_postings", Seq("batch" -> b))
+      store.delete("sparse_docs", Seq("batch" -> b))
+    }
+    store.write("sparse_postings",
+      store.read("sparse_postings_stage", s)
+        .withColumn("batch", $"batch".cast("long"))
+        .withColumn("bucket", $"bucket".cast("long")),
+      Seq("batch", "bucket"))
+    store.write("sparse_docs",
+      store.read("sparse_docs_stage", s)
+        .withColumn("batch", $"batch".cast("long"))
+        .withColumn("dbucket", $"dbucket".cast("long")),
+      Seq("batch", "dbucket"))
+    store.delete("sparse_postings_stage", Seq.empty)
+    store.delete("sparse_docs_stage", Seq.empty)
+    if (hasTomb) store.delete("sparse_tombstones", Seq.empty)
   }
 
   /** The unranked (qid, doc_id, bm25) score relation — the x47 core,

@@ -38,12 +38,14 @@ object SparseIndexStream {
 
   /** Start the PERSISTED-index append stream (the postings half; the
     * two aggregations above are the live-statistics half): each
-    * micro-batch of raw (doc_id, text) rows lands its postings, df
-    * partials, and totals under its own batch partition via
+    * micro-batch of raw (doc_id, text) rows lands its postings and
+    * version-registry rows under its own batch partition via
     * [[graft.queries.TextOps.appendSparseIndex]] —
     * delete-before-write, so replays overwrite themselves and the
-    * sink stays exactly-once through retries. Searches over the
-    * accumulating index go through
+    * sink stays exactly-once through retries. A micro-batch that
+    * re-ingests a changed document simply becomes the doc's latest
+    * registry version — the streaming path gets update semantics for
+    * free. Searches over the accumulating index go through
     * [[graft.queries.TextOps.bm25SearchStored]], which reads only the
     * queried terms' bucket directories. */
   def start(docs: DataFrame, store: graft.store.Store,

@@ -732,8 +732,9 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val got = rows(TextOps.bm25SearchStored(spark, store, qs))
     assert(got.nonEmpty)
     // row-identical to the one-shot x47 rank over the same corpus —
-    // same scoring expression, df = sum of batch partials, totals =
-    // sum of batch rows
+    // same scoring expression; df and totals derive from the live
+    // version registry (equal to the batch union when nothing was
+    // ever updated or deleted)
     assert(got == rows(TextOps.bm25TopK(spark, dir)),
       "stored sparse search diverged from one-shot x47")
     // replaying a batch overwrites itself (delete-before-write)
@@ -756,6 +757,80 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .getOrElse("")
     assert(planLine.contains("bucket") && planLine.contains(s"= $b)"),
       planLine)
+  }
+
+  test("sparse-index updates: a re-ingested doc scores from its " +
+    "latest version only, tombstones delete at read time, and " +
+    "compaction folds both physically with search row-identical") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-sparse-upd").toString
+    val store = new ParquetStore(root)
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    // batch 0: even docs (original text); batch 1: odd docs PLUS a
+    // re-ingest of every doc_id % 10 == 0 doc with CHANGED text —
+    // without version resolution batch 0's postings for those docs
+    // stay live and the search double-counts stale+new copies
+    val changed = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("text", concat($"text", lit(" revised edition text")))
+    TextOps.appendSparseIndex(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    TextOps.appendSparseIndex(spark,
+      docs.filter($"doc_id" % 2 === 1).unionByName(changed), 1L, store)
+    // the corpus a one-shot engine over the LATEST versions sees
+    val latest = docs.filter($"doc_id" % 10 =!= 0).unionByName(changed)
+    val qs = TextOps.tokenized(docs.filter($"doc_id" < 4))
+      .select($"doc_id", $"tk").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).distinct.toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "bm25", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = rows(TextOps.bm25SearchStored(spark, store, qs))
+    assert(got.nonEmpty &&
+      got == rows(TextOps.bm25SearchOver(spark, latest, qs)),
+      "stored search over the update history diverged from a " +
+        "one-shot over the latest versions")
+    // tombstone two currently-returned docs: they vanish from the
+    // rank AND from the df/totals statistics (not just the rows)
+    val dead = got.map(_._2).distinct.take(2)
+    TextOps.tombstoneSparseDocs(spark, dead, store)
+    val afterDel = rows(TextOps.bm25SearchStored(spark, store, qs))
+    assert(afterDel.forall(r => !dead.contains(r._2)),
+      "tombstoned doc still returned")
+    assert(afterDel == rows(TextOps.bm25SearchOver(spark,
+      latest.filter(!$"doc_id".isin(dead.map(Long.box): _*)), qs)))
+    // compaction folds versions + tombstones physically: one batch
+    // remains, each doc has exactly one registry row, the staging and
+    // tombstone entities are gone, search is row-identical
+    TextOps.compactSparseIndex(spark, store)
+    assert(rows(TextOps.bm25SearchStored(spark, store, qs)) == afterDel,
+      "compaction changed search results")
+    val batches = store.read("sparse_docs", spark)
+      .select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(batches == Seq(0L), batches.mkString(","))
+    assert(store.read("sparse_docs", spark)
+      .groupBy($"doc_id").count()
+      .agg(max($"count")).first().getLong(0) == 1L,
+      "a doc kept more than one registry version after compaction")
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/sparse_tombstones")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/sparse_postings_stage")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/sparse_docs_stage")))
+    // an already-compact index is left byte-untouched (early return)
+    def stamps = Files.walk(
+        java.nio.file.Paths.get(s"$root/sparse_postings"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      .toSeq.map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    val s1 = stamps
+    TextOps.compactSparseIndex(spark, store)
+    assert(stamps == s1, "no-op compaction rewrote files")
   }
 
   // The serving-path scale contract (the reference's O(1) GET,
