@@ -800,6 +800,46 @@ object TextOps {
     * literal in BOTH engines (the m4 fixed-weights discipline). */
   private[graft] val CeWeights = Array(500000L, 3000L, 1L, -100L)
 
+  /** Persist the cross-encoder model artifact as a `ce_model` entity —
+    * the retrieval stack's third stage gets the same stored lifecycle
+    * as its first two (sparse index, ANN books): the model bytes are
+    * a keyed row, replays overwrite themselves, and a serving session
+    * loads the artifact instead of carrying weights in code (M5's
+    * model-(de)serialization discipline; the bytes ARE the
+    * [[graft.ml.CrossEncoder]] contract, so a real ONNX/TF blob drops
+    * into the same row). */
+  def persistCeModel(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, weights: Array[Long] = CeWeights,
+      modelId: Long = 0L): Unit = {
+    store.delete("ce_model", Seq("model_id" -> modelId))
+    store.write("ce_model",
+      s.createDataFrame(
+          Seq((modelId, graft.ml.CrossEncoder.model(weights))))
+        .toDF("model_id", "model"),
+      Seq("model_id"))
+  }
+
+  /** Load one persisted cross-encoder artifact — a keyed point read
+    * (the store's O(1) GET), exactly one row by contract. */
+  def loadCeModel(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, modelId: Long = 0L): Array[Byte] = {
+    val rows = store.readKeyed("ce_model",
+        Seq("model_id" -> modelId), s)
+      .select($"model").collect()
+    require(rows.length == 1,
+      s"ce_model $modelId: expected exactly 1 row, found ${rows.length}")
+    rows.head.getAs[Array[Byte]](0)
+  }
+
+  /** x110 against a PERSISTED model: load the `ce_model` artifact and
+    * rerank with it — a serving session's path (StoreSpec pins it
+    * row-identical to the literal-weights registry body). */
+  def rerankCrossStored(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store, modelId: Long = 0L,
+      shortlist: Int = 20, k: Int = 5)
+      : org.apache.spark.sql.DataFrame =
+    rerankCrossWith(s, dir, loadCeModel(s, store, modelId), shortlist, k)
+
   /** x110 body: BM25 top-20 shortlist per query, reranked by the
     * batched [[graft.ml.CrossEncoder]] pair scorer (broadcast model
     * bytes, mapPartitions batches — the M3 inference seam). The model
@@ -807,6 +847,14 @@ object TextOps {
     * x47's retrieval, already audited. */
   private[graft] def rerankCross(s: org.apache.spark.sql.SparkSession,
       dir: String, shortlist: Int = 20, k: Int = 5)
+      : org.apache.spark.sql.DataFrame =
+    rerankCrossWith(s, dir, graft.ml.CrossEncoder.model(CeWeights),
+      shortlist, k)
+
+  /** [[rerankCross]] over caller-supplied model bytes — shared by the
+    * literal-weights registry body and [[rerankCrossStored]]. */
+  private def rerankCrossWith(s: org.apache.spark.sql.SparkSession,
+      dir: String, modelBytes: Array[Byte], shortlist: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (tf, _, dl, _) = bm25Parts(s, dir)
@@ -827,8 +875,7 @@ object TextOps {
       .tuple(org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong)
-    val bcModel = s.sparkContext.broadcast(
-      graft.ml.CrossEncoder.model(CeWeights))
+    val bcModel = s.sparkContext.broadcast(modelBytes)
     val scored = ftr.as[PairFeat].mapPartitions { it =>
       it.grouped(32768).flatMap { batch =>
         val scores = graft.ml.CrossEncoder.scoreBatch(bcModel.value,
@@ -958,17 +1005,34 @@ object TextOps {
     * first-occurrence exact dedup → benchmark decontamination →
     * survivors (doc_id, n_tokens, stop_ratio, alpha_ratio, tk). */
   private def corpusPrepSurvivors(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    corpusPrepFrames(s, dir)._2
+
+  /** [[corpusPrepSurvivors]] plus the cached corpus-wide hashed
+    * shingle frame (doc_id, h) it is built from — x107 feeds that
+    * frame straight into [[jaccardPairsFromShingles]], so the whole
+    * manifest tokenizes and shingles the corpus exactly ONCE across
+    * its prep, decontamination, and pair stages. */
+  private def corpusPrepFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val tkc = T.wsTokens($"text")
     val nStop = size(filter(tkc, w => w.isin(Stopwords: _*)))
       .cast("double")
     val nTok = size(tkc)
+    // cached: the gated frame feeds the quality report twice (dedup
+    // keys AND the bench shingle side below read q) and the survivor
+    // frame feeds both its own shingling and the final anti-join —
+    // without the pins the tokenize+gate chain re-runs once per
+    // consumer (doc-count-sized token frames, the same cache class as
+    // jaccardPairs' shingle index; the bench evicts per query)
     val q = Tables.spread(s, dir, "documents").select($"doc_id",
       tkc.as("tk"),
       nTok.cast("long").as("n_tokens"),
       round(nStop / nTok, 6).as("stop_ratio"),
       round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
         .cast("double") / length($"text"), 6).as("alpha_ratio"))
+      .cache()
     val g = q.filter($"n_tokens" >= 5 && $"alpha_ratio" >= 0.4 &&
       $"stop_ratio" <= 0.8 && $"doc_id" % 20 =!= 0)
     val surv = g
@@ -979,19 +1043,29 @@ object TextOps {
         min_by($"stop_ratio", $"doc_id").as("stop_ratio"),
         min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"),
         min_by($"tk", $"doc_id").as("tk"))
-    val sh = surv.filter(size($"tk") >= K)
+      .cache()
+    // ONE corpus-wide shingle explode+hash serves all three shingle
+    // consumers — the survivor side (semi-join on kept doc_ids: a
+    // survivor's tk IS its original doc's tk by the min_by
+    // construction), the bench side (the doc_id % 20 slice), and,
+    // through the x107 manifest, the near-dup pair index — instead of
+    // three independent explode passes over overlapping corpus slices
+    val shAll = q.filter(size($"tk") >= K)
       .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-      .select($"doc_id", T.md5Long($"s").as("h")).distinct()
-    val bench = q.filter($"doc_id" % 20 === 0 && size($"tk") >= K)
-      .select($"doc_id".as("bd"), explode(T.shingles($"tk", K)).as("s"))
-      .select($"bd", T.md5Long($"s").as("h")).distinct()
+      .select($"doc_id", T.md5Long($"s").as("h"))
+      .cache()
+    val sh = shAll
+      .join(surv.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .distinct()
+    val bench = shAll.filter($"doc_id" % 20 === 0)
+      .select($"doc_id".as("bd"), $"h").distinct()
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val bad = sh.join(broadcast(bench), "h")
       .groupBy($"doc_id".as("cd"), $"bd").agg(count(lit(1)).as("i"))
       .join(sz.select($"doc_id".as("cd"), $"n"), "cd")
       .filter($"i" / $"n" >= 0.2)
       .select($"cd").distinct()
-    surv.join(bad, surv("doc_id") === bad("cd"), "left_anti")
+    (shAll, surv.join(bad, surv("doc_id") === bad("cd"), "left_anti"))
   }
 
   /** x107's leakage resolution, exposed for direct spec coverage (the
@@ -1098,19 +1172,27 @@ object TextOps {
       .orderBy($"comp")
   }
 
-  /** Spark twin of [[pairCtes]]: near-dup pairs (d1, d2, jacv). */
+  /** Spark twin of [[pairCtes]]: near-dup pairs (d1, d2, jacv).
+    * The shingle join keys on the 48-bit hash, not the string: ~3x
+    * smaller shuffle keys; both engines hash identically so any
+    * collision affects both sides the same way. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val tk = Tables.spread(s, dir, "documents")
       .select($"doc_id", T.wsTokens($"text").as("tk"))
       .filter(size($"tk") >= K)
-    // join on the 48-bit shingle hash, not the string: ~3x smaller
-    // shuffle keys; both engines hash identically so any collision
-    // affects both sides the same way. Cached: three consumers
-    // (df-cap, sizes, pair join) would otherwise re-explode the scan.
-    val sh = tk
+    jaccardPairsFromShingles(tk
       .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-      .select($"doc_id", T.md5Long($"s").as("h"))
+      .select($"doc_id", T.md5Long($"s").as("h")))
+  }
+
+  /** [[jaccardPairs]] from a caller-supplied hashed-shingle frame
+    * (doc_id, h) — so a composite body that ALREADY exploded and
+    * hashed the corpus shingles (x107's prep stage) shares that one
+    * pass instead of re-tokenizing and re-shingling every document. */
+  private def jaccardPairsFromShingles(
+      sh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // df-cap as a window over h: one shuffle, no extra join, and the
     // cached result stays hash-partitioned on h so the pair self-join
     // below needs no further exchange. (Measured alternatives at
@@ -2356,10 +2438,19 @@ object TextOps {
          |SELECT doc_id, split FROM spl
          |WHERE doc_id NOT IN (SELECT doc_id FROM drp)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // cached: resolveLeakage consumes the release relation THREE
+      // times (both leak-pair orientations + the final anti-join);
+      // without the pin the whole prep chain (gates → dedup →
+      // decontamination) re-runs per consumer. Tiny frame (doc_id,
+      // split), expensive lineage — the canonical cache candidate.
+      // The pair stage reuses the prep chain's CACHED hashed-shingle
+      // frame, so the manifest tokenizes AND shingles the corpus
+      // once, not once per stage.
+      val (shAll, surv) = corpusPrepFrames(s, dir)
       resolveLeakage(
-        corpusPrepSurvivors(s, dir)
-          .select($"doc_id", T.splitOf($"doc_id").as("split")),
-        jaccardPairs(s, dir).select($"d1", $"d2"))
+        surv.select($"doc_id", T.splitOf($"doc_id").as("split"))
+          .cache(),
+        jaccardPairsFromShingles(shAll).select($"d1", $"d2"))
         .orderBy($"doc_id")
     },
 
