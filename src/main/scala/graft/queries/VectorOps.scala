@@ -3698,11 +3698,13 @@ object VectorOps {
     * (never all pairs), per-cell work is (n/cells)² with the
     * [[cellsFor]] knob, and ranking is one exchange on vec_id. */
   private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
-      dir: String, cells: Int = DefaultCells, k: Int = KnnGraphK)
+      dir: String, cells: Int = DefaultCells, k: Int = KnnGraphK,
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = _.cache())
       : org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
-    val a = (if (cells <= MaxLiteralCells) literalCells(e, cells)
-      else joinCells(e, cells)).select($"vec_id", $"v", $"cell").cache()
+    val a = pin((if (cells <= MaxLiteralCells) literalCells(e, cells)
+      else joinCells(e, cells)).select($"vec_id", $"v", $"cell"))
     knnEdges(a, k)
       .select($"src", $"dst", $"cos", $"rn")
       .orderBy($"src", $"rn")
@@ -3729,11 +3731,53 @@ object VectorOps {
     knnGraph(s, dir, c, k)
   }
 
+  /** Run a multi-consumer lazy body EAGERLY with a bounded cache
+    * lifetime — the try/finally release discipline of the write-side
+    * verbs (appendSparseIndex et al.) for DataFrame-RETURNING
+    * production wrappers. `body` receives a `pin` hook in place of
+    * its in-body `.cache()` calls; the result is materialized to a
+    * local checkpoint (severing its lineage from the pinned frames)
+    * and every pinned cache is released before returning, so a caller
+    * looping rounds (the NN-descent iterate-until-converged shape)
+    * never accumulates pinned blocks across iterations. The
+    * checkpoint blocks themselves are reclaimed by the context
+    * cleaner when the returned frame goes out of scope. */
+  private def eagerly(
+      body: (org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tracked = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val pin = (df: org.apache.spark.sql.DataFrame) => {
+      val c = df.cache(); tracked += c; c
+    }
+    try body(pin).localCheckpoint(true)
+    finally tracked.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[knnGraphScaled]] that releases its in-body caches before
+    * returning (ScaleGuardsSpec pins the cache manager empty after a
+    * call) — the variant for callers that keep the session long-lived. */
+  def knnGraphScaledEager(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val (c, _) = scaledGeometry(s, dir)
+    eagerly(pin => knnGraph(s, dir, c, k, pin))
+  }
+
   /** [[nnDescentRound]] with corpus-scaled cells AND planes. */
   def nnDescentRoundScaled(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
     val (c, p) = scaledGeometry(s, dir)
     nnDescentRound(s, dir, c, p, k)
+  }
+
+  /** [[nnDescentRoundScaled]] with the [[eagerly]] release discipline —
+    * the entry point for a caller LOOPING descent rounds, which would
+    * otherwise pin three frames per round for the session's life. */
+  def nnDescentRoundScaledEager(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val (c, p) = scaledGeometry(s, dir)
+    eagerly(pin => nnDescentRound(s, dir, c, p, k, pin))
   }
 
   /** [[annIvfTrained]] with corpus-scaled cell count. */
@@ -4151,16 +4195,18 @@ object VectorOps {
     * replays it CTE-for-CTE. */
   private[graft] def nnDescentRound(s: org.apache.spark.sql.SparkSession,
       dir: String, cells: Int = DefaultCells,
-      planes: Int = DefaultPlanes, k: Int = KnnGraphK)
+      planes: Int = DefaultPlanes, k: Int = KnnGraphK,
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = _.cache())
       : org.apache.spark.sql.DataFrame = {
     val n = normalizedEmbeddings(s, dir)
     // ONE cached frame carries assignment + bucket + vector; every
     // later stage (both blockings, both score re-attaches) reads it,
     // so the corpus scans parquet exactly once per action
-    val a = bucketed(
+    val a = pin(bucketed(
       (if (cells <= MaxLiteralCells) literalCells(n, cells)
        else joinCells(n, cells)).select($"vec_id", $"v", $"cell"),
-      planes).cache()
+      planes))
     // candidate IDS from either blocking — vectors stay OUT of the
     // blocked joins, so the union/distinct shuffles 16-byte id pairs,
     // not 512-byte embeddings, and the 64-dim dot runs ONCE per
@@ -4179,15 +4225,14 @@ object VectorOps {
     // cached assignment (no second parquet scan)
     val va = a.select($"vec_id".as("src"), $"v".as("va"))
     val vb = a.select($"vec_id".as("dst"), $"v".as("vb"))
-    val p0 = cand.join(va, "src").join(vb, "dst")
-      .select($"src", $"dst", round(dot($"va", $"vb"), 4).as("cos"))
-      .cache()
+    val p0 = pin(cand.join(va, "src").join(vb, "dst")
+      .select($"src", $"dst", round(dot($"va", $"vb"), 4).as("cos")))
     // cached: `und` references edges twice and `fresh` self-joins und,
     // so without the pin the top-k operator over p0 would re-execute
     // once per plan occurrence (up to 4×) in the single final action
-    val edges = graft.ops.TopK.perKey(p0, Seq("src"),
+    val edges = pin(graft.ops.TopK.perKey(p0, Seq("src"),
       Seq($"cos".desc, $"dst".asc), k)
-      .select($"src", $"dst").cache()
+      .select($"src", $"dst"))
     // symmetrized adjacency: NN-descent explores both directions
     val und = edges
       .union(edges.select($"dst".as("src"), $"src".as("dst")))

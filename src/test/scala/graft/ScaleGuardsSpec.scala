@@ -1553,6 +1553,30 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"2-hop round found nothing new ($hitsAfter = $hitsBefore)")
   }
 
+  test("eager Scaled graph wrappers release every in-body cache and " +
+    "return the same rows as their lazy twins") {
+    // the lazy registry bodies pin frames their lazy results reference
+    // (the bench evicts per query); the Eager wrappers are for callers
+    // LOOPING rounds in a long-lived session — after a call the cache
+    // manager must hold nothing, or each iteration leaks three pins
+    spark.catalog.clearCache()
+    val eager = VectorOps.nnDescentRoundScaledEager(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(eager.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "nnDescentRoundScaledEager left cached frames behind")
+    val lazyRows = VectorOps.nnDescentRoundScaled(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(eager == lazyRows, "eager variant diverged from lazy twin")
+    spark.catalog.clearCache()
+    val g = VectorOps.knnGraphScaledEager(spark, dir)
+    assert(g.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "knnGraphScaledEager left cached frames behind")
+  }
+
   test("x107 leakage resolution: lower-precedence members drop once, " +
     "same-split pairs untouched, manifest consistent with x55 + x59") {
     import spark.implicits._
