@@ -759,6 +759,39 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       planLine)
   }
 
+  test("cross-encoder model artifact: store round-trip, keyed load, " +
+    "and stored rerank row-identical to the literal-weights body") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-ce-model").toString
+    val store = new ParquetStore(root)
+    TextOps.persistCeModel(spark, store)
+    // bytes round-trip exactly (the artifact IS the scorer contract)
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store))
+      .sameElements(TextOps.CeWeights))
+    // replay overwrites itself (delete-before-write)
+    TextOps.persistCeModel(spark, store)
+    assert(store.read("ce_model", spark).count() == 1)
+    // a second model under its own key leaves the first untouched
+    TextOps.persistCeModel(spark, store,
+      weights = Array(1L, 2L, 3L, 4L), modelId = 1L)
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store, modelId = 1L))
+      .sameElements(Array(1L, 2L, 3L, 4L)))
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store))
+      .sameElements(TextOps.CeWeights))
+    // serving path: rerank with the LOADED artifact == x110's
+    // literal-weights registry body, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows(TextOps.rerankCrossStored(spark, dir, store)) ==
+      rows(graft.SparkEntry.queries("x110_rerank_cross")(spark, dir)),
+      "stored-model rerank diverged from the registry body")
+  }
+
   test("sparse-index updates: a re-ingested doc scores from its " +
     "latest version only, tombstones delete at read time, and " +
     "compaction folds both physically with search row-identical") {
