@@ -72,6 +72,37 @@ object Bench {
     // (unset for the driver's full run).
     val lifecycleOnly =
       sys.env.get("SPARK_GRAFT_LIFECYCLE_ONLY").contains("1")
+    // Contention canary: ONE fixed ~0.1-0.3 s reference query
+    // (lineitem rollup — plans identical every call) re-timed at every
+    // phase boundary. The engine cannot change between samples, so a
+    // large spread measures the BOX (driver-VM contention), not the
+    // code — the r8 record carried a fake 5.4x lifecycle regression
+    // (92.3 s recorded vs 15.9 s reproduced) precisely because the
+    // numbers had no health bit. spread = max/min across samples;
+    // > 3x stamps "contended": true into the emitted JSON so a
+    // round's numbers carry their own weather report.
+    // Each sample is the MIN of two back-to-back runs: the canary must
+    // measure SUSTAINED contention (what corrupts a whole phase), not
+    // one-off scheduling jitter — a single run's own spread on an idle
+    // box approaches the 3x threshold.
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      try {
+        import org.apache.spark.sql.functions._
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Tables(spark, sfDir, "lineitem")
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")).as("sq"),
+              avg(col("l_extendedprice")).as("ap"),
+              count(lit(1)).as("n"))
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        canarySamples += math.min(once(), once())
+      } catch { case _: Throwable => () }
+    }
+    canary() // baseline sample, post-warmup
     // sorted order: Map iteration order is arbitrary and would shift
     // residual warmup between queries run-to-run / round-to-round
     // Per-query hygiene (UNTIMED — applied after the measurement):
@@ -155,19 +186,45 @@ object Bench {
     def isolate(): Unit =
       try { spark.catalog.clearCache(); System.gc() }
       catch { case _: Throwable => () }
+    // MIN of two isolated runs per grid size, like the warm set:
+    // single-sample lifecycle stages inflated 5-10x under driver-VM
+    // contention (the r8 t2-segment reading). Component-wise min —
+    // each stage's honest cost is its best isolated sample; a failed
+    // run (-1) never wins the min unless both runs failed.
+    def lifecycle2(n: Int): (Double, Double, Double, Double) = {
+      val a = lifecycle(n)
+      isolate()
+      val b = lifecycle(n)
+      isolate()
+      def m(x: Double, y: Double) =
+        if (x < 0) y else if (y < 0) x else math.min(x, y)
+      (m(a._1, b._1), m(a._2, b._2), m(a._3, b._3), m(a._4, b._4))
+    }
+    canary()
     isolate()
-    val t1 = lifecycle(
+    val t1 = lifecycle2(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS", "25").toInt)
-    isolate()
-    val t2 = lifecycle(
+    canary()
+    val t2 = lifecycle2(
       sys.env.getOrElse("SPARK_GRAFT_TILE_CHIPS_SCALE", "100").toInt)
-    isolate()
+    canary()
+    // Scaling pin (off by default; set e.g. =400 to regenerate the
+    // 4x-chips claim from the harness instead of trusting prose):
+    // per-chip jobs are independent partitions, so s/chip should hold
+    // ~flat from t2's grid to this one.
+    val t3 = sys.env.get("SPARK_GRAFT_TILE_CHIPS_SCALE2").map { v =>
+      val t = lifecycle2(v.toInt)
+      canary()
+      v.toInt -> t
+    }
     val results = registry :+ ("t1_tile_lifecycle" -> t1._1) :+
-      ("t2_tile_lifecycle_100" -> t2._1)
+      ("t2_tile_lifecycle_100" -> t2._1) :++
+      t3.map { case (n, t) => s"t3_tile_lifecycle_$n" -> t._1 }.toSeq
     def stageJson(t: (Double, Double, Double, Double)): String =
       s"""{"segment":${t._2},"tile":${t._3},"prediction":${t._4}}"""
     val stages =
-      s"""{"t1":${stageJson(t1)},"t2":${stageJson(t2)}}"""
+      s"""{"t1":${stageJson(t1)},"t2":${stageJson(t2)}""" +
+        t3.fold("")(t => s""","t3":${stageJson(t._2)}""") + "}"
     // second pass over the heaviest text/vector queries: warm timings
     // separate one-time JIT/codegen warmup (which lands on whichever
     // heavy query runs first in the cold sweep) from actual plan cost —
@@ -224,12 +281,19 @@ object Bench {
       val good = runs.filter(_._1).map(_._2)
       n -> (if (good.nonEmpty) good.min else -1.0)
     })
+    canary()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ws = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"sf":"$sfDir"}""")
+    val cSpread =
+      if (canarySamples.size >= 2 && canarySamples.min > 0)
+        canarySamples.max / canarySamples.min
+      else -1.0
+    val cJson = s"""{"samples":[${canarySamples.mkString(",")}],""" +
+      s""""spread":$cSpread,"contended":${cSpread > 3.0}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"canary":$cJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
