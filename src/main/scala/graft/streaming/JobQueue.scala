@@ -169,9 +169,34 @@ final class JobQueue(
     new java.util.concurrent.ConcurrentHashMap[(Long, Long), Array[Byte]]()
   @volatile private var memoOff = false
 
+  /** Per-dispatch-batch aux memo: the aux raster is static for the
+    * duration of one batch (the model memo's consistency contract),
+    * and a tile of prediction requests must NOT materialize the full
+    * grid's aux frame once per chip — the 400-chip scaling pin caught
+    * exactly that: per-chip prediction cost tripled from 100 to 400
+    * chips because every request re-built and re-broadcast the whole
+    * grid's aux. One evaluation per batch, CACHED so per-request
+    * chip filters scan in-memory columnar batches with min/max stat
+    * pruning; each prediction then joins only ITS chip's aux slice
+    * (chip-sized broadcast). Released at the next batch boundary. */
+  @transient @volatile private var auxMemo: DataFrame = _
+  private def batchAux(): DataFrame = {
+    var a = auxMemo
+    if (a == null) synchronized {
+      a = auxMemo
+      if (a == null) { a = auxSource().cache(); auxMemo = a }
+    }
+    a
+  }
+
   private def resetMemo(batchHasTile: Boolean): Unit = {
     modelMemo.clear()
     memoOff = batchHasTile
+    val oldAux = auxMemo
+    auxMemo = null
+    if (oldAux != null)
+      try oldAux.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Run one validated request through its pipeline. */
@@ -190,7 +215,7 @@ final class JobQueue(
                 out.segments, "", 200)
             case "tile" =>
               val out = TrainingPipeline.run(spark,
-                store.read("segment", spark), auxSource(), rs,
+                store.read("segment", spark), batchAux(), rs,
                 classifier, r.tx, r.ty,
                 TrainingPipeline.Params(date = r.date,
                   targetSamples = 1000000, classMin = 1, classMax = 1000000))
@@ -217,7 +242,9 @@ final class JobQueue(
               val n = PredictionPipeline.run(spark,
                 store.readKeyed("segment",
                   Seq("cx" -> r.cx, "cy" -> r.cy), spark),
-                auxSource(), rs, classifier, modelBytes, r.month, r.day)
+                batchAux()
+                  .filter(col("cx") === r.cx && col("cy") === r.cy),
+                rs, classifier, modelBytes, r.month, r.day)
               JobResult(r.kind, r.cx, r.cy, r.tx, r.ty, ok = true, n, "", 200)
             case other =>
               JobResult(other, r.cx, r.cy, r.tx, r.ty, ok = false, 0,

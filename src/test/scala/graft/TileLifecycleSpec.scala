@@ -126,13 +126,18 @@ class TileLifecycleSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("prediction serving path is key-addressed: zero full-store " +
-    "reads per request, one model fetch per batch") {
+    "reads per request, one model fetch and one aux evaluation " +
+    "per batch") {
     implicit val reqEnc = org.apache.spark.sql.Encoders.product[JobRequest]
     val root = Files.createTempDirectory("graft-tile-keyed").toString
     val store = new CountingStore(new ParquetStore(root))
+    val auxCalls = new java.util.concurrent.atomic.AtomicInteger(0)
     val jq = new JobQueue(spark, store,
       ardSource = (cx, cy) => SyntheticTile.chip(spark, cx, cy, Side, Obs),
-      auxSource = () => SyntheticTile.aux(spark, NChips, Side),
+      auxSource = () => {
+        auxCalls.incrementAndGet()
+        SyntheticTile.aux(spark, NChips, Side)
+      },
       classifier = new GradientBoostedClassifier(
         BoostConfig(numRound = 5, numClass = 4, maxDepth = 3)))
     jq.dispatch(spark.createDataset((0 until NChips).map(k =>
@@ -145,6 +150,7 @@ class TileLifecycleSpec extends AnyFunSuite with SparkSpec {
     // the serving stage: every read of tile/segment must be keyed —
     // a full read here is what turns a tile of requests O(chips²)
     store.reset()
+    val auxBefore = auxCalls.get()
     jq.dispatch(spark.createDataset((0 until NChips).map(k =>
       JobRequest("prediction", SyntheticTile.cxOf(k), SyntheticTile.Cy,
         7, 9, "", 7, 1))))
@@ -159,5 +165,11 @@ class TileLifecycleSpec extends AnyFunSuite with SparkSpec {
     // driver head() job per chip
     assert(store.keyedReads.get("tile") == 1,
       s"keyed tile reads: ${store.keyedReads}")
+    // ...and ONE aux evaluation (per-batch memo): re-building the full
+    // grid's aux frame per chip is what made 400-chip prediction cost
+    // 3x per chip vs 100 chips (the r9 scaling-pin catch)
+    assert(auxCalls.get() - auxBefore == 1,
+      s"aux evaluated ${auxCalls.get() - auxBefore} times in one " +
+        "prediction batch")
   }
 }
