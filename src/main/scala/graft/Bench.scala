@@ -260,7 +260,9 @@ object Bench {
       "x101_ann_drift", "x107_release_manifest",
       // round-8 additions over the BPE / BM25 chains
       "x109_tokenizer_fertility", "x110_rerank_cross",
-      "x111_hard_negatives")
+      "x111_hard_negatives",
+      // round-9: rides the x6 blocking + a candidate-sliver verify
+      "x112_edit_neardup")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced

@@ -1097,7 +1097,7 @@ object TextOps {
     * it composes into a WITH alongside bundles whose names collide
     * (the BM25 chain also defines `tk`/`df`). `pairCtesP("")` is the
     * historical unprefixed text, byte-for-byte. */
-  private def pairCtesP(p: String): String =
+  private def pairCtesP(p: String, tau: String = "0.5"): String =
     s"""${p}tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
        |  FROM documents),
        |${p}sh AS (SELECT doc_id, ${TS.md5Long("s")} AS h FROM (
@@ -1117,7 +1117,7 @@ object TextOps {
        |${p}jac AS (SELECT d1, d2, i / (x.n + y.n - i) AS jacv
        |  FROM ${p}pairs JOIN ${p}sz x ON ${p}pairs.d1 = x.doc_id
        |    JOIN ${p}sz y ON ${p}pairs.d2 = y.doc_id
-       |  WHERE i / (x.n + y.n - i) >= 0.5)""".stripMargin
+       |  WHERE i / (x.n + y.n - i) >= $tau)""".stripMargin
 
   private val pairCtes: String = pairCtesP("")
 
@@ -1177,13 +1177,14 @@ object TextOps {
     * smaller shuffle keys; both engines hash identically so any
     * collision affects both sides the same way. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, minJac: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
     val tk = Tables.spread(s, dir, "documents")
       .select($"doc_id", T.wsTokens($"text").as("tk"))
       .filter(size($"tk") >= K)
     jaccardPairsFromShingles(tk
       .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
-      .select($"doc_id", T.md5Long($"s").as("h")))
+      .select($"doc_id", T.md5Long($"s").as("h")), minJac)
   }
 
   /** [[jaccardPairs]] from a caller-supplied hashed-shingle frame
@@ -1191,7 +1192,7 @@ object TextOps {
     * hashed the corpus shingles (x107's prep stage) shares that one
     * pass instead of re-tokenizing and re-shingling every document. */
   private def jaccardPairsFromShingles(
-      sh: org.apache.spark.sql.DataFrame)
+      sh: org.apache.spark.sql.DataFrame, minJac: Double = 0.5)
       : org.apache.spark.sql.DataFrame = {
     // df-cap as a window over h: one shuffle, no extra join, and the
     // cached result stays hash-partitioned on h so the pair self-join
@@ -1214,7 +1215,7 @@ object TextOps {
     pairs
       .join(sz.select($"doc_id".as("d1"), $"n".as("xn")), "d1")
       .join(sz.select($"doc_id".as("d2"), $"n".as("yn")), "d2")
-      .filter(jac >= 0.5)
+      .filter(jac >= minJac)
       .select($"d1", $"d2", jac.as("jacv"))
   }
 
@@ -1858,6 +1859,47 @@ object TextOps {
          |FROM jac ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       jaccardPairs(s, dir)
         .select($"d1", $"d2", round($"jacv", 6).as("jaccard"))
+        .orderBy($"d1", $"d2")
+    },
+
+    // ----- x112 edit-distance near-dup: the CHARACTER-level member of
+    // the near-dup family (x6/x7/x8/x10 are all token-set or embedding
+    // based — blind to small in-token edits and transpositions that
+    // edit distance sees, and conversely a doc rewritten with the same
+    // vocabulary fools them). Block-then-verify: candidates come from
+    // the x6 shingle index at a LOOSE Jaccard (0.05 — recall stage,
+    // never O(n²)), then exact Levenshtein on the raw text verifies
+    // each candidate pair; output carries the distance, the
+    // micro-integerized normalized similarity (floor(x*1e6+0.5), the
+    // cross-engine rounding that never splits on banker's rounding),
+    // and the ≥0.8 duplicate verdict. Scale shape: the corpus-sized
+    // work is the audited x6 blocking; Levenshtein — O(len²) per pair,
+    // FAR too hot for all-pairs — runs only on the candidate sliver,
+    // attached by two id-equi joins.
+    "x112_edit_neardup" -> Q(
+      s"""WITH ${pairCtesP("", "0.05")}
+         |SELECT d1, d2,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |  CAST(floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / greatest(length(a.text), length(b.text))) * 1000000.0
+         |    + 0.5) AS BIGINT) AS nsim6,
+         |  (floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / greatest(length(a.text), length(b.text))) * 1000000.0
+         |    + 0.5) >= 800000) AS is_dup
+         |FROM jac
+         |JOIN documents a ON d1 = a.doc_id
+         |JOIN documents b ON d2 = b.doc_id
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val nsim6 = floor((lit(1.0) - $"lev".cast("double") /
+          greatest(length($"t1"), length($"t2"))) * lit(1000000.0)
+        + lit(0.5)).cast("long")
+      jaccardPairs(s, dir, minJac = 0.05).select($"d1", $"d2")
+        .join(docs.select($"doc_id".as("d1"), $"text".as("t1")), "d1")
+        .join(docs.select($"doc_id".as("d2"), $"text".as("t2")), "d2")
+        .withColumn("lev", levenshtein($"t1", $"t2").cast("long"))
+        .select($"d1", $"d2", $"lev", nsim6.as("nsim6"),
+          (nsim6 >= 800000L).as("is_dup"))
         .orderBy($"d1", $"d2")
     },
 

@@ -580,6 +580,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .foreach(l => assert(l.contains("BuildRight, Cross"), l))
   }
 
+  test("x112 edit-distance verify: candidate generation is the x6 " +
+    "key-equi shingle join and Levenshtein attaches by id-equi joins " +
+    "— never a cartesian text-pair surface") {
+    val p = finalPlanOf("x112_edit_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the O(len^2) verify expression must sit ABOVE the blocked pair
+    // relation, not in any join condition (a levenshtein join predicate
+    // would force a nested-loop comparison of every text pair)
+    p.linesIterator.filter(_.contains("Join")).foreach(l =>
+      assert(!l.contains("levenshtein"), l))
+  }
+
   test("x98/x100 pair generation is key-equi; x99 joins only against " +
     "the literal source-pair relation — no nested loops anywhere") {
     // x98: orientation + wedge + closure joins all equi on node ids
