@@ -492,12 +492,18 @@ object TextOps {
 
   /** The live-version registry: latest batch wins per doc_id,
     * tombstoned docs removed. One row per LIVE doc — (doc_id, batch,
-    * dl). Shared by the stored search (version resolution + corpus
-    * totals) and compaction (the keep set). */
+    * dl). Shared by the stored search (corpus totals) and compaction
+    * (the keep set). */
   private def liveSparseDocs(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store): org.apache.spark.sql.DataFrame = {
     val reg = store.read("sparse_docs", s)
       .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    liveOf(reg, s, store)
+  }
+
+  private def liveOf(reg: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, store: graft.store.Store)
+      : org.apache.spark.sql.DataFrame = {
     val live0 = reg.groupBy($"doc_id")
       .agg(max(struct($"batch", $"dl")).as("m"))
       .select($"doc_id", $"m.batch".as("batch"), $"m.dl".as("dl"))
@@ -506,6 +512,22 @@ object TextOps {
       catch { case scala.util.control.NonFatal(_) => None }
     tomb.fold(live0)(t => live0.join(t, Seq("doc_id"), "left_anti"))
   }
+
+  /** Keys of DEAD posting rows — (doc_id, batch) of superseded
+    * versions plus every version of a tombstoned doc. This is the
+    * frame the search and compaction anti-join against, and the
+    * reason version resolution scales: its size is the number of
+    * updates/deletes since the last compaction (tiny in the
+    * append-mostly common case, ZERO right after compaction), so the
+    * postings side joins against an AQE-broadcastable sliver and
+    * never reshuffles — an inner join with the LIVE registry instead
+    * would shuffle corpus-sized inputs on every query. */
+  private def staleSparseKeys(reg: org.apache.spark.sql.DataFrame,
+      live: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    reg.select($"doc_id", $"batch")
+      .join(live.select($"doc_id", $"batch"), Seq("doc_id", "batch"),
+        "left_anti")
 
   /** Exact BM25 over the persisted index for a bounded query set
     * (qid → term list): postings are read ONLY for the queried terms'
@@ -534,18 +556,24 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
-    val live = liveSparseDocs(s, store)
+    val reg = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val live = liveOf(reg, s, store)
     // corpus statistics over the LIVE set: exact under updates and
     // deletes, where summed per-batch partials double-count — the
     // registry scan is ~1% of a postings scan and collapses to one
     // row per doc after compaction
     val tot = live.agg(count(lit(1)).as("n_docs"),
       sum($"dl").cast("double").as("sum_dl"))
+    // version resolution as an ANTI-join against the stale sliver:
+    // the bucket-pruned postings never reshuffle, and the join side
+    // is updates-sized, not corpus-sized (see staleSparseKeys)
     val post = store.read("sparse_postings", s)
       .filter($"bucket".isin(qb.map(Long.box): _*))
       .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
         $"tf", $"dl")
-      .join(live.select($"doc_id", $"batch"), Seq("doc_id", "batch"))
+      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
+        "left_anti")
     // all LIVE postings of the queried terms: candidate rows AND the
     // terms' exact document frequencies come from this one frame
     val tpost = post
@@ -622,13 +650,19 @@ object TextOps {
     if (batches.length <= 1 &&
       batches.headOption.forall(_ == intoBatch) && !hasTomb)
       return // already compact
-    val live = liveSparseDocs(s, store)
+    val regT = reg
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val live = liveOf(regT, s, store)
+    // the postings fold anti-joins the updates-sized stale sliver
+    // (never an inner join with the corpus-sized registry), so the
+    // only corpus-wide movement is the rewrite itself
     store.write("sparse_postings_stage",
       store.read("sparse_postings", s)
         .select($"batch".cast("long").as("batch"),
           $"bucket".cast("long").as("bucket"), $"term", $"doc_id",
           $"tf", $"dl")
-        .join(live.select($"doc_id", $"batch"), Seq("doc_id", "batch"))
+        .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
+          "left_anti")
         .select(lit(intoBatch).as("batch"), $"bucket", $"term",
           $"doc_id", $"tf", $"dl"),
       Seq("batch", "bucket"))

@@ -826,6 +826,13 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       got == rows(TextOps.bm25SearchOver(spark, latest, qs)),
       "stored search over the update history diverged from a " +
         "one-shot over the latest versions")
+    // version resolution must not cost the scan its pruning: the
+    // queried-buckets filter still reaches the postings scan as a
+    // PARTITION filter through the stale-keys anti-join
+    val sPlan = TextOps.bm25SearchStored(spark, store, qs)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")), sPlan)
     // tombstone two currently-returned docs: they vanish from the
     // rank AND from the df/totals statistics (not just the rows)
     val dead = got.map(_._2).distinct.take(2)
