@@ -543,7 +543,14 @@ object TextOps {
     * bucket-pruned read IS the term's full live posting list); the
     * scoring expression is the SAME [[withCi]] the one-shot x47 uses.
     * `excludeSelf` drops doc_id == qid rows (the registry query
-    * convention where queries ARE corpus docs). */
+    * convention where queries ARE corpus docs).
+    *
+    * Cost model: the one corpus-proportional input is the REGISTRY
+    * pass behind totals/stale-keys — thin (3 columns/doc, ~1% of a
+    * postings scan), amortized across the whole query set of a call,
+    * and collapsed to one row per live doc by [[compactSparseIndex]];
+    * the postings side reads only the queried buckets and never
+    * reshuffles. */
   def bm25SearchStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, queries: Seq[(Long, Seq[String])],
       k: Int = 5, excludeSelf: Boolean = true)

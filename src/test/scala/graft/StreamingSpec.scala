@@ -738,6 +738,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed sparse index diverged from one-shot x47")
   }
 
+  test("sparse-index ingest stream: a micro-batch RE-INGESTING a " +
+    "changed doc becomes its live version (streamed update semantics)") {
+    import graft.queries.TextOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-sparsestream-upd").toString
+    val store = new ParquetStore(s"$tmp/sp")
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val raw = docs.as[(Long, String)].collect()
+    val changed = raw.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id, t + " revised edition text") }
+    val in = MemoryStream[(Long, String)]
+    val q = SparseIndexStream.start(in.toDF().toDF("doc_id", "text"),
+      store, s"$tmp/ckpt")
+    try {
+      in.addData(raw.toIndexedSeq) // batch 0: everything, original
+      q.processAllAvailable()
+      in.addData(changed.toIndexedSeq) // batch 1: revised re-ingests
+      q.processAllAvailable()
+    } finally q.stop()
+    val qs = TextOps.tokenized(docs.filter($"doc_id" < 4))
+      .select($"doc_id", $"tk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).distinct.toSeq)
+      .toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "bm25", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val latest = docs.filter($"doc_id" % 10 =!= 0)
+      .unionByName(spark.createDataset(changed.toIndexedSeq)
+        .toDF("doc_id", "text"))
+    assert(rows(TextOps.bm25SearchStored(spark, store, qs)) ==
+      rows(TextOps.bm25SearchOver(spark, latest, qs)),
+      "streamed re-ingest did not supersede the original version")
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
