@@ -174,6 +174,7 @@ object Bench {
             7, 9, "", 7, 1)))))
       require(jq.results.forall(_.ok),
         jq.results.filterNot(_.ok).take(3).toString)
+      jq.close() // release the batch-scoped aux cache
       ((System.nanoTime() - t0) / 1e9, seg, tile, pred)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
     // Phase isolation: each sweep leaves cached blocks and heap

@@ -450,8 +450,13 @@ object TextOps {
     // tokenized frame and the tf table so the batch is tokenized and
     // aggregated ONCE, not once per write (the incremental-economy
     // claim is per-day work = one pass over that day), and unpersist
-    // before returning — this is not a lazy registry body
-    val docs = tokenized(batch).cache()
+    // before returning — this is not a lazy registry body.
+    // Exact duplicate rows within the batch collapse (retries/replays
+    // produce them); CONFLICTING versions of one doc_id within a
+    // single batch fail loudly below — version order is the BATCH id,
+    // so "latest" is undefined inside one batch and silently keeping
+    // both copies would double-count the doc's postings and df.
+    val docs = tokenized(batch.dropDuplicates("doc_id", "text")).cache()
     val tf = docs
       .select($"doc_id", size($"tk").cast("long").as("dl"),
         explode($"tk").as("term"))
@@ -459,6 +464,11 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
       .cache()
     try {
+      require(docs.groupBy($"doc_id").count()
+          .filter($"count" > 1).limit(1).count() == 0,
+        s"batch $batchId carries conflicting versions of a doc_id; " +
+          "within one batch 'latest' is undefined — resolve ordering " +
+          "upstream (e.g. by sequence number) before appending")
       store.delete("sparse_postings", Seq("batch" -> batchId))
       store.write("sparse_postings",
         tf.select(lit(batchId).as("batch"), $"bucket", $"term",
@@ -477,30 +487,43 @@ object TextOps {
     * same metadata-row delete verb as the dense side's
     * [[VectorOps.tombstoneAnnVectors]]: deletes land as rows in a
     * `sparse_tombstones` entity partitioned by doc_id (re-deleting is
-    * a per-id dynamic-partition overwrite — idempotent, earlier
-    * tombstones survive), the search anti-joins them out at read
-    * time, and the postings are NEVER rewritten — at 100 TB a delete
-    * is a metadata row, folded physically by [[compactSparseIndex]]
-    * when the small-file maintenance job runs anyway. */
+    * a per-id dynamic-partition overwrite — idempotent), the search
+    * anti-joins them out at read time, and the postings are NEVER
+    * rewritten — at 100 TB a delete is a metadata row, folded
+    * physically by [[compactSparseIndex]] when the small-file
+    * maintenance job runs anyway.
+    *
+    * A tombstone is VERSION-SCOPED: it kills versions up to `upto`
+    * (default: the registry's max batch at call time — "delete as of
+    * now"), so a legitimate LATER re-ingest of the same doc_id
+    * becomes live again instead of being silently shadowed forever
+    * (and then physically destroyed by compaction). */
   def tombstoneSparseDocs(s: org.apache.spark.sql.SparkSession,
-      ids: Seq[Long], store: graft.store.Store): Unit = {
+      ids: Seq[Long], store: graft.store.Store,
+      uptoBatch: Long = -1L): Unit = {
     require(ids.nonEmpty, "tombstone call with no ids")
+    val upto = if (uptoBatch >= 0L) uptoBatch else {
+      val r = store.read("sparse_docs", s)
+        .agg(max($"batch".cast("long"))).first()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
     store.write("sparse_tombstones",
-      s.createDataFrame(ids.map(id => (id, 1))).toDF("doc_id", "dead"),
+      s.createDataFrame(ids.map(id => (id, upto)))
+        .toDF("doc_id", "upto"),
       Seq("doc_id"))
   }
 
-  /** The live-version registry: latest batch wins per doc_id,
-    * tombstoned docs removed. One row per LIVE doc — (doc_id, batch,
-    * dl). Shared by the stored search (corpus totals) and compaction
-    * (the keep set). */
-  private def liveSparseDocs(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame = {
-    val reg = store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
-    liveOf(reg, s, store)
-  }
-
+  /** The live-version registry from a typed registry frame: latest
+    * batch wins per doc_id; a doc whose live version falls at or
+    * before a tombstone's `upto` watermark is removed (a version
+    * ingested AFTER the watermark is a resurrection and stays live).
+    * One row per LIVE doc — (doc_id, batch, dl). Shared by the stored
+    * search (corpus totals) and compaction (the keep set).
+    *
+    * The tombstone read distinguishes entity-absent (AnalysisException
+    * — nothing was ever deleted) from a FAILING read (I/O errors
+    * propagate): swallowing every error here would silently serve
+    * deleted documents. */
   private def liveOf(reg: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession, store: graft.store.Store)
       : org.apache.spark.sql.DataFrame = {
@@ -508,9 +531,12 @@ object TextOps {
       .agg(max(struct($"batch", $"dl")).as("m"))
       .select($"doc_id", $"m.batch".as("batch"), $"m.dl".as("dl"))
     val tomb = try Some(store.read("sparse_tombstones", s)
-        .select($"doc_id".cast("long").as("doc_id")))
-      catch { case scala.util.control.NonFatal(_) => None }
-    tomb.fold(live0)(t => live0.join(t, Seq("doc_id"), "left_anti"))
+        .select($"doc_id".cast("long").as("tdoc"),
+          $"upto".cast("long").as("upto")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    tomb.fold(live0)(t => live0.join(t,
+      live0("doc_id") === t("tdoc") && live0("batch") <= t("upto"),
+      "left_anti"))
   }
 
   /** Keys of DEAD posting rows — (doc_id, batch) of superseded
@@ -532,8 +558,8 @@ object TextOps {
   /** Exact BM25 over the persisted index for a bounded query set
     * (qid → term list): postings are read ONLY for the queried terms'
     * buckets (directory-pruned within every batch partition), then
-    * resolved against the version registry — one (doc_id, batch)
-    * equi-join against the thin [[liveSparseDocs]] frame — so a doc
+    * resolved against the version registry — an anti-join against
+    * the [[staleSparseKeys]] sliver — so a doc
     * re-ingested in a later batch scores exactly once, from its
     * LATEST version, and tombstoned docs never score
     * (StoreSpec pins stored search over an update history
@@ -662,7 +688,14 @@ object TextOps {
     val live = liveOf(regT, s, store)
     // the postings fold anti-joins the updates-sized stale sliver
     // (never an inner join with the corpus-sized registry), so the
-    // only corpus-wide movement is the rewrite itself
+    // only corpus-wide movement is the rewrite itself.
+    // Stage entities are CLEARED first: a crashed prior compaction
+    // may have left staged partitions under a different intoBatch,
+    // and dynamic overwrite alone would fold those stale rows into
+    // the rebuilt index (their higher batch ids would then WIN the
+    // latest-batch resolution — resurrecting superseded versions)
+    store.delete("sparse_postings_stage", Seq.empty)
+    store.delete("sparse_docs_stage", Seq.empty)
     store.write("sparse_postings_stage",
       store.read("sparse_postings", s)
         .select($"batch".cast("long").as("batch"),

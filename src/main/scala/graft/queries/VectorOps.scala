@@ -3421,6 +3421,11 @@ object VectorOps {
       .collect().map(_.getLong(0)).sorted
     if (batches.length <= 1 && batches.headOption.forall(_ == intoBatch))
       return // already compact
+    // clear staging first: a crashed prior compaction may have left
+    // staged partitions under a different intoBatch, and dynamic
+    // overwrite alone would fold those stale rows into the rebuilt
+    // corpus
+    store.delete("ann_corpus_stage", Seq.empty)
     store.write("ann_corpus_stage",
       cur.withColumn("batch", lit(intoBatch))
         .withColumn("cell", $"cell".cast("long")),
@@ -3448,11 +3453,13 @@ object VectorOps {
     // probed cells; inferred int) — re-widen to the engine's long
     val raw = store.read("ann_corpus", s)
       .withColumn("cell", $"cell".cast("long"))
-    // honor tombstones when the delete lifecycle has run (the entity
-    // may simply not exist yet — that means nothing is deleted)
+    // honor tombstones when the delete lifecycle has run. ONLY
+    // entity-absent (AnalysisException) means "nothing was ever
+    // deleted"; a FAILING read propagates — swallowing it would
+    // silently serve deleted vectors
     val tomb = try Some(store.read("ann_tombstones", s)
         .select($"vec_id".cast("long").as("vec_id")))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val coded = tomb.fold(raw)(t => raw.join(t, Seq("vec_id"), "left_anti"))
     val qids = (0 until PqQueries).map(_.toLong).toArray
     val qv = normalizedEmbeddings(s, dir)
@@ -3952,9 +3959,9 @@ object VectorOps {
         // split would relocate the whole oversized population into
         // the new cell and rewrite the same rows every round
         val asg = assignCells(members, pair)
-        val side1 = asg.filter($"cell" =!= 0L).limit(1).count() > 0
-        val side0 = asg.filter($"cell" === 0L).limit(1).count() > 0
-        if (side0 && side1) {
+        val bothSides = asg.select($"cell").distinct().limit(2)
+          .count() == 2
+        if (bothSides) {
           val nc = book.length.toLong
           book(c.toInt) = pair(0) // cids are 0..n-1 by construction
           book += pair(1)

@@ -199,6 +199,14 @@ final class JobQueue(
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Release batch-scoped state (the cached aux frame, the model
+    * memo). The LAST batch's aux cache otherwise stays pinned until
+    * the next dispatch — which in a long-lived serving session may
+    * never come. Call when the queue goes idle or shuts down;
+    * dispatching again after close() is fine (the next batch simply
+    * re-memoizes). */
+  def close(): Unit = resetMemo(false)
+
   /** Run one validated request through its pipeline. */
   private def handle(r: JobRequest): JobResult =
     domainCheck(r) match {

@@ -833,6 +833,15 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sPlan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("bucket")), sPlan)
+    // a batch carrying CONFLICTING versions of one doc_id fails
+    // loudly (within a batch "latest" is undefined); exact duplicate
+    // rows collapse silently (replays produce them)
+    intercept[IllegalArgumentException] {
+      TextOps.appendSparseIndex(spark,
+        spark.createDataFrame(Seq((999999L, "version one"),
+          (999999L, "version two"))).toDF("doc_id", "text"),
+        5L, store)
+    }
     // tombstone two currently-returned docs: they vanish from the
     // rank AND from the df/totals statistics (not just the rows)
     val dead = got.map(_._2).distinct.take(2)
@@ -842,11 +851,25 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       "tombstoned doc still returned")
     assert(afterDel == rows(TextOps.bm25SearchOver(spark,
       latest.filter(!$"doc_id".isin(dead.map(Long.box): _*)), qs)))
+    // tombstones are version-scoped: a LATER re-ingest of a deleted
+    // doc resurrects it (the delete killed versions up to its
+    // watermark, not the doc_id forever)
+    val phoenix = dead.head
+    val resurrected = docs.filter($"doc_id" === phoenix)
+      .withColumn("text", concat($"text", lit(" resurrected copy")))
+    TextOps.appendSparseIndex(spark, resurrected, 2L, store)
+    val latestRes = latest
+      .filter(!$"doc_id".isin(dead.map(Long.box): _*))
+      .unionByName(resurrected)
+    val afterRes = rows(TextOps.bm25SearchStored(spark, store, qs))
+    assert(afterRes == rows(TextOps.bm25SearchOver(spark, latestRes, qs)),
+      "re-ingest after tombstone did not resurrect the doc")
     // compaction folds versions + tombstones physically: one batch
     // remains, each doc has exactly one registry row, the staging and
-    // tombstone entities are gone, search is row-identical
+    // tombstone entities are gone, search is row-identical (including
+    // the resurrected doc — compaction must not re-kill it)
     TextOps.compactSparseIndex(spark, store)
-    assert(rows(TextOps.bm25SearchStored(spark, store, qs)) == afterDel,
+    assert(rows(TextOps.bm25SearchStored(spark, store, qs)) == afterRes,
       "compaction changed search results")
     val batches = store.read("sparse_docs", spark)
       .select($"batch".cast("long")).distinct().collect()
