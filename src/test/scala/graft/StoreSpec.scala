@@ -896,6 +896,74 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(stamps == s1, "no-op compaction rewrote files")
   }
 
+  // Randomized lifecycle property (seeded, deterministic): ANY
+  // interleaving of append / update / tombstone / compact must leave
+  // the stored search row-identical to a one-shot over the live
+  // document model — the single invariant all four verbs exist to
+  // preserve. Catches sequence-dependent bugs the scripted update
+  // test can't (update-after-compact, tombstone-then-update-then-
+  // compact, double compaction, ...).
+  test("sparse-index lifecycle property: random verb sequences always " +
+    "search like a one-shot over the live model") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-sparse-prop").toString
+    val store = new ParquetStore(root)
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def text(): String =
+      Seq.fill(6 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    // the live model: doc_id -> current text (absent = deleted/never)
+    var model = Map.empty[Long, String]
+    var nextDoc = 0L
+    var batch = 0L
+    def append(n: Int, updates: Int): Unit = {
+      val fresh = (0 until n).map { _ =>
+        val id = nextDoc; nextDoc += 1; id -> text()
+      }
+      val upd = rnd.shuffle(model.keys.toSeq).take(updates)
+        .map(id => id -> (text() + " revised"))
+      val rows = fresh ++ upd
+      if (rows.nonEmpty) {
+        TextOps.appendSparseIndex(spark,
+          spark.createDataFrame(rows).toDF("doc_id", "text"),
+          batch, store)
+        batch += 1
+        model ++= rows
+      }
+    }
+    def tombstone(n: Int): Unit = {
+      val ids = rnd.shuffle(model.keys.toSeq).take(n)
+      if (ids.nonEmpty) {
+        TextOps.tombstoneSparseDocs(spark, ids, store)
+        model --= ids
+      }
+    }
+    val queries = Seq(
+      1000L -> Seq("alpha", "delta", "kilo"),
+      1001L -> Seq("bravo", "echo", "lima", "golf"),
+      1002L -> Seq("charlie", "india"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def check(tag: String): Unit = {
+      val live = spark.createDataFrame(model.toSeq)
+        .toDF("doc_id", "text")
+      assert(rows(TextOps.bm25SearchStored(spark, store, queries)) ==
+        rows(TextOps.bm25SearchOver(spark, live, queries)),
+        s"diverged after: $tag (model size ${model.size})")
+    }
+    append(12, 0);                         check("initial append")
+    append(6, 4);                          check("append+update")
+    tombstone(3);                          check("tombstone")
+    append(4, 3);                          check("update after tombstone")
+    TextOps.compactSparseIndex(spark, store); check("compact")
+    append(5, 2); tombstone(2);            check("post-compact churn")
+    TextOps.compactSparseIndex(spark, store); check("second compact")
+    assert(model.nonEmpty && batch >= 4) // the sequence was non-trivial
+  }
+
   // The serving-path scale contract (the reference's O(1) GET,
   // ceph.py:125-129): a keyed read of a partitioned store resolves
   // DIRECTLY to the key's partition directory — the scan's input
