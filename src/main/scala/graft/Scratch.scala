@@ -38,8 +38,18 @@ object Scratch {
           val ms = (for {
             a <- i.completionTime; b <- i.submissionTime
           } yield a - b).getOrElse(-1L)
-          stageLog.add((i.stageId, i.name.takeWhile(_ != '\n').take(90),
-            ms, i.numTasks))
+          // the callsite name is useless for SQL stages (broadcast
+          // builds all read "withThreadLocalCaptured"); the RDD scope
+          // names carry the actual operators this stage ran
+          val ops = i.rddInfos.flatMap(r => Option(r.name))
+            .map(_.takeWhile(_ != ' '))
+            .filterNot(n => n.isEmpty || n == "MapPartitionsRDD" ||
+              n == "ShuffledRowRDD" || n == "MapPartitions")
+            .distinct.take(6).mkString("|")
+          val label =
+            if (ops.nonEmpty) ops
+            else i.name.takeWhile(_ != '\n').take(60)
+          stageLog.add((i.stageId, label.take(110), ms, i.numTasks))
         }
       })
     def isolate(): Unit = {
