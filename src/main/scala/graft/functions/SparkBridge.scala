@@ -50,4 +50,16 @@ object ColumnBridge {
     * that reads listener-collected state must flush first. */
   def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Float/double canonicalization (`private[sql]`): 0.0 == -0.0 and
+    * one NaN bit pattern, recursively through nested types — what the
+    * NormalizeFloatingNumbers optimizer batch applies to Window/
+    * Aggregate/Join grouping keys. Custom operators that group by raw
+    * key BYTES (the top-k heap) must apply the same canonicalization
+    * to their grouping expressions at construction, because that
+    * batch runs after the extension rules and only matches the
+    * built-in nodes. Non-float expressions pass through unchanged. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

@@ -45,7 +45,12 @@ object TopK {
         case e => SortOrder(resolve(e), Ascending)
       }
     }
+    // normalize float/double grouping keys (0.0 == -0.0, canonical
+    // NaN) — the builder bypasses the optimizer batch that would do
+    // this for a Window, and the heap groups by key BYTES
     ColumnBridge.ofRows(df.sparkSession,
-      graft.plans.TopKPerKey(keys.map(attr), orders, k, analyzed))
+      graft.plans.TopKPerKey(
+        keys.map(n => ColumnBridge.normalizeFloats(attr(n))),
+        orders, k, analyzed))
   }
 }

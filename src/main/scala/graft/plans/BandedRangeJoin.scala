@@ -138,9 +138,17 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Exact floor division for longs of any sign: (e - pmod(e, w)) / w. */
-  private def floorDiv(e: Expression, w: Expression): Expression =
-    IntegralDivide(Subtract(e, Pmod(e, w)), w)
+  /** Exact floor division for longs of any sign, overflow-safe: the
+    * `(e - pmod(e, w)) / w` spelling wraps for e within w of
+    * Long.MinValue (silently mis-banding the row and LOSING matches
+    * in non-ANSI mode). `e div w` truncates toward zero and cannot
+    * overflow for w > 0; subtracting 1 when the remainder is negative
+    * yields true floor semantics at every representable long. */
+  private def floorDiv(e: Expression, w: Expression): Expression = {
+    val q = IntegralDivide(e, w)
+    If(LessThan(Remainder(e, w), Literal(0L)),
+      Subtract(q, Literal(1L)), q)
+  }
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {

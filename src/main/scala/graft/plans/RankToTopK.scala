@@ -75,7 +75,15 @@ object RankToTopK extends Rule[LogicalPlan] {
             case c => Some(c)
           }
           childOpt.fold(f: LogicalPlan) { child =>
-            val topk = TopKPerKey(part, ord, k, child)
+            // normalize float/double grouping keys (0.0 == -0.0,
+            // canonical NaN): the NormalizeFloatingNumbers batch runs
+            // AFTER this rule and only matches Window/Aggregate/Join —
+            // once the Window is gone it would never see these keys,
+            // and the heap's byte-equality grouping would split 0.0
+            // and -0.0 into two groups where the Window had one
+            val npart = part.map(org.apache.spark.sql.graftbridge
+              .ColumnBridge.normalizeFloats)
+            val topk = TopKPerKey(npart, ord, k, child)
             val restored = Project(child.output :+
               Alias(Cast(topk.rnAttr, IntegerType), a.name)(
                 exprId = a.exprId), topk)
@@ -95,12 +103,19 @@ object RankToTopK extends Rule[LogicalPlan] {
     e match {
       case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
           if a.semanticEquals(rn) => Some(k)
+      // k - 1 with a floor at Int.MinValue: `rn < Int.MinValue` must
+      // NOT wrap to Int.MaxValue (which would pass the >= 1 guard and
+      // rewrite an always-false filter into a return-everything top-k);
+      // the un-wrapped value stays < 1, so the rule backs off and the
+      // original filter runs
       case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-          if a.semanticEquals(rn) => Some(k - 1)
+          if a.semanticEquals(rn) =>
+        Some(if (k == Int.MinValue) k else k - 1)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
           if a.semanticEquals(rn) => Some(k)
       case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
-          if a.semanticEquals(rn) => Some(k - 1)
+          if a.semanticEquals(rn) =>
+        Some(if (k == Int.MinValue) k else k - 1)
       case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
           if a.semanticEquals(rn) => Some(k)
       case EqualTo(Literal(k: Int, IntegerType), a: Attribute)

@@ -53,8 +53,16 @@ class KeyedJsonSource extends TableProvider with DataSourceRegister {
     KeyedJsonSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new KeyedJsonTable(properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    // Spark stores zero paths as a missing "path" property and several
+    // paths under "paths" — both would surface here as a null that NPEs
+    // deep inside planInputPartitions; name the problem instead
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-keyed requires exactly one load path: " +
+        "spark.read.format(\"graft-keyed\").load(dir)")
+    new KeyedJsonTable(path)
+  }
 }
 
 object KeyedJsonSource {
@@ -109,6 +117,32 @@ object KeyedJsonSource {
   }
   private def isKey(a: String) =
     a.equalsIgnoreCase("cx") || a.equalsIgnoreCase("cy")
+
+  /** The single-field KEY column (cx/cy) a V2 expression references,
+    * lower-cased — ONE definition for every pushdown eligibility test
+    * (top-N ordering, aggregate grouping, key min/max). */
+  private[sources] def keyRef(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 &&
+      isKey(f.fieldNames()(0)) =>
+      Some(f.fieldNames()(0).toLowerCase)
+    case _ => None
+  }
+
+  /** Any single-field SCHEMA column a V2 expression references —
+    * COUNT(col) may only push when col is a PLAIN column reference
+    * (all schema columns are non-nullable, so it equals COUNT(*));
+    * a computed expression like COUNT(CAST(value AS INT)) can yield
+    * nulls and must stay in Spark. */
+  private[sources] def colRef(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 &&
+      Schema.fieldNames.exists(_.equalsIgnoreCase(f.fieldNames()(0))) =>
+      Some(f.fieldNames()(0).toLowerCase)
+    case _ => None
+  }
 
   /** A pushed aggregate op: a per-file line count, or a key-column
     * min/max — a key is constant across its file, so per-file min and
@@ -179,12 +213,8 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
-    val keysOnly = orders.forall(_.expression() match {
-      case f: NamedReference => f.fieldNames.length == 1 &&
-        (f.fieldNames()(0).equalsIgnoreCase("cx") ||
-          f.fieldNames()(0).equalsIgnoreCase("cy"))
-      case _ => false
-    })
+    val keysOnly =
+      orders.forall(o => KeyedJsonSource.keyRef(o.expression()).isDefined)
     if (keysOnly) { rowCap = Some(limit); true } else false
   }
 
@@ -215,20 +245,17 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
     * the directory LISTING alone (a key is constant across its file),
     * so a min/max-only query never opens a single file. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] = e match {
-      case f: NamedReference if f.fieldNames.length == 1 &&
-        (f.fieldNames()(0).equalsIgnoreCase("cx") ||
-          f.fieldNames()(0).equalsIgnoreCase("cy")) =>
-        Some(f.fieldNames()(0).toLowerCase)
-      case _ => None
-    }
+    import KeyedJsonSource.{colRef, keyRef}
     val keysOk =
       aggregation.groupByExpressions.forall(e => keyRef(e).isDefined)
     val ops = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(KeyedJsonSource.PushedCount)
-      // every column is non-nullable, so COUNT(col) == COUNT(*)
-      case c: Count if !c.isDistinct => Some(KeyedJsonSource.PushedCount)
+      // COUNT over a PLAIN column reference only: every schema column
+      // is non-nullable, so that equals COUNT(*); a computed argument
+      // (COUNT(CAST(value AS INT))) can produce nulls SQL must skip —
+      // answering it with a line count would silently overcount
+      case c: Count if !c.isDistinct && colRef(c.column).isDefined =>
+        Some(KeyedJsonSource.PushedCount)
       case m: Min => keyRef(m.column).map(KeyedJsonSource.PushedKeyValue)
       case m: Max => keyRef(m.column).map(KeyedJsonSource.PushedKeyValue)
       case _ => None
@@ -243,9 +270,14 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
   }
   private var aggOps: Seq[KeyedJsonSource.PushedAgg] = Seq.empty
 
+  // scans carry Seq[Filter] (not Array): case-class equality on an
+  // Array is reference identity, which would defeat Spark's
+  // exchange/scan reuse for identical scans (a self-join would list
+  // and decompress every file twice)
   override def build(): Scan = aggGroupKeys match {
-    case Some(keys) => KeyedJsonCountScan(path, pruning, keys, aggOps)
-    case None => KeyedJsonScan(path, pruning, required, rowCap)
+    case Some(keys) =>
+      KeyedJsonCountScan(path, pruning.toSeq, keys, aggOps)
+    case None => KeyedJsonScan(path, pruning.toSeq, required, rowCap)
   }
 }
 
@@ -255,7 +287,7 @@ final class KeyedJsonScanBuilder(path: String) extends ScanBuilder
   * decode, no per-row materialization, and when no count is requested
   * the file is never even opened. Spark's final aggregate merges the
   * partials. */
-final case class KeyedJsonCountScan(path: String, pruning: Array[Filter],
+final case class KeyedJsonCountScan(path: String, pruning: Seq[Filter],
     groupKeys: Seq[String], ops: Seq[KeyedJsonSource.PushedAgg])
   extends Scan with Batch {
 
@@ -332,7 +364,7 @@ final class KeyedJsonCountReaderFactory(groupKeys: Array[String],
 final case class KeyedFilePartition(cx: Long, cy: Long, file: String)
   extends InputPartition
 
-final case class KeyedJsonScan(path: String, pruning: Array[Filter],
+final case class KeyedJsonScan(path: String, pruning: Seq[Filter],
     required: StructType, rowCap: Option[Int] = None)
   extends Scan with Batch {
 
@@ -345,8 +377,16 @@ final case class KeyedJsonScan(path: String, pruning: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val root = Paths.get(path)
     if (!Files.isDirectory(root)) return Array.empty
+    // every Files.list stream is CLOSED after materializing: relying
+    // on GC finalization leaks a directory fd per listing on a
+    // long-lived driver (thousands of key dirs x repeated queries ->
+    // "Too many open files")
+    def listDir(p: Path): Seq[Path] = {
+      val st = Files.list(p)
+      try st.iterator.asScala.toList finally st.close()
+    }
     def keyDirs(p: Path, prefix: String): Seq[(Long, Path)] =
-      Files.list(p).iterator.asScala.toSeq
+      listDir(p)
         .filter(d => Files.isDirectory(d) &&
           d.getFileName.toString.startsWith(prefix))
         .flatMap { d =>
@@ -356,7 +396,7 @@ final case class KeyedJsonScan(path: String, pruning: Array[Filter],
       (cx, cxDir) <- keyDirs(root, "cx=").toArray
       (cy, cyDir) <- keyDirs(cxDir, "cy=")
       if pruning.forall(KeyedJsonSource.keep(_, cx, cy))
-      f <- Files.list(cyDir).iterator.asScala
+      f <- listDir(cyDir)
       name = f.getFileName.toString
       if name.endsWith(".json") || name.endsWith(".json.gz")
     } yield KeyedFilePartition(cx, cy, f.toString): InputPartition

@@ -13,6 +13,20 @@ class BandedRangeJoinSpec extends AnyFunSuite with SparkSpec {
 
   GraftExtensions.install(spark)
 
+  test("band keys within w of Long.MinValue do not overflow (matching " +
+    "rows survive the rewrite)") {
+    // the old (e - pmod(e, w)) / w floor division wrapped for values
+    // within w of Long.MinValue, assigning a wildly wrong band and
+    // silently LOSING the match in non-ANSI mode
+    val p = Seq(Tuple1(Long.MinValue + 4L)).toDF("t")
+    val c = Seq(Tuple1(Long.MinValue + 1L), Tuple1(Long.MinValue + 6L))
+      .toDF("u")
+    val j = p.join(c, c("u") >= p("t") - 3L && c("u") < p("t"))
+      .select(p("t"), c("u"))
+    val got = j.as[(Long, Long)].collect().toSet
+    assert(got == Set((Long.MinValue + 4L, Long.MinValue + 1L)), got)
+  }
+
   private val W = 100L
 
   // left: probes (k, t); right: candidates (k, u); match iff same k and

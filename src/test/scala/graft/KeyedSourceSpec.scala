@@ -149,6 +149,38 @@ class KeyedSourceSpec extends AnyFunSuite with SparkSpec {
       .forall(_.nonEmpty))
   }
 
+  test("COUNT over a computed expression is NOT pushed: null-skipping " +
+    "semantics survive") {
+    // payloads are JSON objects, never parseable ints — SQL COUNT of
+    // the cast must be 0; a pushed line count would overcount to 6
+    val df = read.selectExpr("count(try_cast(value as int)) as n")
+    assert(df.first().getLong(0) == 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), plan)
+  }
+
+  test("identical scans compare equal (Seq filters, not Array) so " +
+    "exchange/scan reuse can deduplicate them") {
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.sources.{KeyedJsonScan, KeyedJsonSource}
+    val a = KeyedJsonScan(s"$root/segment",
+      Seq(EqualTo("cx", 1L)), KeyedJsonSource.Schema, None)
+    val b = KeyedJsonScan(s"$root/segment",
+      Seq(EqualTo("cx", 1L)), KeyedJsonSource.Schema, None)
+    assert(a == b)
+  }
+
+  test("a missing load path fails with a named error, not a deep NPE") {
+    val e = intercept[Throwable] {
+      spark.read.format("graft-keyed").load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft-keyed requires exactly one")),
+      e.toString)
+  }
+
   test("aggregates the source cannot compute stay in Spark (sum, avg, " +
     "distinct count)") {
     val s = read

@@ -128,6 +128,22 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
       li.select($"l_suppkey").distinct().count())
   }
 
+  test("float partition keys group 0.0 with -0.0 (normalized like the " +
+    "window plan, not raw key bytes)") {
+    import spark.implicits._
+    // -0.0 and 0.0 are equal under SQL semantics; the vanilla Window
+    // plan gets that from the NormalizeFloatingNumbers batch, which
+    // runs AFTER the rewrite and never sees a TopKPerKey — so the
+    // builder/rule must normalize the grouping keys themselves or the
+    // heap's byte-equality grouping splits the partition in two
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("g", "id")
+    val got = TopK.perKey(df, Seq("g"), Seq(col("id").asc), 1)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 4L),
+      s"expected one row per normalized group, got ids $got")
+  }
+
   test("duplicate scores rank deterministically under the id tiebreak") {
     import spark.implicits._
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0),
