@@ -38,6 +38,13 @@ final class SoftmaxClassifier(
 
   override def train(rows: Array[(Int, Array[Float])]): Array[Byte] = {
     require(rows.nonEmpty, "empty training sample")
+    // same loud guard as the GBT trainer: an out-of-range label would
+    // otherwise contribute only push-everything-down gradients and
+    // silently degrade the model
+    require(rows.forall(r => r._1 >= 0 && r._1 < numClasses),
+      s"labels must lie in [0, $numClasses) — found ${
+        rows.iterator.map(_._1)
+          .filterNot(l => l >= 0 && l < numClasses).next()}")
     val d = rows(0)._2.length
     val n = rows.length
     // standardization stats

@@ -54,15 +54,27 @@ object GradientBoostedClassifier {
       rounds: Seq[Seq[LiteralTree]]): Array[Byte] = {
     require(rounds.forall(_.length == k),
       s"each round needs exactly $k class trees")
+    writeModel(d, k, rounds.map(_.map(t =>
+      (t.feature, t.thr, t.left, t.right))))
+  }
+
+  /** The ONE wire-format writer ([[modelOf]] and the trainer's
+    * serialize both route here, so the format cannot drift between
+    * the m5 oracle seam and trained models): header (k, d, #rounds),
+    * then per tree #nodes followed by (feature, thr, left, right)
+    * rows. */
+  private[ml] def writeModel(d: Int, k: Int,
+      rounds: Seq[Seq[(Array[Int], Array[Double], Array[Int], Array[Int])]])
+      : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(k); out.writeInt(d); out.writeInt(rounds.length)
-    rounds.foreach(_.foreach { t =>
-      out.writeInt(t.feature.length)
+    rounds.foreach(_.foreach { case (feature, thr, left, right) =>
+      out.writeInt(feature.length)
       var i = 0
-      while (i < t.feature.length) {
-        out.writeInt(t.feature(i)); out.writeDouble(t.thr(i))
-        out.writeInt(t.left(i)); out.writeInt(t.right(i))
+      while (i < feature.length) {
+        out.writeInt(feature(i)); out.writeDouble(thr(i))
+        out.writeInt(left(i)); out.writeInt(right(i))
         i += 1
       }
     })
@@ -128,10 +140,20 @@ final class GradientBoostedClassifier(
     // 2. quantile bin cuts from the train split only
     val cuts = Array.tabulate(d) { j =>
       val v = trainIdx.map(i => rows(i)._2(j).toDouble).sorted
-      val qs = Array.tabulate(cfg.maxBins - 1)(b => v((b + 1) * n / cfg.maxBins))
+      // Long cut index: (b+1)*n overflows Int past ~8.4M train rows
+      // (255 * 8.42M > 2^31) — the documented 20M-sample production
+      // config would crash the trainer mid-binning
+      val qs = Array.tabulate(cfg.maxBins - 1)(b =>
+        v(((b + 1).toLong * n / cfg.maxBins).toInt))
       qs.distinct
     }
-    def binRow(f: Array[Float]): Array[Int] = Array.tabulate(d) { j =>
+    // bins are stored as Short: the bin id is < maxBins (256 default,
+    // bounded by the require below), and the binned matrix is the
+    // largest training allocation — Int cells would double the
+    // documented sample budget for no information
+    require(cfg.maxBins <= Short.MaxValue,
+      s"maxBins ${cfg.maxBins} exceeds the Short bin representation")
+    def binRow(f: Array[Float]): Array[Short] = Array.tabulate(d) { j =>
       // smallest bin b with v <= cuts(j)(b); v above all cuts -> #cuts
       val c = cuts(j); val v = f(j).toDouble
       var lo = 0; var hi = c.length
@@ -139,7 +161,7 @@ final class GradientBoostedClassifier(
         val m = (lo + hi) >>> 1
         if (v <= c(m)) hi = m else lo = m + 1
       }
-      lo
+      lo.toShort
     }
     val binned = trainIdx.map(i => binRow(rows(i)._2))
     val evalBinned = evalIdx.map(i => binRow(rows(i)._2))
@@ -220,7 +242,7 @@ final class GradientBoostedClassifier(
   /** Greedy depth-bounded regression tree on (g, h) with xgboost's
     * gain = 0.5*(GL²/(HL+λ) + GR²/(HR+λ) − G²/(H+λ)) and leaf weight
     * −G/(H+λ), eta folded into the stored leaf value. */
-  private def buildTree(binned: Array[Array[Int]], g: Array[Double],
+  private def buildTree(binned: Array[Array[Short]], g: Array[Double],
       h: Array[Double], cuts: Array[Array[Double]]): Tree = {
     val d = cuts.length
     val feature = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -292,7 +314,7 @@ final class GradientBoostedClassifier(
       left.toArray, right.toArray)
   }
 
-  private def predictBinned(t: Tree, row: Array[Int]): Double = {
+  private def predictBinned(t: Tree, row: Array[Short]): Double = {
     var node = 0
     while (t.feature(node) >= 0)
       node = if (row(t.feature(node)) <= t.splitBin(node)) t.left(node)
@@ -321,10 +343,15 @@ final class GradientBoostedClassifier(
 
   override def scoreBatch(model: Array[Byte],
       rows: Iterator[Array[Float]]): Iterator[Array[Float]] = {
-    val (k, rounds) = deserialize(model)
+    val (k, d, rounds) = deserialize(model)
     val margins = new Array[Double](k)
     val out0 = new Array[Double](k)
     rows.map { f =>
+      // the serialized width exists exactly for this check: scoring a
+      // 68-wide row with a 64-wide model would silently read
+      // misaligned features and return plausible-but-wrong probs
+      require(f.length == d,
+        s"feature width ${f.length} != model width $d")
       java.util.Arrays.fill(margins, 0.0)
       var r = 0
       while (r < rounds.length) {
@@ -343,31 +370,19 @@ final class GradientBoostedClassifier(
   /** Boosted-tree count in a serialized model (rounds × numClass) —
     * the knob-visibility hook for specs. */
   def treeCount(model: Array[Byte]): Int = {
-    val (k, rounds) = deserialize(model)
+    val (k, _, rounds) = deserialize(model)
     rounds.length * k
   }
 
   private def serialize(d: Int, k: Int,
-      rounds: Vector[Array[Tree]]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(k); out.writeInt(d); out.writeInt(rounds.length)
-    rounds.foreach(_.foreach { t =>
-      out.writeInt(t.feature.length)
-      var i = 0
-      while (i < t.feature.length) {
-        out.writeInt(t.feature(i)); out.writeDouble(t.thr(i))
-        out.writeInt(t.left(i)); out.writeInt(t.right(i))
-        i += 1
-      }
-    })
-    out.flush()
-    bos.toByteArray
-  }
+      rounds: Vector[Array[Tree]]): Array[Byte] =
+    GradientBoostedClassifier.writeModel(d, k,
+      rounds.map(_.toSeq.map(t => (t.feature, t.thr, t.left, t.right))))
 
-  private def deserialize(bytes: Array[Byte]): (Int, Array[Array[Tree]]) = {
+  private def deserialize(bytes: Array[Byte])
+      : (Int, Int, Array[Array[Tree]]) = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val k = in.readInt(); in.readInt(); val nr = in.readInt()
+    val k = in.readInt(); val d = in.readInt(); val nr = in.readInt()
     val rounds = Array.fill(nr)(Array.fill(k) {
       val nn = in.readInt()
       val feature = new Array[Int](nn); val thr = new Array[Double](nn)
@@ -380,6 +395,6 @@ final class GradientBoostedClassifier(
       }
       new Tree(feature, null, thr, left, right)
     })
-    (k, rounds)
+    (k, d, rounds)
   }
 }

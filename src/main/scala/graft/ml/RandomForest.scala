@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   * rather than injecting fake rows for absent classes, the probability
   * vector is padded to `numClasses` on the scoring side — absent
   * classes score 0, present classes keep their tree votes.
+  *
+  * Persistence caveat: the model bytes are JDK object-serialization of
+  * Spark-ML internals, so they are NOT stable across Spark/JVM
+  * upgrades — fine for the in-session serving lifecycle, but durable
+  * cross-version artifacts should use [[GradientBoostedClassifier]],
+  * whose wire format is explicit and version-independent.
   */
 final class RandomForestSparkClassifier(
     numClasses: Int = 9,
@@ -64,10 +70,16 @@ final class RandomForestSparkClassifier(
     in.close()
     rows.map { f =>
       val p = m.predictProbability(Vectors.dense(f.map(_.toDouble)))
+      // the M4 fixup is one-directional: a model trained with FEWER
+      // classes than numClasses pads with zeros; a model that learned
+      // MORE classes than this scorer emits must fail loudly —
+      // truncating would drop real probability mass silently and make
+      // the extra classes unpredictable
+      require(p.size <= numClasses,
+        s"model has ${p.size} classes > scorer width $numClasses")
       val out = new Array[Float](numClasses)
       var c = 0
-      val n = math.min(p.size, numClasses)
-      while (c < n) { out(c) = p(c).toFloat; c += 1 }
+      while (c < p.size) { out(c) = p(c).toFloat; c += 1 }
       out
     }
   }
