@@ -52,10 +52,14 @@ object IngestStream {
   def contaminationBloom(refTexts: DataFrame, prefK: Int = 4)
       : Array[Long] = {
     val key = array_join(slice(T.wsTokens(col("text")), 1, prefK), " ")
-    val ref = refTexts.select(key.as("p")).distinct()
-    ref.select(graft.functions.Bloom.agg(
-        graft.functions.Bloom.wordsFor(ref.count()))(T.md5Long(col("p"))))
-      .head().getSeq[Long](0).toArray
+    // cache around the two actions (sizing count + bloom aggregate) so
+    // the tokenize + distinct shuffle runs once, not twice per build
+    val ref = refTexts.select(key.as("p")).distinct().cache()
+    try
+      ref.select(graft.functions.Bloom.agg(
+          graft.functions.Bloom.wordsFor(ref.count()))(T.md5Long(col("p"))))
+        .head().getSeq[Long](0).toArray
+    finally ref.unpersist()
   }
 
   /** LM-quality gate (streaming form of batch `x36_lm_quality`): an
@@ -101,25 +105,33 @@ object IngestStream {
       watermark: String = "10 minutes",
       decontam: Option[Decontam] = None,
       lm: Option[LmGate] = None): DataFrame = {
-    val tk = T.wsTokens(lower($"text"))
+    // the x2 gates score RAW-case tokens (batch x2's exact convention:
+    // stopwords are lowercase literals, so 'The' does NOT count as a
+    // stopword) rounded at 6; the x88/x36 stages below need LOWERED
+    // tokens (their batch twins tokenize lower(text)). One regex pass:
+    // tokenize raw, then per-element lower — lowercasing never creates
+    // or removes whitespace, so the two commute
     val scored = docs
-      .withColumn("tk", tk)
-      .withColumn("n_tokens", size($"tk").cast("long"))
-      .withColumn("stop_ratio",
-        size(filter($"tk", w =>
+      .withColumn("tkr", T.wsTokens($"text"))
+      .withColumn("n_tokens", size($"tkr").cast("long"))
+      .withColumn("stop_ratio", round(
+        size(filter($"tkr", w =>
           w.isin(graft.queries.TextOps.Stopwords: _*))).cast("double") /
-          greatest($"n_tokens", lit(1L)))
-      .withColumn("alpha_ratio",
+          greatest($"n_tokens", lit(1L)), 6))
+      .withColumn("alpha_ratio", round(
         length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("double") /
-          greatest(length($"text"), lit(1)))
+          greatest(length($"text"), lit(1)), 6))
       .withColumn("content_key", T.md5Long($"text"))
     val qualityGated = scored
       .filter($"n_tokens" >= gates.minTokens &&
         $"alpha_ratio" >= gates.minAlphaRatio &&
         $"stop_ratio" <= gates.maxStopRatio)
-    // x88 repetition gate: reuses the quality stages' tk column; the
-    // coverage math is in-array, so the stage stays a stateless
-    // shuffle-free projection like every other gate here
+      .withColumn("tk", transform($"tkr", w => lower(w)))
+      .drop("tkr")
+    // x88 repetition gate: reuses the lowered tk column (batch x88
+    // tokenizes lower(text)); the coverage math is in-array, so the
+    // stage stays a stateless shuffle-free projection like every other
+    // gate here
     val gated = if (!gates.repetition) qualityGated
       else graft.queries.TextOps.withCoverage(qualityGated)
         .filter($"rep_keep")

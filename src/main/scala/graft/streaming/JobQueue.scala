@@ -56,16 +56,33 @@ final class JobQueue(
   def results: List[JobResult] = synchronized(log)
   private def append(r: JobResult): Unit = synchronized { log = r :: log }
 
+  // ---- loose-Row field access. ONE definition of "present and
+  // non-null" (and of wrong-typed fallbacks), shared by validation,
+  // the 400-response echo, and the memo-reset scan — three call sites
+  // that previously each re-implemented it and could drift.
+  private def hasField(r: Row, f: String): Boolean =
+    r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f))
+  /** String value; "" when absent, null, or wrong-typed. */
+  private def strField(r: Row, f: String): String =
+    if (hasField(r, f)) r.get(r.fieldIndex(f)) match {
+      case s: String => s
+      case _ => ""
+    } else ""
+  /** Numeric value as Long; 0 when absent, null, or wrong-typed. */
+  private def longField(r: Row, f: String): Long =
+    if (hasField(r, f)) r.get(r.fieldIndex(f)) match {
+      case n: Number => n.longValue()
+      case _ => 0L
+    } else 0L
+
   /** Per-field request validation (the reference's parameters() check,
     * ref: blackmagic/blueprints/segment.py:146-163): names every
     * missing/invalid field so the caller can fix the request. Rows come
     * from the loose schema a JSON request source delivers, where any
     * field may be null. */
   private[streaming] def parameters(r: Row): Either[String, JobRequest] = {
-    def has(f: String) =
-      r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f))
-    def str(f: String) = if (has(f)) r.getString(r.fieldIndex(f)) else ""
-    def num(f: String) = r.getAs[Number](r.fieldIndex(f))
+    def has(f: String) = hasField(r, f)
+    def str(f: String) = strField(r, f)
     if (!has("kind")) return Left("kind is a required parameter")
     if (!r.get(r.fieldIndex("kind")).isInstanceOf[String])
       return Left("kind has an invalid type")
@@ -96,11 +113,10 @@ final class JobQueue(
       return Left(s"${badTypes.mkString(", ")} " +
         s"${if (badTypes.size == 1) "has an invalid type"
         else "have invalid types"}")
-    def lng(f: String) = if (has(f)) num(f).longValue() else 0L
-    def int(f: String) = if (has(f)) num(f).intValue() else 0
     // value-range checks run in handle(), which answers 400 for them
-    Right(JobRequest(kind, lng("cx"), lng("cy"), lng("tx"), lng("ty"),
-      str("date"), int("month"), int("day")))
+    Right(JobRequest(kind, longField(r, "cx"), longField(r, "cy"),
+      longField(r, "tx"), longField(r, "ty"), str("date"),
+      longField(r, "month").toInt, longField(r, "day").toInt))
   }
 
   /** Value-range validation shared by both entry points. */
@@ -312,31 +328,15 @@ final class JobQueue(
     * any pipeline (or store) involvement. */
   def dispatchRaw(batch: DataFrame): Unit = {
     val rows = batch.collect()
-    resetMemo(rows.exists { r =>
-      r.schema.fieldNames.contains("kind") &&
-        !r.isNullAt(r.fieldIndex("kind")) &&
-        r.get(r.fieldIndex("kind")) == "tile"
-    })
+    resetMemo(rows.exists(strField(_, "kind") == "tile"))
     parallelEach(rows) { row =>
       val res = parameters(row) match {
         case Left(err) =>
-          def lv(f: String) =
-            if (row.schema.fieldNames.contains(f) &&
-              !row.isNullAt(row.fieldIndex(f)))
-              row.get(row.fieldIndex(f)) match {
-                case n: Number => n.longValue()
-                case _ => 0L // wrong-typed field: echo 0 in the 400
-              }
-            else 0L
-          val kind = if (row.schema.fieldNames.contains("kind") &&
-            !row.isNullAt(row.fieldIndex("kind")))
-            row.get(row.fieldIndex("kind")) match {
-              case s: String => s
-              case _ => "" // wrong-typed kind still answers 400
-            }
-          else ""
-          JobResult(kind, lv("cx"), lv("cy"), lv("tx"), lv("ty"),
-            ok = false, 0, err, 400)
+          // echo what the request DID carry (wrong-typed kind still
+          // answers 400 with kind = "", numerics echo 0)
+          JobResult(strField(row, "kind"), longField(row, "cx"),
+            longField(row, "cy"), longField(row, "tx"),
+            longField(row, "ty"), ok = false, 0, err, 400)
         case Right(req) => handle(req)
       }
       append(res)

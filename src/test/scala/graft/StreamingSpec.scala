@@ -113,26 +113,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming transitions emit one (prev, next) pair per event " +
-    "across micro-batches") {
+  test("streaming transitions fold late cross-batch arrivals in " +
+    "exact (ts, event_id) order, matching batch e6") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
     def typed(id: Long, minute: Int, user: Long, tpe: String) =
       Event(id, ts(minute), user, tpe, 0.0, "{}")
-    val q = EventStream.transitions(in.toDS())
+    val q = EventStream.transitions(in.toDS(), "30 minutes")
       .writeStream.format("memory").queryName("trans")
       .outputMode(OutputMode.Append).start()
     try {
-      in.addData(typed(1, 0, 1, "view"), typed(2, 5, 1, "click"))
+      // user 1's click arrives one batch AFTER its ts-successor
+      // purchase, still inside the 30-minute watermark; the buffered
+      // fold must order it between view and purchase exactly as e6's
+      // lag() OVER (ORDER BY ts, event_id) would — the unbuffered fold
+      // would emit the inverted (purchase, click) pair instead
+      in.addData(typed(1, 0, 1, "view"), typed(2, 40, 1, "purchase"),
+        typed(90, 45, 9, "click")) // u9 = watermark driver
       q.processAllAvailable()
-      in.addData(typed(3, 10, 1, "purchase"), typed(4, 0, 2, "view"))
+      in.addData(typed(3, 20, 1, "click"), typed(91, 100, 9, "click"))
+      q.processAllAvailable()
+      in.addData(typed(92, 300, 9, "click")) // ripen everything of u1
       q.processAllAvailable()
       val rows = spark.table("trans")
         .as[EventStream.Transition].collect()
-        .map(t => (t.user_id, t.prev, t.next)).sorted
-      // state carries "click" across the batch boundary for user 1
-      assert(rows.toSeq == Seq((1L, "click", "purchase"),
-        (1L, "view", "click")))
+        .filter(_.user_id == 1L)
+        .map(t => (t.prev, t.next)).sorted
+      assert(rows.toSeq == Seq(("click", "purchase"), ("view", "click")))
     } finally q.stop()
   }
 
@@ -157,7 +164,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming funnel tracks view -> click -> purchase per user") {
+  test("streaming funnel tracks view -> click -> purchase per user, " +
+    "anchoring on a late view exactly as batch e4 does") {
     implicit val sqlCtx = spark.sqlContext
     def tev(id: Long, minute: Int, user: Long, typ: String) =
       Event(id, ts(minute), user, typ, 1.0, "{}")
@@ -167,11 +175,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .outputMode(OutputMode.Update).start()
     try {
       // user 1 completes the funnel in order; user 2's purchase comes
-      // BEFORE any click and must not advance the stage
+      // BEFORE any click and must not advance the stage; user 3's
+      // view arrives one batch LATE (but inside the watermark) — the
+      // buffered fold still anchors t1 = 18 < click ts = 20, so user 3
+      // reaches stage 2 exactly as e4's min-based windows compute it
+      // (the unbuffered fold lost the click forever: stage 1)
       in.addData(tev(1, 0, 1, "view"), tev(2, 5, 1, "click"),
-        tev(3, 0, 2, "view"), tev(4, 2, 2, "purchase"))
+        tev(3, 0, 2, "view"), tev(4, 2, 2, "purchase"),
+        tev(5, 8, 1, "purchase"), tev(6, 9, 2, "click"),
+        tev(7, 20, 3, "click"), tev(90, 25, 9, "view"))
       q.processAllAvailable()
-      in.addData(tev(5, 10, 1, "purchase"), tev(6, 12, 2, "click"))
+      in.addData(tev(8, 18, 3, "view"), tev(91, 100, 9, "view"))
+      q.processAllAvailable()
+      in.addData(tev(92, 300, 9, "view")) // ripen everything
       q.processAllAvailable()
       val last = spark.table("funnel")
         .groupBy($"user_id").agg(org.apache.spark.sql.functions
@@ -179,6 +195,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .as[(Long, Int)].collect().toMap
       assert(last(1L) == 3) // view -> click -> purchase
       assert(last(2L) == 2) // purchase-before-click never counted
+      assert(last(3L) == 2) // late view anchors BEFORE the click
     } finally q.stop()
   }
 
@@ -333,7 +350,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("streaming retention emits each (cohort, week, user) once " +
-    "across micro-batches and reproduces the e7 matrix") {
+    "across micro-batches, cohort-anchoring late arrivals like e7") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
     val q = EventStream.retentionPairs(in.toDS())
@@ -341,26 +358,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .outputMode(OutputMode.Append).start()
     val wk = 7 * 24 * 60 // minutes per week; minute 0 = Mon 2024-01-01
     try {
-      // week 0: users 1 and 2 join the 2024-01-01 cohort
-      in.addData(ev(1, 5, 1, 1.0), ev(2, 60, 2, 1.0), ev(3, 90, 1, 1.0))
-      q.processAllAvailable()
-      // week 1 (next micro-batch): user 1 returns — state must carry
-      // the cohort across batches; user 3 starts a new cohort; user
-      // 1's second week-1 event must NOT re-emit
-      in.addData(ev(4, wk + 10, 1, 1.0), ev(5, wk + 20, 3, 1.0),
+      // week 0: users 1 and 2 join the 2024-01-01 cohort; user 1
+      // returns in week 1 (second week-1 event must NOT re-emit);
+      // user 3's first ARRIVAL is a week-1 event...
+      in.addData(ev(1, 5, 1, 1.0), ev(2, 60, 2, 1.0), ev(3, 90, 1, 1.0),
+        ev(4, wk + 10, 1, 1.0), ev(5, wk + 20, 3, 1.0),
         ev(6, wk + 30, 1, 1.0))
+      q.processAllAvailable()
+      // ...but user 3's true FIRST event (Sunday 23:50, week 0) arrives
+      // a batch late, inside the 1-hour watermark. The buffered fold
+      // anchors user 3's cohort at week 0 — exactly e7's min(ts) —
+      // where the unbuffered fold had already mis-anchored week 1 and
+      // emitted a stale (week-1-cohort, 0) pair that never retracts
+      in.addData(ev(7, wk - 10, 3, 1.0), ev(90, wk + 120, 9, 1.0))
+      q.processAllAvailable()
+      in.addData(ev(91, wk + 600, 9, 1.0)) // ripen everything
       q.processAllAvailable()
       val pairs = spark.table("ret")
         .select($"cohort".cast("string"), $"week_offset", $"user_id")
         .as[(String, Long, Long)].collect().toSet
+        .filter(_._3 != 9L)
       assert(pairs == Set(
         ("2024-01-01", 0L, 1L), ("2024-01-01", 0L, 2L),
-        ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 3L)))
+        ("2024-01-01", 1L, 1L), ("2024-01-01", 0L, 3L),
+        ("2024-01-01", 1L, 3L)))
       // grouping the unique pairs IS e7's n_users matrix
       val matrix = pairs.toSeq.groupBy(p => (p._1, p._2))
         .view.mapValues(_.size).toMap
-      assert(matrix == Map(("2024-01-01", 0L) -> 2,
-        ("2024-01-01", 1L) -> 1, ("2024-01-08", 0L) -> 1))
+      assert(matrix == Map(("2024-01-01", 0L) -> 3,
+        ("2024-01-01", 1L) -> 2))
     } finally q.stop()
   }
 
