@@ -757,6 +757,58 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x113 body: exact positional phrase search — Lucene PhraseQuery
+    * (slop 0) semantics, the retrieval verb the BM25 stack (x47 bag-
+    * of-words, x75 WAND, x61 PRF, x110 rerank) cannot express because
+    * none of them see token ORDER. Queries are the first `plen` tokens
+    * of docs 0..3 (qid = doc_id; a query doc shorter than `plen`
+    * matches nothing). A document matches once per anchor position
+    * `a` with token[a + i] == phrase[i] for ALL i — overlapping
+    * occurrences each count (phrase "a a" occurs twice in "a a a").
+    *
+    * Scale shape — the standard two-stage positional intersection:
+    * stage 1 is a CONJUNCTIVE candidate prune on the distinct
+    * (doc, term) relation (Lucene's conjunction scorer): only
+    * documents containing ALL distinct phrase terms proceed, so the
+    * positional stage never shuffles the corpus-wide occurrence list
+    * of a stop-wordy phrase term for documents that cannot match.
+    * Stage 2 joins token positions to the broadcast (≤ queries×plen
+    * rows) phrase side and groups by the implied anchor (pos − idx):
+    * an anchor holding all `plen` distinct phrase indices is one
+    * occurrence (countDistinct, so a term repeated WITHIN the phrase
+    * cannot double-satisfy an index). Everything is a keyed equi-join
+    * against a broadcast query side — no all-pairs work, and the only
+    * corpus-sized exchange is the per-candidate-doc anchor rollup. */
+  private[graft] def phraseSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, plen: Int = 3, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokenized(Tables.spread(s, dir, "documents"))
+    val pos = tk.select($"doc_id",
+      posexplode($"tk").as(Seq("pos", "term")))
+    val qp = tk.filter($"doc_id" < 4 && size($"tk") >= plen)
+      .select($"doc_id".as("qid"),
+        posexplode(slice($"tk", 1, plen)).as(Seq("idx", "term")))
+    val need = qp.groupBy($"qid").agg(countDistinct($"term").as("nt"))
+    val cand = pos.select($"doc_id", $"term").distinct()
+      .join(broadcast(qp.select($"qid", $"term").distinct()), "term")
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(need), "qid")
+      .filter($"hit" === $"nt")
+      .select($"qid", $"doc_id")
+    val hits = pos.join(broadcast(qp), "term")
+      .join(cand, Seq("qid", "doc_id"))
+      .select($"qid", $"doc_id", ($"pos" - $"idx").as("anchor"), $"idx")
+    hits.groupBy($"qid", $"doc_id", $"anchor")
+      .agg(countDistinct($"idx").as("ni"))
+      .filter($"ni" === plen)
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"n_occ".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** x61 body: RM3-style pseudo-relevance feedback. Round 1 is x47's
     * BM25; the top-`fbK` docs per query become the feedback set; the
     * `expK` highest-weight NEW terms from those docs (weight = summed
@@ -2124,6 +2176,46 @@ object TextOps {
          |SELECT qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
          |FROM bmr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => bm25TopK(s, dir)
+    },
+
+    // ----- x113 positional phrase search (see [[phraseSearch]]):
+    // Lucene PhraseQuery slop-0 semantics — conjunctive candidate
+    // prune, then anchor-grouped positional intersection; overlapping
+    // occurrences count. The oracle replays both stages: 1-based
+    // struct-unnest positions vs Spark's 0-based posexplode cancel in
+    // the (pos − idx) anchor, which never surfaces in the output.
+    "x113_phrase_search" -> Q(
+      s"""WITH ptk AS (SELECT doc_id,
+         |    ${TS.wsTokens("lower(text)")} AS tk FROM documents),
+         |pps AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(tk) + 1),
+         |    i -> struct_pack(pos := i, term := tk[CAST(i AS INT)])))
+         |    AS u FROM ptk),
+         |ppos AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         |    u.term AS term FROM pps),
+         |pqp AS (SELECT doc_id AS qid, pos AS idx, term FROM ppos
+         |  WHERE doc_id < 4 AND pos <= 3),
+         |pneed AS (SELECT qid, count(DISTINCT term) AS nt FROM pqp
+         |  GROUP BY 1),
+         |pcand AS (SELECT q.qid, t.doc_id
+         |  FROM (SELECT DISTINCT qid, term FROM pqp) q
+         |  JOIN (SELECT DISTINCT doc_id, term FROM ppos) t USING (term)
+         |  JOIN pneed n USING (qid)
+         |  GROUP BY q.qid, t.doc_id HAVING count(*) = min(n.nt)),
+         |phit AS (SELECT q.qid, p.doc_id, p.pos - q.idx AS anchor,
+         |    q.idx
+         |  FROM ppos p JOIN pqp q USING (term)
+         |  JOIN pcand c ON c.qid = q.qid AND c.doc_id = p.doc_id),
+         |pocc AS (SELECT qid, doc_id, anchor, count(DISTINCT idx) AS ni
+         |  FROM phit GROUP BY 1, 2, 3),
+         |pno AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM pocc WHERE ni = 3 GROUP BY 1, 2),
+         |pr AS (SELECT qid, doc_id, n_occ, row_number() OVER (
+         |    PARTITION BY qid ORDER BY n_occ DESC, doc_id) AS rn
+         |  FROM pno)
+         |SELECT qid, doc_id, n_occ, CAST(rn AS BIGINT) AS rn
+         |FROM pr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => phraseSearch(s, dir)
     },
 
     // ----- x75 WAND-style upper-bound-pruned BM25 (see [[bm25Wand]]):
