@@ -1264,6 +1264,48 @@ object VectorOps {
     * BEFORE the qs map (oracle interpolation). */
   private[graft] val KnnGraphK = 4
 
+  /** x114 beam width / hop count for graph search. Beam must exceed
+    * the output k by enough that self-exclusion still fills k.
+    * Declared BEFORE the qs map (oracle interpolation). */
+  private[graft] val GraphBeam = 8
+  private[graft] val GraphHops = 3
+
+  /** The x114 oracle chain: x86's edge relation, then [[GraphHops]]
+    * unrolled expand → dedup → score → prune rounds. The hop CTEs are
+    * GENERATED by one loop so the rounds cannot drift from each
+    * other; ends in `gb[[GraphHops]](qid, vid, cos)` — the final
+    * beam. */
+  private def sqlGraphSearchCtes: String = {
+    val hops = (1 to GraphHops).map { h =>
+      s"""gc$h AS (SELECT DISTINCT qid, vid FROM (
+         |    SELECT b.qid, g.dst AS vid FROM gb${h - 1} b
+         |      JOIN ged g ON g.src = b.vid
+         |    UNION ALL SELECT qid, vid FROM gb${h - 1})),
+         |gs$h AS (SELECT c.qid, c.vid,
+         |    round(${sqlDot("q.qv", "m.v")}, 4) AS cos
+         |  FROM gc$h c JOIN n m ON m.vec_id = c.vid
+         |  JOIN gq q ON q.qid = c.qid),
+         |gb$h AS (SELECT qid, vid, cos FROM (SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid) AS brn FROM gs$h)
+         |  WHERE brn <= $GraphBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlCellCtes,
+       |ged AS (SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(${sqlDot("a.v", "b.v")}, 4) DESC,
+       |          b.vec_id) AS rn
+       |    FROM cells a JOIN cells b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $KnnGraphK),
+       |gq AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 8),
+       |gb0 AS (SELECT g.qid, CAST(0 AS BIGINT) AS vid,
+       |    round(${sqlDot("g.qv", "m.v")}, 4) AS cos
+       |  FROM gq g JOIN n m ON m.vec_id = 0),
+       |$hops""".stripMargin
+  }
+
   /** The x13 cell-assignment replay as reusable oracle CTEs: yields
     * `cells(vec_id, v, cell)` — normalized corpus + max-cosine cell
     * under the first-[[DefaultCells]] quantizer, round-4/cid tiebreak
@@ -2576,6 +2618,21 @@ object VectorOps {
       (s, dir) => knnGraph(s, dir)
     },
 
+    // ----- x114 graph-ANN serving (see [[graphSearch]]): greedy beam
+    // search over x86's k-NN edges — HNSW-layer-0 semantics as bounded
+    // batch rounds; search cost is independent of corpus size given
+    // the graph. The oracle replays the edge build and every unrolled
+    // expand → dedup → score → prune hop.
+    "x114_graph_search" -> Q(
+      s"""WITH $sqlGraphSearchCtes
+         |SELECT qid, vid AS nid, cos, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid) AS rn
+         |    FROM gb$GraphHops WHERE vid <> qid)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => graphSearch(s, dir)
+    },
+
     // ----- x91 filtered ANN (see [[annFiltered]]): the
     // metadata-constrained search every production vector store
     // grew — candidates must match the query's label, the filter
@@ -3820,6 +3877,71 @@ object VectorOps {
         round(dot($"v", $"v2"), 4).as("cos"))
     graft.ops.TopK.perKey(pairs, Seq("src"),
       Seq($"cos".desc, $"dst".asc), k)
+  }
+
+  /** x114 body: greedy beam search over the x86 k-NN graph — the
+    * SERVING verb of the graph-ANN family (HNSW layer-0 / NSG search
+    * restated as bounded batch rounds). Until now the engine built and
+    * maintained the graph (x86 build, x87 NN-descent refinement,
+    * GraphIngest streaming, the rebalance verb) but answered queries
+    * only through the IVF/PQ/LSH indexes. Every query's beam starts at
+    * vector 0, then [[GraphHops]] rounds of expand-through-edges →
+    * dedup → score → keep the [[GraphBeam]] best (cos desc, id
+    * tiebreak). Per round a query touches ≤ beam·(K+1) candidates, so
+    * search reads O(queries · hops · beam · K) vectors TOTAL —
+    * independent of corpus size given the graph, the property that
+    * makes graph serving the latency path at 100 TB (vector fetches
+    * become keyed store gets; here the cached assignment frame plays
+    * the vector store). Candidates dedup BEFORE scoring (the x87
+    * lesson) and the beam side of every corpus join is an explicit
+    * broadcast — bounded by construction, but the optimizer cannot
+    * prove that through the window lineage. Self is excluded at
+    * OUTPUT only: a walk reaching its own query id mid-search is
+    * legitimate greedy behavior, and the entry IS vector 0, so qid
+    * 0's walk must be allowed to hold it. */
+  private[graft] def graphSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, beam: Int = GraphBeam, hops: Int = GraphHops,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normalizedEmbeddings(s, dir)
+    // cached: the assignment feeds the edge build once, then serves
+    // as the candidate-vector store for every hop's score fetch
+    val a = literalCells(e, DefaultCells)
+      .select($"vec_id", $"v", $"cell").cache()
+    val edges = knnEdges(a, KnnGraphK).select($"src", $"dst").cache()
+    val n2 = a.select($"vec_id".as("vid"), $"v".as("cv"))
+    val q = a.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    def score(cand: org.apache.spark.sql.DataFrame) =
+      n2.join(broadcast(cand.distinct()), "vid")
+        .join(broadcast(q), "qid")
+        .select($"qid", $"vid", round(dot($"qv", $"cv"), 4).as("cos"))
+    var bm = score(q.select($"qid", lit(0L).as("vid")))
+    (1 to hops).foreach { _ =>
+      val cand = bm.join(edges, $"vid" === $"src")
+        .select($"qid", $"dst".as("vid"))
+        .unionByName(bm.select($"qid", $"vid"))
+      // checkpointed: the next hop's plan references THIS beam twice
+      // (the edge expansion and the union back in), so a lazy beam
+      // doubles the plan tree per hop — task binaries measured 2.1 →
+      // 4.2 → 8.2 → 16.4 MiB over 3 hops. The beam is ≤ beam×queries
+      // rows by construction, so eagerly materializing it to a local
+      // checkpoint (severing the lineage, the eagerly() discipline)
+      // keeps every hop's serialized plan constant-size no matter the
+      // hop count.
+      bm = score(cand)
+        .withColumn("brn", row_number().over(Window.partitionBy($"qid")
+          .orderBy($"cos".desc, $"vid")))
+        .filter($"brn" <= beam)
+        .select($"qid", $"vid", $"cos")
+        .localCheckpoint()
+    }
+    bm.filter($"vid" =!= $"qid")
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"cos".desc, $"vid")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"vid".as("nid"), $"cos", $"rn")
+      .orderBy($"qid", $"rn")
   }
 
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
