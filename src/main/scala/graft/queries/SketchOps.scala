@@ -283,6 +283,65 @@ object SketchOps {
       store: graft.store.Store): org.apache.spark.sql.DataFrame =
     kmvSketchOf(store.read("kmv_sketch", s).select($"source", $"hv"))
 
+  /** Dyadic quantile-sketch bin of a positive long column — the x115
+    * update rule, shared with the streaming twin. e = floor(log2 n)
+    * taken EXACTLY as the bit length of n (`bin()` string length —
+    * never floating log, whose ln(8)/ln(2) = 2.999... boundary would
+    * split the engines), then one of 8 sub-octave slots via pure
+    * integer shift-divide: bin = 8·e + (n·8 div 2^e) − 8. Relative
+    * error of the bin lower bound ≤ 1/8; a 48-bit value range needs
+    * ≤ 8·48 bins, the fixed memory that makes the sketch a sketch. */
+  private[graft] def quantileBin(
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (length(bin(n)) - 1).cast("long") * 8 +
+      expr("(n * 8) div shiftleft(cast(1 as bigint), " +
+        "cast(length(bin(n)) - 1 as int)) - 8")
+
+  /** Per-bin counts — the sketch itself. Mergeable by addition (the
+    * map-side partial aggregation IS the merge), so the exchange
+    * carries the fixed bin table, never the values — the CMS build's
+    * shape. Streamable as an ordinary incremental count aggregation
+    * with bin-table-sized state. */
+  private[graft] def quantileHist(vals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vals.filter($"n" >= 1)
+      .select(quantileBin($"n").as("qbin"))
+      .groupBy($"qbin").agg(count(lit(1)).as("c"))
+
+  /** The read verb: p50/p90/p99 from a bin histogram. One ordered
+    * cumulative walk over the ≤ 8·48-row bin table (the global-order
+    * window is single-task by design — it runs on the SKETCH, never
+    * the data) picks the first bin whose cumulative count reaches
+    * ceil(q·N); the estimate is the bin's exact lower bound ×8, a
+    * dyadic integer, so the whole report is integer-exact. */
+  private[graft] def quantileReport(
+      hist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = hist.agg(sum($"c").as("n_total"))
+    val cum = hist.withColumn("cum",
+      sum($"c").over(Window.orderBy($"qbin")).cast("long"))
+    val targets = tot
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("q_pct"),
+        $"n_total")
+      .withColumn("r", ceil($"q_pct" * $"n_total" / 100.0).cast("long"))
+    targets.join(cum, $"cum" >= $"r")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_pct").orderBy($"qbin")))
+      .filter($"rn" === 1)
+      .select($"q_pct", $"qbin",
+        expr("shiftleft(cast(qbin % 8 + 8 as bigint), " +
+          "cast(qbin div 8 as int))").as("est8"),
+        $"cum".as("n_le"), $"n_total")
+      .orderBy($"q_pct")
+  }
+
+  /** x115 body: the sketch over per-document token counts. */
+  private[graft] def quantileSketch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    quantileReport(quantileHist(Tables.spread(s, dir, "documents")
+      .select(size(T.wsTokens($"text")).cast("long").as("n"))))
+
   val qs: Map[String, Q] = Map(
     // ----- x99 cross-source distinct-overlap matrix from KMV sketches:
     // per source keep the K smallest distinct content hashes; per
@@ -298,6 +357,41 @@ object SketchOps {
     // per source); everything pairwise happens on ≤K-row sketches —
     // an S-source overlap matrix costs S²·K tiny rows, not S² corpus
     // scans (contrast x57, which intersects the real key sets).
+    // ----- x115 mergeable quantile sketch (see [[quantileSketch]]):
+    // the missing member of the sketch family — CMS answers frequency,
+    // HLL/KMV cardinality, this answers "what is p50/p90/p99 of a
+    // value across 100 TB" in fixed memory. DDSketch-flavored dyadic
+    // bins with every boundary computed in EXACT integer arithmetic
+    // (bit-length + shifts, never floating log, whose ln(8)/ln(2) =
+    // 2.999... boundary would split the engines). The oracle replays
+    // the binning, the cumulative walk, and the rank targets.
+    "x115_quantile_sketch" -> Q(
+      s"""WITH zv AS (SELECT CAST(len(${TS.wsTokens("text")}) AS BIGINT)
+         |    AS n FROM documents),
+         |zp AS (SELECT n, CAST(length(printf('%b', n)) - 1 AS BIGINT)
+         |    AS e FROM zv WHERE n >= 1),
+         |zb AS (SELECT e * 8 +
+         |    ((n * 8) // (1::BIGINT << CAST(e AS INT))) - 8 AS qbin
+         |  FROM zp),
+         |zh AS (SELECT qbin, CAST(count(*) AS BIGINT) AS c FROM zb
+         |  GROUP BY 1),
+         |zt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM zh),
+         |zc AS (SELECT qbin, CAST(sum(c) OVER (ORDER BY qbin)
+         |    AS BIGINT) AS cum FROM zh),
+         |zq AS (SELECT unnest([50, 90, 99]) AS q_pct),
+         |zr AS (SELECT CAST(q_pct AS BIGINT) AS q_pct,
+         |    CAST(ceil(q_pct * n_total / 100.0) AS BIGINT) AS r,
+         |    n_total FROM zq CROSS JOIN zt),
+         |zs AS (SELECT q_pct, qbin, cum, n_total, row_number() OVER (
+         |    PARTITION BY q_pct ORDER BY qbin) AS rn
+         |  FROM zr JOIN zc ON cum >= r)
+         |SELECT q_pct, qbin,
+         |  ((qbin % 8 + 8) << CAST(qbin // 8 AS INT)) AS est8,
+         |  cum AS n_le, n_total
+         |FROM zs WHERE rn = 1 ORDER BY q_pct""".stripMargin) {
+      (s, dir) => quantileSketch(s, dir)
+    },
+
     "x99_kmv_overlap" -> Q(
       s"""WITH h AS (SELECT DISTINCT source, $kmvKeySql AS hv
          |  FROM documents),

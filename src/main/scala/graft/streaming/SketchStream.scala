@@ -77,4 +77,24 @@ object SketchStream {
   /** The trending-rank read side over a maintained series. */
   def trendingVerdicts(hourly: DataFrame): DataFrame =
     graft.queries.EventOps.trendingVerdicts(hourly)
+
+  /** x115's quantile-sketch bins maintained live over a document
+    * stream (SAME `SketchOps.quantileHist` definition, so the live
+    * histogram is bit-identical to a batch build over the same
+    * documents): state IS the ≤ 8·48-row bin table — counts add per
+    * micro-batch exactly like the sketch merge rule, no watermark, no
+    * growth. The p50/p90/p99 read (an ordered cumulative walk
+    * streaming can't express) runs batch-side over the live table via
+    * `SketchOps.quantileReport` — the same write/read split as the
+    * burst/trending twins. */
+  def quantileHist(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.queries.SketchOps.quantileHist(docs.select(
+      size(graft.functions.TextExprs.wsTokens(col("text")))
+        .cast("long").as("n")))
+  }
+
+  /** The quantile read side over a maintained bin histogram. */
+  def quantileReport(hist: DataFrame): DataFrame =
+    graft.queries.SketchOps.quantileReport(hist)
 }

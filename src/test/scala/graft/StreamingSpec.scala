@@ -836,6 +836,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile-sketch bins are bit-identical to the batch " +
+    "x115 build and the composed p50/p90/p99 report matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // token counts 4..13: two octaves, several sub-bins
+    val docs = (0L until 10L).map(i =>
+      (i, Seq.fill(4 + i.toInt)("w").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = SketchStream.quantileHist(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qsk")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      val live = spark.table("qsk")
+      val streamedBins = live
+        .select($"qbin", $"c").as[(Long, Long)].collect().toSet
+      def nOf(d: org.apache.spark.sql.DataFrame) = d.select(
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextExprs.wsTokens($"text"))
+          .cast("long").as("n"))
+      val batchBins = queries.SketchOps
+        .quantileHist(nOf(docs.toDF("doc_id", "text")))
+        .select($"qbin", $"c").as[(Long, Long)].collect().toSet
+      assert(streamedBins == batchBins)
+      val streamedReport = SketchStream.quantileReport(live)
+        .select($"q_pct", $"qbin", $"est8", $"n_le", $"n_total")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val batchReport = queries.SketchOps
+        .quantileReport(queries.SketchOps
+          .quantileHist(nOf(docs.toDF("doc_id", "text"))))
+        .select($"q_pct", $"qbin", $"est8", $"n_le", $"n_total")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(streamedReport == batchReport)
+      // sketch guarantee: each estimate's bin brackets the exact
+      // quantile — in x8 scale the bin is [est8, est8 + 2^e) with
+      // 2^e recoverable from est8 itself (est8 = (8+m)*2^e)
+      val ns = docs.map(_._2.split(" ").length.toLong).sorted
+      streamedReport.foreach { case (qp, _, est8, _, nTot) =>
+        val exact = ns((math.ceil(qp * nTot / 100.0) - 1).toInt)
+        val width8 = java.lang.Long.highestOneBit(est8) >> 3
+        assert(est8 <= exact * 8 && exact * 8 < est8 + width8,
+          s"p$qp est8=$est8 exact=$exact")
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL registers are bit-identical to the batch x90 " +
     "build and state never exceeds the m-register geometry") {
     implicit val sqlCtx = spark.sqlContext
