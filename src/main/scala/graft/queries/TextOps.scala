@@ -457,10 +457,16 @@ object TextOps {
     // so "latest" is undefined inside one batch and silently keeping
     // both copies would double-count the doc's postings and df.
     val docs = tokenized(batch.dropDuplicates("doc_id", "text")).cache()
+    // positions ride the SAME (doc, term) rollup the tf counts use —
+    // positional (phrase/proximity) search costs no extra pass or
+    // exchange at build time, exactly Lucene's postings-with-positions
+    // layout
     val tf = docs
       .select($"doc_id", size($"tk").cast("long").as("dl"),
-        explode($"tk").as("term"))
-      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+        posexplode($"tk").as(Seq("pos", "term")))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos".cast("long"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
       .cache()
     try {
@@ -472,7 +478,7 @@ object TextOps {
       store.delete("sparse_postings", Seq("batch" -> batchId))
       store.write("sparse_postings",
         tf.select(lit(batchId).as("batch"), $"bucket", $"term",
-          $"doc_id", $"tf", $"dl"),
+          $"doc_id", $"tf", $"dl", $"positions"),
         Seq("batch", "bucket"))
       store.delete("sparse_docs", Seq("batch" -> batchId))
       store.write("sparse_docs",
@@ -700,11 +706,11 @@ object TextOps {
       store.read("sparse_postings", s)
         .select($"batch".cast("long").as("batch"),
           $"bucket".cast("long").as("bucket"), $"term", $"doc_id",
-          $"tf", $"dl")
+          $"tf", $"dl", $"positions")
         .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
           "left_anti")
         .select(lit(intoBatch).as("batch"), $"bucket", $"term",
-          $"doc_id", $"tf", $"dl"),
+          $"doc_id", $"tf", $"dl", $"positions"),
       Seq("batch", "bucket"))
     store.write("sparse_docs_stage",
       live.select(lit(intoBatch).as("batch"),
@@ -782,13 +788,26 @@ object TextOps {
   private[graft] def phraseSearch(s: org.apache.spark.sql.SparkSession,
       dir: String, plen: Int = 3, k: Int = 10)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tk = tokenized(Tables.spread(s, dir, "documents"))
     val pos = tk.select($"doc_id",
       posexplode($"tk").as(Seq("pos", "term")))
     val qp = tk.filter($"doc_id" < 4 && size($"tk") >= plen)
       .select($"doc_id".as("qid"),
         posexplode(slice($"tk", 1, plen)).as(Seq("idx", "term")))
+    phraseOccurrences(pos, qp, plen, k)
+  }
+
+  /** The positional-intersection core shared by the three phrase
+    * entry points (x113's corpus scan, [[phraseSearchOver]],
+    * [[phraseSearchStored]]): conjunctive candidate prune on the
+    * distinct (doc, term) relation, then anchor-grouped intersection.
+    * `pos` is (doc_id, pos, term) token positions; `qp` is
+    * (qid, idx, term) phrase slots — both position bases cancel in
+    * the (pos − idx) anchor. */
+  private def phraseOccurrences(pos: org.apache.spark.sql.DataFrame,
+      qp: org.apache.spark.sql.DataFrame, plen: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val need = qp.groupBy($"qid").agg(countDistinct($"term").as("nt"))
     val cand = pos.select($"doc_id", $"term").distinct()
       .join(broadcast(qp.select($"qid", $"term").distinct()), "term")
@@ -807,6 +826,67 @@ object TextOps {
         .orderBy($"n_occ".desc, $"doc_id")).cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** One-shot phrase search over an arbitrary documents frame with an
+    * explicit phrase set — the spec's independent twin for
+    * [[phraseSearchStored]] (same core, frames built directly from
+    * the given docs). Every phrase must have the same length `plen`
+    * (the anchor-completeness test is per-slot-count). */
+  private[graft] def phraseSearchOver(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      phrases: Seq[(Long, Seq[String])], plen: Int, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(phrases.forall(_._2.length == plen),
+      s"every phrase must have length $plen")
+    val pos = tokenized(docs).select($"doc_id",
+      posexplode($"tk").as(Seq("pos", "term")))
+    val qp = s.createDataFrame(phrases.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (q, i, t) }
+      }).toDF("qid", "idx", "term")
+    phraseOccurrences(pos, qp, plen, k)
+  }
+
+  /** Exact phrase search over the PERSISTED sparse index: the
+    * positions stored alongside each posting row (Lucene's
+    * postings-with-positions layout, written by [[appendSparseIndex]]
+    * at zero extra passes) answer slop-0 phrase queries without
+    * touching the documents themselves. Reads ONLY the phrase terms'
+    * bucket directories, resolves versions against the
+    * [[staleSparseKeys]] sliver exactly like [[bm25SearchStored]] —
+    * so a doc re-ingested with moved text matches at its LATEST
+    * positions only and tombstoned docs never match — then explodes
+    * the pruned postings' position arrays into the shared
+    * [[phraseOccurrences]] core. The corpus never shuffles: the
+    * exploded frame is (queried-term occurrences) sized, the same
+    * bound as the one-shot path's post-prune stage. */
+  def phraseSearchStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, phrases: Seq[(Long, Seq[String])],
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "stored phrase search needs phrases")
+    val plen = phrases.head._2.length
+    require(phrases.forall(_._2.length == plen),
+      s"every phrase must have length $plen")
+    val qp = s.createDataFrame(phrases.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (q, i, t) }
+      }).toDF("qid", "idx", "term")
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
+    // bounded collect: ≤ |distinct phrase terms| bucket ids
+    val qb = qp.select($"bucket").distinct().collect().map(_.getLong(0))
+    val reg = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val live = liveOf(reg, s, store)
+    val post = store.read("sparse_postings", s)
+      .filter($"bucket".isin(qb.map(Long.box): _*))
+      .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+        $"positions")
+      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
+        "left_anti")
+      .join(broadcast(qp.select($"term").distinct()), "term")
+    val pos = post.select($"doc_id", $"term",
+      explode($"positions").as("pos"))
+    phraseOccurrences(pos, qp.select($"qid", $"idx", $"term"), plen, k)
   }
 
   /** x61 body: RM3-style pseudo-relevance feedback. Round 1 is x47's

@@ -759,6 +759,54 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       planLine)
   }
 
+  test("persisted sparse index answers PHRASE queries from stored " +
+    "positions: update moves the match set, tombstones remove from " +
+    "it, and compaction preserves it") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-phrase").toString
+    val store = new ParquetStore(root)
+    val b0 = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "x alpha beta gamma y"),
+      (2L, "alpha beta epsilon alpha beta gamma"),
+      (3L, "no match here at all")).toDF("doc_id", "text")
+    TextOps.appendSparseIndex(spark, b0, 0L, store)
+    val ph = Seq(7L -> Seq("alpha", "beta", "gamma"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "n_occ", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = rows(TextOps.phraseSearchStored(spark, store, ph))
+    // row-identical to the independent one-shot twin over the same
+    // docs (positions never left the index; the twin retokenizes)
+    assert(got == rows(TextOps.phraseSearchOver(spark, b0, ph, 3)))
+    assert(got.map(t => (t._2, t._3)) == Seq((0L, 1L), (1L, 1L),
+      (2L, 1L)), got.toString)
+    // batch 1 re-ingests doc 1 WITHOUT the phrase: only the latest
+    // version's positions may match
+    TextOps.appendSparseIndex(spark,
+      Seq((1L, "x alpha beta zeta y")).toDF("doc_id", "text"),
+      1L, store)
+    val latest = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "x alpha beta zeta y"),
+      (2L, "alpha beta epsilon alpha beta gamma"),
+      (3L, "no match here at all")).toDF("doc_id", "text")
+    val afterUpd = rows(TextOps.phraseSearchStored(spark, store, ph))
+    assert(afterUpd == rows(TextOps.phraseSearchOver(
+      spark, latest, ph, 3)))
+    assert(!afterUpd.exists(_._2 == 1L),
+      "superseded version's positions still matching")
+    // tombstoned docs never match
+    TextOps.tombstoneSparseDocs(spark, Seq(2L), store)
+    val afterDel = rows(TextOps.phraseSearchStored(spark, store, ph))
+    assert(afterDel.map(_._2) == Seq(0L), afterDel.toString)
+    // physical fold keeps the positions: search identical after
+    TextOps.compactSparseIndex(spark, store)
+    assert(rows(TextOps.phraseSearchStored(spark, store, ph))
+      == afterDel, "compaction changed stored phrase results")
+  }
+
   test("cross-encoder model artifact: store round-trip, keyed load, " +
     "and stored rerank row-identical to the literal-weights body") {
     import graft.queries.TextOps
