@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.StringToColumn
+import graft.functions.{TextExprs => T, TextSql => TS}
 
 /** Similarity-search / embedding operators over the `embeddings` table
   * (64-dim float vectors): brute-force cosine top-k as the exact
@@ -1270,6 +1271,11 @@ object VectorOps {
   private[graft] val GraphBeam = 8
   private[graft] val GraphHops = 3
 
+  /** x116 walk geometry: walks per start node × steps per walk.
+    * Declared BEFORE the qs map (oracle interpolation). */
+  private[graft] val WalksPerNode = 2
+  private[graft] val WalkSteps = 4
+
   /** The x114 oracle chain: x86's edge relation, then [[GraphHops]]
     * unrolled expand → dedup → score → prune rounds. The hop CTEs are
     * GENERATED by one loop so the rounds cannot drift from each
@@ -1304,6 +1310,41 @@ object VectorOps {
        |    round(${sqlDot("g.qv", "m.v")}, 4) AS cos
        |  FROM gq g JOIN n m ON m.vec_id = 0),
        |$hops""".stripMargin
+  }
+
+  /** The x116 oracle chain: ranked edges + per-node degree, then
+    * [[WalkSteps]] unrolled hash-seeded steps (generated by one loop,
+    * like the x114 hops); `wall` unions every step's rows. */
+  private def sqlGraphWalkCtes: String = {
+    val seed = (t: Int) =>
+      TS.md5Long(s"concat_ws(':', c.qid, c.wid, $t, c.node)")
+    val stepCtes = (1 to WalkSteps).map { t =>
+      s"""w$t AS (SELECT c.qid, c.wid, CAST($t AS BIGINT) AS step,
+         |    e.dst AS node
+         |  FROM w${t - 1} c JOIN wej e ON e.src = c.node
+         |  WHERE ${seed(t)} % e.deg + 1 = e.rn)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 to WalkSteps)
+      .map(t => s"SELECT qid, wid, step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$sqlCellCtes,
+       |wed AS (SELECT src, dst, rn FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(${sqlDot("a.v", "b.v")}, 4) DESC,
+       |          b.vec_id) AS rn
+       |    FROM cells a JOIN cells b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $KnnGraphK),
+       |wdg AS (SELECT src, max(rn) AS deg FROM wed GROUP BY 1),
+       |wej AS (SELECT w.src, w.dst, w.rn, d.deg FROM wed w
+       |  JOIN wdg d USING (src)),
+       |w0 AS (SELECT vec_id AS qid,
+       |    CAST(unnest(range(0, $WalksPerNode)) AS BIGINT) AS wid,
+       |    CAST(0 AS BIGINT) AS step, vec_id AS node
+       |  FROM cells WHERE vec_id < 8),
+       |$stepCtes,
+       |wall AS ($unioned)""".stripMargin
   }
 
   /** The x13 cell-assignment replay as reusable oracle CTEs: yields
@@ -2633,6 +2674,18 @@ object VectorOps {
       (s, dir) => graphSearch(s, dir)
     },
 
+    // ----- x116 deterministic graph random walks (see [[graphWalks]]):
+    // DeepWalk corpus prep over x86's edges — hash-seeded neighbor
+    // choice, so every engine and re-run derives the identical walk
+    // corpus. The oracle replays the ranked edges, degrees, and every
+    // unrolled seeded step.
+    "x116_graph_walks" -> Q(
+      s"""WITH $sqlGraphWalkCtes
+         |SELECT qid, wid, step, node FROM wall
+         |ORDER BY qid, wid, step""".stripMargin) {
+      (s, dir) => graphWalks(s, dir)
+    },
+
     // ----- x91 filtered ANN (see [[annFiltered]]): the
     // metadata-constrained search every production vector store
     // grew — candidates must match the query's label, the filter
@@ -3942,6 +3995,48 @@ object VectorOps {
       .filter($"rn" <= k)
       .select($"qid", $"vid".as("nid"), $"cos", $"rn")
       .orderBy($"qid", $"rn")
+  }
+
+  /** x116 body: deterministic random walks over the x86 k-NN graph —
+    * DeepWalk/node2vec corpus prep (the walk sequences ARE the
+    * training data a skip-gram embedder consumes). "Random" is a
+    * seeded hash, not an RNG: step t of walk (qid, wid) standing at
+    * `node` moves to the neighbor whose edge rank equals
+    * md5(qid:wid:t:node) mod degree + 1 — every engine (and every
+    * re-run) derives the identical corpus, which is what makes a
+    * 100 TB walk job retryable per partition and the oracle able to
+    * replay it. Each step is one keyed join of the (starts × walks)-
+    * sized frontier against the ranked edge relation — walk cost is
+    * O(starts · walks · steps) edge lookups, never corpus-sized; a
+    * node with no out-edges ends its walk (the join drops it). Beams
+    * are local-checkpointed per step for the same plan-doubling
+    * reason as [[graphSearch]]. */
+  private[graft] def graphWalks(s: org.apache.spark.sql.SparkSession,
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps)
+      : org.apache.spark.sql.DataFrame = {
+    val e = normalizedEmbeddings(s, dir)
+    val a = literalCells(e, DefaultCells)
+      .select($"vec_id", $"v", $"cell").cache()
+    val deg0 = knnEdges(a, KnnGraphK).select($"src", $"dst", $"rn")
+    val deg = deg0.groupBy($"src").agg(max($"rn").as("deg"))
+    val ed = deg0.join(deg, "src").cache()
+    val starts = a.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"),
+        explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
+      .select($"qid", $"wid", lit(0L).as("step"), $"qid".as("node"))
+    var cur = starts
+    var out = starts
+    (1 to steps).foreach { t =>
+      cur = cur.join(ed, cur("node") === ed("src"))
+        .filter(pmod(T.md5Long(concat_ws(":",
+          $"qid", $"wid", lit(t.toLong), $"node")), $"deg") + 1
+          === $"rn")
+        .select($"qid", $"wid", lit(t.toLong).as("step"),
+          $"dst".as("node"))
+        .localCheckpoint()
+      out = out.unionByName(cur)
+    }
+    out.orderBy($"qid", $"wid", $"step")
   }
 
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
