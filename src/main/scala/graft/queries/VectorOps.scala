@@ -3954,7 +3954,12 @@ object VectorOps {
     * 0's walk must be allowed to hold it. */
   private[graft] def graphSearch(s: org.apache.spark.sql.SparkSession,
       dir: String, beam: Int = GraphBeam, hops: Int = GraphHops,
-      k: Int = 5): org.apache.spark.sql.DataFrame = {
+      k: Int = 5,
+      // spec hook: each hop's PRE-checkpoint frame (the checkpoint
+      // that keeps plans constant-size also hides them from the final
+      // plan string, so PlanSpec pins the hop shape through this)
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normalizedEmbeddings(s, dir)
     // cached: the assignment feeds the edge build once, then serves
@@ -3969,7 +3974,12 @@ object VectorOps {
       n2.join(broadcast(cand.distinct()), "vid")
         .join(broadcast(q), "qid")
         .select($"qid", $"vid", round(dot($"qv", $"cv"), 4).as("cos"))
+    // the entry beam is checkpointed like every hop: its vid = 0
+    // literal constant-folds the join key away (a legitimate
+    // 1×queries nested-loop micro-join), and without the checkpoint
+    // that degenerate shape would embed into hop 1's plan
     var bm = score(q.select($"qid", lit(0L).as("vid")))
+      .localCheckpoint()
     (1 to hops).foreach { _ =>
       val cand = bm.join(edges, $"vid" === $"src")
         .select($"qid", $"dst".as("vid"))
@@ -3982,12 +3992,13 @@ object VectorOps {
       // checkpoint (severing the lineage, the eagerly() discipline)
       // keeps every hop's serialized plan constant-size no matter the
       // hop count.
-      bm = score(cand)
+      val hop = score(cand)
         .withColumn("brn", row_number().over(Window.partitionBy($"qid")
           .orderBy($"cos".desc, $"vid")))
         .filter($"brn" <= beam)
         .select($"qid", $"vid", $"cos")
-        .localCheckpoint()
+      inspect(hop)
+      bm = hop.localCheckpoint()
     }
     bm.filter($"vid" =!= $"qid")
       .withColumn("rn", row_number().over(Window.partitionBy($"qid")
@@ -4012,7 +4023,9 @@ object VectorOps {
     * are local-checkpointed per step for the same plan-doubling
     * reason as [[graphSearch]]. */
   private[graft] def graphWalks(s: org.apache.spark.sql.SparkSession,
-      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps)
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps,
+      // spec hook: each step's PRE-checkpoint frame (see graphSearch)
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
       : org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
     val a = literalCells(e, DefaultCells)
@@ -4027,13 +4040,14 @@ object VectorOps {
     var cur = starts
     var out = starts
     (1 to steps).foreach { t =>
-      cur = cur.join(ed, cur("node") === ed("src"))
+      val step = cur.join(ed, cur("node") === ed("src"))
         .filter(pmod(T.md5Long(concat_ws(":",
           $"qid", $"wid", lit(t.toLong), $"node")), $"deg") + 1
           === $"rn")
         .select($"qid", $"wid", lit(t.toLong).as("step"),
           $"dst".as("node"))
-        .localCheckpoint()
+      inspect(step)
+      cur = step.localCheckpoint()
       out = out.unionByName(cur)
     }
     out.orderBy($"qid", $"wid", $"step")

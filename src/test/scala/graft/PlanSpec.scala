@@ -629,4 +629,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the band rewrite must NOT have fired (equi-key already present)
     assert(!p.contains("band"), p)
   }
+
+  test("x113 phrase search: every stage a keyed equi-join with the " +
+    "phrase side broadcast — never a nested loop over the corpus") {
+    val p = planOf("x113_phrase_search")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both the conjunctive prune and the positional stage broadcast
+    // the ≤ queries×plen phrase side
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("x114 graph search and x116 walks: frontier-sized broadcasts, " +
+    "no corpus-shaped nested loop anywhere in the hop chain") {
+    // the per-hop local checkpoints (which keep plans constant-size)
+    // hide the hop joins from the final plan string, so the hop frames
+    // are pinned through the bodies' inspect hook pre-checkpoint
+    val hopPlans = scala.collection.mutable.ArrayBuffer.empty[String]
+    def grab(df: org.apache.spark.sql.DataFrame): Unit =
+      hopPlans += df.queryExecution.executedPlan.toString
+    queries.VectorOps.graphSearch(spark, dir, inspect = grab).collect()
+    queries.VectorOps.graphWalks(spark, dir, inspect = grab).collect()
+    assert(hopPlans.size ==
+      queries.VectorOps.GraphHops + queries.VectorOps.WalkSteps)
+    hopPlans.foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // every search hop broadcasts the beam side into the corpus join
+    assert(hopPlans.take(queries.VectorOps.GraphHops)
+      .forall(_.contains("BroadcastHashJoin")),
+      hopPlans.take(queries.VectorOps.GraphHops).mkString("\n---\n"))
+  }
+
+  test("x115 quantile sketch: the value scan partial-aggregates to " +
+    "bin counts map-side before the one exchange") {
+    val p = finalPlanOf("x115_quantile_sketch")
+    assert(!p.contains("CartesianProduct"), p)
+    // partial HashAggregate on qbin below the exchange: the values
+    // themselves never shuffle, only the fixed bin table
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
