@@ -263,7 +263,11 @@ object Bench {
       "x109_tokenizer_fertility", "x110_rerank_cross",
       "x111_hard_negatives",
       // round-9: rides the x6 blocking + a candidate-sliver verify
-      "x112_edit_neardup")
+      "x112_edit_neardup",
+      // round-9 graph/retrieval additions whose cold sweep exceeded
+      // ~1.5 s (multi-round hop bodies pay checkpoint job overhead
+      // cold; the warm number is the honest plan cost)
+      "x113_phrase_search", "x114_graph_search", "x116_graph_walks")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced
