@@ -342,6 +342,29 @@ object SketchOps {
     quantileReport(quantileHist(Tables.spread(s, dir, "documents")
       .select(size(T.wsTokens($"text")).cast("long").as("n"))))
 
+  /** Append one batch's quantile-sketch bins to the store — the
+    * incremental pattern of [[appendHllRegisters]]/[[appendKmvSketch]]
+    * applied to the quantile sketch: per-batch partition,
+    * delete-before-write so replays overwrite themselves. */
+  def appendQuantileHist(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    val h = quantileHist(docs.select(
+      size(T.wsTokens($"text")).cast("long").as("n")))
+    store.delete("quantile_hist", Seq("batch" -> batchId))
+    store.write("quantile_hist",
+      h.select(lit(batchId).as("batch"), $"qbin", $"c"),
+      Seq("batch"))
+  }
+
+  /** The live p50/p90/p99 over every ingested batch: bin counts ADD
+    * across batches (the sketch merge rule), then the ordinary read
+    * verb runs on the merged ≤ 8·48-row table. */
+  def quantileReportStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    quantileReport(store.read("quantile_hist", s)
+      .groupBy($"qbin").agg(sum($"c").cast("long").as("c")))
+
   val qs: Map[String, Q] = Map(
     // ----- x99 cross-source distinct-overlap matrix from KMV sketches:
     // per source keep the K smallest distinct content hashes; per

@@ -499,6 +499,42 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"bucket").agg(max($"r").as("r"))) == merged)
   }
 
+  test("incremental quantile sketch: batch bin counts sum-merge to " +
+    "the one-shot histogram bit for bit, the stored p50/p90/p99 " +
+    "report follows, replay idempotent") {
+    import graft.queries.SketchOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-qhist").toString
+    val store = new ParquetStore(s"$tmp/qh")
+    val docs = graft.Tables(spark, dir, "documents")
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    def binSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qbin", "c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def nOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextExprs.wsTokens($"text"))
+        .cast("long").as("n"))
+    val merged = binSet(store.read("quantile_hist", spark)
+      .groupBy($"qbin").agg(sum($"c").cast("long").as("c")))
+    assert(merged == binSet(SketchOps.quantileHist(nOf(docs))),
+      "merged bins diverged from one-shot")
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(report(SketchOps.quantileReportStored(spark, store)) ==
+      report(SketchOps.quantileReport(
+        SketchOps.quantileHist(nOf(docs)))))
+    // replaying batch 1 overwrites itself: nothing changes
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    assert(binSet(store.read("quantile_hist", spark)
+      .groupBy($"qbin").agg(sum($"c").cast("long").as("c"))) == merged)
+  }
+
   test("incremental dedup clusters: per-batch edges union to the " +
     "one-shot x7 pair set and the stored labels match one-shot " +
     "components; replay is cluster-stable") {
