@@ -545,6 +545,21 @@ object TextOps {
       "left_anti"))
   }
 
+  /** Snapshot (as-of) cut of a version-registry frame: keep versions
+    * ingested at or before `asOfBatch` — the reproducibility verb (a
+    * release manifest or eval run can be re-derived against the exact
+    * index state a past batch saw). Tombstones deliberately still
+    * apply ON TOP of the cut (see [[liveOf]]'s caller): a deleted
+    * document must not resurface through a historical read — deletes
+    * are compliance actions, retroactive by design. Both the registry
+    * AND the postings read must take the same cut: a post-cut posting
+    * row is invisible to the registry, so the stale-key anti-join
+    * alone could never remove it. */
+  private def asOf(reg: org.apache.spark.sql.DataFrame,
+      asOfBatch: Long): org.apache.spark.sql.DataFrame =
+    if (asOfBatch == Long.MaxValue) reg
+    else reg.filter($"batch" <= asOfBatch)
+
   /** Keys of DEAD posting rows — (doc_id, batch) of superseded
     * versions plus every version of a tombstoned doc. This is the
     * frame the search and compaction anti-join against, and the
@@ -585,7 +600,8 @@ object TextOps {
     * reshuffles. */
   def bm25SearchStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, queries: Seq[(Long, Seq[String])],
-      k: Int = 5, excludeSelf: Boolean = true)
+      k: Int = 5, excludeSelf: Boolean = true,
+      asOfBatch: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "stored BM25 search needs queries")
@@ -595,8 +611,9 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
-    val reg = store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val reg = asOf(store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
+      asOfBatch)
     val live = liveOf(reg, s, store)
     // corpus statistics over the LIVE set: exact under updates and
     // deletes, where summed per-batch partials double-count — the
@@ -607,10 +624,10 @@ object TextOps {
     // version resolution as an ANTI-join against the stale sliver:
     // the bucket-pruned postings never reshuffle, and the join side
     // is updates-sized, not corpus-sized (see staleSparseKeys)
-    val post = store.read("sparse_postings", s)
-      .filter($"bucket".isin(qb.map(Long.box): _*))
-      .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
-        $"tf", $"dl")
+    val post = asOf(store.read("sparse_postings", s)
+        .filter($"bucket".isin(qb.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+          $"tf", $"dl"), asOfBatch)
       .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
         "left_anti")
     // all LIVE postings of the queried terms: candidate rows AND the
@@ -863,7 +880,8 @@ object TextOps {
     * bound as the one-shot path's post-prune stage. */
   def phraseSearchStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, phrases: Seq[(Long, Seq[String])],
-      k: Int = 10): org.apache.spark.sql.DataFrame = {
+      k: Int = 10, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
     require(phrases.nonEmpty, "stored phrase search needs phrases")
     val plen = phrases.head._2.length
     require(phrases.forall(_._2.length == plen),
@@ -874,13 +892,14 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct phrase terms| bucket ids
     val qb = qp.select($"bucket").distinct().collect().map(_.getLong(0))
-    val reg = store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    val reg = asOf(store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
+      asOfBatch)
     val live = liveOf(reg, s, store)
-    val post = store.read("sparse_postings", s)
-      .filter($"bucket".isin(qb.map(Long.box): _*))
-      .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
-        $"positions")
+    val post = asOf(store.read("sparse_postings", s)
+        .filter($"bucket".isin(qb.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+          $"positions"), asOfBatch)
       .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
         "left_anti")
       .join(broadcast(qp.select($"term").distinct()), "term")

@@ -843,6 +843,54 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       == afterDel, "compaction changed stored phrase results")
   }
 
+  test("sparse-index as-of reads: a snapshot search reproduces the " +
+    "exact index state a past batch saw, while tombstones stay " +
+    "retroactive") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-asof").toString
+    val store = new ParquetStore(root)
+    val b0 = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "x alpha beta gamma y"),
+      (2L, "alpha beta epsilon alpha beta gamma"),
+      (3L, "unrelated words only here")).toDF("doc_id", "text")
+    TextOps.appendSparseIndex(spark, b0, 0L, store)
+    // batch 1: doc 1 updated (phrase gone), doc 4 born (phrase added)
+    TextOps.appendSparseIndex(spark, Seq(
+      (1L, "x alpha beta zeta y"),
+      (4L, "fresh alpha beta gamma doc")).toDF("doc_id", "text"),
+      1L, store)
+    val ph = Seq(7L -> Seq("alpha", "beta", "gamma"))
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "n_occ", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    // as-of batch 0 == one-shot over batch 0's docs: the update and
+    // the new doc are both invisible to the snapshot
+    assert(prows(TextOps.phraseSearchStored(spark, store, ph,
+        asOfBatch = 0L))
+      == prows(TextOps.phraseSearchOver(spark, b0, ph, 3)))
+    // the live read sees the update AND the new doc
+    assert(prows(TextOps.phraseSearchStored(spark, store, ph))
+      .map(_._2) == Seq(0L, 2L, 4L))
+    // the BM25 path takes the same cut: doc 4's postings and df must
+    // not leak into the snapshot's scores
+    val qs = Seq(9L -> Seq("alpha", "beta", "gamma", "delta"))
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "bm25", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    assert(brows(TextOps.bm25SearchStored(spark, store, qs,
+        asOfBatch = 0L))
+      == brows(TextOps.bm25SearchOver(spark, b0, qs)))
+    // tombstones apply retroactively: a deleted doc never resurfaces
+    // through a historical read
+    TextOps.tombstoneSparseDocs(spark, Seq(2L), store)
+    assert(!prows(TextOps.phraseSearchStored(spark, store, ph,
+      asOfBatch = 0L)).exists(_._2 == 2L),
+      "tombstoned doc resurfaced in an as-of read")
+  }
+
   test("cross-encoder model artifact: store round-trip, keyed load, " +
     "and stored rerank row-identical to the literal-weights body") {
     import graft.queries.TextOps
