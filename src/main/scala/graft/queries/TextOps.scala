@@ -845,6 +845,67 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x117 body: proximity ranking — the relevance signal BETWEEN
+    * bag-of-words BM25 (no order at all) and exact phrase (rigid
+    * order): candidate documents ranked by the length of the SMALLEST
+    * window containing every distinct query term in any order
+    * (Lucene's sloppy-phrase distance, Clarke et al.'s cover
+    * semantics). Queries are the distinct terms of each query doc's
+    * first `plen` tokens, slotted by lexicographic rank (a
+    * deterministic slot id both engines derive identically — never
+    * list_distinct order, which DuckDB does not define).
+    *
+    * The min-window is the classic one-pass sweep, restated
+    * relationally: over each candidate doc's query-term positions in
+    * position order, keep a running max of the LAST position of each
+    * slot; once every slot has been seen, (pos − min(slot maxima) + 1)
+    * is the smallest window ENDING at this position, and the min over
+    * rows is the smallest window overall — O(occurrences) work, never
+    * the positions^nt cross-join of the naive formulation. Scale
+    * shape: conjunctive candidate prune first (only docs with ALL
+    * terms reach the sweep), the sweep's window exchange is keyed on
+    * (qid, doc) over candidate occurrences only. */
+  private[graft] def proximityRank(s: org.apache.spark.sql.SparkSession,
+      dir: String, plen: Int = 3, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokenized(Tables.spread(s, dir, "documents"))
+    val pos = tk.select($"doc_id",
+      posexplode($"tk").as(Seq("pos", "term")))
+    val qp = tk.filter($"doc_id" < 4 && size($"tk") >= plen)
+      .select($"doc_id".as("qid"),
+        explode(array_distinct(slice($"tk", 1, plen))).as("term"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"qid").orderBy($"term")))
+    val need = qp.groupBy($"qid").agg(count(lit(1)).as("nt"))
+    val cand = pos.select($"doc_id", $"term").distinct()
+      .join(broadcast(qp.select($"qid", $"term")), "term")
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(need), "qid")
+      .filter($"hit" === $"nt")
+      .select($"qid", $"doc_id")
+    val sweep = Window.partitionBy($"qid", $"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = pos.join(broadcast(qp), "term")
+      .join(cand, Seq("qid", "doc_id"))
+      .join(broadcast(need), "qid")
+    val withLast = (1 to plen).foldLeft(hits) { (df, i) =>
+      df.withColumn(s"m$i",
+        max(when($"idx" === i, $"pos")).over(sweep))
+    }
+    val lastArr = array((1 to plen).map(i => col(s"m$i")): _*)
+    withLast
+      .withColumn("seen", filter(lastArr, c => c.isNotNull))
+      .filter(size($"seen") === $"nt")
+      .withColumn("span",
+        ($"pos" - array_min($"seen") + 1).cast("long"))
+      .groupBy($"qid", $"doc_id").agg(min($"span").as("win"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"win".asc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** One-shot phrase search over an arbitrary documents frame with an
     * explicit phrase set — the spec's independent twin for
     * [[phraseSearchStored]] (same core, frames built directly from
@@ -2315,6 +2376,57 @@ object TextOps {
          |SELECT qid, doc_id, n_occ, CAST(rn AS BIGINT) AS rn
          |FROM pr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => phraseSearch(s, dir)
+    },
+
+    // ----- x117 proximity ranking (see [[proximityRank]]): smallest
+    // window containing every distinct query term in any order — the
+    // relevance signal between bag-of-words and exact phrase. The
+    // oracle replays the lexicographic slotting, the conjunctive
+    // prune, and the one-pass running-max sweep.
+    "x117_proximity_rank" -> Q(
+      s"""WITH ytk AS (SELECT doc_id,
+         |    ${TS.wsTokens("lower(text)")} AS tk FROM documents),
+         |yps AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(tk) + 1),
+         |    i -> struct_pack(pos := i, term := tk[CAST(i AS INT)])))
+         |    AS u FROM ytk),
+         |ypos AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         |    u.term AS term FROM yps),
+         |yqd AS (SELECT DISTINCT qid, term FROM (
+         |  SELECT doc_id AS qid, unnest(tk[1:3]) AS term FROM ytk
+         |  WHERE doc_id < 4 AND len(tk) >= 3)),
+         |yqp AS (SELECT qid, term, row_number() OVER (
+         |    PARTITION BY qid ORDER BY term) AS idx FROM yqd),
+         |yneed AS (SELECT qid, count(*) AS nt FROM yqp GROUP BY 1),
+         |ycand AS (SELECT q.qid, t.doc_id FROM yqp q
+         |  JOIN (SELECT DISTINCT doc_id, term FROM ypos) t
+         |    USING (term)
+         |  JOIN yneed n USING (qid)
+         |  GROUP BY q.qid, t.doc_id HAVING count(*) = min(n.nt)),
+         |yhit AS (SELECT c.qid, p.doc_id, p.pos, q.idx, n.nt
+         |  FROM ypos p JOIN yqp q USING (term)
+         |  JOIN ycand c ON c.qid = q.qid AND c.doc_id = p.doc_id
+         |  JOIN yneed n ON n.qid = q.qid),
+         |ylast AS (SELECT qid, doc_id, pos, nt,
+         |    max(CASE WHEN idx = 1 THEN pos END) OVER ysw AS m1,
+         |    max(CASE WHEN idx = 2 THEN pos END) OVER ysw AS m2,
+         |    max(CASE WHEN idx = 3 THEN pos END) OVER ysw AS m3
+         |  FROM yhit
+         |  WINDOW ysw AS (PARTITION BY qid, doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |yspan AS (SELECT qid, doc_id,
+         |    CAST(pos - list_min(seen) + 1 AS BIGINT) AS span
+         |  FROM (SELECT qid, doc_id, pos, nt,
+         |      list_filter([m1, m2, m3], x -> x IS NOT NULL) AS seen
+         |    FROM ylast)
+         |  WHERE len(seen) = nt),
+         |ywin AS (SELECT qid, doc_id, min(span) AS win FROM yspan
+         |  GROUP BY 1, 2),
+         |yr AS (SELECT qid, doc_id, win, row_number() OVER (
+         |    PARTITION BY qid ORDER BY win, doc_id) AS rn FROM ywin)
+         |SELECT qid, doc_id, win, CAST(rn AS BIGINT) AS rn
+         |FROM yr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => proximityRank(s, dir)
     },
 
     // ----- x75 WAND-style upper-bound-pruned BM25 (see [[bm25Wand]]):
