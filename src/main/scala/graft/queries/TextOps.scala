@@ -625,7 +625,7 @@ object TextOps {
     // the bucket-pruned postings never reshuffle, and the join side
     // is updates-sized, not corpus-sized (see staleSparseKeys)
     val post = asOf(store.read("sparse_postings", s)
-        .filter($"bucket".isin(qb.map(Long.box): _*))
+        .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))
         .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
           $"tf", $"dl"), asOfBatch)
       .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
@@ -958,7 +958,7 @@ object TextOps {
       asOfBatch)
     val live = liveOf(reg, s, store)
     val post = asOf(store.read("sparse_postings", s)
-        .filter($"bucket".isin(qb.map(Long.box): _*))
+        .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))
         .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
           $"positions"), asOfBatch)
       .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),

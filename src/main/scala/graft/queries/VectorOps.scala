@@ -4081,7 +4081,7 @@ object VectorOps {
       asg.select(lit(batchId).as("batch"), $"cell", $"vec_id", $"v"),
       Seq("batch", "cell"))
     val touched = asg.select($"cell").distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toIndexedSeq
     asg.unpersist()
     if (touched.isEmpty) return
     // partition pruning on cell= keeps untouched cells off disk reads
