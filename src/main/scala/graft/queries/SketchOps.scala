@@ -291,11 +291,17 @@ object SketchOps {
     * integer shift-divide: bin = 8·e + (n·8 div 2^e) − 8. Relative
     * error of the bin lower bound ≤ 1/8; a 48-bit value range needs
     * ≤ 8·48 bins, the fixed memory that makes the sketch a sketch. */
-  private[graft] def quantileBin(
-      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def quantileBin(colName: String)
+      : org.apache.spark.sql.Column = {
+    // takes the column NAME, not a Column: the shift-divide needs the
+    // value twice inside one expr() string, and a Column parameter
+    // would silently bind the expr half to whatever same-named column
+    // is in scope rather than the argument
+    val n = col(colName)
     (length(bin(n)) - 1).cast("long") * 8 +
-      expr("(n * 8) div shiftleft(cast(1 as bigint), " +
-        "cast(length(bin(n)) - 1 as int)) - 8")
+      expr(s"($colName * 8) div shiftleft(cast(1 as bigint), " +
+        s"cast(length(bin($colName)) - 1 as int)) - 8")
+  }
 
   /** Per-bin counts — the sketch itself. Mergeable by addition (the
     * map-side partial aggregation IS the merge), so the exchange
@@ -305,7 +311,7 @@ object SketchOps {
   private[graft] def quantileHist(vals: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     vals.filter($"n" >= 1)
-      .select(quantileBin($"n").as("qbin"))
+      .select(quantileBin("n").as("qbin"))
       .groupBy($"qbin").agg(count(lit(1)).as("c"))
 
   /** The read verb: p50/p90/p99 from a bin histogram. One ordered

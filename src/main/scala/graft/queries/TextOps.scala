@@ -554,11 +554,34 @@ object TextOps {
     * are compliance actions, retroactive by design. Both the registry
     * AND the postings read must take the same cut: a post-cut posting
     * row is invisible to the registry, so the stale-key anti-join
-    * alone could never remove it. */
+    * alone could never remove it. Snapshots reach back only to the
+    * compaction horizon — [[compactSparseIndex]] physically destroys
+    * superseded versions, so reads below it fail loudly
+    * ([[requireAboveHorizon]]) rather than serve compacted state
+    * under an old batch id. */
   private def asOf(reg: org.apache.spark.sql.DataFrame,
       asOfBatch: Long): org.apache.spark.sql.DataFrame =
     if (asOfBatch == Long.MaxValue) reg
     else reg.filter($"batch" <= asOfBatch)
+
+  /** Loud snapshot-horizon guard: [[compactSparseIndex]] physically
+    * destroys superseded versions (and relabels survivors to the
+    * newest folded batch), so a snapshot BELOW the oldest registry
+    * batch cannot be served truthfully — the index no longer holds
+    * that history. Failing beats silently returning the compacted
+    * (newer) state under an old batch id, or an empty result. One
+    * bounded action (a registry min), paid only by explicit as-of
+    * reads. */
+  private def requireAboveHorizon(
+      reg: org.apache.spark.sql.DataFrame, asOfBatch: Long): Unit =
+    if (asOfBatch != Long.MaxValue) {
+      val h = reg.agg(min($"batch".cast("long"))).first()
+      require(h.isNullAt(0) || asOfBatch >= h.getLong(0),
+        s"as-of batch $asOfBatch is below the snapshot horizon " +
+          s"${h.getLong(0)}: versions before it were physically " +
+          "folded by compaction (or never ingested) and cannot be " +
+          "served")
+    }
 
   /** Keys of DEAD posting rows — (doc_id, batch) of superseded
     * versions plus every version of a tombstoned doc. This is the
@@ -611,9 +634,10 @@ object TextOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
-    val reg = asOf(store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
-      asOfBatch)
+    val reg0 = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    requireAboveHorizon(reg0, asOfBatch)
+    val reg = asOf(reg0, asOfBatch)
     val live = liveOf(reg, s, store)
     // corpus statistics over the LIVE set: exact under updates and
     // deletes, where summed per-batch partials double-count — the
@@ -695,16 +719,30 @@ object TextOps {
     * index's offline maintenance job, not under a concurrent
     * writer. */
   def compactSparseIndex(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store, intoBatch: Long = 0L): Unit = {
+      store: graft.store.Store, intoBatch: Long = -1L): Unit = {
     val reg = store.read("sparse_docs", s)
     // bounded collects: one row per ingested batch; tombstone presence
     val batches = reg.select($"batch".cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // Compaction physically destroys superseded versions, so it IS
+    // the as-of snapshot horizon: surviving rows must be relabeled to
+    // a batch AT OR ABOVE everything folded (default: the newest
+    // folded batch — "the live state as of the newest batch", which
+    // stays a TRUE statement). Folding DOWNWARD would present
+    // post-update state under a pre-update batch id and silently
+    // corrupt every later snapshot cut; the searches' horizon guard
+    // could no longer detect it.
+    val into =
+      if (intoBatch >= 0L) intoBatch else batches.lastOption.getOrElse(0L)
+    require(batches.isEmpty || into >= batches.last,
+      s"intoBatch $into is below the newest folded batch " +
+        s"${batches.last}: relabeling versions backwards would " +
+        "corrupt as-of snapshot reads")
     val hasTomb =
       try store.read("sparse_tombstones", s).limit(1).count() > 0
       catch { case scala.util.control.NonFatal(_) => false }
     if (batches.length <= 1 &&
-      batches.headOption.forall(_ == intoBatch) && !hasTomb)
+      batches.headOption.forall(_ == into) && !hasTomb)
       return // already compact
     val regT = reg
       .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
@@ -726,11 +764,11 @@ object TextOps {
           $"tf", $"dl", $"positions")
         .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
           "left_anti")
-        .select(lit(intoBatch).as("batch"), $"bucket", $"term",
+        .select(lit(into).as("batch"), $"bucket", $"term",
           $"doc_id", $"tf", $"dl", $"positions"),
       Seq("batch", "bucket"))
     store.write("sparse_docs_stage",
-      live.select(lit(intoBatch).as("batch"),
+      live.select(lit(into).as("batch"),
         pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
         $"doc_id", $"dl"),
       Seq("batch", "dbucket"))
@@ -911,19 +949,28 @@ object TextOps {
     * [[phraseSearchStored]] (same core, frames built directly from
     * the given docs). Every phrase must have the same length `plen`
     * (the anchor-completeness test is per-slot-count). */
+  /** The (qid, idx, term) slot frame of an ordered phrase set — ONE
+    * construction (and one length validation) shared by the stored
+    * and one-shot phrase paths so slot semantics cannot drift. */
+  private def phraseFrame(s: org.apache.spark.sql.SparkSession,
+      phrases: Seq[(Long, Seq[String])], plen: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "phrase search needs phrases")
+    require(phrases.forall(_._2.length == plen),
+      s"every phrase must have length $plen")
+    s.createDataFrame(phrases.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (q, i, t) }
+    }).toDF("qid", "idx", "term")
+  }
+
   private[graft] def phraseSearchOver(
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
       phrases: Seq[(Long, Seq[String])], plen: Int, k: Int = 10)
       : org.apache.spark.sql.DataFrame = {
-    require(phrases.forall(_._2.length == plen),
-      s"every phrase must have length $plen")
     val pos = tokenized(docs).select($"doc_id",
       posexplode($"tk").as(Seq("pos", "term")))
-    val qp = s.createDataFrame(phrases.flatMap { case (q, ts) =>
-        ts.zipWithIndex.map { case (t, i) => (q, i, t) }
-      }).toDF("qid", "idx", "term")
-    phraseOccurrences(pos, qp, plen, k)
+    phraseOccurrences(pos, phraseFrame(s, phrases, plen), plen, k)
   }
 
   /** Exact phrase search over the PERSISTED sparse index: the
@@ -945,17 +992,14 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(phrases.nonEmpty, "stored phrase search needs phrases")
     val plen = phrases.head._2.length
-    require(phrases.forall(_._2.length == plen),
-      s"every phrase must have length $plen")
-    val qp = s.createDataFrame(phrases.flatMap { case (q, ts) =>
-        ts.zipWithIndex.map { case (t, i) => (q, i, t) }
-      }).toDF("qid", "idx", "term")
+    val qp = phraseFrame(s, phrases, plen)
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
     // bounded collect: ≤ |distinct phrase terms| bucket ids
     val qb = qp.select($"bucket").distinct().collect().map(_.getLong(0))
-    val reg = asOf(store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
-      asOfBatch)
+    val reg0 = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    requireAboveHorizon(reg0, asOfBatch)
+    val reg = asOf(reg0, asOfBatch)
     val live = liveOf(reg, s, store)
     val post = asOf(store.read("sparse_postings", s)
         .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))

@@ -201,22 +201,35 @@ object EventStream {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, 0, 0, Array.empty))
-          val (ripe, hold) =
-            ripeSplit(s.pending, rows, state.getCurrentWatermarkMs())
-          ripe.foreach { p =>
-            p.tpe match {
-              case "view" if s.t1 == 0 => s = s.copy(t1 = p.ts)
-              case "click" if s.t1 != 0 && s.t2 == 0 && p.ts > s.t1 =>
-                s = s.copy(t2 = p.ts)
-              case "purchase" if s.t2 != 0 && s.t3 == 0 && p.ts > s.t2 =>
-                s = s.copy(t3 = p.ts)
-              case _ => ()
+          if (s.t3 != 0) {
+            // funnel complete — the terminal state at production rates:
+            // no event can advance any stage again, so drain arrivals
+            // unbuffered and pin the state at three longs instead of
+            // re-sorting a watermark horizon of pending events forever
+            rows.foreach(_ => ())
+            if (s.pending.nonEmpty)
+              state.update(s.copy(pending = Array.empty))
+            FunnelStage(userId, 3)
+          } else {
+            val (ripe, hold) =
+              ripeSplit(s.pending, rows, state.getCurrentWatermarkMs())
+            ripe.foreach { p =>
+              p.tpe match {
+                case "view" if s.t1 == 0 => s = s.copy(t1 = p.ts)
+                case "click" if s.t1 != 0 && s.t2 == 0 && p.ts > s.t1 =>
+                  s = s.copy(t2 = p.ts)
+                case "purchase" if s.t2 != 0 && s.t3 == 0 && p.ts > s.t2 =>
+                  s = s.copy(t3 = p.ts)
+                case _ => ()
+              }
             }
+            // a hold is only useful while the funnel can still move
+            val keep = if (s.t3 != 0) Array.empty[Pending] else hold
+            state.update(s.copy(pending = keep))
+            armFor(state, keep)
+            FunnelStage(userId, (if (s.t1 != 0) 1 else 0)
+              + (if (s.t2 != 0) 1 else 0) + (if (s.t3 != 0) 1 else 0))
           }
-          state.update(s.copy(pending = hold))
-          armFor(state, hold)
-          FunnelStage(userId, (if (s.t1 != 0) 1 else 0)
-            + (if (s.t2 != 0) 1 else 0) + (if (s.t3 != 0) 1 else 0))
       }
 
   // NOT private: Spark's generated (de)serializers must reach the ctor.
