@@ -889,6 +889,22 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(!prows(TextOps.phraseSearchStored(spark, store, ph,
       asOfBatch = 0L)).exists(_._2 == 2L),
       "tombstoned doc resurfaced in an as-of read")
+    // compaction ADVANCES the snapshot horizon: history below it is
+    // physically gone, so an as-of below the horizon fails loudly
+    // (never serves the compacted state under an old batch id), the
+    // horizon itself still serves, and folding DOWNWARD is refused
+    intercept[IllegalArgumentException] {
+      TextOps.compactSparseIndex(spark, store, intoBatch = 0L)
+    }
+    val liveNow = prows(TextOps.phraseSearchStored(spark, store, ph))
+    TextOps.compactSparseIndex(spark, store)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.phraseSearchStored(spark, store, ph, asOfBatch = 0L)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    assert(prows(TextOps.phraseSearchStored(spark, store, ph,
+      asOfBatch = 1L)) == liveNow,
+      "the horizon snapshot diverged from the live state it labels")
   }
 
   test("cross-encoder model artifact: store round-trip, keyed load, " +
@@ -1003,10 +1019,12 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     TextOps.compactSparseIndex(spark, store)
     assert(rows(TextOps.bm25SearchStored(spark, store, qs)) == afterRes,
       "compaction changed search results")
+    // survivors relabel to the NEWEST folded batch (the snapshot
+    // horizon) — "live state as of batch 2" stays a true statement
     val batches = store.read("sparse_docs", spark)
       .select($"batch".cast("long")).distinct().collect()
       .map(_.getLong(0)).toSeq
-    assert(batches == Seq(0L), batches.mkString(","))
+    assert(batches == Seq(2L), batches.mkString(","))
     assert(store.read("sparse_docs", spark)
       .groupBy($"doc_id").count()
       .agg(max($"count")).first().getLong(0) == 1L,
