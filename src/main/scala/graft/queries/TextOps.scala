@@ -818,6 +818,68 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x118 body: late-interaction (ColBERT MaxSim) reranking — the
+    * fourth retrieval-stage family member beside bag-of-words scoring
+    * (x47/x75), positional matching (x113/x117), and cross-encoder
+    * reranking (x110). ColBERT (Khattab & Zaharia 2020) scores a
+    * candidate as Σ over query tokens of the MAX similarity against
+    * any document token — soft per-token semantic matching, far
+    * cheaper than a cross-encoder (no joint pair encoding), and
+    * production stacks deploy it exactly here: rerank a cheap
+    * shortlist. One exact identity makes it relational: similarity
+    * depends only on the TERM STRING, so the max over a document's
+    * token OCCURRENCES equals the max over its DISTINCT terms — the
+    * scorer runs on the (doc, term) relation, never the token stream.
+    *
+    * Token embeddings are a deterministic stand-in (`dims` md5-derived
+    * integer components in [-1000, 1000]; a trained token embedder
+    * swaps in through the same (term → vector) relation), so every
+    * engine derives identical vectors and the oracle replays
+    * embedding, dot, max, and sum — exact integers end to end.
+    *
+    * Scale shape: the corpus-sized work is x47's already-audited
+    * retrieval; everything downstream is SHORTLIST-bounded
+    * (queries × shortK docs). The embedding relation covers only the
+    * shortlist docs' distinct terms plus the query terms, the
+    * query-side of the pair join is broadcast, and the MaxSim rollup
+    * exchanges pair-sized (qid, doc, qterm) rows only. */
+  private[graft] def lateInteractionRerank(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, shortK: Int = 20, dims: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, _, _, _) = bm25Parts(s, dir)
+    val shortlist = bm25TopK(s, dir, shortK).select($"qid", $"doc_id")
+    val qterms = tf.filter($"doc_id" < 4)
+      .select($"doc_id".as("qid"), $"term")
+    val docsNeeded = shortlist.select($"doc_id").distinct()
+    val dterms = tf.join(broadcast(docsNeeded), Seq("doc_id"))
+      .select($"doc_id", $"term")
+    def embOf(term: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dims - 1)),
+        j => T.md5Long(concat(term, lit(":"), j.cast("string")))
+          % 2001 - 1000)
+    val emb = dterms.select($"term").union(qterms.select($"term"))
+      .distinct()
+      .select($"term", embOf($"term").as("e"))
+    val qe = qterms.join(emb, "term")
+      .select($"qid", $"term".as("qterm"), $"e".as("qe"))
+    val de = dterms.join(emb, "term")
+      .select($"doc_id", $"e".as("de"))
+    val pairs = shortlist
+      .join(broadcast(qe), "qid")
+      .join(de, "doc_id")
+    val dp = aggregate(zip_with($"qe", $"de", (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    pairs.select($"qid", $"doc_id", $"qterm", dp.as("dp"))
+      .groupBy($"qid", $"doc_id", $"qterm").agg(max($"dp").as("ms"))
+      .groupBy($"qid", $"doc_id").agg(sum($"ms").as("li"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"li".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** x113 body: exact positional phrase search — Lucene PhraseQuery
     * (slop 0) semantics, the retrieval verb the BM25 stack (x47 bag-
     * of-words, x75 WAND, x61 PRF, x110 rerank) cannot express because
@@ -2471,6 +2533,43 @@ object TextOps {
          |SELECT qid, doc_id, win, CAST(rn AS BIGINT) AS rn
          |FROM yr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => proximityRank(s, dir)
+    },
+
+    // ----- x118 late-interaction (ColBERT MaxSim) reranking (see
+    // [[lateInteractionRerank]]): the BM25 top-20 shortlist rescored
+    // as Σ_{q term} max_{doc term} dot(E(q), E(d)) over deterministic
+    // md5-derived integer token embeddings. Exact integer arithmetic
+    // end to end — the oracle replays embedding, dot, max, and sum.
+    "x118_late_interaction" -> Q(
+      s"""WITH ${sqlBm25Ctes},
+         |zsl AS (SELECT qid, doc_id FROM bmr WHERE rn <= 20),
+         |zdocs AS (SELECT DISTINCT doc_id FROM zsl),
+         |zterm AS (SELECT DISTINCT term FROM (
+         |  SELECT tf.term FROM tf JOIN zdocs USING (doc_id)
+         |  UNION ALL SELECT term FROM qt)),
+         |zemb AS (SELECT term, list_transform(range(0, 8), zj_ ->
+         |    (${TS.md5Long("term || ':' || CAST(zj_ AS VARCHAR)")}
+         |      % 2001) - 1000) AS e FROM zterm),
+         |zqe AS (SELECT qid, qt.term AS qterm, e AS qe
+         |  FROM qt JOIN zemb ON zemb.term = qt.term),
+         |zde AS (SELECT tf.doc_id, e AS de
+         |  FROM tf JOIN zdocs USING (doc_id)
+         |  JOIN zemb ON zemb.term = tf.term),
+         |zdp AS (SELECT zl.qid, zl.doc_id, zq.qterm,
+         |    CAST(list_sum(list_transform(range(1, 9), zk_ ->
+         |      zq.qe[CAST(zk_ AS INT)] * zd.de[CAST(zk_ AS INT)]))
+         |      AS BIGINT) AS dp
+         |  FROM zsl zl JOIN zqe zq ON zq.qid = zl.qid
+         |  JOIN zde zd ON zd.doc_id = zl.doc_id),
+         |zms AS (SELECT qid, doc_id, qterm, max(dp) AS ms
+         |  FROM zdp GROUP BY 1, 2, 3),
+         |zsc AS (SELECT qid, doc_id, CAST(sum(ms) AS BIGINT) AS li
+         |  FROM zms GROUP BY 1, 2),
+         |zr AS (SELECT qid, doc_id, li, row_number() OVER (
+         |    PARTITION BY qid ORDER BY li DESC, doc_id) AS rn FROM zsc)
+         |SELECT qid, doc_id, li, CAST(rn AS BIGINT) AS rn
+         |FROM zr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => lateInteractionRerank(s, dir)
     },
 
     // ----- x75 WAND-style upper-bound-pruned BM25 (see [[bm25Wand]]):

@@ -640,6 +640,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
   }
 
+  test("x118 late interaction: the MaxSim stage is shortlist-bounded " +
+    "keyed equi-joins with the query side broadcast — no nested loop " +
+    "beyond the BM25 chain's sanctioned 1-row totals cross") {
+    val p = finalPlanOf("x118_late_interaction")
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight, Cross"), l))
+    // the shortlist-doc prune and the (qid, qterm) pair join both
+    // broadcast their bounded side into the corpus-derived relation
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
   test("x114 graph search and x116 walks: frontier-sized broadcasts, " +
     "no corpus-shaped nested loop anywhere in the hop chain") {
     // the per-hop local checkpoints (which keep plans constant-size)
