@@ -268,7 +268,9 @@ object Bench {
       // ~1.5 s (multi-round hop bodies pay checkpoint job overhead
       // cold; the warm number is the honest plan cost)
       "x113_phrase_search", "x114_graph_search", "x116_graph_walks",
-      "x117_proximity_rank")
+      "x117_proximity_rank",
+      // rides the full BM25 chain like x110, plus the embedding joins
+      "x118_late_interaction")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced

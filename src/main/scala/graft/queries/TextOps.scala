@@ -848,10 +848,27 @@ object TextOps {
       k: Int = 5, shortK: Int = 20, dims: Int = 8)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (tf, _, _, _) = bm25Parts(s, dir)
-    val shortlist = bm25TopK(s, dir, shortK).select($"qid", $"doc_id")
+    val (tf, df, dl, st) = bm25Parts(s, dir)
+    // NOT cached: materializing the corpus-wide (doc, term, tf) rollup
+    // costs more than the one recompute it saves, and the in-memory
+    // relation blocks the parquet doc_id<4 pushdown the query-term
+    // scan relies on (measured: cache 12.8 s vs lazy 2.8 s warm at
+    // sf0.1). The two corpus passes left (shortlist scoring, shortlist
+    // -doc terms) each prune columns at the scan.
     val qterms = tf.filter($"doc_id" < 4)
       .select($"doc_id".as("qid"), $"term")
+    // x47's scoring inline over the SAME frames (identical arithmetic
+    // and rank order to bm25TopK, which the oracle's bmr CTE mirrors)
+    val shortlist = withCi(tf.join(qterms, "term")
+        .filter($"doc_id" =!= $"qid")
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st)))
+      .groupBy($"qid", $"doc_id").agg(sum($"ci").as("bm25"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")))
+      .filter($"rn" <= shortK)
+      .select($"qid", $"doc_id")
     val docsNeeded = shortlist.select($"doc_id").distinct()
     val dterms = tf.join(broadcast(docsNeeded), Seq("doc_id"))
       .select($"doc_id", $"term")
