@@ -800,6 +800,24 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x118's inlined shortlist scoring cannot drift from bm25TopK: " +
+    "every reranked doc sits in the BM25 top-20, and MaxSim reorders " +
+    "rather than rescopes") {
+    import spark.implicits._
+    // the body inlines x47's scoring over shared tf frames (one
+    // corpus pass); if that copy ever diverges from bm25TopK's
+    // arithmetic or rank order, docs outside the true top-20 leak in
+    val top20 = TextOps.bm25TopK(spark, dir, k = 20)
+      .select($"qid", $"doc_id").as[(Long, Long)].collect().toSet
+    val li = TextOps.lateInteractionRerank(spark, dir)
+      .select($"qid", $"doc_id").as[(Long, Long)].collect()
+    assert(li.nonEmpty)
+    val leaked = li.filterNot(top20.contains)
+    assert(leaked.isEmpty,
+      s"reranked docs outside the BM25 top-20 shortlist: " +
+        leaked.take(5).mkString(", "))
+  }
+
   test("eager iterative bodies (graph contraction, incremental graph " +
     "append) leave no pinned cache blocks behind") {
     import spark.implicits._
