@@ -818,6 +818,44 @@ object TextOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** x119 body: query-likelihood retrieval with Dirichlet smoothing —
+    * the main published alternative to BM25's tf-saturation model
+    * (Zhai & Lafferty 2001; Lucene ships it as LMDirichletSimilarity,
+    * whose matched-term decomposition this follows so the scorer stays
+    * inverted-index shaped): a matched (query term, doc) posting
+    * contributes ln(1 + tf / (μ·P(t|C))) + ln(μ / (dl + μ)) with the
+    * collection model P(t|C) = ctf / |C|. Only MATCHING postings
+    * score — exactly the candidate generation x47 uses — so the plan
+    * is the same audited shape: posting equi-joins, a 1-row collection
+    * -totals broadcast cross, one (qid, doc) rollup. Contributions are
+    * micro-integerized BEFORE the sum (x47's discipline) so the score
+    * aggregation is order-independent exact integers in both engines.
+    * μ = 2000, Lucene's default. */
+  private[graft] def lmDirichletTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, _, dl, _) = bm25Parts(s, dir)
+    val ctf = tf.groupBy($"term").agg(sum($"tf").as("ctf"))
+    val cl = dl.agg(sum($"dl").cast("double").as("c_len"))
+    val qt = tf.filter($"doc_id" < 4)
+      .select($"doc_id".as("qid"), $"term")
+    val cand = tf.join(qt, "term").filter($"doc_id" =!= $"qid")
+      .join(ctf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(cl))
+    val ci = floor((log(lit(1.0)
+        + $"tf" / (lit(2000.0) * ($"ctf" / $"c_len")))
+        + log(lit(2000.0) / ($"dl" + lit(2000.0))))
+        * 1000000.0 + 0.5).cast("long")
+    cand.withColumn("ci", ci)
+      .groupBy($"qid", $"doc_id").agg(sum($"ci").as("ql"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"ql".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
   /** x118 body: late-interaction (ColBERT MaxSim) reranking — the
     * fourth retrieval-stage family member beside bag-of-words scoring
     * (x47/x75), positional matching (x113/x117), and cross-encoder
@@ -2587,6 +2625,38 @@ object TextOps {
          |SELECT qid, doc_id, li, CAST(rn AS BIGINT) AS rn
          |FROM zr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
       (s, dir) => lateInteractionRerank(s, dir)
+    },
+
+    // ----- x119 query-likelihood (Dirichlet-smoothed LM) retrieval
+    // (see [[lmDirichletTopK]]): Lucene's LMDirichlet decomposition —
+    // matched postings contribute ln(1 + tf/(μ·ctf/|C|)) +
+    // ln(μ/(dl+μ)), micro-integerized before the order-independent
+    // sum. Same candidate generation and plan shape as x47.
+    "x119_lm_dirichlet" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |dlr AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf
+         |  GROUP BY 1),
+         |cl AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_len FROM dlr),
+         |qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 4),
+         |co AS (SELECT qt.qid, tf.doc_id,
+         |    CAST(floor((ln(1.0 + (tf / (2000.0 * (ctf / c_len))))
+         |      + ln(2000.0 / (dl + 2000.0))) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS ci
+         |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
+         |  JOIN ctf ON ctf.term = tf.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id
+         |  CROSS JOIN cl),
+         |qsc AS (SELECT qid, doc_id, CAST(sum(ci) AS BIGINT) AS ql
+         |  FROM co GROUP BY 1, 2),
+         |qr AS (SELECT qid, doc_id, ql, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ql DESC, doc_id) AS rn FROM qsc)
+         |SELECT qid, doc_id, ql, CAST(rn AS BIGINT) AS rn
+         |FROM qr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+      (s, dir) => lmDirichletTopK(s, dir)
     },
 
     // ----- x75 WAND-style upper-bound-pruned BM25 (see [[bm25Wand]]):
