@@ -2686,6 +2686,22 @@ object VectorOps {
       (s, dir) => graphWalks(s, dir)
     },
 
+    // ----- x120 skip-gram training pairs from the walks (see
+    // [[skipGramPairs]]): the windowed (center, context) relation a
+    // DeepWalk/node2vec embedder actually trains on — x116 produces
+    // the walk corpus, this is the window pass over it. The self-join
+    // is keyed (qid, wid): each walk pairs only against itself, so
+    // the work is O(walks × steps × window), never corpus-shaped.
+    "x120_skipgram_pairs" -> Q(
+      s"""WITH $sqlGraphWalkCtes,
+         |wp AS (SELECT a.node AS center, b.node AS context
+         |  FROM wall a JOIN wall b ON a.qid = b.qid AND a.wid = b.wid
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+         |FROM wp GROUP BY 1, 2 ORDER BY center, context""".stripMargin) {
+      (s, dir) => skipGramPairs(s, dir)
+    },
+
     // ----- x91 filtered ANN (see [[annFiltered]]): the
     // metadata-constrained search every production vector store
     // grew — candidates must match the query's label, the filter
@@ -4051,6 +4067,28 @@ object VectorOps {
       out = out.unionByName(cur)
     }
     out.orderBy($"qid", $"wid", $"step")
+  }
+
+  /** x120 body: skip-gram (center, context) training pairs from the
+    * x116 walk corpus — the window pass (word2vec's ±`window`
+    * semantics applied to node sequences) that turns walks into the
+    * relation a DeepWalk/node2vec embedder consumes (Perozzi et al.
+    * 2014 train word2vec directly on such pairs). The self-join is
+    * keyed on the walk identity (qid, wid), so each walk pairs only
+    * against its own ≤ steps+1 rows: O(walks × steps × window) pair
+    * rows and ONE exchange for the (center, context) rollup — never
+    * corpus-shaped, regardless of graph size. */
+  private[graft] def skipGramPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, window: Int = 2): org.apache.spark.sql.DataFrame = {
+    val w = graphWalks(s, dir)
+    val a = w.select($"qid", $"wid", $"step".as("sa"),
+      $"node".as("center"))
+    val b = w.select($"qid", $"wid", $"step".as("sb"),
+      $"node".as("context"))
+    a.join(b, Seq("qid", "wid"))
+      .filter($"sa" =!= $"sb" && abs($"sa" - $"sb") <= window)
+      .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
+      .orderBy($"center", $"context")
   }
 
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
