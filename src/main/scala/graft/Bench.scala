@@ -274,7 +274,9 @@ object Bench {
       // same posting plumbing as x47, Dirichlet-smoothed scoring
       "x119_lm_dirichlet",
       // re-derives the x116 walk chain before its window self-join
-      "x120_skipgram_pairs")
+      "x120_skipgram_pairs",
+      // second-order walk steps pay the same per-step checkpoint tax
+      "x121_node2vec_walks")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced

@@ -1347,6 +1347,47 @@ object VectorOps {
        |wall AS ($unioned)""".stripMargin
   }
 
+  /** The node2vec oracle on top of [[sqlGraphWalkCtes]]' base
+    * relations (cells/wed/wdg/wej/w0): step 1 replays x116's uniform
+    * rule (same seed — the families share their first hop), steps ≥ 2
+    * replay the return/common/far weighting, the per-walk cumulative
+    * window, and the seeded draw into a cumulative range. Ends in
+    * `v2all(qid, wid, step, node)`. */
+  private def sqlNode2vecCtes: String = {
+    val seed1 = TS.md5Long("concat_ws(':', c.qid, c.wid, 1, c.node)")
+    val seedT = (t: Int) =>
+      TS.md5Long(s"concat_ws(':', qid, wid, $t, prev, node)")
+    val stepCtes = (2 to WalkSteps).map { t =>
+      s"""v2c$t AS (SELECT c.qid, c.wid, c.node, c.prev, e.dst, e.rn,
+         |    CASE WHEN e.dst = c.prev THEN 4
+         |      WHEN x.src IS NOT NULL THEN 2 ELSE 1 END AS wgt
+         |  FROM v2w${t - 1} c JOIN wej e ON e.src = c.node
+         |  LEFT JOIN wed x ON x.src = c.prev AND x.dst = e.dst),
+         |v2s$t AS (SELECT qid, wid, node, prev, dst, wgt,
+         |    sum(wgt) OVER (PARTITION BY qid, wid ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum,
+         |    sum(wgt) OVER (PARTITION BY qid, wid) AS tot
+         |  FROM v2c$t),
+         |v2w$t AS (SELECT qid, wid, CAST($t AS BIGINT) AS step,
+         |    dst AS node, node AS prev
+         |  FROM v2s$t
+         |  WHERE ${seedT(t)} % tot >= cum - wgt
+         |    AND ${seedT(t)} % tot < cum)""".stripMargin
+    }.mkString(",\n")
+    val unioned = ("SELECT qid, wid, step, node FROM w0" +:
+      (1 to WalkSteps)
+        .map(t => s"SELECT qid, wid, step, node FROM v2w$t"))
+      .mkString("\n  UNION ALL ")
+    s"""$sqlGraphWalkCtes,
+       |v2w1 AS (SELECT c.qid, c.wid, CAST(1 AS BIGINT) AS step,
+       |    e.dst AS node, c.node AS prev
+       |  FROM w0 c JOIN wej e ON e.src = c.node
+       |  WHERE $seed1 % e.deg + 1 = e.rn),
+       |$stepCtes,
+       |v2all AS ($unioned)""".stripMargin
+  }
+
   /** The x13 cell-assignment replay as reusable oracle CTEs: yields
     * `cells(vec_id, v, cell)` — normalized corpus + max-cosine cell
     * under the first-[[DefaultCells]] quantizer, round-4/cid tiebreak
@@ -2684,6 +2725,18 @@ object VectorOps {
          |SELECT qid, wid, step, node FROM wall
          |ORDER BY qid, wid, step""".stripMargin) {
       (s, dir) => graphWalks(s, dir)
+    },
+
+    // ----- x121 node2vec-biased walks (see [[node2vecWalks]]): the
+    // p/q second-order bias over the same edges — return weight 4,
+    // common-neighbor 2, far 1, drawn by seeded hash into the
+    // cumulative-weight range. The oracle replays the weighting, the
+    // per-walk window, and every drawn step.
+    "x121_node2vec_walks" -> Q(
+      s"""WITH $sqlNode2vecCtes
+         |SELECT qid, wid, step, node FROM v2all
+         |ORDER BY qid, wid, step""".stripMargin) {
+      (s, dir) => node2vecWalks(s, dir)
     },
 
     // ----- x120 skip-gram training pairs from the walks (see
@@ -4065,6 +4118,75 @@ object VectorOps {
       inspect(step)
       cur = step.localCheckpoint()
       out = out.unionByName(cur)
+    }
+    out.orderBy($"qid", $"wid", $"step")
+  }
+
+  /** x121 body: node2vec-biased (second-order) walks — Grover &
+    * Leskovec 2016's p/q interpolation between BFS and DFS over the
+    * same x86 edges the uniform walks (x116) use. At step t ≥ 2 the
+    * transition out of `node` weights each ranked neighbor by the
+    * return/common/far trichotomy against the PREVIOUS node: 4 if the
+    * candidate IS prev (1/p, p = 0.5 — return bias), 2 if it is also
+    * a neighbor of prev (distance 1), 1 otherwise (1/q, q = 2 —
+    * exploration damped) — integerized so the cumulative-weight draw
+    * is exact in both engines. The draw extends x116's seeded-hash
+    * discipline with the prev state: md5(qid:wid:t:prev:node) mod Σw
+    * lands in exactly one neighbor's cumulative range — deterministic,
+    * retryable per partition, oracle-replayable. Step 1 has no prev
+    * and keeps x116's uniform rule (and its exact seed, so both walk
+    * families share their first hop by construction).
+    *
+    * Scale shape: each step is frontier-sized — one keyed join against
+    * the ranked edges, one membership LEFT join against the edge set
+    * keyed (prev, dst), one walk-partitioned window over ≤ deg rows —
+    * never corpus-shaped; frontiers local-checkpoint per step for the
+    * x114 plan-doubling reason. */
+  private[graft] def node2vecWalks(s: org.apache.spark.sql.SparkSession,
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps,
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normalizedEmbeddings(s, dir)
+    val a = literalCells(e, DefaultCells)
+      .select($"vec_id", $"v", $"cell").cache()
+    val deg0 = knnEdges(a, KnnGraphK).select($"src", $"dst", $"rn")
+    val deg = deg0.groupBy($"src").agg(max($"rn").as("deg"))
+    val ed = deg0.join(deg, "src").cache()
+    val adj = deg0.select($"src".as("psrc"), $"dst".as("pdst"))
+    val starts = a.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"),
+        explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
+      .select($"qid", $"wid", lit(0L).as("step"), $"qid".as("node"))
+    val s1 = starts.join(ed, starts("node") === ed("src"))
+      .filter(pmod(T.md5Long(concat_ws(":",
+        $"qid", $"wid", lit(1L), $"node")), $"deg") + 1 === $"rn")
+      .select($"qid", $"wid", lit(1L).as("step"),
+        $"dst".as("node"), starts("node").as("prev"))
+    inspect(s1)
+    var cur = s1.localCheckpoint()
+    var out = starts.unionByName(cur.drop("prev"))
+    (2 to steps).foreach { t =>
+      val cand = cur.join(ed, cur("node") === ed("src"))
+        .join(adj, $"psrc" === cur("prev") && $"pdst" === $"dst",
+          "left")
+        .withColumn("wgt",
+          when($"dst" === $"prev", lit(4L))
+            .when($"psrc".isNotNull, lit(2L))
+            .otherwise(lit(1L)))
+      val w = Window.partitionBy($"qid", $"wid")
+      val drawn = cand
+        .withColumn("cum", sum($"wgt").over(w.orderBy($"rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"wgt").over(w))
+        .withColumn("r", pmod(T.md5Long(concat_ws(":",
+          $"qid", $"wid", lit(t.toLong), $"prev", $"node")), $"tot"))
+        .filter($"r" >= $"cum" - $"wgt" && $"r" < $"cum")
+        .select($"qid", $"wid", lit(t.toLong).as("step"),
+          $"dst".as("node"), $"node".as("prev"))
+      inspect(drawn)
+      cur = drawn.localCheckpoint()
+      out = out.unionByName(cur.drop("prev"))
     }
     out.orderBy($"qid", $"wid", $"step")
   }

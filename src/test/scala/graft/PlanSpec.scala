@@ -662,8 +662,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       hopPlans += df.queryExecution.executedPlan.toString
     queries.VectorOps.graphSearch(spark, dir, inspect = grab).collect()
     queries.VectorOps.graphWalks(spark, dir, inspect = grab).collect()
+    // x121's biased steps ride the same per-step discipline — the
+    // membership LEFT join must stay keyed, never a nested loop
+    queries.VectorOps.node2vecWalks(spark, dir, inspect = grab)
+      .collect()
     assert(hopPlans.size ==
-      queries.VectorOps.GraphHops + queries.VectorOps.WalkSteps)
+      queries.VectorOps.GraphHops + 2 * queries.VectorOps.WalkSteps)
     hopPlans.foreach { p =>
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), p)
