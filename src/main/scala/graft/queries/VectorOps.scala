@@ -4201,8 +4201,15 @@ object VectorOps {
     * rows and ONE exchange for the (center, context) rollup — never
     * corpus-shaped, regardless of graph size. */
   private[graft] def skipGramPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String, window: Int = 2): org.apache.spark.sql.DataFrame = {
-    val w = graphWalks(s, dir)
+      dir: String, window: Int = 2): org.apache.spark.sql.DataFrame =
+    skipGramPairsOver(graphWalks(s, dir), window)
+
+  /** The window pass over ANY (qid, wid, step, node) walk corpus —
+    * x120 binds it to the uniform walks; the node2vec corpus (x121)
+    * rides the same relation shape (pinned in ScaleGuardsSpec). */
+  private[graft] def skipGramPairsOver(
+      w: org.apache.spark.sql.DataFrame, window: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
     val a = w.select($"qid", $"wid", $"step".as("sa"),
       $"node".as("center"))
     val b = w.select($"qid", $"wid", $"step".as("sb"),

@@ -818,6 +818,33 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
         leaked.take(5).mkString(", "))
   }
 
+  test("the skip-gram window pass consumes the node2vec corpus too: " +
+    "pairs stay within one walk and counts are window-symmetric") {
+    import spark.implicits._
+    val pairs = VectorOps.skipGramPairsOver(
+      VectorOps.node2vecWalks(spark, dir))
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // window symmetry: (a, b, n) implies (b, a, n) — every pair is
+    // seen from both endpoints of the same two walk positions
+    val m = pairs.map { case (a, b, n) => ((a, b), n) }.toMap
+    pairs.foreach { case (a, b, n) =>
+      assert(m.get((b, a)).contains(n), s"asymmetric pair ($a, $b)")
+    }
+    // total pair count = sum over walks of ordered in-window position
+    // pairs; 5-step walks with window 2 have 14 ordered pairs each
+    val walks = VectorOps.node2vecWalks(spark, dir)
+      .groupBy($"qid", $"wid")
+      .agg(org.apache.spark.sql.functions.count("*").as("len"))
+      .as[(Long, Long, Long)].collect()
+    val expected = walks.map { case (_, _, len) =>
+      (0L until len).map(i =>
+        math.min(i, 2L) + math.min(len - 1 - i, 2L)).sum
+    }.sum
+    assert(pairs.map(_._3).sum == expected,
+      s"pair mass ${pairs.map(_._3).sum} != $expected")
+  }
+
   test("eager iterative bodies (graph contraction, incremental graph " +
     "append) leave no pinned cache blocks behind") {
     import spark.implicits._
