@@ -291,16 +291,27 @@ object SketchOps {
     * integer shift-divide: bin = 8·e + (n·8 div 2^e) − 8. Relative
     * error of the bin lower bound ≤ 1/8; a 48-bit value range needs
     * ≤ 8·48 bins, the fixed memory that makes the sketch a sketch. */
-  private[graft] def quantileBin(colName: String)
+  /** Supported value range: the dyadic geometry is documented for
+    * 48-bit values (≤ 8·48 bins); the shift-divide's n·8 would wrap a
+    * long at 2^60 and mis-bin silently, so the bound is ENFORCED — a
+    * value past it fails the job loudly (exact-integer discipline)
+    * instead of landing in the wrong bin. */
+  private[graft] val QuantileMaxBits = 48
+
+  private[graft] def quantileBin(n: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    // takes the column NAME, not a Column: the shift-divide needs the
-    // value twice inside one expr() string, and a Column parameter
-    // would silently bind the expr half to whatever same-named column
-    // is in scope rather than the argument
-    val n = col(colName)
-    (length(bin(n)) - 1).cast("long") * 8 +
-      expr(s"($colName * 8) div shiftleft(cast(1 as bigint), " +
-        s"cast(length(bin($colName)) - 1 as int)) - 8")
+    // built entirely from Column expressions (no SQL-string splicing —
+    // a spliced column NAME silently re-resolved qualified/backtick
+    // names against whatever same-named column was in scope);
+    // call_function carries the column-valued shift distance the
+    // typed shiftleft() helper can't express
+    val e = (length(bin(n)) - lit(1)).cast("int")
+    val pow = call_function("shiftleft", lit(1L).cast("bigint"), e)
+    val b = e.cast("long") * 8 +
+      call_function("div", n * lit(8L), pow) - lit(8L)
+    when(assert_true(length(bin(n)) <= lit(QuantileMaxBits),
+        lit(s"quantile-sketch value exceeds $QuantileMaxBits bits — " +
+          "beyond the dyadic bin table's supported range")).isNull, b)
   }
 
   /** Per-bin counts — the sketch itself. Mergeable by addition (the
@@ -311,7 +322,7 @@ object SketchOps {
   private[graft] def quantileHist(vals: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     vals.filter($"n" >= 1)
-      .select(quantileBin("n").as("qbin"))
+      .select(quantileBin($"n").as("qbin"))
       .groupBy($"qbin").agg(count(lit(1)).as("c"))
 
   /** The read verb: p50/p90/p99 from a bin histogram. One ordered

@@ -446,6 +446,12 @@ object TextOps {
   def appendSparseIndex(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    // a replay of a batch id at or below the compaction horizon would
+    // run this function's delete-before-write against the CONSOLIDATED
+    // partition compaction folded the whole corpus into — silently
+    // destroying every other doc in it. Fail loudly instead; the
+    // horizon is persisted by [[compactSparseIndex]].
+    graft.store.Horizon.requireAppendable(store, s, "sparse", batchId)
     // eager function with two writes over shared lineage: cache the
     // tokenized frame and the tf table so the batch is tokenized and
     // aggregated ONCE, not once per write (the incremental-economy
@@ -503,7 +509,14 @@ object TextOps {
     * (default: the registry's max batch at call time — "delete as of
     * now"), so a legitimate LATER re-ingest of the same doc_id
     * becomes live again instead of being silently shadowed forever
-    * (and then physically destroyed by compaction). */
+    * (and then physically destroyed by compaction).
+    *
+    * Re-tombstoning a doc keeps the MAX of the existing and the new
+    * `upto`: the per-doc dynamic-partition overwrite would otherwise
+    * let a later call with a smaller watermark (e.g. the default
+    * max-batch-now after an earlier explicitly-future delete) silently
+    * NARROW the first delete's scope — a delete, once issued, must
+    * never shrink. */
   def tombstoneSparseDocs(s: org.apache.spark.sql.SparkSession,
       ids: Seq[Long], store: graft.store.Store,
       uptoBatch: Long = -1L): Unit = {
@@ -513,9 +526,20 @@ object TextOps {
         .agg(max($"batch".cast("long"))).first()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    store.write("sparse_tombstones",
-      s.createDataFrame(ids.map(id => (id, upto)))
-        .toDF("doc_id", "upto"),
+    val fresh = s.createDataFrame(ids.map(id => (id, upto)))
+      .toDF("doc_id", "upto")
+    val existing = try Some(store.read("sparse_tombstones", s)
+        .select($"doc_id".cast("long").as("edoc"),
+          $"upto".cast("long").as("eupto")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = existing.fold(fresh)(ex =>
+      fresh.join(ex, fresh("doc_id") === ex("edoc"), "left")
+        .select(fresh("doc_id"),
+          greatest($"upto", coalesce($"eupto", lit(Long.MinValue)))
+            .as("upto")))
+    // materialize before the write: the merge READS the same per-doc
+    // partitions the dynamic overwrite replaces
+    store.write("sparse_tombstones", merged.localCheckpoint(true),
       Seq("doc_id"))
   }
 
@@ -720,6 +744,11 @@ object TextOps {
     * writer. */
   def compactSparseIndex(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, intoBatch: Long = -1L): Unit = {
+    // crash recovery FIRST: a prior compaction that staged its
+    // consolidated copy and then died mid-move left the stage holding
+    // the only complete index — roll that move forward before reading
+    // main state (which may be partially deleted)
+    rollForwardSparseCompaction(s, store)
     val reg = store.read("sparse_docs", s)
     // bounded collects: one row per ingested batch; tombstone presence
     val batches = reg.select($"batch".cast("long")).distinct()
@@ -738,9 +767,12 @@ object TextOps {
       s"intoBatch $into is below the newest folded batch " +
         s"${batches.last}: relabeling versions backwards would " +
         "corrupt as-of snapshot reads")
+    // entity-absent only — a FAILING tombstone read must abort the
+    // compaction loudly (liveOf's discipline), not silently no-op as
+    // "already compact" or skip the retirement below
     val hasTomb =
       try store.read("sparse_tombstones", s).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (batches.length <= 1 &&
       batches.headOption.forall(_ == into) && !hasTomb)
       return // already compact
@@ -754,7 +786,9 @@ object TextOps {
     // may have left staged partitions under a different intoBatch,
     // and dynamic overwrite alone would fold those stale rows into
     // the rebuilt index (their higher batch ids would then WIN the
-    // latest-batch resolution — resurrecting superseded versions)
+    // latest-batch resolution — resurrecting superseded versions).
+    // (An abandoned stage whose move HAD started was already rolled
+    // forward above — the intent marker distinguishes the two.)
     store.delete("sparse_postings_stage", Seq.empty)
     store.delete("sparse_docs_stage", Seq.empty)
     store.write("sparse_postings_stage",
@@ -772,10 +806,15 @@ object TextOps {
         pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
         $"doc_id", $"dl"),
       Seq("batch", "dbucket"))
-    batches.foreach { b =>
-      store.delete("sparse_postings", Seq("batch" -> b))
-      store.delete("sparse_docs", Seq("batch" -> b))
-    }
+    // INTENT marker (write-ahead): from here until the write-back
+    // completes, the stage may be the only full copy — a crash in this
+    // window is rolled forward by the recovery probe above. Written
+    // only after BOTH stage writes succeeded, cleared only after BOTH
+    // main write-backs landed.
+    store.write("sparse_compact_intent",
+      s.createDataFrame(Seq(Tuple1(into))).toDF("into"), Seq.empty)
+    store.delete("sparse_postings", Seq.empty)
+    store.delete("sparse_docs", Seq.empty)
     store.write("sparse_postings",
       store.read("sparse_postings_stage", s)
         .withColumn("batch", $"batch".cast("long"))
@@ -786,9 +825,76 @@ object TextOps {
         .withColumn("batch", $"batch".cast("long"))
         .withColumn("dbucket", $"dbucket".cast("long")),
       Seq("batch", "dbucket"))
+    store.delete("sparse_compact_intent", Seq.empty)
     store.delete("sparse_postings_stage", Seq.empty)
     store.delete("sparse_docs_stage", Seq.empty)
-    if (hasTomb) store.delete("sparse_tombstones", Seq.empty)
+    // the horizon the append guard and as-of reads enforce — persisted
+    // before tombstone retirement so a crash between the two leaves
+    // the guard in place (leftover tombstones are harmless: a retained
+    // upto ≤ into can only shadow docs that kept no survivors)
+    graft.store.Horizon.set(store, s, "sparse", into)
+    if (hasTomb) retireFoldedTombstones(s, store, into)
+  }
+
+  /** Roll a crashed compaction's staged move FORWARD. The intent
+    * marker is written only after the consolidated copy fully landed
+    * in the stage entities and cleared only after the write-back to
+    * the main entities completed — so whenever it is present, the
+    * stage is complete and supersedes whatever mix of un-deleted
+    * source partitions and partial write-back the main entities hold.
+    * Recovery drops main state, restores it from the stage, and clears
+    * the marker; without the marker (pre-move litter) the stage is
+    * simply stale and the caller clears it. Clearing the stage on a
+    * mid-move crash — the old behavior — permanently destroyed the
+    * only surviving copy. */
+  private def rollForwardSparseCompaction(
+      s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit = {
+    val intent =
+      try store.read("sparse_compact_intent", s)
+        .select($"into".cast("long")).limit(1).collect()
+        .headOption.map(_.getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    intent.foreach { into =>
+      store.delete("sparse_postings", Seq.empty)
+      store.delete("sparse_docs", Seq.empty)
+      store.write("sparse_postings",
+        store.read("sparse_postings_stage", s)
+          .withColumn("batch", $"batch".cast("long"))
+          .withColumn("bucket", $"bucket".cast("long")),
+        Seq("batch", "bucket"))
+      store.write("sparse_docs",
+        store.read("sparse_docs_stage", s)
+          .withColumn("batch", $"batch".cast("long"))
+          .withColumn("dbucket", $"dbucket".cast("long")),
+        Seq("batch", "dbucket"))
+      store.delete("sparse_compact_intent", Seq.empty)
+      store.delete("sparse_postings_stage", Seq.empty)
+      store.delete("sparse_docs_stage", Seq.empty)
+      graft.store.Horizon.set(store, s, "sparse", into)
+      val hasTomb =
+        try store.read("sparse_tombstones", s).limit(1).count() > 0
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (hasTomb) retireFoldedTombstones(s, store, into)
+    }
+  }
+
+  /** Retire tombstones compaction has fully folded (upto ≤ the folded
+    * horizon); a tombstone whose explicit `upto` still reaches PAST
+    * the horizon keeps its forward-shadowing effect on batches yet to
+    * be ingested — dropping it (the old behavior) silently resurrected
+    * the doc on the next append below its watermark. */
+  private def retireFoldedTombstones(
+      s: org.apache.spark.sql.SparkSession, store: graft.store.Store,
+      into: Long): Unit = {
+    val keep = store.read("sparse_tombstones", s)
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"upto".cast("long").as("upto"))
+      .filter($"upto" > into)
+      .localCheckpoint(true) // materialize before deleting its source
+    store.delete("sparse_tombstones", Seq.empty)
+    if (keep.limit(1).count() > 0)
+      store.write("sparse_tombstones", keep, Seq("doc_id"))
   }
 
   /** The unranked (qid, doc_id, bm25) score relation — the x47 core,

@@ -96,4 +96,34 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(sr.getLong(4) == 20 && sr.getLong(9) == 20) // intersection
     assert(sr.getLong(6) == 20, s"inter_est ${sr.getLong(6)}")
   }
+
+  test("x115 quantile bin is exact at dyadic boundaries and fails " +
+    "loudly past the supported bit range") {
+    import graft.queries.SketchOps
+    import spark.implicits._
+    // bit-length boundaries the floating-log formulation would split:
+    // 8 must bin as e=3 (ln 8 / ln 2 = 2.999...), and the top of the
+    // supported range must still bin exactly
+    val vals = Seq(1L, 7L, 8L, 9L, 255L, 256L,
+      (1L << 47) + 12345L, (1L << 48) - 1L)
+    val got = vals.toDF("n")
+      .select($"n", SketchOps.quantileBin($"n").as("qbin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expect(n: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      8L * e + (n * 8 >> e) - 8
+    }
+    vals.foreach(n => assert(got(n) == expect(n),
+      s"n=$n got ${got(n)} want ${expect(n)}"))
+    // a value past the 48-bit range must abort the job (the n*8
+    // shift-divide would wrap at 2^60 and mis-bin silently)
+    val e = intercept[Exception] {
+      Seq(1L << 48).toDF("n")
+        .select(SketchOps.quantileBin($"n")).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("48 bits") ||
+        Option(e.getCause).exists(_.getMessage.contains("48 bits"))),
+      e.toString)
+  }
 }

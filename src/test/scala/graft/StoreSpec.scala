@@ -1210,4 +1210,122 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
+
+  test("a compaction crashed mid-move rolls FORWARD from the stage " +
+    "instead of destroying the only surviving copy") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-crash").toString
+    val store = new ParquetStore(root)
+    TextOps.appendSparseIndex(spark, Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "unrelated words")).toDF("doc_id", "text"), 0L, store)
+    TextOps.appendSparseIndex(spark, Seq(
+      (3L, "alpha beta gamma extra")).toDF("doc_id", "text"), 1L, store)
+    val qs = Seq(9L -> Seq("alpha", "beta", "gamma"))
+    def rows() = TextOps.bm25SearchStored(spark, store, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    TextOps.compactSparseIndex(spark, store)
+    val before = rows()
+    assert(before.nonEmpty)
+    // simulate the crash window the intent marker protects: the
+    // consolidated copy exists ONLY in the stage entities + intent;
+    // both main entities are gone (the worst point of the move)
+    store.write("sparse_postings_stage",
+      store.read("sparse_postings", spark)
+        .withColumn("batch", $"batch".cast("long"))
+        .withColumn("bucket", $"bucket".cast("long"))
+        .localCheckpoint(true),
+      Seq("batch", "bucket"))
+    store.write("sparse_docs_stage",
+      store.read("sparse_docs", spark)
+        .withColumn("batch", $"batch".cast("long"))
+        .withColumn("dbucket", $"dbucket".cast("long"))
+        .localCheckpoint(true),
+      Seq("batch", "dbucket"))
+    store.write("sparse_compact_intent",
+      spark.createDataFrame(Seq(Tuple1(1L))).toDF("into"), Seq.empty)
+    store.delete("sparse_postings", Seq.empty)
+    store.delete("sparse_docs", Seq.empty)
+    // re-running compaction must COMPLETE the move (the old behavior
+    // cleared the stage — permanently losing the index)
+    TextOps.compactSparseIndex(spark, store)
+    assert(rows() == before, "roll-forward lost or changed the index")
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/sparse_compact_intent")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/sparse_postings_stage")))
+    // WITHOUT the intent marker a populated stage is pre-move litter:
+    // it must never roll into main (searches keep serving main; the
+    // next real compaction clears it before staging)
+    store.write("sparse_postings_stage",
+      store.read("sparse_postings", spark)
+        .withColumn("batch", lit(999L))
+        .withColumn("bucket", $"bucket".cast("long"))
+        .localCheckpoint(true),
+      Seq("batch", "bucket"))
+    TextOps.compactSparseIndex(spark, store)
+    assert(rows() == before, "stage litter leaked into the index")
+  }
+
+  test("appends below the compaction horizon fail loudly instead of " +
+    "destroying the consolidated partition on replay") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-horizon").toString
+    val store = new ParquetStore(root)
+    TextOps.appendSparseIndex(spark, Seq(
+      (0L, "alpha beta"), (1L, "alpha gamma")).toDF("doc_id", "text"),
+      0L, store)
+    TextOps.appendSparseIndex(spark, Seq(
+      (2L, "alpha delta")).toDF("doc_id", "text"), 1L, store)
+    TextOps.compactSparseIndex(spark, store) // horizon = 1
+    // a replay of batch 1 (e.g. a restarted stream re-running its last
+    // micro-batch) would delete-before-write the batch=1 partition the
+    // WHOLE corpus now lives in — it must refuse
+    val e = intercept[IllegalArgumentException] {
+      TextOps.appendSparseIndex(spark,
+        Seq((2L, "alpha delta")).toDF("doc_id", "text"), 1L, store)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // fresh ids above the horizon ingest normally
+    TextOps.appendSparseIndex(spark, Seq(
+      (3L, "alpha epsilon")).toDF("doc_id", "text"), 2L, store)
+    val got = TextOps.bm25SearchStored(spark, store,
+      Seq(9L -> Seq("alpha"))).collect().map(_.getLong(1)).toSet
+    assert(got == Set(0L, 1L, 2L, 3L), got.toString)
+  }
+
+  test("re-tombstoning never narrows a delete and compaction keeps " +
+    "forward-shadowing tombstones") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-tomb-max").toString
+    val store = new ParquetStore(root)
+    TextOps.appendSparseIndex(spark, Seq(
+      (0L, "alpha beta"), (1L, "alpha gamma"),
+      (2L, "alpha delta")).toDF("doc_id", "text"), 0L, store)
+    def alive() = TextOps.bm25SearchStored(spark, store,
+      Seq(9L -> Seq("alpha"))).collect().map(_.getLong(1)).toSet
+    // doc 1 deleted with an explicitly FUTURE watermark, then
+    // re-deleted with the default (current max batch = 0): the
+    // per-doc overwrite must keep the max — the wide delete stands
+    TextOps.tombstoneSparseDocs(spark, Seq(1L), store, uptoBatch = 100L)
+    TextOps.tombstoneSparseDocs(spark, Seq(1L), store)
+    TextOps.appendSparseIndex(spark, Seq(
+      (1L, "alpha reborn")).toDF("doc_id", "text"), 1L, store)
+    assert(alive() == Set(0L, 2L),
+      "the narrower re-tombstone resurrected a batch the first " +
+        "delete shadowed")
+    // compaction folds the index (into = 1 < 100) but must KEEP the
+    // still-forward-shadowing tombstone: an ingest at batch 2 ≤ 100
+    // stays dead
+    TextOps.compactSparseIndex(spark, store)
+    TextOps.appendSparseIndex(spark, Seq(
+      (1L, "alpha again")).toDF("doc_id", "text"), 2L, store)
+    assert(alive() == Set(0L, 2L),
+      "compaction retired a tombstone whose watermark still reaches " +
+        "past the folded horizon")
+    // a re-ingest ABOVE the watermark resurrects (version scoping)
+    TextOps.appendSparseIndex(spark, Seq(
+      (1L, "alpha finally")).toDF("doc_id", "text"), 101L, store)
+    assert(alive() == Set(0L, 1L, 2L))
+  }
 }
