@@ -143,6 +143,10 @@ object SketchOps {
   def appendHllRegisters(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    // a replayed batch id at or below the compaction horizon would
+    // delete-before-write the folded partition — refuse loudly
+    // (the shared [[graft.store.Horizon]] guard)
+    graft.store.Horizon.requireAppendable(store, s, "hll", batchId)
     val regs = hllRegisters(tokensOf(docs))
     store.delete("hll_registers", Seq("batch" -> batchId))
     store.write("hll_registers",
@@ -150,11 +154,29 @@ object SketchOps {
       Seq("batch"))
   }
 
-  /** Merged registers of every ingested batch → the live estimate. */
+  /** Merged registers of every ingested batch → the live estimate;
+    * `asOfBatch` re-derives the estimate any PAST batch saw (the
+    * dense-side snapshot verb — a batch-directory prune over the
+    * register table, guarded against the compaction horizon). */
   def hllDistinctStored(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame =
-    hllEstimate(store.read("hll_registers", s)
+      store: graft.store.Store, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    graft.store.Horizon.requireServable(store, s, "hll", asOfBatch)
+    hllEstimate(graft.store.Snapshot
+      .cut(store.read("hll_registers", s), asOfBatch)
       .groupBy($"bucket").agg(max($"r").as("r")))
+  }
+
+  /** Compact the register table: the stored read's max-merge,
+    * MATERIALIZED — N batch partitions fold to ≤ m rows under the
+    * newest folded batch, via the crash-safe [[graft.store.StagedFold]]
+    * (intent marker + roll-forward). Estimates are invariant because
+    * the register max is associative and order-free. */
+  def compactHllRegisters(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit =
+    compactSketchEntity(s, store, "hll", "hll_registers",
+      df => df.groupBy($"bucket").agg(max($"r").as("r")),
+      Seq("bucket", "r"))
 
   /** KMV (k-minimum-values) geometry: sketch = the K smallest 48-bit
     * content hashes per source. K = 128 → relative error ≈ 1/√(K−1) ≈
@@ -271,6 +293,7 @@ object SketchOps {
   def appendKmvSketch(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    graft.store.Horizon.requireAppendable(store, s, "kmv", batchId)
     val sk = kmvSketch(docs)
     store.delete("kmv_sketch", Seq("batch" -> batchId))
     store.write("kmv_sketch",
@@ -278,10 +301,26 @@ object SketchOps {
       Seq("batch"))
   }
 
-  /** The live merged per-source sketch over every ingested batch. */
+  /** The live merged per-source sketch over every ingested batch;
+    * `asOfBatch` re-derives any past batch's sketch (see
+    * [[hllDistinctStored]]). */
   def kmvSketchStored(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame =
-    kmvSketchOf(store.read("kmv_sketch", s).select($"source", $"hv"))
+      store: graft.store.Store, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    graft.store.Horizon.requireServable(store, s, "kmv", asOfBatch)
+    kmvSketchOf(graft.store.Snapshot
+      .cut(store.read("kmv_sketch", s), asOfBatch)
+      .select($"source", $"hv"))
+  }
+
+  /** Compact the sketch table: re-bottom-K the union (bottom-K of
+    * unions of bottom-Ks = bottom-K of the union), materialized under
+    * the newest folded batch — see [[compactHllRegisters]]. */
+  def compactKmvSketch(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit =
+    compactSketchEntity(s, store, "kmv", "kmv_sketch",
+      df => kmvSketchOf(df.select($"source", $"hv")),
+      Seq("source", "hv"))
 
   /** Dyadic quantile-sketch bin of a positive long column — the x115
     * update rule, shared with the streaming twin. e = floor(log2 n)
@@ -366,6 +405,7 @@ object SketchOps {
   def appendQuantileHist(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    graft.store.Horizon.requireAppendable(store, s, "quantile", batchId)
     val h = quantileHist(docs.select(
       size(T.wsTokens($"text")).cast("long").as("n")))
     store.delete("quantile_hist", Seq("batch" -> batchId))
@@ -376,11 +416,55 @@ object SketchOps {
 
   /** The live p50/p90/p99 over every ingested batch: bin counts ADD
     * across batches (the sketch merge rule), then the ordinary read
-    * verb runs on the merged ≤ 8·48-row table. */
+    * verb runs on the merged ≤ 8·48-row table. `asOfBatch` re-derives
+    * any past batch's report (see [[hllDistinctStored]]). */
   def quantileReportStored(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame =
-    quantileReport(store.read("quantile_hist", s)
+      store: graft.store.Store, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    graft.store.Horizon.requireServable(store, s, "quantile", asOfBatch)
+    quantileReport(graft.store.Snapshot
+      .cut(store.read("quantile_hist", s), asOfBatch)
       .groupBy($"qbin").agg(sum($"c").cast("long").as("c")))
+  }
+
+  /** Compact the bin table: counts ADD across batches, materialized
+    * under the newest folded batch — see [[compactHllRegisters]]. */
+  def compactQuantileHist(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit =
+    compactSketchEntity(s, store, "quantile", "quantile_hist",
+      df => df.groupBy($"qbin").agg(sum($"c").cast("long").as("c")),
+      Seq("qbin", "c"))
+
+  /** The shared sketch-register fold: every sketch table is a
+    * batch-partitioned entity whose stored read is an associative,
+    * order-free merge — so compaction is exactly that merge,
+    * MATERIALIZED under the newest folded batch, run through the
+    * crash-safe [[graft.store.StagedFold]] (stage → intent marker →
+    * move, crashed moves rolled forward; the family horizon then
+    * makes below-horizon appends and as-of reads refuse loudly). */
+  private def compactSketchEntity(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, family: String, entity: String,
+      merge: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      valueCols: Seq[String]): Unit = {
+    val ents = Seq(graft.store.FoldEntity(entity, Seq("batch"),
+      df => df.withColumn("batch", $"batch".cast("long"))))
+    graft.store.StagedFold.rollForward(store, s, family, ents)
+    val cur =
+      try store.read(entity, s)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    // bounded collect: one row per ingested batch
+    val batches = cur.select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.length <= 1) return // already compact
+    val into = batches.last
+    graft.store.StagedFold.run(store, s, family, Seq(
+      ents(0) -> merge(cur)
+        .select(lit(into).as("batch") +: valueCols.map(col): _*)),
+      horizon = into)
+  }
 
   val qs: Map[String, Q] = Map(
     // ----- x99 cross-source distinct-overlap matrix from KMV sketches:

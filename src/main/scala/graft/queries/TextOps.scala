@@ -748,7 +748,8 @@ object TextOps {
     // consolidated copy and then died mid-move left the stage holding
     // the only complete index — roll that move forward before reading
     // main state (which may be partially deleted)
-    rollForwardSparseCompaction(s, store)
+    graft.store.StagedFold.rollForward(store, s, "sparse",
+      sparseFoldEntities, retireAfterFold(s, store))
     val reg = store.read("sparse_docs", s)
     // bounded collects: one row per ingested batch; tombstone presence
     val batches = reg.select($"batch".cast("long")).distinct()
@@ -781,102 +782,48 @@ object TextOps {
     val live = liveOf(regT, s, store)
     // the postings fold anti-joins the updates-sized stale sliver
     // (never an inner join with the corpus-sized registry), so the
-    // only corpus-wide movement is the rewrite itself.
-    // Stage entities are CLEARED first: a crashed prior compaction
-    // may have left staged partitions under a different intoBatch,
-    // and dynamic overwrite alone would fold those stale rows into
-    // the rebuilt index (their higher batch ids would then WIN the
-    // latest-batch resolution — resurrecting superseded versions).
-    // (An abandoned stage whose move HAD started was already rolled
-    // forward above — the intent marker distinguishes the two.)
-    store.delete("sparse_postings_stage", Seq.empty)
-    store.delete("sparse_docs_stage", Seq.empty)
-    store.write("sparse_postings_stage",
-      store.read("sparse_postings", s)
-        .select($"batch".cast("long").as("batch"),
-          $"bucket".cast("long").as("bucket"), $"term", $"doc_id",
-          $"tf", $"dl", $"positions")
-        .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
-          "left_anti")
-        .select(lit(into).as("batch"), $"bucket", $"term",
-          $"doc_id", $"tf", $"dl", $"positions"),
-      Seq("batch", "bucket"))
-    store.write("sparse_docs_stage",
-      live.select(lit(into).as("batch"),
-        pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
-        $"doc_id", $"dl"),
-      Seq("batch", "dbucket"))
-    // INTENT marker (write-ahead): from here until the write-back
-    // completes, the stage may be the only full copy — a crash in this
-    // window is rolled forward by the recovery probe above. Written
-    // only after BOTH stage writes succeeded, cleared only after BOTH
-    // main write-backs landed.
-    store.write("sparse_compact_intent",
-      s.createDataFrame(Seq(Tuple1(into))).toDF("into"), Seq.empty)
-    store.delete("sparse_postings", Seq.empty)
-    store.delete("sparse_docs", Seq.empty)
-    store.write("sparse_postings",
-      store.read("sparse_postings_stage", s)
-        .withColumn("batch", $"batch".cast("long"))
-        .withColumn("bucket", $"bucket".cast("long")),
-      Seq("batch", "bucket"))
-    store.write("sparse_docs",
-      store.read("sparse_docs_stage", s)
-        .withColumn("batch", $"batch".cast("long"))
-        .withColumn("dbucket", $"dbucket".cast("long")),
-      Seq("batch", "dbucket"))
-    store.delete("sparse_compact_intent", Seq.empty)
-    store.delete("sparse_postings_stage", Seq.empty)
-    store.delete("sparse_docs_stage", Seq.empty)
-    // the horizon the append guard and as-of reads enforce — persisted
-    // before tombstone retirement so a crash between the two leaves
-    // the guard in place (leftover tombstones are harmless: a retained
-    // upto ≤ into can only shadow docs that kept no survivors)
-    graft.store.Horizon.set(store, s, "sparse", into)
-    if (hasTomb) retireFoldedTombstones(s, store, into)
+    // only corpus-wide movement is the rewrite itself. The staged
+    // swap (stage writes → intent marker → move, crash rolled forward
+    // by the probe above) is the shared [[graft.store.StagedFold]]
+    // discipline; tombstone retirement re-runs after the move in both
+    // the normal and the recovery path.
+    graft.store.StagedFold.run(store, s, "sparse", Seq(
+      sparseFoldEntities(0) ->
+        store.read("sparse_postings", s)
+          .select($"batch".cast("long").as("batch"),
+            $"bucket".cast("long").as("bucket"), $"term", $"doc_id",
+            $"tf", $"dl", $"positions")
+          .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
+            "left_anti")
+          .select(lit(into).as("batch"), $"bucket", $"term",
+            $"doc_id", $"tf", $"dl", $"positions"),
+      sparseFoldEntities(1) ->
+        live.select(lit(into).as("batch"),
+          pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
+          $"doc_id", $"dl")),
+      horizon = into, after = retireAfterFold(s, store))
   }
 
-  /** Roll a crashed compaction's staged move FORWARD. The intent
-    * marker is written only after the consolidated copy fully landed
-    * in the stage entities and cleared only after the write-back to
-    * the main entities completed — so whenever it is present, the
-    * stage is complete and supersedes whatever mix of un-deleted
-    * source partitions and partial write-back the main entities hold.
-    * Recovery drops main state, restores it from the stage, and clears
-    * the marker; without the marker (pre-move litter) the stage is
-    * simply stale and the caller clears it. Clearing the stage on a
-    * mid-move crash — the old behavior — permanently destroyed the
-    * only surviving copy. */
-  private def rollForwardSparseCompaction(
-      s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): Unit = {
-    val intent =
-      try store.read("sparse_compact_intent", s)
-        .select($"into".cast("long")).limit(1).collect()
-        .headOption.map(_.getLong(0))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    intent.foreach { into =>
-      store.delete("sparse_postings", Seq.empty)
-      store.delete("sparse_docs", Seq.empty)
-      store.write("sparse_postings",
-        store.read("sparse_postings_stage", s)
-          .withColumn("batch", $"batch".cast("long"))
-          .withColumn("bucket", $"bucket".cast("long")),
-        Seq("batch", "bucket"))
-      store.write("sparse_docs",
-        store.read("sparse_docs_stage", s)
-          .withColumn("batch", $"batch".cast("long"))
-          .withColumn("dbucket", $"dbucket".cast("long")),
-        Seq("batch", "dbucket"))
-      store.delete("sparse_compact_intent", Seq.empty)
-      store.delete("sparse_postings_stage", Seq.empty)
-      store.delete("sparse_docs_stage", Seq.empty)
-      graft.store.Horizon.set(store, s, "sparse", into)
-      val hasTomb =
-        try store.read("sparse_tombstones", s).limit(1).count() > 0
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      if (hasTomb) retireFoldedTombstones(s, store, into)
-    }
+  /** The sparse index's two folded entities, with the stage→main
+    * recasts (partition columns come back from directory inference
+    * with narrowed types). */
+  private def sparseFoldEntities: Seq[graft.store.FoldEntity] = Seq(
+    graft.store.FoldEntity("sparse_postings", Seq("batch", "bucket"),
+      df => df.withColumn("batch", $"batch".cast("long"))
+        .withColumn("bucket", $"bucket".cast("long"))),
+    graft.store.FoldEntity("sparse_docs", Seq("batch", "dbucket"),
+      df => df.withColumn("batch", $"batch".cast("long"))
+        .withColumn("dbucket", $"dbucket".cast("long"))))
+
+  /** Post-fold step shared by the normal and crash-recovery paths:
+    * retire the tombstones the fold physically applied (keeping
+    * forward-shadowing ones — see [[retireFoldedTombstones]]). */
+  private def retireAfterFold(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Long => Unit = { into =>
+    val hasTomb =
+      try store.read("sparse_tombstones", s).limit(1).count() > 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (hasTomb) retireFoldedTombstones(s, store, into)
   }
 
   /** Retire tombstones compaction has fully folded (upto ≤ the folded

@@ -3564,6 +3564,11 @@ object VectorOps {
   def appendAnnCorpus(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    // a replay of a batch id at or below the compaction horizon would
+    // run the delete-before-write below against the partition the
+    // whole folded corpus lives in — refuse loudly (the sparse index's
+    // exact guard, [[graft.store.Horizon]])
+    graft.store.Horizon.requireAppendable(store, s, "ann", batchId)
     val (coarse, books) = loadAnnBooks(s, store)
     val coded = encodeCodes(assignCells(batch, coarse), books,
         trained = true)
@@ -3594,29 +3599,33 @@ object VectorOps {
     * maintenance job, not under a concurrent writer. */
   def compactAnnCorpus(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, intoBatch: Long = 0L): Unit = {
+    // crash recovery first — a prior fold that died mid-move left the
+    // stage holding the only complete corpus (shared StagedFold
+    // discipline; see [[graft.store.StagedFold]])
+    graft.store.StagedFold.rollForward(store, s, "ann",
+      annFoldEntities)
     val cur = store.read("ann_corpus", s)
     // bounded collect: one row per ingested batch
     val batches = cur.select($"batch".cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (batches.length <= 1 && batches.headOption.forall(_ == intoBatch))
       return // already compact
-    // clear staging first: a crashed prior compaction may have left
-    // staged partitions under a different intoBatch, and dynamic
-    // overwrite alone would fold those stale rows into the rebuilt
-    // corpus
-    store.delete("ann_corpus_stage", Seq.empty)
-    store.write("ann_corpus_stage",
-      cur.withColumn("batch", lit(intoBatch))
-        .withColumn("cell", $"cell".cast("long")),
-      Seq("batch", "cell"))
-    batches.foreach(b => store.delete("ann_corpus", Seq("batch" -> b)))
-    store.write("ann_corpus",
-      store.read("ann_corpus_stage", s)
-        .withColumn("batch", lit(intoBatch))
-        .withColumn("cell", $"cell".cast("long")),
-      Seq("batch", "cell"))
-    store.delete("ann_corpus_stage", Seq.empty)
+    // the horizon is the newest FOLDED batch (not intoBatch, which may
+    // relabel downward — legal here because search never consults
+    // batch): appends must land above it, and as-of reads below it
+    // refuse — per-batch history no longer exists
+    graft.store.StagedFold.run(store, s, "ann", Seq(
+      annFoldEntities(0) ->
+        cur.withColumn("batch", lit(intoBatch))
+          .withColumn("cell", $"cell".cast("long"))),
+      horizon = math.max(batches.last, intoBatch))
   }
+
+  /** The ANN corpus's folded entity, with the stage→main recast. */
+  private def annFoldEntities: Seq[graft.store.FoldEntity] = Seq(
+    graft.store.FoldEntity("ann_corpus", Seq("batch", "cell"),
+      df => df.withColumn("batch", $"batch".cast("long"))
+        .withColumn("cell", $"cell".cast("long"))))
 
   /** The x43 search over the PERSISTED corpus codes: books load from
     * the store, query vectors come from a vec_id-pruned mini-scan (the
@@ -3625,12 +3634,21 @@ object VectorOps {
     * history, the only exchange the per-query rank window. */
   private[graft] def annIvfPqSearchStored(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      store: graft.store.Store, k: Int = 3)
+      store: graft.store.Store, k: Int = 3,
+      asOfBatch: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame = {
+    // snapshot (as-of) read — the sparse index's reproducibility verb
+    // on the dense side: the cut is a batch-directory prune (costs
+    // nothing extra), guarded against the compaction horizon (folded
+    // history cannot be served under an old batch id). Tombstones
+    // deliberately still apply ON TOP of the cut below: deletes are
+    // compliance actions, retroactive by design.
+    graft.store.Horizon.requireServable(store, s, "ann", asOfBatch)
     val (_, books) = loadAnnBooks(s, store)
     // cell comes back as a PARTITION column (directory-pruned for the
     // probed cells; inferred int) — re-widen to the engine's long
-    val raw = store.read("ann_corpus", s)
+    val raw = graft.store.Snapshot.cut(store.read("ann_corpus", s),
+        asOfBatch)
       .withColumn("cell", $"cell".cast("long"))
     // honor tombstones when the delete lifecycle has run. ONLY
     // entity-absent (AnalysisException) means "nothing was ever
@@ -4240,6 +4258,12 @@ object VectorOps {
   def appendKnnGraph(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store, k: Int = KnnGraphK): Unit = {
+    // a replay of a pre-rebalance batch would re-assign its vectors by
+    // nearest-centroid over the EXTENDED book — not the 2-means
+    // labeling rebalance actually gave them — silently shifting cell
+    // membership and breaking the two-batch ≡ one-shot invariant;
+    // rebalance advances the "knn" horizon so such replays refuse
+    graft.store.Horizon.requireAppendable(store, s, "knn", batchId)
     val (coarse, _) = loadAnnBooks(s, store)
     val asg = assignCells(batch, coarse)
       .select($"vec_id", $"v", $"cell").cache()
@@ -4262,12 +4286,48 @@ object VectorOps {
     members.unpersist()
   }
 
-  /** The maintained graph, in the registry query's shape. */
+  /** The maintained graph, in the registry query's shape — with the
+    * dense-side as-of (snapshot) verb: because in-cell edges depend
+    * only on their cell's members, the graph as of `asOfBatch` is the
+    * STORED partitions of every cell no batch above the cut touched,
+    * plus a re-edge of the touched cells from their `batch <= asOf`
+    * members. Both sides partition-prune: the snapshot's cost scales
+    * with the history ingested SINCE the cut, not the corpus — at
+    * 100 TB an as-of read a day back re-edges one day's touched
+    * cells. Maintenance is not versioned: [[rebalanceKnnCells]]
+    * relabels cells in place and advances the "knn" horizon, so
+    * snapshots below it refuse loudly, and snapshots at/above it
+    * address ingest history on top of the current cell structure. */
   def knnGraphStored(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame =
-    store.read("knn_graph", s)
-      .select($"src", $"dst", $"cos", $"rn")
-      .orderBy($"src", $"rn")
+      store: graft.store.Store, asOfBatch: Long = Long.MaxValue,
+      k: Int = KnnGraphK): org.apache.spark.sql.DataFrame = {
+    val g = store.read("knn_graph", s)
+    if (asOfBatch == Long.MaxValue)
+      g.select($"src", $"dst", $"cos", $"rn").orderBy($"src", $"rn")
+    else {
+      graft.store.Horizon.requireServable(store, s, "knn", asOfBatch)
+      val vecs = store.read("knn_vectors", s)
+        .select($"batch".cast("long").as("batch"),
+          $"cell".cast("long").as("cell"), $"vec_id", $"v")
+      // bounded collect: cells touched since the cut (≤ cell count)
+      val touched = vecs.filter($"batch" > asOfBatch)
+        .select($"cell").distinct().collect().map(_.getLong(0))
+        .toIndexedSeq
+      if (touched.isEmpty)
+        g.select($"src", $"dst", $"cos", $"rn").orderBy($"src", $"rn")
+      else {
+        val kept = g
+          .filter(!$"cell".cast("long")
+            .isin(touched.map(Long.box): _*))
+          .select($"src", $"dst", $"cos", $"rn")
+        val reEdged = knnEdges(
+          vecs.filter($"batch" <= asOfBatch &&
+            $"cell".isin(touched.map(Long.box): _*)), k)
+          .select($"src", $"dst", $"cos", $"rn")
+        kept.union(reEdged).orderBy($"src", $"rn")
+      }
+    }
+  }
 
   /** Rebalance the persisted k-NN corpus: split every cell whose
     * member count exceeds `cap` into TWO cells via a deterministic
@@ -4403,6 +4463,16 @@ object VectorOps {
     affected.foreach(c => store.delete("knn_graph", Seq("cell" -> c)))
     store.write("knn_graph", edges, Seq("cell"))
     members2.unpersist()
+    // rebalance relabels cells IN PLACE — the historical membership
+    // below this point no longer exists, so it advances the "knn"
+    // maintenance horizon: as-of reads below it refuse loudly
+    // ([[knnGraphStored]]) and pre-rebalance batch replays refuse
+    // ([[appendKnnGraph]]) instead of re-assigning against the grown
+    // book and silently shifting membership
+    val maxBatch = store.read("knn_vectors", s)
+      .agg(max($"batch".cast("long"))).first()
+    if (!maxBatch.isNullAt(0))
+      graft.store.Horizon.set(store, s, "knn", maxBatch.getLong(0))
     splits
   }
 

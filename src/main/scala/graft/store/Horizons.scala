@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persisted lifecycle horizon for a maintained index family.
   *
@@ -54,4 +54,107 @@ object Horizon {
         "consolidated partition, and the delete-before-write replay " +
         "would silently destroy every other row folded with it — " +
         "ingest under a fresh batch id above the horizon"))
+
+  /** Loud as-of (snapshot) guard: maintenance physically destroyed
+    * per-batch history below the horizon, so a snapshot there cannot
+    * be served truthfully — failing beats silently returning the
+    * folded (newer) state under an old batch id. */
+  def requireServable(store: Store, s: SparkSession, base: String,
+      asOfBatch: Long): Unit =
+    if (asOfBatch != Long.MaxValue)
+      get(store, s, base).foreach(h => require(asOfBatch >= h,
+        s"as-of batch $asOfBatch is below the $base maintenance " +
+          s"horizon $h: per-batch history below it was physically " +
+          "folded and cannot be served"))
+}
+
+/** The store-level snapshot verb shared by every batch-partitioned
+  * index family (sparse postings, ANN codes, k-NN vectors, sketch
+  * registers): an as-of read is the SAME plan as the live read over
+  * the `batch <= asOf` cut of each batch-partitioned entity — the cut
+  * is a partition-directory prune, so a snapshot costs no more than
+  * the live read over the same history. `Long.MaxValue` (the default
+  * everywhere) means "latest" and keeps the read entirely cut-free. */
+object Snapshot {
+  val Latest: Long = Long.MaxValue
+
+  /** The batch cut. Plain comparison on the partition column (no cast
+    * wrapping) so the scan prunes `batch=` directories at planning. */
+  def cut(df: DataFrame, asOfBatch: Long): DataFrame =
+    if (asOfBatch == Latest) df
+    else df.filter(org.apache.spark.sql.functions.col("batch")
+      <= asOfBatch)
+}
+
+/** One entity in a [[StagedFold]] move: its name, partition keys, and
+  * the recast applied when copying stage → main (partition columns
+  * come back from directory inference with narrowed types, so each
+  * family re-widens its own). */
+case class FoldEntity(name: String, keys: Seq[String],
+    recast: DataFrame => DataFrame = identity)
+
+/** Crash-safe staged swap shared by every compaction job (sparse
+  * index, ANN corpus, sketch registers).
+  *
+  * The discipline: the consolidated copy lands in `<name>_stage`
+  * entities first; a one-row `<family>_compact_intent` marker is
+  * written ONLY after every stage write succeeded; then the main
+  * entities are dropped and refilled from the stage; the marker is
+  * cleared only after every write-back landed. At no point does a
+  * write read the files it replaces, and whenever the marker is
+  * present the stage is a COMPLETE copy that supersedes whatever mix
+  * of un-deleted source partitions and partial write-back the main
+  * entities hold — so [[rollForward]] (which every compaction runs
+  * first, before reading main state) can always finish the move.
+  * Without the marker a populated stage is pre-move litter from a
+  * crash before staging completed: main state is intact and the next
+  * real fold clears the stage before writing. Run as the family's
+  * offline maintenance job, not under a concurrent writer. */
+object StagedFold {
+  private def intentOf(family: String) = s"${family}_compact_intent"
+  private def stageOf(name: String) = s"${name}_stage"
+
+  /** Complete a crashed fold's staged move, if an intent marker says
+    * one was in flight; `after(horizon)` re-runs the caller's
+    * post-move step (e.g. tombstone retirement). */
+  def rollForward(store: Store, s: SparkSession, family: String,
+      entities: Seq[FoldEntity], after: Long => Unit = _ => ()): Unit = {
+    val intent =
+      try store.read(intentOf(family), s)
+        .select(org.apache.spark.sql.functions.col("horizon")
+          .cast("long")).limit(1).collect()
+        .headOption.map(_.getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    intent.foreach { h =>
+      move(store, s, family, entities)
+      Horizon.set(store, s, family, h)
+      after(h)
+    }
+  }
+
+  /** Run the staged swap: clear stage litter, land the consolidated
+    * frames, mark intent, move stage → main, advance the family's
+    * horizon to `horizon`, run `after`. Callers must have called
+    * [[rollForward]] BEFORE reading the state `staged` derives from. */
+  def run(store: Store, s: SparkSession, family: String,
+      staged: Seq[(FoldEntity, DataFrame)], horizon: Long,
+      after: Long => Unit = _ => ()): Unit = {
+    staged.foreach { case (e, _) => store.delete(stageOf(e.name), Seq.empty) }
+    staged.foreach { case (e, df) => store.write(stageOf(e.name), df, e.keys) }
+    store.write(intentOf(family),
+      s.createDataFrame(Seq(Tuple1(horizon))).toDF("horizon"), Seq.empty)
+    move(store, s, family, staged.map(_._1))
+    Horizon.set(store, s, family, horizon)
+    after(horizon)
+  }
+
+  private def move(store: Store, s: SparkSession, family: String,
+      entities: Seq[FoldEntity]): Unit = {
+    entities.foreach(e => store.delete(e.name, Seq.empty))
+    entities.foreach(e =>
+      store.write(e.name, e.recast(store.read(stageOf(e.name), s)),
+        e.keys))
+    store.delete(intentOf(family), Seq.empty)
+    entities.foreach(e => store.delete(stageOf(e.name), Seq.empty))
+  }
 }

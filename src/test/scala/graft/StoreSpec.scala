@@ -1064,8 +1064,15 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     def text(): String =
       Seq.fill(6 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
         .mkString(" ")
-    // the live model: doc_id -> current text (absent = deleted/never)
-    var model = Map.empty[Long, String]
+    // the live model: doc_id -> (current text, version batch); plus
+    // the full history the as-of verb must reproduce: a snapshot of
+    // the model after every append, the tombstone watermarks, and the
+    // compaction horizon below which snapshots must refuse
+    var model = Map.empty[Long, (String, Long)]
+    val snaps = scala.collection.mutable.Map.empty[Long,
+      Map[Long, (String, Long)]]
+    var tombs = Map.empty[Long, Long]
+    var horizon = -1L
     var nextDoc = 0L
     var batch = 0L
     def append(n: Int, updates: Int): Unit = {
@@ -1079,16 +1086,26 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
         TextOps.appendSparseIndex(spark,
           spark.createDataFrame(rows).toDF("doc_id", "text"),
           batch, store)
+        model ++= rows.map { case (id, t) => id -> (t, batch) }
+        snaps(batch) = model
         batch += 1
-        model ++= rows
       }
     }
     def tombstone(n: Int): Unit = {
       val ids = rnd.shuffle(model.keys.toSeq).take(n)
       if (ids.nonEmpty) {
         TextOps.tombstoneSparseDocs(spark, ids, store)
+        // the default watermark: the max ingested batch at call time;
+        // re-deletes keep the max (the never-narrows discipline)
+        val upto = batch - 1
+        tombs ++= ids.map(id =>
+          id -> math.max(upto, tombs.getOrElse(id, Long.MinValue)))
         model --= ids
       }
+    }
+    def compact(): Unit = {
+      TextOps.compactSparseIndex(spark, store)
+      horizon = batch - 1 // folds into the newest ingested batch
     }
     val queries = Seq(
       1000L -> Seq("alpha", "delta", "kilo"),
@@ -1097,20 +1114,50 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
+    // what an as-of read must serve: the model as of the cut, with
+    // tombstones applied RETROACTIVELY (a delete shadows the versions
+    // at or below its watermark in every snapshot)
+    def expectedAt(b: Long): Seq[(Long, String)] =
+      snaps(b).collect { case (id, (t, vb))
+        if !tombs.get(id).exists(vb <= _) => id -> t }.toSeq
     def check(tag: String): Unit = {
-      val live = spark.createDataFrame(model.toSeq)
+      val live = spark.createDataFrame(
+          model.toSeq.map { case (id, (t, _)) => (id, t) })
         .toDF("doc_id", "text")
       assert(rows(TextOps.bm25SearchStored(spark, store, queries)) ==
         rows(TextOps.bm25SearchOver(spark, live, queries)),
         s"diverged after: $tag (model size ${model.size})")
+      // the as-of twin of the same invariant, at the oldest and the
+      // newest servable cut (every cut at or above the horizon must
+      // re-derive its historical search exactly)
+      val servable = snaps.keys.filter(_ >= math.max(horizon, 0L)).toSeq
+      servable.sorted.distinct match {
+        case s if s.isEmpty => ()
+        case s => Seq(s.head, s.last).distinct.foreach { b =>
+          assert(rows(TextOps.bm25SearchStored(spark, store, queries,
+            asOfBatch = b)) ==
+            rows(TextOps.bm25SearchOver(spark,
+              spark.createDataFrame(expectedAt(b))
+                .toDF("doc_id", "text"), queries)),
+            s"as-of $b diverged after: $tag")
+        }
+      }
+      // cuts below the compaction horizon refuse loudly
+      if (snaps.keys.exists(_ < horizon)) {
+        val e = intercept[IllegalArgumentException] {
+          TextOps.bm25SearchStored(spark, store, queries,
+            asOfBatch = snaps.keys.filter(_ < horizon).min).collect()
+        }
+        assert(e.getMessage.contains("horizon"), e.getMessage)
+      }
     }
     append(12, 0);                         check("initial append")
     append(6, 4);                          check("append+update")
     tombstone(3);                          check("tombstone")
     append(4, 3);                          check("update after tombstone")
-    TextOps.compactSparseIndex(spark, store); check("compact")
+    compact();                             check("compact")
     append(5, 2); tombstone(2);            check("post-compact churn")
-    TextOps.compactSparseIndex(spark, store); check("second compact")
+    compact();                             check("second compact")
     assert(model.nonEmpty && batch >= 4) // the sequence was non-trivial
   }
 
@@ -1243,7 +1290,7 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
         .localCheckpoint(true),
       Seq("batch", "dbucket"))
     store.write("sparse_compact_intent",
-      spark.createDataFrame(Seq(Tuple1(1L))).toDF("into"), Seq.empty)
+      spark.createDataFrame(Seq(Tuple1(1L))).toDF("horizon"), Seq.empty)
     store.delete("sparse_postings", Seq.empty)
     store.delete("sparse_docs", Seq.empty)
     // re-running compaction must COMPLETE the move (the old behavior
@@ -1327,5 +1374,219 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     TextOps.appendSparseIndex(spark, Seq(
       (1L, "alpha finally")).toDF("doc_id", "text"), 101L, store)
     assert(alive() == Set(0L, 1L, 2L))
+  }
+
+  test("ANN corpus as-of reads reproduce the pre-append search, stay " +
+    "retroactive under tombstones, and refuse below the compaction " +
+    "horizon (which also guards batch replays)") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-ann-asof").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir)
+    // batch 0 carries every query id plus the even half; batch 1 the rest
+    val b0 = n.filter($"vec_id" < 8 || $"vec_id" % 2 === 0)
+    val b1 = n.filter($"vec_id" >= 8 && $"vec_id" % 2 === 1)
+    VectorOps.appendAnnCorpus(spark, b0, 0L, store)
+    def rows(asOf: Long) =
+      VectorOps.annIvfPqSearchStored(spark, dir, store, asOfBatch = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSeq
+    val at0 = rows(Long.MaxValue)
+    VectorOps.appendAnnCorpus(spark, b1, 1L, store)
+    // the snapshot re-derives exactly what the pre-append search saw
+    assert(rows(0L) == at0, "as-of 0 diverged from the pre-append search")
+    assert(rows(1L) == rows(Long.MaxValue))
+    // deletes are retroactive: a tombstoned vector vanishes from every
+    // snapshot, not just the live read
+    val dead = at0.filter(t => t._3 == 1L && t._1 == 0L).map(_._2)
+    assert(dead.nonEmpty)
+    VectorOps.tombstoneAnnVectors(spark, dead, store)
+    assert(rows(0L).forall(t => !dead.contains(t._2)),
+      "tombstoned vector served through a snapshot")
+    // compaction folds per-batch history; horizon = newest folded batch
+    VectorOps.compactAnnCorpus(spark, store)
+    assert(rows(1L) == rows(Long.MaxValue),
+      "as-of at the horizon diverged from the live read")
+    val e = intercept[IllegalArgumentException] { rows(0L) }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // a batch replay at or below the horizon would delete-before-write
+    // the consolidated partition — it must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.appendAnnCorpus(spark, b1, 1L, store)
+    }
+    assert(e2.getMessage.contains("horizon"), e2.getMessage)
+    // fresh ingest above the horizon proceeds, and the horizon snapshot
+    // still excludes it
+    val preAppend = rows(1L)
+    VectorOps.appendAnnCorpus(spark,
+      n.filter($"vec_id" >= 8 && $"vec_id" % 2 === 1)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"v"), 2L, store)
+    assert(rows(1L) == preAppend,
+      "a later append leaked into an earlier snapshot")
+  }
+
+  test("ANN corpus compaction crashed mid-move rolls forward from " +
+    "the stage (shared StagedFold discipline)") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-ann-crash").toString
+    val store = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir)
+    VectorOps.appendAnnCorpus(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    VectorOps.appendAnnCorpus(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    def rows() = VectorOps.annIvfPqSearchStored(spark, dir, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    VectorOps.compactAnnCorpus(spark, store)
+    val before = rows()
+    // the worst point of the move: consolidated copy ONLY in the stage
+    // + intent marker; the main entity is gone
+    store.write("ann_corpus_stage",
+      store.read("ann_corpus", spark)
+        .withColumn("batch", $"batch".cast("long"))
+        .withColumn("cell", $"cell".cast("long"))
+        .localCheckpoint(true),
+      Seq("batch", "cell"))
+    store.write("ann_compact_intent",
+      spark.createDataFrame(Seq(Tuple1(1L))).toDF("horizon"), Seq.empty)
+    store.delete("ann_corpus", Seq.empty)
+    VectorOps.compactAnnCorpus(spark, store)
+    assert(rows() == before, "roll-forward lost or changed the corpus")
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$tmp/ann/ann_compact_intent")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$tmp/ann/ann_corpus_stage")))
+  }
+
+  test("k-NN graph as-of reads: stored partitions for untouched " +
+    "cells plus a batch-cut re-edge of touched cells reproduce the " +
+    "pre-append graph exactly; rebalance advances the horizon") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-knn-asof").toString
+    val store = new ParquetStore(s"$tmp/knn")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    val g0 = rows(VectorOps.knnGraphStored(spark, store))
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    val live = rows(VectorOps.knnGraphStored(spark, store))
+    assert(rows(VectorOps.knnGraphStored(spark, store, asOfBatch = 0L))
+      == g0, "as-of 0 diverged from the pre-append graph")
+    assert(rows(VectorOps.knnGraphStored(spark, store, asOfBatch = 1L))
+      == live)
+    n.unpersist()
+    // rebalance relabels cells in place — historical membership below
+    // it no longer exists, so snapshots below its horizon refuse, and
+    // so do pre-rebalance batch replays
+    val counts = store.read("knn_vectors", spark)
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val cap = (counts.values.max + counts.values.sum / counts.size) / 2
+    assert(VectorOps.rebalanceKnnCells(spark, store, cap.toInt) > 0,
+      "fixture no longer produces a hot cell")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.knnGraphStored(spark, store, asOfBatch = 0L).collect()
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.appendKnnGraph(spark,
+        VectorOps.normalizedEmbeddings(spark, dir).limit(4), 1L, store)
+    }
+    assert(e2.getMessage.contains("horizon"), e2.getMessage)
+    // at/above the horizon: ingest history on top of the current cell
+    // structure — a fresh batch lands, and the horizon snapshot
+    // excludes it
+    val atH = rows(VectorOps.knnGraphStored(spark, store, asOfBatch = 1L))
+    VectorOps.appendKnnGraph(spark,
+      VectorOps.normalizedEmbeddings(spark, dir).limit(4)
+        .select(($"vec_id" + 300000L).as("vec_id"), $"v"), 2L, store)
+    assert(rows(VectorOps.knnGraphStored(spark, store, asOfBatch = 1L))
+      == atH, "a later append leaked into an earlier snapshot")
+    assert(rows(VectorOps.knnGraphStored(spark, store))
+      .exists(_._1 >= 300000L))
+  }
+
+  test("sketch registers (HLL, KMV, quantile) serve as-of snapshots, " +
+    "compact crash-safely to the merged fold, and guard horizons") {
+    import graft.queries.SketchOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-sketch-asof").toString
+    val store = new ParquetStore(s"$tmp/sk")
+    val docs = graft.Tables(spark, dir, "documents")
+    def est(asOf: Long) = SketchOps.hllDistinctStored(spark, store, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    def sk(asOf: Long) = SketchOps.kmvSketchStored(spark, store, asOf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def qr(asOf: Long) = SketchOps.quantileReportStored(spark, store, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    SketchOps.appendHllRegisters(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    SketchOps.appendKmvSketch(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    val (e0, s0, q0) = (est(Long.MaxValue), sk(Long.MaxValue),
+      qr(Long.MaxValue))
+    SketchOps.appendHllRegisters(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    SketchOps.appendKmvSketch(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    // each snapshot re-derives exactly the report its batch saw
+    assert(est(0L) == e0 && sk(0L) == s0 && qr(0L) == q0,
+      "an as-of sketch read diverged from the pre-append report")
+    val (e1, s1, q1) = (est(Long.MaxValue), sk(Long.MaxValue),
+      qr(Long.MaxValue))
+    // compaction = the stored read's merge, materialized: reports are
+    // invariant, per-batch history is gone
+    SketchOps.compactHllRegisters(spark, store)
+    SketchOps.compactKmvSketch(spark, store)
+    SketchOps.compactQuantileHist(spark, store)
+    assert(est(Long.MaxValue) == e1 && sk(Long.MaxValue) == s1 &&
+      qr(Long.MaxValue) == q1, "compaction changed a sketch report")
+    assert(est(1L) == e1 && sk(1L) == s1 && qr(1L) == q1)
+    Seq(
+      () => est(0L), () => sk(0L), () => qr(0L)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException] { f() }
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+    }
+    // batch replays at or below the horizon refuse (the folded
+    // partition would be destroyed); fresh batches proceed
+    Seq[(() => Unit)](
+      () => SketchOps.appendHllRegisters(spark, docs, 1L, store),
+      () => SketchOps.appendKmvSketch(spark, docs, 1L, store),
+      () => SketchOps.appendQuantileHist(spark, docs, 1L, store)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException] { f() }
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+    }
+    SketchOps.appendQuantileHist(spark,
+      docs.filter($"doc_id" % 7 === 0), 2L, store)
+    assert(qr(1L) == q1, "a later append leaked into a snapshot")
+    // crash window: consolidated copy only in stage + intent; the
+    // shared roll-forward completes the move
+    val qBefore = qr(Long.MaxValue)
+    store.write("quantile_hist_stage",
+      store.read("quantile_hist", spark)
+        .withColumn("batch", $"batch".cast("long"))
+        .localCheckpoint(true), Seq("batch"))
+    store.write("quantile_compact_intent",
+      spark.createDataFrame(Seq(Tuple1(2L))).toDF("horizon"), Seq.empty)
+    store.delete("quantile_hist", Seq.empty)
+    SketchOps.compactQuantileHist(spark, store)
+    assert(qr(Long.MaxValue) == qBefore,
+      "roll-forward lost or changed the quantile sketch")
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$tmp/sk/quantile_compact_intent")))
   }
 }
