@@ -887,16 +887,25 @@ object TextOps {
   private[graft] def lmDirichletTopK(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int = 5)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (tf, _, dl, _) = bm25Parts(s, dir)
     val ctf = tf.groupBy($"term").agg(sum($"tf").as("ctf"))
     val cl = dl.agg(sum($"dl").cast("double").as("c_len"))
     val qt = tf.filter($"doc_id" < 4)
       .select($"doc_id".as("qid"), $"term")
-    val cand = tf.join(qt, "term").filter($"doc_id" =!= $"qid")
+    lmRank(tf.join(qt, "term").filter($"doc_id" =!= $"qid")
       .join(ctf, "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(cl))
+      .crossJoin(broadcast(cl)), k)
+  }
+
+  /** The integerized LMDirichlet contribution + (qid, doc) rollup +
+    * rank, over a candidate frame carrying (qid, doc_id, tf, ctf, dl,
+    * c_len) — ONE scorer for the three x119 entry points so the
+    * arithmetic cannot drift between the corpus scan, the one-shot
+    * twin, and the stored search. */
+  private def lmRank(cand: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ci = floor((log(lit(1.0)
         + $"tf" / (lit(2000.0) * ($"ctf" / $"c_len")))
         + log(lit(2000.0) / ($"dl" + lit(2000.0))))
@@ -907,6 +916,76 @@ object TextOps {
         .orderBy($"ql".desc, $"doc_id")).cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** One-shot LMDirichlet retrieval over an arbitrary documents frame
+    * with an explicit query set — the spec's independent twin for
+    * [[lmDirichletStored]]. Collection statistics (ctf, |C|) come
+    * from the given frame, exactly as the stored path derives them
+    * from the live registry. */
+  private[graft] def lmDirichletOver(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int = 5,
+      excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "LM retrieval needs queries")
+    val tkd = tokenized(docs)
+    val tf = tkd.select($"doc_id", explode($"tk").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tkd.select($"doc_id", size($"tk").cast("long").as("dl"))
+    val ctf = tf.groupBy($"term").agg(sum($"tf").as("ctf"))
+    val cl = dl.agg(sum($"dl").cast("double").as("c_len"))
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val cand = tf.join(broadcast(qt), "term")
+    lmRank((if (excludeSelf) cand.filter($"doc_id" =!= $"qid") else cand)
+      .join(ctf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(cl)), k)
+  }
+
+  /** LMDirichlet retrieval over the PERSISTED sparse index — the
+    * stored twin of x119, sharing [[bm25SearchStored]]'s exact plumb:
+    * postings read ONLY for the queried terms' buckets, versions
+    * resolved against the [[staleSparseKeys]] sliver, the same as-of
+    * cut on registry AND postings. Collection statistics are LIVE
+    * statistics: |C| = Σ dl over the live registry (the one thin
+    * corpus-proportional pass, shared shape with BM25's totals), and
+    * a queried term's ctf = the sum of its live postings' stored tf
+    * partials — a term's postings all live in its bucket, so the
+    * bucket-pruned read IS the term's full live posting list and ctf
+    * needs no extra scan. */
+  def lmDirichletStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, queries: Seq[(Long, Seq[String])],
+      k: Int = 5, excludeSelf: Boolean = true,
+      asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "stored LM retrieval needs queries")
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
+    // bounded collect: ≤ |distinct query terms| bucket ids
+    val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
+    val reg0 = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    requireAboveHorizon(reg0, asOfBatch)
+    val reg = asOf(reg0, asOfBatch)
+    val live = liveOf(reg, s, store)
+    val cl = live.agg(sum($"dl").cast("double").as("c_len"))
+    val tpost = asOf(store.read("sparse_postings", s)
+        .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+          $"tf", $"dl"), asOfBatch)
+      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
+        "left_anti")
+      .join(broadcast(qt.select($"term").distinct()), "term")
+    val ctf = tpost.groupBy($"term").agg(sum($"tf").as("ctf"))
+    val cand = tpost.join(broadcast(qt.select($"qid", $"term")), "term")
+    lmRank((if (excludeSelf) cand.filter($"doc_id" =!= $"qid") else cand)
+      .join(ctf, "term")
+      .crossJoin(broadcast(cl)), k)
   }
 
   /** x118 body: late-interaction (ColBERT MaxSim) reranking — the
@@ -1085,6 +1164,19 @@ object TextOps {
         explode(array_distinct(slice($"tk", 1, plen))).as("term"))
       .withColumn("idx", row_number().over(
         Window.partitionBy($"qid").orderBy($"term")))
+    proximityWindows(pos, qp, plen, k)
+  }
+
+  /** The min-cover sweep shared by the three proximity entry points
+    * (x117's corpus scan, [[proximityRankOver]],
+    * [[proximityRankStored]]): conjunctive candidate prune, then the
+    * one-pass smallest-window sweep over each candidate's query-term
+    * positions. `pos` is (doc_id, pos, term); `qp` is (qid, term,
+    * idx) with idx a 1-based slot id, ≤ `maxSlots` everywhere. */
+  private def proximityWindows(pos: org.apache.spark.sql.DataFrame,
+      qp: org.apache.spark.sql.DataFrame, maxSlots: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val need = qp.groupBy($"qid").agg(count(lit(1)).as("nt"))
     val cand = pos.select($"doc_id", $"term").distinct()
       .join(broadcast(qp.select($"qid", $"term")), "term")
@@ -1097,11 +1189,11 @@ object TextOps {
     val hits = pos.join(broadcast(qp), "term")
       .join(cand, Seq("qid", "doc_id"))
       .join(broadcast(need), "qid")
-    val withLast = (1 to plen).foldLeft(hits) { (df, i) =>
+    val withLast = (1 to maxSlots).foldLeft(hits) { (df, i) =>
       df.withColumn(s"m$i",
         max(when($"idx" === i, $"pos")).over(sweep))
     }
-    val lastArr = array((1 to plen).map(i => col(s"m$i")): _*)
+    val lastArr = array((1 to maxSlots).map(i => col(s"m$i")): _*)
     withLast
       .withColumn("seen", filter(lastArr, c => c.isNotNull))
       .filter(size($"seen") === $"nt")
@@ -1112,6 +1204,73 @@ object TextOps {
         .orderBy($"win".asc, $"doc_id")).cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** The (qid, term, idx) slot frame of an unordered term-set query
+    * list: distinct terms, slotted by lexicographic rank — the SAME
+    * deterministic slot convention x117 derives from document
+    * prefixes, shared by the stored and one-shot proximity paths. */
+  private def proximityFrame(s: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Seq[String])])
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    require(queries.nonEmpty, "proximity ranking needs queries")
+    val rows = queries.flatMap { case (q, ts) =>
+      ts.distinct.sorted.zipWithIndex.map { case (t, i) =>
+        (q, t, i + 1) }
+    }
+    (s.createDataFrame(rows).toDF("qid", "term", "idx"),
+      queries.map(_._2.distinct.length).max)
+  }
+
+  /** One-shot proximity ranking over an arbitrary documents frame
+    * with an explicit query set — the spec's independent twin for
+    * [[proximityRankStored]]. */
+  private[graft] def proximityRankOver(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val (qp, maxSlots) = proximityFrame(s, queries)
+    val pos = tokenized(docs).select($"doc_id",
+      posexplode($"tk").as(Seq("pos", "term")))
+    proximityWindows(pos, qp, maxSlots, k)
+  }
+
+  /** Proximity ranking over the PERSISTED sparse index — the second
+    * stored consumer of the postings' position arrays (after
+    * [[phraseSearchStored]]): reads ONLY the query terms' bucket
+    * directories, resolves versions against the [[staleSparseKeys]]
+    * sliver and takes the same as-of cut as every stored search, then
+    * explodes the pruned postings' positions into the shared
+    * [[proximityWindows]] sweep. A doc re-ingested with moved text
+    * ranks at its LATEST term positions only; tombstoned docs never
+    * rank; snapshots reproduce any past ranking down to the
+    * compaction horizon. */
+  def proximityRankStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, queries: Seq[(Long, Seq[String])],
+      k: Int = 10, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    val (qp0, maxSlots) = proximityFrame(s, queries)
+    val qp = qp0.withColumn("bucket",
+      pmod(xxhash64($"term"), lit(SparseBuckets)))
+    // bounded collect: ≤ |distinct query terms| bucket ids
+    val qb = qp.select($"bucket").distinct().collect().map(_.getLong(0))
+    val reg0 = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    requireAboveHorizon(reg0, asOfBatch)
+    val reg = asOf(reg0, asOfBatch)
+    val live = liveOf(reg, s, store)
+    val post = asOf(store.read("sparse_postings", s)
+        .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
+          $"positions"), asOfBatch)
+      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
+        "left_anti")
+      .join(broadcast(qp.select($"term").distinct()), "term")
+    val pos = post.select($"doc_id", $"term",
+      explode($"positions").as("pos"))
+    proximityWindows(pos, qp.select($"qid", $"term", $"idx"),
+      maxSlots, k)
   }
 
   /** One-shot phrase search over an arbitrary documents frame with an

@@ -1271,6 +1271,14 @@ object VectorOps {
   private[graft] val GraphBeam = 8
   private[graft] val GraphHops = 3
 
+  /** x122 embedding-trainer geometry: power-iteration rounds, and the
+    * integerized ln(5) negative-sampling shift (micro-nats) as a
+    * shared LITERAL so neither engine's libm evaluates ln(5) at run
+    * time. Declared BEFORE the qs map (oracle interpolation — a val
+    * declared after `qs` reads as 0 during its initialization). */
+  private[graft] val EmbedIters = 8
+  private[graft] val EmbedShift6 = 1609438L
+
   /** x116 walk geometry: walks per start node × steps per walk.
     * Declared BEFORE the qs map (oracle interpolation). */
   private[graft] val WalksPerNode = 2
@@ -1386,6 +1394,69 @@ object VectorOps {
        |  WHERE $seed1 % e.deg + 1 = e.rn),
        |$stepCtes,
        |v2all AS ($unioned)""".stripMargin
+  }
+
+  /** The x122 oracle chain: walk replay → x120 window pairs → SPPMI →
+    * [[EmbedIters]] unrolled integer power/Gram-Schmidt rounds
+    * (generated by one loop, the x76 sqlPowerRound pattern). Rounds
+    * MATERIALIZE (each is referenced by its scalar CTEs AND the next
+    * round — lazy inlining would inline exponentially). Ends in
+    * `emb(node, w1, w2)`. Truncating `//` mirrors Spark's `div`
+    * exactly, including negatives. */
+  private def sqlEmbedCtes: String = {
+    val roundCtes = (1 to EmbedIters).map { t =>
+      s"""ep$t AS MATERIALIZED (SELECT s.center AS node,
+         |    CAST(sum(s.sp * e.w1) AS BIGINT) AS p1,
+         |    CAST(sum(s.sp * e.w2) AS BIGINT) AS p2
+         |  FROM spp s JOIN e${t - 1} e ON e.node = s.context
+         |  GROUP BY 1),
+         |emx$t AS (SELECT max(abs(p1)) AS m1, max(abs(p2)) AS m2
+         |  FROM ep$t),
+         |en$t AS MATERIALIZED (SELECT node,
+         |    CASE WHEN m1 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE (p1 * 10000) // m1 END AS n1,
+         |    CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE (p2 * 10000) // m2 END AS n2
+         |  FROM ep$t CROSS JOIN emx$t),
+         |eab$t AS (SELECT CAST(sum(n1 * n2) AS BIGINT) AS al,
+         |    CAST(sum(n1 * n1) AS BIGINT) AS bt FROM en$t),
+         |eo$t AS (SELECT node, n1,
+         |    CASE WHEN bt = 0 THEN n2
+         |      ELSE n2 - ((al * n1) // bt) END AS o2
+         |  FROM en$t CROSS JOIN eab$t),
+         |emo$t AS (SELECT max(abs(o2)) AS mo FROM eo$t),
+         |e$t AS MATERIALIZED (SELECT node, n1 AS w1,
+         |    CASE WHEN mo = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE (o2 * 10000) // mo END AS w2
+         |  FROM eo$t CROSS JOIN emo$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlGraphWalkCtes,
+       |wp AS (SELECT a.node AS center, b.node AS context,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM wall a JOIN wall b ON a.qid = b.qid AND a.wid = b.wid
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT center, CAST(sum(n) AS BIGINT) AS ncen FROM wp
+       |  GROUP BY 1),
+       |px AS (SELECT context, CAST(sum(n) AS BIGINT) AS nctx FROM wp
+       |  GROUP BY 1),
+       |pt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM wp),
+       |spp AS MATERIALIZED (SELECT center, context, sp FROM (
+       |    SELECT center, context,
+       |      CAST(floor(ln(CAST(n * ntot AS DOUBLE)
+       |          / CAST(ncen * nctx AS DOUBLE)) * 1000000.0 + 0.5)
+       |        AS BIGINT) - $EmbedShift6 AS sp
+       |    FROM wp JOIN pc USING (center) JOIN px USING (context)
+       |    CROSS JOIN pt)
+       |  WHERE sp > 0),
+       |e0 AS MATERIALIZED (SELECT node,
+       |    ${TS.md5Long("concat_ws(':', node, '1')")} % 2001 - 1000
+       |      AS w1,
+       |    ${TS.md5Long("concat_ws(':', node, '2')")} % 2001 - 1000
+       |      AS w2
+       |  FROM (SELECT DISTINCT center AS node FROM spp)),
+       |$roundCtes,
+       |emb AS (SELECT node, w1, w2 FROM e$EmbedIters)""".stripMargin
   }
 
   /** The x13 cell-assignment replay as reusable oracle CTEs: yields
@@ -2755,6 +2826,40 @@ object VectorOps {
       (s, dir) => skipGramPairs(s, dir)
     },
 
+    // ----- x122 trained node embeddings (see [[trainNodeEmbeddings]]):
+    // shifted-PMI factorization of the x120 pair counts by integer-
+    // exact orthogonal power iteration — the trainer that closes the
+    // embedding pipeline. The oracle replays the walks, the window
+    // pass, the SPPMI relation, and every unrolled round (matvec,
+    // max-abs renormalize, integer Gram-Schmidt) — the trained vectors
+    // hash-match, not just their shape.
+    "x122_embed_train" -> Q(
+      s"""WITH $sqlEmbedCtes
+         |SELECT node, w1, w2 FROM emb ORDER BY node""".stripMargin) {
+      (s, dir) => nodeEmbeddings(s, dir)
+    },
+
+    // ----- x123 embedding-space neighbors vs the walk graph (see
+    // [[embedNeighbors]]): the CONSUMER — exact integer-dot top-k in
+    // the trained space for the walk start nodes, flagged with direct
+    // x86 graph adjacency (the embedding-quality probe as a relation).
+    "x123_embed_neighbors" -> Q(
+      s"""WITH $sqlEmbedCtes,
+         |zq AS (SELECT node AS qid, w1 AS q1, w2 AS q2 FROM emb
+         |  WHERE node < 8),
+         |zc AS (SELECT zq.qid, e.node AS nid,
+         |    zq.q1 * e.w1 + zq.q2 * e.w2 AS dot
+         |  FROM zq JOIN emb e ON e.node <> zq.qid),
+         |zr AS (SELECT qid, nid, dot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM zc)
+         |SELECT zr.qid, zr.nid, zr.dot, CAST(zr.rn AS BIGINT) AS rn,
+         |  CASE WHEN x.src IS NOT NULL THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS in_graph
+         |FROM zr LEFT JOIN wed x ON x.src = zr.qid AND x.dst = zr.nid
+         |WHERE zr.rn <= 5 ORDER BY zr.qid, zr.rn""".stripMargin) {
+      (s, dir) => embedNeighbors(s, dir)
+    },
+
     // ----- x91 filtered ANN (see [[annFiltered]]): the
     // metadata-constrained search every production vector store
     // grew — candidates must match the query's label, the filter
@@ -4112,14 +4217,16 @@ object VectorOps {
   private[graft] def graphWalks(s: org.apache.spark.sql.SparkSession,
       dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps,
       // spec hook: each step's PRE-checkpoint frame (see graphSearch)
-      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => (),
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = _.cache())
       : org.apache.spark.sql.DataFrame = {
     val e = normalizedEmbeddings(s, dir)
-    val a = literalCells(e, DefaultCells)
-      .select($"vec_id", $"v", $"cell").cache()
+    val a = pin(literalCells(e, DefaultCells)
+      .select($"vec_id", $"v", $"cell"))
     val deg0 = knnEdges(a, KnnGraphK).select($"src", $"dst", $"rn")
     val deg = deg0.groupBy($"src").agg(max($"rn").as("deg"))
-    val ed = deg0.join(deg, "src").cache()
+    val ed = pin(deg0.join(deg, "src"))
     val starts = a.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"),
         explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
@@ -4162,15 +4269,17 @@ object VectorOps {
     * x114 plan-doubling reason. */
   private[graft] def node2vecWalks(s: org.apache.spark.sql.SparkSession,
       dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps,
-      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => (),
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = _.cache())
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normalizedEmbeddings(s, dir)
-    val a = literalCells(e, DefaultCells)
-      .select($"vec_id", $"v", $"cell").cache()
+    val a = pin(literalCells(e, DefaultCells)
+      .select($"vec_id", $"v", $"cell"))
     val deg0 = knnEdges(a, KnnGraphK).select($"src", $"dst", $"rn")
     val deg = deg0.groupBy($"src").agg(max($"rn").as("deg"))
-    val ed = deg0.join(deg, "src").cache()
+    val ed = pin(deg0.join(deg, "src"))
     val adj = deg0.select($"src".as("psrc"), $"dst".as("pdst"))
     val starts = a.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"),
@@ -4209,6 +4318,24 @@ object VectorOps {
     out.orderBy($"qid", $"wid", $"step")
   }
 
+  /** [[graphWalks]] with the [[eagerly]] release discipline — the
+    * entry point for a caller generating walk corpora in a long-lived
+    * session (the embedding-training loop's shape), which would
+    * otherwise pin the assignment and ranked-edge frames per call for
+    * the session's life (ScaleGuardsSpec pins the cache manager empty
+    * after a call). */
+  def graphWalksEager(s: org.apache.spark.sql.SparkSession,
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps)
+      : org.apache.spark.sql.DataFrame =
+    eagerly(pin => graphWalks(s, dir, walks, steps, pin = pin))
+
+  /** [[node2vecWalks]] with the [[eagerly]] release discipline (see
+    * [[graphWalksEager]]). */
+  def node2vecWalksEager(s: org.apache.spark.sql.SparkSession,
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps)
+      : org.apache.spark.sql.DataFrame =
+    eagerly(pin => node2vecWalks(s, dir, walks, steps, pin = pin))
+
   /** x120 body: skip-gram (center, context) training pairs from the
     * x116 walk corpus — the window pass (word2vec's ±`window`
     * semantics applied to node sequences) that turns walks into the
@@ -4236,6 +4363,139 @@ object VectorOps {
       .filter($"sa" =!= $"sb" && abs($"sa" - $"sb") <= window)
       .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
       .orderBy($"center", $"context")
+  }
+
+  // ---------------------------------------------------------------
+  // x122/x123 spectral node embeddings from the walk corpus — the
+  // step that CLOSES the embedding pipeline (x86 graph → x116/x121
+  // walks → x120 pairs → trained vectors → x123 serving): skip-gram
+  // with negative sampling is implicit factorization of the shifted
+  // PMI matrix (Levy & Goldberg, NeurIPS 2014), so the trainer
+  // factorizes SPPMI(c,x) = max(0, PMI(c,x) − ln k) directly — an
+  // exact-linear-algebra replacement for SGD that both engines can
+  // replay: EmbedIters orthogonal power-iteration rounds in EXACT
+  // integer arithmetic (the x76 top-direction discipline, extended
+  // to 2 dims with integer Gram-Schmidt). Truncating integer division
+  // is `div` in Spark and `//` in DuckDB — verified identical on
+  // negatives — so every round is engine-identical and the trained
+  // vectors hash-match a full DuckDB replay (the third oracle-
+  // replayable distributed training after x39 Lloyd's and x41
+  // codebooks).
+  //
+  // Scale shape: the SPPMI relation is pair-count-sized (the x120
+  // bound: O(walks · steps · window), never corpus-shaped); each
+  // round is ONE keyed matvec join + grouped sum over it, plus d²
+  // 1-row aggregations (broadcast, no collect) — the whole round
+  // pipeline is lazily composed and checkpointed once. Vectors stay
+  // ≤ 1e4 in magnitude, SPPMI ≤ ~2e7 (micro-ln), so matvec terms
+  // stay ≤ 2e11 and any plausible degree keeps sums far from long
+  // overflow.
+  // ---------------------------------------------------------------
+
+  /** The shifted-PMI relation from a (center, context, n) pair-count
+    * frame: PMI integerized to micro-nats (the x47 log discipline),
+    * shifted by [[EmbedShift6]], non-positive entries dropped (SPPMI's
+    * sparsity — exactly what keeps the matrix pair-sized). */
+  private[graft] def sppmiRelation(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nc = pairs.groupBy($"center").agg(sum($"n").as("ncen"))
+    val nx = pairs.groupBy($"context").agg(sum($"n").as("nctx"))
+    val tot = pairs.agg(sum($"n").as("ntot"))
+    pairs.join(nc, "center").join(nx, "context")
+      .crossJoin(broadcast(tot))
+      .withColumn("sp",
+        floor(log(($"n" * $"ntot").cast("double") /
+          ($"ncen" * $"nctx").cast("double")) * 1000000.0 + 0.5)
+          .cast("long") - lit(EmbedShift6))
+      .filter($"sp" > 0)
+      .select($"center", $"context", $"sp")
+  }
+
+  /** Train 2-dim node embeddings over a (center, context, n) pair
+    * relation: seeded-hash start vectors, then [[EmbedIters]] rounds
+    * of matvec → max-abs renormalize (dim 1) → integer Gram-Schmidt
+    * against dim 1 → renormalize (dim 2). Every operation is exact
+    * long arithmetic on both engines (truncating division, max-abs
+    * scaling — no norms, no floating accumulation), so the result is
+    * deterministic, retry-safe, and oracle-replayable. Returns
+    * (node, w1, w2) over the SPPMI vocabulary. */
+  private[graft] def trainNodeEmbeddings(
+      s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame, iters: Int = EmbedIters)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = sppmiRelation(pairs).localCheckpoint(true)
+    var w = sp.select($"center".as("node")).distinct()
+      .select($"node",
+        (pmod(T.md5Long(concat_ws(":", $"node", lit("1"))), lit(2001L))
+          - 1000L).as("w1"),
+        (pmod(T.md5Long(concat_ws(":", $"node", lit("2"))), lit(2001L))
+          - 1000L).as("w2"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val p = sp.join(w.select($"node".as("context"), $"w1", $"w2"),
+          "context")
+        .groupBy($"center").agg(sum($"sp" * $"w1").as("p1"),
+          sum($"sp" * $"w2").as("p2"))
+        .withColumnRenamed("center", "node")
+      val mx = p.agg(max(abs($"p1")).as("mx1"), max(abs($"p2")).as("mx2"))
+      val n = p.crossJoin(broadcast(mx))
+        .select($"node",
+          when($"mx1" === 0L, lit(0L))
+            .otherwise(expr("(p1 * 10000) div mx1")).as("n1"),
+          when($"mx2" === 0L, lit(0L))
+            .otherwise(expr("(p2 * 10000) div mx2")).as("n2"))
+      val ab = n.agg(sum($"n1" * $"n2").as("al"),
+        sum($"n1" * $"n1").as("bt"))
+      val o = n.crossJoin(broadcast(ab))
+        .select($"node", $"n1",
+          when($"bt" === 0L, $"n2")
+            .otherwise($"n2" - expr("(al * n1) div bt")).as("o2"))
+      val mo = o.agg(max(abs($"o2")).as("mo2"))
+      // ONE action per round: the scalar aggregates ride as broadcast
+      // 1-row frames inside the round's plan, and the checkpoint both
+      // materializes it and severs lineage (constant-size plans over
+      // any iteration count — the x114 discipline)
+      w = o.crossJoin(broadcast(mo))
+        .select($"node", $"n1".as("w1"),
+          when($"mo2" === 0L, lit(0L))
+            .otherwise(expr("(o2 * 10000) div mo2")).as("w2"))
+        .localCheckpoint(true)
+    }
+    w.orderBy($"node")
+  }
+
+  /** x122 body: the trained embedding table over the x116 walk
+    * corpus' pair relation. */
+  private[graft] def nodeEmbeddings(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    trainNodeEmbeddings(s, skipGramPairs(s, dir))
+
+  /** x123 body: the CONSUMER of the trained vectors — exact top-k
+    * neighbors in embedding space (integer dot, the vectors are
+    * exact longs) for the walk start nodes, each neighbor flagged
+    * with whether it is also a direct x86 graph edge — the standard
+    * embedding-quality probe (do trained neighborhoods recover graph
+    * neighborhoods?) emitted as a relation instead of a scalar so
+    * the oracle replays row for row. */
+  private[graft] def embedNeighbors(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val e = nodeEmbeddings(s, dir).localCheckpoint(true)
+    val q = e.filter($"node" < 8)
+      .select($"node".as("qid"), $"w1".as("q1"), $"w2".as("q2"))
+    val a = literalCells(normalizedEmbeddings(s, dir), DefaultCells)
+      .select($"vec_id", $"v", $"cell")
+    val edges = knnEdges(a, KnnGraphK)
+      .select($"src".as("qid"), $"dst".as("nid"), lit(1L).as("g"))
+    e.join(broadcast(q), $"node" =!= $"qid")
+      .select($"qid", $"node".as("nid"),
+        ($"q1" * $"w1" + $"q2" * $"w2").as("dot"))
+      .join(edges, Seq("qid", "nid"), "left")
+      .withColumn("in_graph", coalesce($"g", lit(0L)))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"dot".desc, $"nid")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"nid", $"dot", $"rn", $"in_graph")
+      .orderBy($"qid", $"rn")
   }
 
   /** Incremental k-NN graph maintenance — the x33/x35 incremental

@@ -845,6 +845,53 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       s"pair mass ${pairs.map(_._3).sum} != $expected")
   }
 
+  test("x122 trained embeddings: deterministic, max-abs normalized, " +
+    "near-orthogonal dims, SPPMI-vocabulary-complete; x123 neighbors " +
+    "are a full exact rank over them") {
+    import spark.implicits._
+    val e = VectorOps.nodeEmbeddings(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(e.nonEmpty)
+    // deterministic end to end: walks, pairs, SPPMI, and every integer
+    // round are seeded/exact — a second full run is bit-identical
+    // (this is what makes the 100 TB training job retryable AND what
+    // the oracle hash-match rests on)
+    assert(VectorOps.nodeEmbeddings(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq == e)
+    // max-abs normalization: both dims live in [-10000, 10000] and
+    // dim 1 touches its scale (the max-abs element maps to ±10000)
+    assert(e.forall(t => math.abs(t._2) <= 10000 &&
+      math.abs(t._3) <= 10000))
+    assert(e.map(t => math.abs(t._2)).max == 10000,
+      "dim 1 lost its normalization scale")
+    // integer Gram-Schmidt leaves only rounding residue: |w1·w2| is
+    // orders below ‖w1‖² (exact orthogonality is impossible in longs;
+    // unprojected random dims would correlate at the same order)
+    val dot12 = e.map(t => t._2 * t._3).sum
+    val n1 = e.map(t => t._2 * t._2).sum
+    assert(math.abs(dot12) * 50 < n1,
+      s"dims far from orthogonal: |$dot12| vs n1=$n1")
+    // vocabulary = every node with a positive-SPPMI pair as center
+    val vocab = VectorOps.sppmiRelation(
+        VectorOps.skipGramPairs(spark, dir))
+      .select($"center").distinct().as[Long].collect().toSet
+    assert(e.map(_._1).toSet == vocab, "embedding vocabulary drifted")
+    // the consumer: every start node present in the vocabulary gets
+    // a full exact top-5, ranks contiguous, self excluded
+    val nb = VectorOps.embedNeighbors(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val qids = nb.map(_._1).distinct.sorted
+    assert(qids == vocab.filter(_ < 8).toSeq.sorted)
+    qids.foreach { q =>
+      val rows = nb.filter(_._1 == q).sortBy(_._4)
+      assert(rows.map(_._4) == (1L to rows.length).toSeq)
+      assert(rows.forall(_._2 != q), "self-match leaked")
+      // dot ordering is the exact integer rank
+      assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
+    }
+    assert(nb.forall(t => t._5 == 0L || t._5 == 1L))
+  }
+
   test("eager iterative bodies (graph contraction, incremental graph " +
     "append) leave no pinned cache blocks behind") {
     import spark.implicits._
@@ -1620,6 +1667,26 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(g.count() > 0)
     assert(spark.sharedState.cacheManager.isEmpty,
       "knnGraphScaledEager left cached frames behind")
+    // the walk bodies got the same treatment: a corpus-generating
+    // loop (the embedding-training shape) must not pin the
+    // assignment + ranked-edge frames once per call
+    spark.catalog.clearCache()
+    def walkRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val we = walkRows(VectorOps.graphWalksEager(spark, dir))
+    assert(we.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graphWalksEager left cached frames behind")
+    assert(we == walkRows(VectorOps.graphWalks(spark, dir)),
+      "eager walks diverged from lazy twin")
+    spark.catalog.clearCache()
+    val n2 = walkRows(VectorOps.node2vecWalksEager(spark, dir))
+    assert(n2.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "node2vecWalksEager left cached frames behind")
+    assert(n2 == walkRows(VectorOps.node2vecWalks(spark, dir)),
+      "eager node2vec walks diverged from lazy twin")
   }
 
   test("x107 leakage resolution: lower-precedence members drop once, " +

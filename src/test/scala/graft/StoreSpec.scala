@@ -1376,6 +1376,80 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(alive() == Set(0L, 1L, 2L))
   }
 
+  test("stored proximity + LM Dirichlet search the persisted index " +
+    "row-identical to one-shot across update, tombstone, compaction, " +
+    "and as-of cuts") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-prox-lm").toString
+    val store = new ParquetStore(root)
+    // a corpus where proximity and LM genuinely discriminate:
+    // repeated terms, varying gaps, shared vocabulary
+    var model = Map(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "alpha x x x beta x x gamma",
+      2L -> "gamma beta alpha alpha beta",
+      3L -> "x alpha x beta x x x x gamma x",
+      4L -> "beta beta beta alpha gamma gamma",
+      5L -> "zeta epsilon delta gamma beta alpha")
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      0L, store)
+    val queries = Seq(
+      100L -> Seq("alpha", "beta", "gamma"),
+      101L -> Seq("gamma", "beta"),
+      102L -> Seq("delta", "epsilon"))
+    def prox(asOf: Long = Long.MaxValue) =
+      TextOps.proximityRankStored(spark, store, queries,
+        asOfBatch = asOf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def lm(asOf: Long = Long.MaxValue) =
+      TextOps.lmDirichletStored(spark, store, queries,
+        asOfBatch = asOf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def proxOne() = TextOps.proximityRankOver(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def lmOne() = TextOps.lmDirichletOver(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(prox() == proxOne() && prox().nonEmpty, "initial proximity")
+    assert(lm() == lmOne() && lm().nonEmpty, "initial LM")
+    val (p0, l0) = (prox(), lm())
+    // UPDATE: doc 1's terms move (positions change -> proximity must
+    // rank at the LATEST positions; tf changes -> LM rescore)
+    model += 1L -> "alpha beta gamma x x alpha"
+    model += 6L -> "alpha beta x gamma delta epsilon"
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(Seq(
+        1L -> model(1L), 6L -> model(6L))).toDF("doc_id", "text"),
+      1L, store)
+    assert(prox() == proxOne(), "proximity diverged after update")
+    assert(lm() == lmOne(), "LM diverged after update")
+    // the as-of cut re-derives the pre-update ranking exactly
+    assert(prox(0L) == p0, "as-of proximity diverged")
+    assert(lm(0L) == l0, "as-of LM diverged")
+    // TOMBSTONE: doc 2 vanishes from both scorers (and ctf/|C| shift)
+    TextOps.tombstoneSparseDocs(spark, Seq(2L), store)
+    model -= 2L
+    assert(prox() == proxOne(), "proximity diverged after tombstone")
+    assert(lm() == lmOne(), "LM diverged after tombstone")
+    // COMPACTION: fold versions physically; rankings invariant
+    TextOps.compactSparseIndex(spark, store)
+    assert(prox() == proxOne(), "proximity diverged after compaction")
+    assert(lm() == lmOne(), "LM diverged after compaction")
+    // below-horizon snapshots refuse on both paths
+    Seq(() => prox(0L), () => lm(0L)).foreach { f =>
+      val e = intercept[IllegalArgumentException] { f() }
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+    }
+  }
+
   test("ANN corpus as-of reads reproduce the pre-append search, stay " +
     "retroactive under tombstones, and refuse below the compaction " +
     "horizon (which also guards batch replays)") {
