@@ -4231,6 +4231,18 @@ object VectorOps {
       .select($"vec_id".as("qid"),
         explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
       .select($"qid", $"wid", lit(0L).as("step"), $"qid".as("node"))
+    walkSteps(starts, ed, steps, inspect).orderBy($"qid", $"wid", $"step")
+  }
+
+  /** The uniform-walk step recursion shared by x116's corpus scan and
+    * the persisted walk corpus ([[appendWalkCorpus]]) — ONE seed
+    * formula and step rule, so the incremental corpus is bit-identical
+    * to a one-shot walk by construction. `starts` is (qid, wid, step=0,
+    * node); `ed` the ranked edge relation (src, dst, rn, deg). */
+  private def walkSteps(starts: org.apache.spark.sql.DataFrame,
+      ed: org.apache.spark.sql.DataFrame, steps: Int,
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame = {
     var cur = starts
     var out = starts
     (1 to steps).foreach { t =>
@@ -4244,7 +4256,7 @@ object VectorOps {
       cur = step.localCheckpoint()
       out = out.unionByName(cur)
     }
-    out.orderBy($"qid", $"wid", $"step")
+    out
   }
 
   /** x121 body: node2vec-biased (second-order) walks — Grover &
@@ -4588,6 +4600,132 @@ object VectorOps {
       }
     }
   }
+
+  /** The stored graph as a ranked walk-edge relation (src, dst, rn,
+    * deg) — the persisted twin of the in-memory frame x116 walks
+    * over. */
+  private[graft] def storedWalkEdges(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame = {
+    val ed = store.read("knn_graph", s)
+      .select($"src", $"dst", $"rn".cast("long").as("rn"))
+    ed.join(ed.groupBy($"src").agg(max($"rn").as("deg")), "src")
+  }
+
+  /** One-shot walk corpus over the CURRENT stored graph — the
+    * independent twin [[appendWalkCorpus]] is pinned against
+    * (StoreSpec: incremental ≡ one-shot, bit for bit). */
+  private[graft] def walkCorpusOneShot(
+      s: org.apache.spark.sql.SparkSession, store: graft.store.Store,
+      walks: Int = WalksPerNode, steps: Int = WalkSteps)
+      : org.apache.spark.sql.DataFrame = {
+    val starts = store.read("knn_vectors", s)
+      .filter($"vec_id" < 8).select($"vec_id".as("qid")).distinct()
+      .select($"qid",
+        explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
+      .select($"qid", $"wid", lit(0L).as("step"), $"qid".as("node"))
+    walkSteps(starts, storedWalkEdges(s, store), steps)
+      .orderBy($"qid", $"wid", $"step")
+  }
+
+  /** Incremental walk-corpus maintenance — the streamed-twin verb
+    * that completes the embedding pipeline's incremental story
+    * (graph ingest maintains `knn_graph`; THIS maintains the walk
+    * corpus trained embeddings consume). Walks are deterministic
+    * given the graph (seeded-hash steps), and a walk consults ONLY
+    * the edge lists of the nodes it visits — in-cell top-k relations
+    * that change exactly when the node's cell is touched. So after a
+    * graph batch lands, the ONLY walks that can differ from a fresh
+    * one-shot are those visiting a touched cell (plus walks of start
+    * nodes the batch introduced): everything else is kept byte-for-
+    * byte, and only the wcell partitions owning an invalidated walk
+    * rewrite (StoreSpec pins untouched partitions' mtimes and the
+    * incremental ≡ one-shot identity).
+    *
+    * Per-batch cost: one thin cell-projection of the corpus rows, the
+    * invalidated-walk sliver, and a re-walk of O(invalid · steps)
+    * frontier rows — never walk-corpus-shaped. Layout: partitioned by
+    * `wcell` (the start node's cell) so both the rewrite and a
+    * per-neighborhood read prune at the directory level. Call after
+    * each [[appendKnnGraph]] batch. NOT valid across
+    * [[rebalanceKnnCells]] (cells relabel in place — the stored
+    * per-step cells go stale); rebuild the corpus after a rebalance
+    * by deleting the entity. Bounded collects: touched cells,
+    * affected wcell ids (≤ the cell count). */
+  def appendWalkCorpus(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, batchId: Long,
+      walks: Int = WalksPerNode, steps: Int = WalkSteps): Unit = {
+    val edges = storedWalkEdges(s, store)
+    val vecs = store.read("knn_vectors", s)
+      .select($"batch".cast("long").as("batch"),
+        $"cell".cast("long").as("cell"), $"vec_id")
+    val cellOf = vecs.select($"vec_id".as("node"), $"cell")
+    val starts = vecs.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"cell".as("qcell")).distinct()
+    def walkedFrom(ids: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      walkSteps(ids.select($"qid", $"wid", lit(0L).as("step"),
+          $"qid".as("node")), edges, steps)
+        .join(cellOf, "node")
+        .join(starts, "qid")
+        .select($"qcell".as("wcell"), $"qid", $"wid", $"step",
+          $"node", $"cell")
+    val existing =
+      try Some(store.read("walk_corpus", s)
+        .select($"wcell".cast("long").as("wcell"), $"qid", $"wid",
+          $"step", $"node", $"cell".cast("long").as("cell")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    existing match {
+      case None =>
+        val all = starts.select($"qid",
+          explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
+        store.delete("walk_corpus", Seq.empty)
+        store.write("walk_corpus", walkedFrom(all), Seq("wcell"))
+      case Some(c) =>
+        // bounded collect: the batch's touched cells
+        val touched = vecs.filter($"batch" === batchId)
+          .select($"cell").distinct().collect().map(_.getLong(0))
+          .toIndexedSeq
+        if (touched.isEmpty) return
+        // the invalidated-walk sliver: any step in a touched cell,
+        // plus start nodes this batch introduced to the corpus
+        val invalid = c
+          .filter($"cell".isin(touched.map(Long.box): _*))
+          .select($"qid", $"wid").distinct()
+        val newStarts = vecs
+          .filter($"batch" === batchId && $"vec_id" < 8)
+          .select($"vec_id".as("qid")).distinct()
+          .join(c.select($"qid").distinct(), Seq("qid"), "left_anti")
+          .select($"qid",
+            explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
+        val redo = invalid.unionByName(newStarts).distinct()
+          .localCheckpoint(true)
+        if (redo.limit(1).count() == 0) return
+        // only partitions owning an invalidated walk rewrite
+        val affected = c.join(redo, Seq("qid", "wid"))
+          .select($"wcell")
+          .unionByName(starts
+            .join(redo.select($"qid").distinct(), "qid")
+            .select($"qcell".as("wcell")))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        // surviving walks of rewritten partitions MATERIALIZE before
+        // their source partitions drop
+        val keep = c.filter($"wcell".isin(affected.map(Long.box): _*))
+          .join(redo, Seq("qid", "wid"), "left_anti")
+          .localCheckpoint(true)
+        val walked = walkedFrom(redo).localCheckpoint(true)
+        affected.foreach(wc =>
+          store.delete("walk_corpus", Seq("wcell" -> wc)))
+        store.write("walk_corpus", keep.unionByName(walked),
+          Seq("wcell"))
+    }
+  }
+
+  /** The maintained walk corpus, in x116's shape. */
+  def walkCorpusStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+    store.read("walk_corpus", s)
+      .select($"qid", $"wid", $"step", $"node")
+      .orderBy($"qid", $"wid", $"step")
 
   /** Rebalance the persisted k-NN corpus: split every cell whose
     * member count exceeds `cap` into TWO cells via a deterministic

@@ -1586,6 +1586,64 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .exists(_._1 >= 300000L))
   }
 
+  test("incremental walk corpus: two graph batches re-walk only the " +
+    "invalidated walks, stored corpus identical to one-shot, " +
+    "untouched partitions never rewrite, replay idempotent") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-walks").toString
+    val store = new ParquetStore(s"$tmp/knn")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    VectorOps.appendWalkCorpus(spark, store, 0L)
+    assert(rows(VectorOps.walkCorpusStored(spark, store)) ==
+      rows(VectorOps.walkCorpusOneShot(spark, store)),
+      "batch-0 corpus diverged from one-shot")
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    VectorOps.appendWalkCorpus(spark, store, 1L)
+    val twoBatch = rows(VectorOps.walkCorpusStored(spark, store))
+    assert(twoBatch == rows(VectorOps.walkCorpusOneShot(spark, store)),
+      "incremental corpus diverged from one-shot over the final graph")
+    assert(twoBatch.nonEmpty)
+    // incremental economy: a batch whose touched cells no stored walk
+    // visits must rewrite NOTHING (mtimes byte-stable). Probe = a copy
+    // of an existing member of an unvisited cell (deterministic
+    // assignment sends it to the same cell).
+    val visited = store.read("walk_corpus", spark)
+      .select($"cell".cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val unvisited = store.read("knn_vectors", spark)
+      .select($"cell".cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet -- visited
+    assert(unvisited.nonEmpty,
+      s"fixture: walks visited every cell ($visited)")
+    val uc = unvisited.min
+    def corpusFiles = Files.walk(
+        java.nio.file.Paths.get(s"$tmp/knn/walk_corpus"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      .toSeq.map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)))
+    val stamp = corpusFiles
+    val probe = store.read("knn_vectors", spark)
+      .filter($"cell" === uc).limit(1)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"v")
+      .localCheckpoint(true)
+    VectorOps.appendKnnGraph(spark, probe, 2L, store)
+    VectorOps.appendWalkCorpus(spark, store, 2L)
+    assert(corpusFiles == stamp,
+      "a batch outside every walked cell rewrote the walk corpus")
+    // replay idempotency: re-running the last maintenance pass leaves
+    // the corpus identical (the sliver recomputes to the same bytes)
+    val before = rows(VectorOps.walkCorpusStored(spark, store))
+    VectorOps.appendWalkCorpus(spark, store, 1L)
+    assert(rows(VectorOps.walkCorpusStored(spark, store)) == before)
+    n.unpersist()
+  }
+
   test("sketch registers (HLL, KMV, quantile) serve as-of snapshots, " +
     "compact crash-safely to the merged fold, and guard horizons") {
     import graft.queries.SketchOps

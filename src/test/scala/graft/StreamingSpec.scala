@@ -729,6 +729,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batches.sameElements(Array(0L, 1L)), batches.mkString(","))
   }
 
+  test("walk-corpus ingest stream: micro-batches maintain graph AND " +
+    "walks; the streamed corpus matches a one-shot walk over the " +
+    "final graph") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-walkstream").toString
+    val store = new ParquetStore(s"$tmp/w")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val raw = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = WalkIngest.start(in.toDF().toDF("vec_id", "embedding"),
+      store, s"$tmp/ckpt")
+    try {
+      in.addData(raw.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val got = rows(VectorOps.walkCorpusStored(spark, store))
+    assert(got.nonEmpty)
+    assert(got == rows(VectorOps.walkCorpusOneShot(spark, store)),
+      "streamed walk corpus diverged from one-shot over final graph")
+  }
+
   test("sparse-index ingest stream: streamed postings reproduce the " +
     "one-shot BM25 rank over the same corpus") {
     import graft.queries.TextOps
