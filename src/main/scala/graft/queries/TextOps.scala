@@ -1662,7 +1662,7 @@ object TextOps {
     * intersection counts -> Jaccard >= 0.5. */
   /** The x55 pipeline body shared with x107: quality gates →
     * first-occurrence exact dedup → benchmark decontamination →
-    * survivors (doc_id, n_tokens, stop_ratio, alpha_ratio, tk). */
+    * survivors (doc_id, n_tokens, stop_ratio, alpha_ratio). */
   private def corpusPrepSurvivors(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     corpusPrepFrames(s, dir)._2
@@ -1679,29 +1679,38 @@ object TextOps {
     val nStop = size(filter(tkc, w => w.isin(Stopwords: _*)))
       .cast("double")
     val nTok = size(tkc)
-    // cached: the gated frame feeds the quality report twice (dedup
-    // keys AND the bench shingle side below read q) and the survivor
-    // frame feeds both its own shingling and the final anti-join —
-    // without the pins the tokenize+gate chain re-runs once per
-    // consumer (doc-count-sized token frames, the same cache class as
-    // jaccardPairs' shingle index; the bench evicts per query)
+    // NOT cached (the x118 lesson, re-measured here): q's two
+    // consumers (the survivor groupBy and the shingle explode) each
+    // re-tokenize from a column-pruned parquet scan — one cheap
+    // codegen'd pass each — while materializing the token arrays costs
+    // the cache build AND blocks scan pruning. Measured at sf0.1:
+    // a wash on wall clock, so the memory-light form wins (the full
+    // bench run carries every other query's residue). surv and shAll
+    // below STAY pinned — each feeds 2-3 downstream consumers whose
+    // recompute would repeat a shuffle, not just a scan.
     val q = Tables.spread(s, dir, "documents").select($"doc_id",
       tkc.as("tk"),
       nTok.cast("long").as("n_tokens"),
       round(nStop / nTok, 6).as("stop_ratio"),
       round(length(regexp_replace(lower($"text"), "[^a-z]", ""))
         .cast("double") / length($"text"), 6).as("alpha_ratio"))
-      .cache()
     val g = q.filter($"n_tokens" >= 5 && $"alpha_ratio" >= 0.4 &&
       $"stop_ratio" <= 0.8 && $"doc_id" % 20 =!= 0)
+    // tk is deliberately NOT carried through this groupBy: no consumer
+    // reads a survivor's tokens (the shingle side semi-joins shAll on
+    // the kept doc_ids — a survivor's shingles ARE its original doc's
+    // by the min_by construction), and min_by(tk) would shuffle full
+    // token arrays — the widest column in the pipeline — for nothing.
+    // At sf0.1 the wall clock is shuffle-fixed-cost-bound either way
+    // (measured: a wash); the win is exchange WIDTH, which is what
+    // survives a 100× scale-up.
     val surv = g
       .withColumn("key", md5(concat_ws(" ", slice($"tk", 1, 8))))
       .groupBy($"key")
       .agg(min($"doc_id").as("doc_id"),
         min_by($"n_tokens", $"doc_id").as("n_tokens"),
         min_by($"stop_ratio", $"doc_id").as("stop_ratio"),
-        min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"),
-        min_by($"tk", $"doc_id").as("tk"))
+        min_by($"alpha_ratio", $"doc_id").as("alpha_ratio"))
       .cache()
     // ONE corpus-wide shingle explode+hash serves all three shingle
     // consumers — the survivor side (semi-join on kept doc_ids: a
