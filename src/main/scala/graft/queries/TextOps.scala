@@ -186,6 +186,10 @@ object TextOps {
   def appendDedupClusters(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, batchId: Long,
       store: graft.store.Store): Unit = {
+    // a replayed batch id at or below the compaction horizon would
+    // delete-before-write the folded partitions (the shared
+    // [[graft.store.Horizon]] guard)
+    graft.store.Horizon.requireAppendable(store, s, "cl", batchId)
     val sig = signatureOf(docs, Sig).cache()
     store.delete("cl_sigs", Seq("batch" -> batchId))
     store.write("cl_sigs",
@@ -228,9 +232,57 @@ object TextOps {
     * small thresholded pair graph; labeling it is cheap by design,
     * pair finding on history never reruns). */
   def dedupClustersStored(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store): org.apache.spark.sql.DataFrame =
+      store: graft.store.Store, asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    // as-of (snapshot) labels: a cross-batch edge lands in the NEWER
+    // endpoint's batch partition, so the `batch <= asOf` cut holds
+    // exactly the pairs known when that batch was live — the cluster
+    // labels any past release derived are re-derivable until
+    // compaction folds the per-batch history (then the horizon guard
+    // refuses, the uniform discipline)
+    graft.store.Horizon.requireServable(store, s, "cl", asOfBatch)
     graft.ops.Components.connected(
-      store.read("cl_edges", s).select($"d1", $"d2"))
+      graft.store.Snapshot.cut(store.read("cl_edges", s), asOfBatch)
+        .select($"d1", $"d2"))
+  }
+
+  /** Compact the cluster family: fold the per-batch signature, band,
+    * and edge partitions into ONE batch (the newest folded — the
+    * uniform horizon discipline), dropping exact duplicate rows a
+    * replayed cross-batch pair may have left. One [[graft.store
+    * .StagedFold]] move covers all three entities, so a crash cannot
+    * strand them mutually inconsistent. Labels are invariant:
+    * union-find is insensitive to edge multiplicity and batch ids. */
+  def compactDedupClusters(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit = {
+    val ents = Seq(
+      graft.store.FoldEntity("cl_sigs", Seq("batch"),
+        df => df.withColumn("batch", $"batch".cast("long"))),
+      graft.store.FoldEntity("cl_bands", Seq("batch"),
+        df => df.withColumn("batch", $"batch".cast("long"))),
+      graft.store.FoldEntity("cl_edges", Seq("batch"),
+        df => df.withColumn("batch", $"batch".cast("long"))))
+    graft.store.StagedFold.rollForward(store, s, "cl", ents)
+    val sigs =
+      try store.read("cl_sigs", s)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    // bounded collect: one row per ingested batch
+    val batches = sigs.select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.length <= 1) return
+    val into = batches.last
+    def fold(entity: String): org.apache.spark.sql.DataFrame = {
+      val df = store.read(entity, s)
+      df.select(df.columns.filter(_ != "batch").map(col)
+        .toIndexedSeq: _*).distinct()
+        .select(lit(into).as("batch") +: df.columns
+          .filter(_ != "batch").map(col).toIndexedSeq: _*)
+    }
+    graft.store.StagedFold.run(store, s, "cl",
+      ents.map(e => e -> fold(e.name)), horizon = into)
+  }
 
   /** x7 body, parameterized on signature size and band count: MinHash
     * signatures -> band-key collision candidates -> signature-agreement

@@ -4674,6 +4674,16 @@ object VectorOps {
         .select($"wcell".cast("long").as("wcell"), $"qid", $"wid",
           $"step", $"node", $"cell".cast("long").as("cell")))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // processed-through watermark (the "walks" horizon): invalidation
+    // covers every graph batch ABOVE it — a caller that skipped a
+    // maintenance pass (crashed between appendKnnGraph and this call,
+    // or batched several graph ingests before one re-walk) cannot
+    // leave the corpus silently stale — PLUS the named batch itself,
+    // so a replay of an already-processed batch with corrected
+    // content still re-walks its cells
+    val mark = graft.store.Horizon.get(store, s, "walks")
+      .getOrElse(Long.MinValue)
+    val maxBatch = vecs.agg(max($"batch")).first()
     existing match {
       case None =>
         val all = starts.select($"qid",
@@ -4681,43 +4691,51 @@ object VectorOps {
         store.delete("walk_corpus", Seq.empty)
         store.write("walk_corpus", walkedFrom(all), Seq("wcell"))
       case Some(c) =>
-        // bounded collect: the batch's touched cells
-        val touched = vecs.filter($"batch" === batchId)
+        // bounded collect: cells of every unprocessed batch + the
+        // named batch (replay coverage)
+        val touched = vecs
+          .filter($"batch" > mark || $"batch" === batchId)
           .select($"cell").distinct().collect().map(_.getLong(0))
           .toIndexedSeq
         if (touched.isEmpty) return
         // the invalidated-walk sliver: any step in a touched cell,
-        // plus start nodes this batch introduced to the corpus
+        // plus start nodes those batches introduced to the corpus
         val invalid = c
           .filter($"cell".isin(touched.map(Long.box): _*))
           .select($"qid", $"wid").distinct()
         val newStarts = vecs
-          .filter($"batch" === batchId && $"vec_id" < 8)
+          .filter(($"batch" > mark || $"batch" === batchId) &&
+            $"vec_id" < 8)
           .select($"vec_id".as("qid")).distinct()
           .join(c.select($"qid").distinct(), Seq("qid"), "left_anti")
           .select($"qid",
             explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
         val redo = invalid.unionByName(newStarts).distinct()
           .localCheckpoint(true)
-        if (redo.limit(1).count() == 0) return
-        // only partitions owning an invalidated walk rewrite
-        val affected = c.join(redo, Seq("qid", "wid"))
-          .select($"wcell")
-          .unionByName(starts
-            .join(redo.select($"qid").distinct(), "qid")
-            .select($"qcell".as("wcell")))
-          .distinct().collect().map(_.getLong(0)).toIndexedSeq
-        // surviving walks of rewritten partitions MATERIALIZE before
-        // their source partitions drop
-        val keep = c.filter($"wcell".isin(affected.map(Long.box): _*))
-          .join(redo, Seq("qid", "wid"), "left_anti")
-          .localCheckpoint(true)
-        val walked = walkedFrom(redo).localCheckpoint(true)
-        affected.foreach(wc =>
-          store.delete("walk_corpus", Seq("wcell" -> wc)))
-        store.write("walk_corpus", keep.unionByName(walked),
-          Seq("wcell"))
+        if (redo.limit(1).count() > 0) {
+          // only partitions owning an invalidated walk rewrite
+          val affected = c.join(redo, Seq("qid", "wid"))
+            .select($"wcell")
+            .unionByName(starts
+              .join(redo.select($"qid").distinct(), "qid")
+              .select($"qcell".as("wcell")))
+            .distinct().collect().map(_.getLong(0)).toIndexedSeq
+          // surviving walks of rewritten partitions MATERIALIZE
+          // before their source partitions drop
+          val keep = c
+            .filter($"wcell".isin(affected.map(Long.box): _*))
+            .join(redo, Seq("qid", "wid"), "left_anti")
+            .localCheckpoint(true)
+          val walked = walkedFrom(redo).localCheckpoint(true)
+          affected.foreach(wc =>
+            store.delete("walk_corpus", Seq("wcell" -> wc)))
+          store.write("walk_corpus", keep.unionByName(walked),
+            Seq("wcell"))
+        }
     }
+    // advance the watermark to everything now reflected in the corpus
+    if (!maxBatch.isNullAt(0))
+      graft.store.Horizon.set(store, s, "walks", maxBatch.getLong(0))
   }
 
   /** The maintained walk corpus, in x116's shape. */

@@ -1586,6 +1586,52 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .exists(_._1 >= 300000L))
   }
 
+  test("dedup-cluster family: as-of labels re-derive any past batch's " +
+    "clusters, compaction folds all three entities in one crash-safe " +
+    "move, horizons guard reads and replays") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-cl-asof").toString
+    val store = new ParquetStore(s"$tmp/cl")
+    val docs = graft.Tables(spark, dir, "documents")
+    def labels(asOf: Long) =
+      TextOps.dedupClustersStored(spark, store, asOf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 0), 0L, store)
+    val at0 = labels(Long.MaxValue)
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 1), 1L, store)
+    val live = labels(Long.MaxValue)
+    assert(labels(0L) == at0, "as-of labels diverged from the past")
+    assert(labels(1L) == live)
+    TextOps.compactDedupClusters(spark, store)
+    assert(labels(Long.MaxValue) == live, "compaction moved labels")
+    assert(labels(1L) == live)
+    // all three entities folded to ONE batch partition each
+    Seq("cl_sigs", "cl_bands", "cl_edges").foreach { e =>
+      val b = store.read(e, spark).select($"batch".cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(b == Seq(1L), s"$e batches: $b")
+    }
+    val e1 = intercept[IllegalArgumentException] { labels(0L) }
+    assert(e1.getMessage.contains("horizon"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.appendDedupClusters(spark,
+        docs.filter($"doc_id" % 2 === 1), 1L, store)
+    }
+    assert(e2.getMessage.contains("horizon"), e2.getMessage)
+    // fresh ingest above the horizon proceeds; labels stay consistent
+    // with one-shot over the union (the StoreSpec dedup identity)
+    TextOps.appendDedupClusters(spark,
+      docs.filter($"doc_id" % 2 === 1)
+        .select((($"doc_id" + 900000L).as("doc_id") +: $"text" +:
+          docs.columns.filter(c => c != "doc_id" && c != "text")
+            .map(col).toIndexedSeq): _*), 2L, store)
+    assert(labels(1L) == live,
+      "a later append leaked into an earlier snapshot")
+  }
+
   test("incremental walk corpus: two graph batches re-walk only the " +
     "invalidated walks, stored corpus identical to one-shot, " +
     "untouched partitions never rewrite, replay idempotent") {
@@ -1641,6 +1687,18 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val before = rows(VectorOps.walkCorpusStored(spark, store))
     VectorOps.appendWalkCorpus(spark, store, 1L)
     assert(rows(VectorOps.walkCorpusStored(spark, store)) == before)
+    // a SKIPPED maintenance pass cannot leave the corpus stale: two
+    // graph batches land, then ONE walk pass — the watermark makes it
+    // cover both (a crash between graph append and re-walk, or a
+    // caller batching ingests, must not silently diverge)
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 700000L).as("vec_id"), $"v"), 3L, store)
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 3 === 1)
+      .select(($"vec_id" + 800000L).as("vec_id"), $"v"), 4L, store)
+    VectorOps.appendWalkCorpus(spark, store, 4L)
+    assert(rows(VectorOps.walkCorpusStored(spark, store)) ==
+      rows(VectorOps.walkCorpusOneShot(spark, store)),
+      "a skipped maintenance pass left the corpus stale")
     n.unpersist()
   }
 
