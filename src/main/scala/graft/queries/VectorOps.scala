@@ -4510,6 +4510,71 @@ object VectorOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Train the spectral embeddings over the MAINTAINED walk corpus
+    * and persist them — the train-once / serve-forever seam
+    * ([[persistAnnBooks]]' pattern) for the embedding pipeline's last
+    * stage. The vectors are stamped with the walk watermark they were
+    * trained at, so serving can detect a corpus that moved underneath
+    * them. Factorization is global (every pair count shifts every
+    * PMI), so the incremental verb IS retrain-over-the-maintained-
+    * corpus: the expensive incremental work — graph re-edge and walk
+    * invalidation — already happened in [[appendKnnGraph]]/
+    * [[appendWalkCorpus]]; training reads the pair-sized relation,
+    * never the raw corpus. */
+  def trainStoredEmbeddings(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, window: Int = 2,
+      iters: Int = EmbedIters): Unit = {
+    val mark = graft.store.Horizon.get(store, s, "walks").getOrElse(
+      throw new IllegalArgumentException(
+        "no maintained walk corpus to train on — run appendWalkCorpus"))
+    val emb = trainNodeEmbeddings(s,
+      skipGramPairsOver(walkCorpusStored(s, store), window), iters)
+      .select(lit(mark).as("trained_at"), $"node", $"w1", $"w2")
+      .localCheckpoint(true)
+    store.delete("node_embeddings", Seq.empty)
+    store.write("node_embeddings", emb, Seq.empty)
+  }
+
+  /** Serve embedding-space neighbors from the PERSISTED vectors —
+    * x123's shape over the stored artifact, with a loud staleness
+    * guard: vectors trained at an older walk watermark than the
+    * corpus' current one are refused rather than silently served
+    * (the compaction-horizon discipline, applied to model freshness —
+    * a stale embedding table is wrong answers, not slow ones).
+    * `allowStale` opts into serving anyway (the production pattern:
+    * retrain lags ingest by design). */
+  def embedNeighborsStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, k: Int = 5,
+      allowStale: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val e = store.read("node_embeddings", s)
+      .select($"trained_at".cast("long").as("trained_at"),
+        $"node", $"w1", $"w2")
+    if (!allowStale) {
+      val cur = graft.store.Horizon.get(store, s, "walks")
+        .getOrElse(Long.MinValue)
+      // bounded: one row
+      val at = e.agg(min($"trained_at")).first()
+      require(at.isNullAt(0) || at.getLong(0) >= cur,
+        s"stored embeddings were trained at walk watermark " +
+          s"${at.getLong(0)} but the corpus has advanced to $cur — " +
+          "retrain (trainStoredEmbeddings) or pass allowStale=true")
+    }
+    val q = e.filter($"node" < 8)
+      .select($"node".as("qid"), $"w1".as("q1"), $"w2".as("q2"))
+    val edges = store.read("knn_graph", s)
+      .select($"src".as("qid"), $"dst".as("nid"), lit(1L).as("g"))
+    e.join(broadcast(q), $"node" =!= $"qid")
+      .select($"qid", $"node".as("nid"),
+        ($"q1" * $"w1" + $"q2" * $"w2").as("dot"))
+      .join(edges, Seq("qid", "nid"), "left")
+      .withColumn("in_graph", coalesce($"g", lit(0L)))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"dot".desc, $"nid")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"qid", $"nid", $"dot", $"rn", $"in_graph")
+      .orderBy($"qid", $"rn")
+  }
+
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
     * pattern applied to the x86 graph. The corpus lives in the store
     * as `knn_vectors` (partitioned (batch, cell)); the graph as

@@ -872,10 +872,16 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(dot12) * 50 < n1,
       s"dims far from orthogonal: |$dot12| vs n1=$n1")
     // vocabulary = every node with a positive-SPPMI pair as center
-    val vocab = VectorOps.sppmiRelation(
-        VectorOps.skipGramPairs(spark, dir))
-      .select($"center").distinct().as[Long].collect().toSet
+    val sppmi = VectorOps.sppmiRelation(
+      VectorOps.skipGramPairs(spark, dir))
+    val vocab = sppmi.select($"center").distinct()
+      .as[Long].collect().toSet
     assert(e.map(_._1).toSet == vocab, "embedding vocabulary drifted")
+    // scale guard: the SPPMI relation's plan carries no cartesian
+    // product — totals ride broadcast 1-row frames, the matvec join
+    // is keyed on context (the trainer's rounds reuse this shape)
+    val plan = sppmi.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
     // the consumer: every start node present in the vocabulary gets
     // a full exact top-5, ranks contiguous, self excluded
     val nb = VectorOps.embedNeighbors(spark, dir)

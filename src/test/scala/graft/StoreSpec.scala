@@ -1702,6 +1702,60 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     n.unpersist()
   }
 
+  test("persisted embeddings: trained vectors match a from-scratch " +
+    "train over the maintained corpus; serving refuses stale vectors " +
+    "loudly and retrain restores freshness") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-emb-store").toString
+    val store = new ParquetStore(s"$tmp/emb")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val n = VectorOps.normalizedEmbeddings(spark, dir).cache()
+    // no corpus yet: training refuses
+    val e0 = intercept[IllegalArgumentException] {
+      VectorOps.trainStoredEmbeddings(spark, store)
+    }
+    assert(e0.getMessage.contains("appendWalkCorpus"), e0.getMessage)
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
+    VectorOps.appendWalkCorpus(spark, store, 0L)
+    VectorOps.trainStoredEmbeddings(spark, store)
+    def vecs() = store.read("node_embeddings", spark)
+      .select($"node", $"w1", $"w2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = VectorOps.trainNodeEmbeddings(spark,
+        VectorOps.skipGramPairsOver(
+          VectorOps.walkCorpusStored(spark, store)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(vecs() == fresh && fresh.nonEmpty,
+      "stored vectors diverged from a from-scratch train")
+    def serve() = VectorOps.embedNeighborsStored(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val served = serve()
+    assert(served.nonEmpty && served.forall(t => t._4 >= 1 && t._4 <= 5))
+    // the corpus moves underneath: serving refuses rather than
+    // silently answering from a stale model
+    VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 1), 1L, store)
+    VectorOps.appendWalkCorpus(spark, store, 1L)
+    val e1 = intercept[IllegalArgumentException] { serve() }
+    assert(e1.getMessage.contains("retrain"), e1.getMessage)
+    // the opt-in serves the OLD vectors' answers unchanged
+    assert(VectorOps.embedNeighborsStored(spark, store,
+      allowStale = true).collect().nonEmpty)
+    // retrain over the maintained corpus = fresh train over the
+    // maintained corpus (which is itself one-shot-identical)
+    VectorOps.trainStoredEmbeddings(spark, store)
+    val fresh2 = VectorOps.trainNodeEmbeddings(spark,
+        VectorOps.skipGramPairsOver(
+          VectorOps.walkCorpusOneShot(spark, store)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(vecs() == fresh2, "retrain diverged from one-shot")
+    assert(serve().nonEmpty)
+    n.unpersist()
+  }
+
   test("sketch registers (HLL, KMV, quantile) serve as-of snapshots, " +
     "compact crash-safely to the merged fold, and guard horizons") {
     import graft.queries.SketchOps
