@@ -276,7 +276,11 @@ object Bench {
       // re-derives the x116 walk chain before its window self-join
       "x120_skipgram_pairs",
       // second-order walk steps pay the same per-step checkpoint tax
-      "x121_node2vec_walks")
+      "x121_node2vec_walks",
+      // round-10: the embedding trainer re-derives the walk chain and
+      // runs 8 checkpointed matvec rounds; the consumer re-derives the
+      // trainer — both pay multi-job overhead cold
+      "x122_embed_train", "x123_embed_neighbors")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced

@@ -1266,6 +1266,8 @@ object TextOps {
       queries: Seq[(Long, Seq[String])])
       : (org.apache.spark.sql.DataFrame, Int) = {
     require(queries.nonEmpty, "proximity ranking needs queries")
+    require(queries.forall(_._2.nonEmpty),
+      "every proximity query needs at least one term")
     val rows = queries.flatMap { case (q, ts) =>
       ts.distinct.sorted.zipWithIndex.map { case (t, i) =>
         (q, t, i + 1) }

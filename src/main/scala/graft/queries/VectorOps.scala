@@ -4435,7 +4435,18 @@ object VectorOps {
       s: org.apache.spark.sql.SparkSession,
       pairs: org.apache.spark.sql.DataFrame, iters: Int = EmbedIters)
       : org.apache.spark.sql.DataFrame = {
-    val sp = sppmiRelation(pairs).localCheckpoint(true)
+    // the pair relation materializes ONCE before the SPPMI stats:
+    // sppmiRelation references it four times (base + the n(c)/n(x)/N
+    // aggregations), and un-pinned each reference re-executes the
+    // walk-union self-join + rollup — measured as 6-7 repeated
+    // 160-task stages dominating the trainer's wall clock
+    val pc = pairs.localCheckpoint(true)
+    // ...and the SPPMI relation pre-partitions on the matvec join key
+    // before ITS checkpoint, so every round's join reuses one fixed
+    // hash layout (the checkpoint preserves outputPartitioning)
+    // instead of inheriting the walk chain's unioned-partition sprawl
+    val sp = sppmiRelation(pc).repartition($"context")
+      .localCheckpoint(true)
     var w = sp.select($"center".as("node")).distinct()
       .select($"node",
         (pmod(T.md5Long(concat_ws(":", $"node", lit("1"))), lit(2001L))
