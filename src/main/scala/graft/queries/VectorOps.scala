@@ -4562,13 +4562,21 @@ object VectorOps {
         $"node", $"w1", $"w2")
     if (!allowStale) {
       val cur = graft.store.Horizon.get(store, s, "walks")
-        .getOrElse(Long.MinValue)
       // bounded: one row
       val at = e.agg(min($"trained_at")).first()
-      require(at.isNullAt(0) || at.getLong(0) >= cur,
+      // a MISSING walks watermark while trained vectors exist means
+      // the corpus was torn down since training (cell rebalance) —
+      // the vectors are unanchored, not merely behind
+      require(at.isNullAt(0) || cur.nonEmpty,
+        "stored embeddings exist but the walk corpus they were " +
+          "trained on was torn down (cell rebalance) — rebuild the " +
+          "corpus and retrain, or pass allowStale=true")
+      require(at.isNullAt(0) ||
+        at.getLong(0) >= cur.getOrElse(Long.MinValue),
         s"stored embeddings were trained at walk watermark " +
-          s"${at.getLong(0)} but the corpus has advanced to $cur — " +
-          "retrain (trainStoredEmbeddings) or pass allowStale=true")
+          s"${at.getLong(0)} but the corpus has advanced to " +
+          s"${cur.getOrElse(Long.MinValue)} — retrain " +
+          "(trainStoredEmbeddings) or pass allowStale=true")
     }
     val q = e.filter($"node" < 8)
       .select($"node".as("qid"), $"w1".as("q1"), $"w2".as("q2"))
@@ -4965,6 +4973,20 @@ object VectorOps {
       .agg(max($"batch".cast("long"))).first()
     if (!maxBatch.isNullAt(0))
       graft.store.Horizon.set(store, s, "knn", maxBatch.getLong(0))
+    // the maintained walk corpus stores each step's CELL for its
+    // invalidation logic — relabeled cells make every stored row
+    // unsound, and nothing in the watermark can express that (batch
+    // ids did not move). The verb that invalidates the artifact
+    // removes it: the corpus and its watermark tear down, forcing the
+    // next appendWalkCorpus to rebuild from scratch (and
+    // embedNeighborsStored to refuse its now-unanchored vectors).
+    val hasWalks =
+      try store.read("walk_corpus", s).limit(1).count() > 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (hasWalks) {
+      store.delete("walk_corpus", Seq.empty)
+      graft.store.Horizon.clear(store, "walks")
+    }
     splits
   }
 

@@ -55,6 +55,14 @@ object Horizon {
         "would silently destroy every other row folded with it — " +
         "ingest under a fresh batch id above the horizon"))
 
+  /** Remove a family's horizon entirely — for maintenance verbs that
+    * TEAR DOWN a derived artifact (e.g. cell rebalance invalidating
+    * the walk corpus): the absent horizon tells the artifact's next
+    * maintenance pass to rebuild from scratch rather than resume an
+    * invalid watermark. */
+  def clear(store: Store, base: String): Unit =
+    store.delete(entityOf(base), Seq.empty)
+
   /** Loud as-of (snapshot) guard: maintenance physically destroyed
     * per-batch history below the horizon, so a snapshot there cannot
     * be served truthfully — failing beats silently returning the

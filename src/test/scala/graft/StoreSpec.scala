@@ -1699,6 +1699,24 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(VectorOps.walkCorpusStored(spark, store)) ==
       rows(VectorOps.walkCorpusOneShot(spark, store)),
       "a skipped maintenance pass left the corpus stale")
+    // cell rebalance relabels the cells the corpus's invalidation
+    // logic is keyed on — the verb tears the corpus down (nothing in
+    // the batch watermark can express a layout change), and the next
+    // maintenance pass rebuilds from scratch, identical to one-shot
+    // over the rebalanced graph
+    val counts = store.read("knn_vectors", spark)
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val cap = (counts.values.max + counts.values.sum / counts.size) / 2
+    assert(VectorOps.rebalanceKnnCells(spark, store, cap.toInt) > 0,
+      "fixture no longer produces a hot cell")
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$tmp/knn/walk_corpus")),
+      "rebalance left a stale walk corpus behind")
+    VectorOps.appendWalkCorpus(spark, store, 4L)
+    assert(rows(VectorOps.walkCorpusStored(spark, store)) ==
+      rows(VectorOps.walkCorpusOneShot(spark, store)),
+      "post-rebalance rebuild diverged from one-shot")
     n.unpersist()
   }
 
@@ -1753,6 +1771,18 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(vecs() == fresh2, "retrain diverged from one-shot")
     assert(serve().nonEmpty)
+    // a rebalance tears the walk corpus (and its watermark) down:
+    // the trained vectors are UNANCHORED, not merely behind — serving
+    // refuses with the teardown message, not the advance message
+    val counts = store.read("knn_vectors", spark)
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val cap = (counts.values.max + counts.values.sum / counts.size) / 2
+    assert(VectorOps.rebalanceKnnCells(spark, store, cap.toInt) > 0)
+    val e2 = intercept[IllegalArgumentException] { serve() }
+    assert(e2.getMessage.contains("torn down"), e2.getMessage)
+    assert(VectorOps.embedNeighborsStored(spark, store,
+      allowStale = true).collect().nonEmpty)
     n.unpersist()
   }
 
