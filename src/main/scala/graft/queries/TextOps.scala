@@ -544,6 +544,18 @@ object TextOps {
           pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
           $"doc_id", size($"tk").cast("long").as("dl")),
         Seq("batch", "dbucket"))
+      // the FORWARD index (Lucene's term-vectors analog): the same tf
+      // rollup, bucketed on hash(doc_id) instead of hash(term), so a
+      // doc's term list is a bucket-pruned read — the axis the
+      // inverted layout cannot serve (PRF feedback docs, snippets).
+      // Same cached frame, one more write: the incremental economy
+      // (per-day work = one pass over that day) holds.
+      store.delete("sparse_forward", Seq("batch" -> batchId))
+      store.write("sparse_forward",
+        tf.select(lit(batchId).as("batch"),
+          pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
+          $"doc_id", $"term", $"tf", $"dl"),
+        Seq("batch", "dbucket"))
     } finally { tf.unpersist(); docs.unpersist() }
   }
 
@@ -702,12 +714,24 @@ object TextOps {
       k: Int = 5, excludeSelf: Boolean = true,
       asOfBatch: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "stored BM25 search needs queries")
-    val qt = s.createDataFrame(
+    bm25RankStored(s, s.createDataFrame(
         queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
-      .toDF("qid", "term")
+      .toDF("qid", "term"), store, k, excludeSelf, asOfBatch)
+  }
+
+  /** The frame-based core of [[bm25SearchStored]] — the (qid, term)
+    * side may be a COMPUTED relation (the PRF round-2 expansion), so
+    * it is pinned once (it feeds the bucket collect, the term
+    * semi-join, and the candidate join) and deduplicated. */
+  private def bm25RankStored(s: org.apache.spark.sql.SparkSession,
+      qt0: org.apache.spark.sql.DataFrame, store: graft.store.Store,
+      k: Int, excludeSelf: Boolean, asOfBatch: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = qt0.distinct()
       .withColumn("bucket", pmod(xxhash64($"term"), lit(SparseBuckets)))
+      .localCheckpoint(true)
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
     val reg0 = store.read("sparse_docs", s)
@@ -839,6 +863,21 @@ object TextOps {
     // by the probe above) is the shared [[graft.store.StagedFold]]
     // discipline; tombstone retirement re-runs after the move in both
     // the normal and the recovery path.
+    // the forward index folds through the SAME move; a store written
+    // before the forward index existed simply has no such entity —
+    // its fold list shrinks (and StagedFold.move tolerates the
+    // missing stage on recovery)
+    val fwdStage =
+      try Some(sparseFoldEntities(2) ->
+        store.read("sparse_forward", s)
+          .select($"batch".cast("long").as("batch"),
+            $"dbucket".cast("long").as("dbucket"), $"doc_id",
+            $"term", $"tf", $"dl")
+          .join(staleSparseKeys(regT, live), Seq("doc_id", "batch"),
+            "left_anti")
+          .select(lit(into).as("batch"), $"dbucket", $"doc_id",
+            $"term", $"tf", $"dl"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     graft.store.StagedFold.run(store, s, "sparse", Seq(
       sparseFoldEntities(0) ->
         store.read("sparse_postings", s)
@@ -852,18 +891,21 @@ object TextOps {
       sparseFoldEntities(1) ->
         live.select(lit(into).as("batch"),
           pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("dbucket"),
-          $"doc_id", $"dl")),
+          $"doc_id", $"dl")) ++ fwdStage,
       horizon = into, after = retireAfterFold(s, store))
   }
 
-  /** The sparse index's two folded entities, with the stage→main
-    * recasts (partition columns come back from directory inference
-    * with narrowed types). */
+  /** The sparse index's folded entities, with the stage→main recasts
+    * (partition columns come back from directory inference with
+    * narrowed types). */
   private def sparseFoldEntities: Seq[graft.store.FoldEntity] = Seq(
     graft.store.FoldEntity("sparse_postings", Seq("batch", "bucket"),
       df => df.withColumn("batch", $"batch".cast("long"))
         .withColumn("bucket", $"bucket".cast("long"))),
     graft.store.FoldEntity("sparse_docs", Seq("batch", "dbucket"),
+      df => df.withColumn("batch", $"batch".cast("long"))
+        .withColumn("dbucket", $"dbucket".cast("long"))),
+    graft.store.FoldEntity("sparse_forward", Seq("batch", "dbucket"),
       df => df.withColumn("batch", $"batch".cast("long"))
         .withColumn("dbucket", $"dbucket".cast("long"))))
 
@@ -1435,6 +1477,124 @@ object TextOps {
       .filter($"rn" <= k)
       .select($"qid", $"doc_id", $"bm25".as("bm25_prf"), $"rn")
       .orderBy($"qid", $"rn")
+  }
+
+  /** One-shot PRF over an arbitrary documents frame with an explicit
+    * query set — the spec's independent twin for [[prfExpandStored]]
+    * (x61's arithmetic, frames built directly from the given docs). */
+  private[graft] def prfExpandOver(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Seq[String])], fbK: Int = 3, expK: Int = 2,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tkd = tokenized(docs)
+    val tf = tkd
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfr = termDf(tkd)
+    val st = corpusTotals(tkd)
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    def scores(q: org.apache.spark.sql.DataFrame) =
+      withCi(tf.join(broadcast(q.distinct()), "term")
+        .filter($"doc_id" =!= $"qid")
+        .join(dfr, "term").crossJoin(broadcast(st)))
+        .groupBy($"qid", $"doc_id").agg(sum($"ci").as("bm25"))
+    val fb = scores(qt)
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")))
+      .filter($"rn" <= fbK).select($"qid", $"doc_id")
+    val cand = tf.join(fb, "doc_id")
+      .join(qt.select($"qid".as("q0"), $"term".as("t0")),
+        $"qid" === $"q0" && $"term" === $"t0", "left_anti")
+    val ew = withCi(cand.join(dfr, "term").crossJoin(broadcast(st)))
+      .groupBy($"qid", $"term").agg(sum($"ci").as("w"))
+    val exp = ew.withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"w".desc, $"term")))
+      .filter($"rn" <= expK).select($"qid", $"term")
+    scores(qt.unionByName(exp))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"qid", $"rn")
+  }
+
+  /** RM3-style pseudo-relevance feedback over the PERSISTED sparse
+    * index — x61's stored twin, completing the served-from-the-index
+    * retrieval stack (BM25, phrase, proximity, LM Dirichlet, PRF).
+    * Round 1 is [[bm25SearchStored]] at k = fbK; the feedback docs'
+    * term lists come from the FORWARD index (`sparse_forward` —
+    * Lucene's term-vectors analog, written by [[appendSparseIndex]]
+    * from the same tf rollup and bucketed on hash(doc_id)), read
+    * dbucket-pruned for exactly the ≤ queries×fbK feedback ids and
+    * version-resolved against the same stale sliver as every stored
+    * read; expansion-term weights use the LIVE df of the candidate
+    * terms (their buckets' pruned posting lists) and live corpus
+    * totals; round 2 re-scores through the same stored core with the
+    * expanded term frame. As-of cuts apply to every read, so a past
+    * PRF run re-derives exactly.
+    *
+    * Bounded collects: the feedback (qid, doc_id) pairs (≤ q×fbK),
+    * their dbucket ids, and the candidate terms' bucket ids (≤ the
+    * bucket count). */
+  def prfExpandStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, queries: Seq[(Long, Seq[String])],
+      fbK: Int = 3, expK: Int = 2, k: Int = 5,
+      asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "stored PRF needs queries")
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val fb = bm25RankStored(s, qt, store, fbK, excludeSelf = true,
+        asOfBatch)
+      .select($"qid", $"doc_id")
+      .localCheckpoint(true)
+    // bounded collects: feedback ids and their dbuckets
+    val fbIds = fb.select($"doc_id").distinct()
+      .select($"doc_id",
+        pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dbs = fbIds.map(_._2).distinct.toIndexedSeq
+    val reg = asOf(store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
+      asOfBatch)
+    val live = liveOf(reg, s, store)
+    val stale = staleSparseKeys(reg, live)
+    val fwd = asOf(store.read("sparse_forward", s)
+        .filter($"dbucket".isin(dbs.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"doc_id",
+          $"term", $"tf", $"dl"), asOfBatch)
+      .join(stale, Seq("doc_id", "batch"), "left_anti")
+      .join(broadcast(fb), "doc_id")
+    // candidate expansion terms: every feedback-doc term that is NOT
+    // already a term of that query
+    val cand = fwd.join(qt.select($"qid".as("q0"), $"term".as("t0")),
+        $"qid" === $"q0" && $"term" === $"t0", "left_anti")
+      .localCheckpoint(true)
+    // bounded collect: the candidate terms' bucket ids (≤ 64)
+    val cb = cand
+      .select(pmod(xxhash64($"term"), lit(SparseBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val dfq = asOf(store.read("sparse_postings", s)
+        .filter($"bucket".isin(cb.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"term",
+          $"doc_id"), asOfBatch)
+      .join(stale, Seq("doc_id", "batch"), "left_anti")
+      .join(broadcast(cand.select($"term").distinct()), "term")
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tot = live.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").cast("double").as("sum_dl"))
+    val ew = withCi(cand.join(dfq, "term").crossJoin(broadcast(tot)))
+      .groupBy($"qid", $"term").agg(sum($"ci").as("w"))
+    val exp = ew.withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"w".desc, $"term")))
+      .filter($"rn" <= expK).select($"qid", $"term")
+    bm25RankStored(s, qt.unionByName(exp), store, k,
+      excludeSelf = true, asOfBatch)
   }
 
   /** The x54 temperature-mixture share frame — (source, n_docs,

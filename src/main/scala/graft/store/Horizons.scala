@@ -158,10 +158,25 @@ object StagedFold {
 
   private def move(store: Store, s: SparkSession, family: String,
       entities: Seq[FoldEntity]): Unit = {
-    entities.foreach(e => store.delete(e.name, Seq.empty))
-    entities.foreach(e =>
-      store.write(e.name, e.recast(store.read(stageOf(e.name), s)),
-        e.keys))
+    // per-entity: probe the stage BEFORE touching main, so an entity
+    // with no staged copy keeps its main state intact — a fold
+    // recovered by a NEWER code version that lists entities the
+    // crashed fold never staged (e.g. an entity added to the family
+    // later) must not delete data it has no copy of. Stages are
+    // written before the intent marker, so for entities the crashed
+    // fold DID list the stage is always complete.
+    val staged = entities.flatMap { e =>
+      val df =
+        try Some(store.read(stageOf(e.name), s))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      df.map(e -> _)
+    }
+    staged.foreach { case (e, df) =>
+      store.delete(e.name, Seq.empty)
+      store.write(e.name, e.recast(df), e.keys)
+    }
     store.delete(intentOf(family), Seq.empty)
     entities.foreach(e => store.delete(stageOf(e.name), Seq.empty))
   }

@@ -1450,6 +1450,58 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stored PRF expansion searches the persisted index (forward " +
+    "index feedback) row-identical to one-shot across update, " +
+    "tombstone, compaction, and as-of cuts") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-prf").toString
+    val store = new ParquetStore(root)
+    // a corpus where feedback genuinely expands queries: docs sharing
+    // the query terms carry co-occurring expansion vocabulary
+    var model = Map(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta rho sigma rho",
+      2L -> "alpha rho sigma tau",
+      3L -> "beta gamma sigma upsilon",
+      4L -> "rho sigma tau upsilon",
+      5L -> "delta epsilon zeta eta",
+      6L -> "alpha beta gamma rho sigma")
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      0L, store)
+    val queries = Seq(
+      100L -> Seq("alpha", "beta"),
+      101L -> Seq("gamma", "delta"))
+    def stored(asOf: Long = Long.MaxValue) =
+      TextOps.prfExpandStored(spark, store, queries, asOfBatch = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def oneShot() = TextOps.prfExpandOver(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(stored() == oneShot() && stored().nonEmpty, "initial PRF")
+    val p0 = stored()
+    // UPDATE: doc 1's vocabulary shifts -> feedback docs, expansion
+    // terms, and final ranks may all move; stored must track latest
+    model += 1L -> "alpha beta upsilon tau"
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(Seq(1L -> model(1L))).toDF("doc_id", "text"),
+      1L, store)
+    assert(stored() == oneShot(), "PRF diverged after update")
+    assert(stored(0L) == p0, "as-of PRF diverged")
+    // TOMBSTONE: a feedback-heavy doc vanishes from rounds AND stats
+    TextOps.tombstoneSparseDocs(spark, Seq(6L), store)
+    model -= 6L
+    assert(stored() == oneShot(), "PRF diverged after tombstone")
+    // COMPACTION: physical fold, results invariant, snapshots refuse
+    TextOps.compactSparseIndex(spark, store)
+    assert(stored() == oneShot(), "PRF diverged after compaction")
+    val e = intercept[IllegalArgumentException] { stored(0L) }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+  }
+
   test("ANN corpus as-of reads reproduce the pre-append search, stay " +
     "retroactive under tombstones, and refuse below the compaction " +
     "horizon (which also guards batch replays)") {
