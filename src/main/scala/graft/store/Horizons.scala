@@ -24,13 +24,20 @@ object Horizon {
   private def entityOf(base: String) = s"${base}_horizon"
 
   /** Advance the persisted horizon to `batch` (monotone: an older
-    * value never replaces a newer one). Whole-entity overwrite of a
-    * one-row frame — negligible at any scale. */
+    * value never replaces a newer one, and [[get]] reads the max over
+    * all recorded rows). The write is partitioned BY THE VALUE, so it
+    * only ever creates/overwrites the new value's own tiny partition:
+    * a crash mid-write cannot take previously recorded horizons with
+    * it — a whole-entity overwrite would pass through an
+    * entity-absent window in which every guard silently vanished.
+    * A handful of one-row partitions accumulate per family over its
+    * lifetime; harmless. */
   def set(store: Store, s: SparkSession, base: String,
       batch: Long): Unit = {
     val h = math.max(batch, get(store, s, base).getOrElse(Long.MinValue))
     store.write(entityOf(base),
-      s.createDataFrame(Seq(Tuple1(h))).toDF("horizon"), Seq.empty)
+      s.createDataFrame(Seq((h, 1))).toDF("horizon", "v"),
+      Seq("horizon"))
   }
 
   /** The persisted horizon, if any maintenance job ever folded this
@@ -134,8 +141,7 @@ object StagedFold {
         .headOption.map(_.getLong(0))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     intent.foreach { h =>
-      move(store, s, family, entities)
-      Horizon.set(store, s, family, h)
+      move(store, s, family, entities, h)
       after(h)
     }
   }
@@ -151,13 +157,12 @@ object StagedFold {
     staged.foreach { case (e, df) => store.write(stageOf(e.name), df, e.keys) }
     store.write(intentOf(family),
       s.createDataFrame(Seq(Tuple1(horizon))).toDF("horizon"), Seq.empty)
-    move(store, s, family, staged.map(_._1))
-    Horizon.set(store, s, family, horizon)
+    move(store, s, family, staged.map(_._1), horizon)
     after(horizon)
   }
 
   private def move(store: Store, s: SparkSession, family: String,
-      entities: Seq[FoldEntity]): Unit = {
+      entities: Seq[FoldEntity], horizon: Long): Unit = {
     // per-entity: probe the stage BEFORE touching main, so an entity
     // with no staged copy keeps its main state intact — a fold
     // recovered by a NEWER code version that lists entities the
@@ -177,6 +182,12 @@ object StagedFold {
       store.delete(e.name, Seq.empty)
       store.write(e.name, e.recast(df), e.keys)
     }
+    // the horizon advances BEFORE the intent marker clears: a crash
+    // between the two re-runs an (idempotent) roll-forward, whereas
+    // the reverse order had a window where the fold was complete but
+    // the append-replay guard never engaged — a replayed batch id
+    // could then delete-before-write the consolidated partition
+    Horizon.set(store, s, family, horizon)
     store.delete(intentOf(family), Seq.empty)
     entities.foreach(e => store.delete(stageOf(e.name), Seq.empty))
   }
