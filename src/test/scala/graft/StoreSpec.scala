@@ -1127,6 +1127,18 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       assert(rows(TextOps.bm25SearchStored(spark, store, queries)) ==
         rows(TextOps.bm25SearchOver(spark, live, queries)),
         s"diverged after: $tag (model size ${model.size})")
+      // the SAME invariant for every other stored retrieval verb —
+      // each serves from the identical postings/forward state, so any
+      // sequence-dependent lifecycle bug must show on all of them
+      assert(rows(TextOps.proximityRankStored(spark, store, queries))
+        == rows(TextOps.proximityRankOver(spark, live, queries)),
+        s"proximity diverged after: $tag")
+      assert(rows(TextOps.lmDirichletStored(spark, store, queries)) ==
+        rows(TextOps.lmDirichletOver(spark, live, queries)),
+        s"LM diverged after: $tag")
+      assert(rows(TextOps.prfExpandStored(spark, store, queries)) ==
+        rows(TextOps.prfExpandOver(spark, live, queries)),
+        s"PRF diverged after: $tag")
       // the as-of twin of the same invariant, at the oldest and the
       // newest servable cut (every cut at or above the horizon must
       // re-derive its historical search exactly)
