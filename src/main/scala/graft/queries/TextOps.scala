@@ -590,11 +590,16 @@ object TextOps {
         .agg(max($"batch".cast("long"))).first()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val fresh = s.createDataFrame(ids.map(id => (id, upto)))
+    // dedup BOTH merge sides: duplicate ids in the call (or duplicate
+    // rows a prior such call left behind) would otherwise fan out in
+    // the join and grow a doc's tombstone partition geometrically —
+    // semantics would survive (liveOf's anti-join is multiplicity-
+    // insensitive) but the partition would bloat
+    val fresh = s.createDataFrame(ids.distinct.map(id => (id, upto)))
       .toDF("doc_id", "upto")
     val existing = try Some(store.read("sparse_tombstones", s)
-        .select($"doc_id".cast("long").as("edoc"),
-          $"upto".cast("long").as("eupto")))
+        .groupBy($"doc_id".cast("long").as("edoc"))
+        .agg(max($"upto".cast("long")).as("eupto")))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val merged = existing.fold(fresh)(ex =>
       fresh.join(ex, fresh("doc_id") === ex("edoc"), "left")
@@ -1136,14 +1141,30 @@ object TextOps {
     val docsNeeded = shortlist.select($"doc_id").distinct()
     val dterms = tf.join(broadcast(docsNeeded), Seq("doc_id"))
       .select($"doc_id", $"term")
+    maxSimRank(shortlist, qterms, dterms, k, dims)
+  }
+
+  /** The MaxSim core shared by the three x118 entry points (corpus
+    * scan, [[lateInteractionOver]], [[lateInteractionStored]]) — ONE
+    * definition of the embedding derivation and the max/sum/rank
+    * rollup so the arithmetic cannot drift between them. `shortlist`
+    * is (qid, doc_id) candidate pairs; `qt` is (qid, term) query
+    * slots; `dterms` is the shortlist docs' DISTINCT (doc_id, term)
+    * relation (MaxSim over occurrences equals MaxSim over distinct
+    * terms — the identity that makes the scorer relational). */
+  private def maxSimRank(shortlist: org.apache.spark.sql.DataFrame,
+      qt: org.apache.spark.sql.DataFrame,
+      dterms: org.apache.spark.sql.DataFrame, k: Int, dims: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def embOf(term: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(dims - 1)),
         j => T.md5Long(concat(term, lit(":"), j.cast("string")))
           % 2001 - 1000)
-    val emb = dterms.select($"term").union(qterms.select($"term"))
+    val emb = dterms.select($"term").union(qt.select($"term"))
       .distinct()
       .select($"term", embOf($"term").as("e"))
-    val qe = qterms.join(emb, "term")
+    val qe = qt.join(emb, "term")
       .select($"qid", $"term".as("qterm"), $"e".as("qe"))
     val de = dterms.join(emb, "term")
       .select($"doc_id", $"e".as("de"))
@@ -1159,6 +1180,81 @@ object TextOps {
         .orderBy($"li".desc, $"doc_id")).cast("long"))
       .filter($"rn" <= k)
       .orderBy($"qid", $"rn")
+  }
+
+  /** One-shot late-interaction reranking over an arbitrary documents
+    * frame with an explicit query set — the spec's independent twin
+    * for [[lateInteractionStored]]: BM25 shortlist via
+    * [[bm25SearchOver]], shortlist-doc terms from the given frame,
+    * the same [[maxSimRank]] core. */
+  private[graft] def lateInteractionOver(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int = 5, shortK: Int = 20,
+      dims: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "late-interaction needs queries")
+    val shortlist = bm25SearchOver(s, docs, queries, shortK)
+      .select($"qid", $"doc_id")
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val docsNeeded = shortlist.select($"doc_id").distinct()
+    val dterms = tokenized(docs)
+      .select($"doc_id", explode($"tk").as("term")).distinct()
+      .join(broadcast(docsNeeded), Seq("doc_id"))
+    maxSimRank(shortlist, qt, dterms, k, dims)
+  }
+
+  /** Late-interaction (ColBERT MaxSim) reranking over the PERSISTED
+    * sparse index — x118's stored twin, the last retrieval scorer to
+    * gain a served-from-the-index path (BM25, phrase, proximity,
+    * LM Dirichlet, and PRF already have theirs). The shortlist is
+    * [[bm25RankStored]] (bucket-pruned postings, live statistics);
+    * the shortlist docs' term lists come from the FORWARD index
+    * (`sparse_forward`, bucketed on hash(doc_id) — MaxSim needs
+    * exactly the (doc, term) rows of ≤ queries×shortK docs, so the
+    * dbucket-pruned read touches a bounded sliver of the index, never
+    * the corpus), version-resolved against the [[staleSparseKeys]]
+    * sliver and cut at the same as-of as every stored read. A doc
+    * re-ingested with new text reranks on its LATEST terms only;
+    * tombstoned docs neither shortlist nor rerank; snapshots
+    * reproduce any past reranking down to the compaction horizon.
+    *
+    * Bounded collect: the shortlist ids' dbucket ids (≤ q×shortK). */
+  def lateInteractionStored(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, queries: Seq[(Long, Seq[String])],
+      k: Int = 5, shortK: Int = 20, dims: Int = 8,
+      asOfBatch: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "stored late-interaction needs queries")
+    val qt = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    // pinned: the shortlist feeds the dbucket collect, the docsNeeded
+    // broadcast, and the MaxSim pair join (bm25RankStored's eager
+    // horizon check runs inside this call)
+    val shortlist = bm25RankStored(s, qt, store, shortK,
+        excludeSelf = true, asOfBatch)
+      .select($"qid", $"doc_id")
+      .localCheckpoint(true)
+    // bounded collect: the shortlist docs' dbucket ids (≤ q×shortK)
+    val dbs = shortlist
+      .select(pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val reg = asOf(store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
+      asOfBatch)
+    val live = liveOf(reg, s, store)
+    val docsNeeded = shortlist.select($"doc_id").distinct()
+    val dterms = asOf(store.read("sparse_forward", s)
+        .filter($"dbucket".isin(dbs.map(Long.box): _*))
+        .select($"batch".cast("long").as("batch"), $"doc_id",
+          $"term"), asOfBatch)
+      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
+        "left_anti")
+      .join(broadcast(docsNeeded), Seq("doc_id"))
+      .select($"doc_id", $"term")
+    maxSimRank(shortlist, qt, dterms, k, dims)
   }
 
   /** x113 body: exact positional phrase search — Lucene PhraseQuery

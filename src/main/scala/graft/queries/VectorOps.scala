@@ -1443,8 +1443,8 @@ object VectorOps {
        |pt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM wp),
        |spp AS MATERIALIZED (SELECT center, context, sp FROM (
        |    SELECT center, context,
-       |      CAST(floor(ln(CAST(n * ntot AS DOUBLE)
-       |          / CAST(ncen * nctx AS DOUBLE)) * 1000000.0 + 0.5)
+       |      CAST(floor(ln((CAST(n AS DOUBLE) * CAST(ntot AS DOUBLE))
+       |          / (CAST(ncen AS DOUBLE) * CAST(nctx AS DOUBLE))) * 1000000.0 + 0.5)
        |        AS BIGINT) - $EmbedShift6 AS sp
        |    FROM wp JOIN pc USING (center) JOIN px USING (context)
        |    CROSS JOIN pt)
@@ -3709,7 +3709,14 @@ object VectorOps {
     // discipline; see [[graft.store.StagedFold]])
     graft.store.StagedFold.rollForward(store, s, "ann",
       annFoldEntities)
-    val cur = store.read("ann_corpus", s)
+    // entity-absent = nothing ever ingested → the maintenance verb
+    // no-ops, matching compactSketchEntity/compactDedupClusters (the
+    // shared StagedFold family's contract); real I/O errors propagate
+    val cur =
+      try store.read("ann_corpus", s)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
     // bounded collect: one row per ingested batch
     val batches = cur.select($"batch".cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -4415,9 +4422,14 @@ object VectorOps {
     val tot = pairs.agg(sum($"n").as("ntot"))
     pairs.join(nc, "center").join(nx, "context")
       .crossJoin(broadcast(tot))
+      // each factor casts to double BEFORE the multiply: n·ntot and
+      // ncen·nctx are products of BIGINT pair counts, and once total
+      // pair mass passes ~3e9 the long product would wrap silently
+      // (the oracle SQL uses the same per-factor order, so the
+      // hash-match would not catch an engine-side wrap)
       .withColumn("sp",
-        floor(log(($"n" * $"ntot").cast("double") /
-          ($"ncen" * $"nctx").cast("double")) * 1000000.0 + 0.5)
+        floor(log(($"n".cast("double") * $"ntot".cast("double")) /
+          ($"ncen".cast("double") * $"nctx".cast("double"))) * 1000000.0 + 0.5)
           .cast("long") - lit(EmbedShift6))
       .filter($"sp" > 0)
       .select($"center", $"context", $"sp")

@@ -1514,6 +1514,87 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("horizon"), e.getMessage)
   }
 
+  test("stored late-interaction reranks from the persisted index " +
+    "(forward-index term lists) row-identical to one-shot across " +
+    "update, tombstone, compaction, and as-of cuts") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-li").toString
+    val store = new ParquetStore(root)
+    // a corpus where MaxSim genuinely reorders the BM25 shortlist:
+    // docs sharing query terms carry differing off-query vocabulary
+    // (whose md5 embeddings dot differently against the query terms)
+    var model = Map(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta rho sigma rho",
+      2L -> "alpha rho sigma tau",
+      3L -> "beta gamma sigma upsilon",
+      4L -> "rho sigma tau upsilon alpha",
+      5L -> "delta epsilon zeta eta beta",
+      6L -> "alpha beta gamma rho sigma")
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      0L, store)
+    val queries = Seq(
+      100L -> Seq("alpha", "beta"),
+      101L -> Seq("gamma", "delta"),
+      102L -> Seq("sigma", "tau"))
+    def stored(asOf: Long = Long.MaxValue) =
+      TextOps.lateInteractionStored(spark, store, queries,
+          k = 3, shortK = 4, asOfBatch = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def oneShot() = TextOps.lateInteractionOver(spark,
+      spark.createDataFrame(model.toSeq).toDF("doc_id", "text"),
+      queries, k = 3, shortK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(stored() == oneShot() && stored().nonEmpty, "initial MaxSim")
+    val p0 = stored()
+    // UPDATE: doc 1's vocabulary shifts -> its shortlist membership,
+    // term list, and MaxSim score all move; stored must rerank on the
+    // LATEST forward-index terms only
+    model += 1L -> "alpha beta upsilon tau eta"
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(Seq(1L -> model(1L))).toDF("doc_id", "text"),
+      1L, store)
+    assert(stored() == oneShot(), "MaxSim diverged after update")
+    assert(stored(0L) == p0, "as-of MaxSim diverged")
+    // TOMBSTONE: a shortlist-heavy doc vanishes from shortlist AND
+    // rerank (and live df/|C| shift under it)
+    TextOps.tombstoneSparseDocs(spark, Seq(6L), store)
+    model -= 6L
+    assert(stored() == oneShot(), "MaxSim diverged after tombstone")
+    // COMPACTION: physical fold, results invariant, snapshots refuse
+    TextOps.compactSparseIndex(spark, store)
+    assert(stored() == oneShot(), "MaxSim diverged after compaction")
+    val e = intercept[IllegalArgumentException] { stored(0L) }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+  }
+
+  test("re-tombstoning with duplicate ids keeps one row per doc in " +
+    "the tombstone partition (no geometric fan-out) and ANN " +
+    "compaction no-ops on a store that never ingested") {
+    import graft.queries.TextOps
+    val root = Files.createTempDirectory("graft-tomb-dedup").toString
+    val store = new ParquetStore(root)
+    TextOps.appendSparseIndex(spark,
+      spark.createDataFrame(Seq(
+        0L -> "alpha beta", 1L -> "beta gamma", 2L -> "gamma delta"))
+        .toDF("doc_id", "text"), 0L, store)
+    // duplicate ids in ONE call, then repeated re-deletes: the merge
+    // must stay 1 row/doc (pre-fix each round doubled doc 1's rows)
+    TextOps.tombstoneSparseDocs(spark, Seq(1L, 1L, 1L), store)
+    TextOps.tombstoneSparseDocs(spark, Seq(1L, 2L), store)
+    TextOps.tombstoneSparseDocs(spark, Seq(1L, 1L), store)
+    val perDoc = store.read("sparse_tombstones", spark)
+      .groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 1L, 2L -> 1L),
+      s"tombstone partitions bloated: $perDoc")
+    // the ADVICE guard: ANN compaction against a never-ingested store
+    // no-ops like its sketch/dedup siblings instead of throwing
+    graft.queries.VectorOps.compactAnnCorpus(spark, store)
+  }
+
   test("ANN corpus as-of reads reproduce the pre-append search, stay " +
     "retroactive under tombstones, and refuse below the compaction " +
     "horizon (which also guards batch replays)") {
