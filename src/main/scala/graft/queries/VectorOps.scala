@@ -1403,32 +1403,57 @@ object VectorOps {
     * round — lazy inlining would inline exponentially). Ends in
     * `emb(node, w1, w2)`. Truncating `//` mirrors Spark's `div`
     * exactly, including negatives. */
-  private def sqlEmbedCtes: String = {
+  private def sqlEmbedCtes(dims: Int = 2): String = {
+    val D = 1 to dims
+    // generated from the same per-round structure as the DataFrame
+    // trainer (matvec → renormalize all dims → the Gram-Schmidt
+    // ladder, dim j orthogonalized against each final dim i < j in
+    // turn, then renormalized) so the two cannot drift
     val roundCtes = (1 to EmbedIters).map { t =>
-      s"""ep$t AS MATERIALIZED (SELECT s.center AS node,
-         |    CAST(sum(s.sp * e.w1) AS BIGINT) AS p1,
-         |    CAST(sum(s.sp * e.w2) AS BIGINT) AS p2
-         |  FROM spp s JOIN e${t - 1} e ON e.node = s.context
-         |  GROUP BY 1),
-         |emx$t AS (SELECT max(abs(p1)) AS m1, max(abs(p2)) AS m2
-         |  FROM ep$t),
-         |en$t AS MATERIALIZED (SELECT node,
-         |    CASE WHEN m1 = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE (p1 * 10000) // m1 END AS n1,
-         |    CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE (p2 * 10000) // m2 END AS n2
-         |  FROM ep$t CROSS JOIN emx$t),
-         |eab$t AS (SELECT CAST(sum(n1 * n2) AS BIGINT) AS al,
-         |    CAST(sum(n1 * n1) AS BIGINT) AS bt FROM en$t),
-         |eo$t AS (SELECT node, n1,
-         |    CASE WHEN bt = 0 THEN n2
-         |      ELSE n2 - ((al * n1) // bt) END AS o2
-         |  FROM en$t CROSS JOIN eab$t),
-         |emo$t AS (SELECT max(abs(o2)) AS mo FROM eo$t),
-         |e$t AS MATERIALIZED (SELECT node, n1 AS w1,
-         |    CASE WHEN mo = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE (o2 * 10000) // mo END AS w2
-         |  FROM eo$t CROSS JOIN emo$t)""".stripMargin
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      parts += s"ep$t AS MATERIALIZED (SELECT s.center AS node,\n" +
+        D.map(j => s"    CAST(sum(s.sp * e.w$j) AS BIGINT) AS p$j")
+          .mkString(",\n") +
+        s"\n  FROM spp s JOIN e${t - 1} e ON e.node = s.context\n" +
+        "  GROUP BY 1)"
+      parts += s"emx$t AS (SELECT " +
+        D.map(j => s"max(abs(p$j)) AS m$j").mkString(", ") +
+        s" FROM ep$t)"
+      parts += s"en$t AS MATERIALIZED (SELECT node,\n" +
+        D.map(j => s"    CASE WHEN m$j = 0 THEN CAST(0 AS BIGINT)\n" +
+          s"      ELSE (p$j * 10000) // m$j END AS w$j")
+          .mkString(",\n") +
+        s"\n  FROM ep$t CROSS JOIN emx$t)"
+      var prev = s"en$t"
+      for (j <- 2 to dims) {
+        for (i <- 1 until j) {
+          parts += s"ab${t}_${j}_$i AS (SELECT " +
+            s"CAST(sum(w$i * w$j) AS BIGINT) AS al, " +
+            s"CAST(sum(w$i * w$i) AS BIGINT) AS bt FROM $prev)"
+          val nxt = s"gs${t}_${j}_$i"
+          parts += s"$nxt AS MATERIALIZED (SELECT node,\n" +
+            D.map(d =>
+              if (d == j)
+                s"    CASE WHEN bt = 0 THEN w$j\n" +
+                s"      ELSE w$j - ((al * w$i) // bt) END AS w$j"
+              else s"    w$d").mkString(",\n") +
+            s"\n  FROM $prev CROSS JOIN ab${t}_${j}_$i)"
+          prev = nxt
+        }
+        parts += s"mo${t}_$j AS (SELECT max(abs(w$j)) AS mo FROM $prev)"
+        val nxt = s"rn${t}_$j"
+        parts += s"$nxt AS MATERIALIZED (SELECT node,\n" +
+          D.map(d =>
+            if (d == j)
+              s"    CASE WHEN mo = 0 THEN CAST(0 AS BIGINT)\n" +
+              s"      ELSE (w$j * 10000) // mo END AS w$j"
+            else s"    w$d").mkString(",\n") +
+          s"\n  FROM $prev CROSS JOIN mo${t}_$j)"
+        prev = nxt
+      }
+      parts += s"e$t AS MATERIALIZED (SELECT node, " +
+        D.map(j => s"w$j").mkString(", ") + s" FROM $prev)"
+      parts.mkString(",\n")
     }.mkString(",\n")
     s"""$sqlGraphWalkCtes,
        |wp AS (SELECT a.node AS center, b.node AS context,
@@ -1450,13 +1475,13 @@ object VectorOps {
        |    CROSS JOIN pt)
        |  WHERE sp > 0),
        |e0 AS MATERIALIZED (SELECT node,
-       |    ${TS.md5Long("concat_ws(':', node, '1')")} % 2001 - 1000
-       |      AS w1,
-       |    ${TS.md5Long("concat_ws(':', node, '2')")} % 2001 - 1000
-       |      AS w2
+       |    ${D.map(j =>
+              s"${TS.md5Long(s"concat_ws(':', node, '$j')")} % 2001 - 1000"
+                + s"\n       |      AS w$j").mkString(",\n       |    ")}
        |  FROM (SELECT DISTINCT center AS node FROM spp)),
        |$roundCtes,
-       |emb AS (SELECT node, w1, w2 FROM e$EmbedIters)""".stripMargin
+       |emb AS (SELECT node, ${D.map(j => s"w$j").mkString(", ")}
+       |  FROM e$EmbedIters)""".stripMargin
   }
 
   /** The x13 cell-assignment replay as reusable oracle CTEs: yields
@@ -2834,9 +2859,24 @@ object VectorOps {
     // max-abs renormalize, integer Gram-Schmidt) — the trained vectors
     // hash-match, not just their shape.
     "x122_embed_train" -> Q(
-      s"""WITH $sqlEmbedCtes
+      s"""WITH ${sqlEmbedCtes()}
          |SELECT node, w1, w2 FROM emb ORDER BY node""".stripMargin) {
       (s, dir) => nodeEmbeddings(s, dir)
+    },
+
+    // ----- x124 the d=4 trainer (see [[trainNodeEmbeddings]]): the
+    // same integer Gram-Schmidt ladder generalized to four components
+    // — pinned ALONGSIDE the d=2 id so the registry carries both the
+    // minimal oracle-replayable seam and the general-d path. Prefix
+    // stability (w1/w2 identical to x122's) is pinned in
+    // ScaleGuardsSpec; here the full 4-dim vectors hash-match a
+    // DuckDB replay of all 8 rounds × 6 ladder steps.
+    "x124_embed_train_d4" -> Q(
+      s"""WITH ${sqlEmbedCtes(4)}
+         |SELECT node, w1, w2, w3, w4 FROM emb
+         |ORDER BY node""".stripMargin) {
+      (s, dir) => trainNodeEmbeddings(s, skipGramPairs(s, dir),
+        dims = 4)
     },
 
     // ----- x123 embedding-space neighbors vs the walk graph (see
@@ -2844,7 +2884,7 @@ object VectorOps {
     // the trained space for the walk start nodes, flagged with direct
     // x86 graph adjacency (the embedding-quality probe as a relation).
     "x123_embed_neighbors" -> Q(
-      s"""WITH $sqlEmbedCtes,
+      s"""WITH ${sqlEmbedCtes()},
          |zq AS (SELECT node AS qid, w1 AS q1, w2 AS q2 FROM emb
          |  WHERE node < 8),
          |zc AS (SELECT zq.qid, e.node AS nid,
@@ -4435,18 +4475,26 @@ object VectorOps {
       .select($"center", $"context", $"sp")
   }
 
-  /** Train 2-dim node embeddings over a (center, context, n) pair
-    * relation: seeded-hash start vectors, then [[EmbedIters]] rounds
-    * of matvec → max-abs renormalize (dim 1) → integer Gram-Schmidt
-    * against dim 1 → renormalize (dim 2). Every operation is exact
-    * long arithmetic on both engines (truncating division, max-abs
-    * scaling — no norms, no floating accumulation), so the result is
-    * deterministic, retry-safe, and oracle-replayable. Returns
-    * (node, w1, w2) over the SPPMI vocabulary. */
+  /** Train d-dim node embeddings over a (center, context, n) pair
+    * relation: seeded-hash start vectors (one md5 stream per dim),
+    * then [[EmbedIters]] rounds of matvec (ONE keyed join + grouped
+    * sum for ALL dims) → max-abs renormalize of every dim → an
+    * integer Gram-Schmidt ladder: dim j is orthogonalized against
+    * each FINAL dim i < j in turn, then renormalized — O(d²) 1-row
+    * broadcast aggregates per round, no collect. Every operation is
+    * exact long arithmetic on both engines (truncating division,
+    * max-abs scaling — no norms, no floating accumulation), so the
+    * result is deterministic, retry-safe, and oracle-replayable.
+    * Because dim j never feeds back into dims < j, a d-dim train's
+    * first d' columns are IDENTICAL to a d'-dim train's (prefix
+    * stability — ScaleGuardsSpec pins it): added dimensions only
+    * refine. Returns (node, w1..wd) over the SPPMI vocabulary. */
   private[graft] def trainNodeEmbeddings(
       s: org.apache.spark.sql.SparkSession,
-      pairs: org.apache.spark.sql.DataFrame, iters: Int = EmbedIters)
-      : org.apache.spark.sql.DataFrame = {
+      pairs: org.apache.spark.sql.DataFrame, iters: Int = EmbedIters,
+      dims: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(dims >= 1 && dims <= 16, s"dims out of range: $dims")
+    val D = 1 to dims
     // the pair relation materializes ONCE before the SPPMI stats:
     // sppmiRelation references it four times (base + the n(c)/n(x)/N
     // aggregations), and un-pinned each reference re-executes the
@@ -4460,41 +4508,63 @@ object VectorOps {
     val sp = sppmiRelation(pc).repartition($"context")
       .localCheckpoint(true)
     var w = sp.select($"center".as("node")).distinct()
-      .select($"node",
-        (pmod(T.md5Long(concat_ws(":", $"node", lit("1"))), lit(2001L))
-          - 1000L).as("w1"),
-        (pmod(T.md5Long(concat_ws(":", $"node", lit("2"))), lit(2001L))
-          - 1000L).as("w2"))
+      .select($"node" +: D.map(j =>
+        (pmod(T.md5Long(concat_ws(":", $"node", lit(j.toString))),
+          lit(2001L)) - 1000L).as(s"w$j")): _*)
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val p = sp.join(w.select($"node".as("context"), $"w1", $"w2"),
-          "context")
-        .groupBy($"center").agg(sum($"sp" * $"w1").as("p1"),
-          sum($"sp" * $"w2").as("p2"))
+      val p = sp.join(w.select($"node".as("context") +:
+            D.map(j => col(s"w$j")): _*), "context")
+        .groupBy($"center")
+        .agg(sum($"sp" * $"w1").as("p1"),
+          D.tail.map(j => sum($"sp" * col(s"w$j")).as(s"p$j")): _*)
         .withColumnRenamed("center", "node")
-      val mx = p.agg(max(abs($"p1")).as("mx1"), max(abs($"p2")).as("mx2"))
-      val n = p.crossJoin(broadcast(mx))
-        .select($"node",
-          when($"mx1" === 0L, lit(0L))
-            .otherwise(expr("(p1 * 10000) div mx1")).as("n1"),
-          when($"mx2" === 0L, lit(0L))
-            .otherwise(expr("(p2 * 10000) div mx2")).as("n2"))
-      val ab = n.agg(sum($"n1" * $"n2").as("al"),
-        sum($"n1" * $"n1").as("bt"))
-      val o = n.crossJoin(broadcast(ab))
-        .select($"node", $"n1",
-          when($"bt" === 0L, $"n2")
-            .otherwise($"n2" - expr("(al * n1) div bt")).as("o2"))
-      val mo = o.agg(max(abs($"o2")).as("mo2"))
+      val mx = p.agg(max(abs($"p1")).as("mx1"),
+        D.tail.map(j => max(abs(col(s"p$j"))).as(s"mx$j")): _*)
+      // Each 1-row aggregate nests the frame it summarizes inside the
+      // round plan, and nesting depth multiplies re-execution of the
+      // un-materialized lineage below it (~2x per level — measured:
+      // the d=4 ladder's 10 nested aggregates turned a 3-minute sf
+      // 0.001 registry sweep into 12 minutes on one query). d=2's
+      // depth of 3 is fine single-action; beyond that, pin at ladder
+      // SEGMENT boundaries so depth stays ≤ (j-1)+1 over a
+      // materialized base — a few extra node-sized actions per round
+      // buys off the exponential.
+      def pin(df: org.apache.spark.sql.DataFrame) =
+        if (dims > 2) df.localCheckpoint(true) else df
+      var cur = pin(p.crossJoin(broadcast(mx))
+        .select($"node" +: D.map(j =>
+          when(col(s"mx$j") === 0L, lit(0L))
+            .otherwise(expr(s"(p$j * 10000) div mx$j")).as(s"w$j")): _*))
+      // the ladder: each step's scalar projection coefficients ride as
+      // a broadcast 1-row frame; the step's projection drops them, so
+      // the round plan stays O(d²) nodes
+      for (j <- 2 to dims) {
+        for (i <- 1 until j) {
+          val ab = cur.agg(sum(col(s"w$i") * col(s"w$j")).as("al"),
+            sum(col(s"w$i") * col(s"w$i")).as("bt"))
+          cur = cur.crossJoin(broadcast(ab))
+            .select($"node" +: D.map(d =>
+              if (d == j)
+                when($"bt" === 0L, col(s"w$j"))
+                  .otherwise(col(s"w$j") - expr(s"(al * w$i) div bt"))
+                  .as(s"w$j")
+              else col(s"w$d")): _*)
+        }
+        val mo = cur.agg(max(abs(col(s"w$j"))).as("mo"))
+        cur = cur.crossJoin(broadcast(mo))
+          .select($"node" +: D.map(d =>
+            if (d == j)
+              when($"mo" === 0L, lit(0L))
+                .otherwise(expr(s"(w$j * 10000) div mo")).as(s"w$j")
+            else col(s"w$d")): _*)
+        if (j < dims) cur = pin(cur)
+      }
       // ONE action per round: the scalar aggregates ride as broadcast
       // 1-row frames inside the round's plan, and the checkpoint both
       // materializes it and severs lineage (constant-size plans over
       // any iteration count — the x114 discipline)
-      w = o.crossJoin(broadcast(mo))
-        .select($"node", $"n1".as("w1"),
-          when($"mo2" === 0L, lit(0L))
-            .otherwise(expr("(o2 * 10000) div mo2")).as("w2"))
-        .localCheckpoint(true)
+      w = cur.localCheckpoint(true)
     }
     w.orderBy($"node")
   }

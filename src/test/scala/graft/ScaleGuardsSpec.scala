@@ -1824,4 +1824,38 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
       assert(lcc == expect, s"user $u: $lcc != $expect")
     }
   }
+
+  test("embedding trainer prefix stability: a d=4 train's first two " +
+    "columns are IDENTICAL to the d=2 train — added dims only refine") {
+    import spark.implicits._
+    // a small pair relation with genuine co-occurrence structure (the
+    // trainer accepts any (center, context, n) frame — the walk chain
+    // is not what's under test here). Block-diagonal so within-block
+    // PMI ≈ ln 10.7 clears the SPPMI shift (near-uniform pairs all
+    // fall below it and train an empty vocabulary).
+    val pairs = (for {
+      a <- 0L until 32L; b <- 0L until 32L
+      if a != b && a / 4 == b / 4
+    } yield (a, b, 10L + (a * 3 + b) % 4)).toDF("center", "context", "n")
+    val d2 = VectorOps.trainNodeEmbeddings(spark, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val d4 = VectorOps.trainNodeEmbeddings(spark, pairs, dims = 4)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+    assert(d4.nonEmpty && d4.length == d2.size)
+    // dim j never feeds back into dims < j: matvec is per-dim, the
+    // ladder only orthogonalizes j against i < j — so (w1, w2) must
+    // be bit-identical between the two trains
+    d4.foreach { case (node, w12, _) =>
+      assert(d2(node) == w12,
+        s"node $node: d=4 (w1,w2)=$w12 != d=2 ${d2(node)}")
+    }
+    // and the added dims are genuine new signal, not copies or zeros:
+    // renormalization targets max-abs 10000 on a non-degenerate dim
+    assert(d4.exists { case (_, _, (w3, w4)) => w3 != 0L || w4 != 0L },
+      "d=4 trained degenerate extra dims")
+    assert(d4.map(_._3._1).max == 10000L ||
+      d4.map(_._3._1).min == -10000L, "w3 not renormalized to max-abs")
+  }
 }
