@@ -86,6 +86,15 @@ object Bench {
     // one-off scheduling jitter — a single run's own spread on an idle
     // box approaches the 3x threshold.
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Second, HEAVIER canary (round-10 lesson): the 0.2 s rollup
+    // under-weights memory-bandwidth contention — identical binaries
+    // swing 1.3-1.5x on 30-stage pipelines while the light canary
+    // holds flat. This one is a ~2 s multi-exchange pipeline (join +
+    // two shuffled aggregations + a shuffled top-k over lineitem ×
+    // orders), so its spread sees the same resource the heavy queries
+    // contend on. Both spreads stamp the record; the top-level
+    // "contended" bit is their OR.
+    val canary2Samples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canary(): Unit = {
       try {
         import org.apache.spark.sql.functions._
@@ -100,6 +109,28 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         canarySamples += math.min(once(), once())
+      } catch { case _: Throwable => () }
+      try {
+        import org.apache.spark.sql.functions._
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val rev = Tables(spark, sfDir, "lineitem")
+            .groupBy(col("l_orderkey"))
+            .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev"),
+              count(lit(1)).as("nl"),
+              sum(col("l_quantity")).as("qty"))
+          rev.join(Tables(spark, sfDir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("rev")).as("crev"), sum(col("nl")).as("cn"),
+              max(col("qty")).as("mq"))
+            .orderBy(col("crev").desc, col("o_custkey"))
+            .limit(100)
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        canary2Samples += math.min(once(), once())
       } catch { case _: Throwable => () }
     }
     canary() // baseline sample, post-warmup
@@ -307,13 +338,35 @@ object Bench {
     val ws = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val cSpread =
-      if (canarySamples.size >= 2 && canarySamples.min > 0)
-        canarySamples.max / canarySamples.min
-      else -1.0
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.size >= 2 && xs.min > 0) xs.max / xs.min else -1.0
+    val cSpread = spreadOf(canarySamples.toSeq)
+    val c2Spread = spreadOf(canary2Samples.toSeq)
+    // the record's health bit is the OR of both canaries: the light
+    // one catches scheduler/CPU contention, the heavy one catches the
+    // memory-bandwidth contention the light one is blind to
+    val contended = cSpread > 3.0 || c2Spread > 3.0
     val cJson = s"""{"samples":[${canarySamples.mkString(",")}],""" +
       s""""spread":$cSpread,"contended":${cSpread > 3.0}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"canary":$cJson,"sf":"$sfDir"}""")
+    val c2Json = s"""{"samples":[${canary2Samples.mkString(",")}],""" +
+      s""""spread":$c2Spread,"contended":${c2Spread > 3.0}}"""
+    // Machine-checked performance pins (the r10 agreement): a pinned
+    // query exceeding its bar in a CANARY-CLEAN record fails the
+    // report visibly — prose bars don't regress loudly, JSON does.
+    // x107's revised 3.5 s bar (documented 39-stage floor) is pinned
+    // on the warm (min-of-2) number; a contended record can't enforce
+    // it honestly, so the pin records enforced=false there.
+    val x107Warm = warm.toMap.getOrElse("x107_release_manifest", -1.0)
+    val x107Violated = !contended && x107Warm > 3.5
+    val pinsJson =
+      s"""{"x107_release_manifest":{"bar_sec":3.5,""" +
+        s""""warm_sec":$x107Warm,"enforced":${!contended},""" +
+        s""""violated":$x107Violated}}"""
+    if (x107Violated)
+      System.err.println(
+        s"[bench] PIN VIOLATED: x107_release_manifest warm " +
+          s"$x107Warm s > 3.5 s bar in a canary-clean record")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"canary":$cJson,"canary2":$c2Json,"contended":$contended,"pins":$pinsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

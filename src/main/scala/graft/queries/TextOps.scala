@@ -1779,35 +1779,50 @@ object TextOps {
     * into the same row). */
   def persistCeModel(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, weights: Array[Long] = CeWeights,
-      modelId: Long = 0L): Unit = {
-    store.delete("ce_model", Seq("model_id" -> modelId))
+      modelId: Long = 0L, trainedAt: Long = 0L): Unit = {
+    // VERSIONED under (model_id, trained_at): a retrain lands a new
+    // version and leaves prior ones readable (loadCeModel's as-of),
+    // while replaying the same version overwrites only itself —
+    // yesterday's rerank stays reproducible after today's retrain
+    store.delete("ce_model",
+      Seq("model_id" -> modelId, "trained_at" -> trainedAt))
     store.write("ce_model",
       s.createDataFrame(
-          Seq((modelId, graft.ml.CrossEncoder.model(weights))))
-        .toDF("model_id", "model"),
-      Seq("model_id"))
+          Seq((modelId, trainedAt, graft.ml.CrossEncoder.model(weights))))
+        .toDF("model_id", "trained_at", "model"),
+      Seq("model_id", "trained_at"))
   }
 
   /** Load one persisted cross-encoder artifact — a keyed point read
-    * (the store's O(1) GET), exactly one row by contract. */
+    * (the store's O(1) GET) of the model's partition, serving the
+    * newest version at or below `asOfTrainedAt` (latest by default);
+    * refuses loudly when no version exists at or below the cut. */
   def loadCeModel(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store, modelId: Long = 0L): Array[Byte] = {
+      store: graft.store.Store, modelId: Long = 0L,
+      asOfTrainedAt: Long = Long.MaxValue): Array[Byte] = {
+    // bounded: one row per retained version of ONE model id
     val rows = store.readKeyed("ce_model",
         Seq("model_id" -> modelId), s)
-      .select($"model").collect()
+      .select($"trained_at".cast("long").as("t"), $"model")
+      .filter($"t" <= asOfTrainedAt)
+      .orderBy($"t".desc).limit(1).collect()
     require(rows.length == 1,
-      s"ce_model $modelId: expected exactly 1 row, found ${rows.length}")
-    rows.head.getAs[Array[Byte]](0)
+      s"ce_model $modelId: no version at or below $asOfTrainedAt")
+    rows.head.getAs[Array[Byte]](1)
   }
 
-  /** x110 against a PERSISTED model: load the `ce_model` artifact and
-    * rerank with it — a serving session's path (StoreSpec pins it
-    * row-identical to the literal-weights registry body). */
+  /** x110 against a PERSISTED model: load the `ce_model` artifact
+    * (optionally a PAST version via `asOfTrainedAt`) and rerank with
+    * it — a serving session's path (StoreSpec pins it row-identical
+    * to the literal-weights registry body, and a post-retrain as-of
+    * rerank identical to the pre-retrain one). */
   def rerankCrossStored(s: org.apache.spark.sql.SparkSession,
       dir: String, store: graft.store.Store, modelId: Long = 0L,
-      shortlist: Int = 20, k: Int = 5)
+      shortlist: Int = 20, k: Int = 5,
+      asOfTrainedAt: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame =
-    rerankCrossWith(s, dir, loadCeModel(s, store, modelId), shortlist, k)
+    rerankCrossWith(s, dir,
+      loadCeModel(s, store, modelId, asOfTrainedAt), shortlist, k)
 
   /** x110 body: BM25 top-20 shortlist per query, reranked by the
     * batched [[graft.ml.CrossEncoder]] pair scorer (broadcast model

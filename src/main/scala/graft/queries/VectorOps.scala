@@ -3616,28 +3616,67 @@ object VectorOps {
   // doubles round-trip exactly, so a search over persisted books is
   // bit-identical to one over freshly-trained books (StoreSpec).
 
+  /** The newest persisted book version, None when no books exist. */
+  private def latestBookVersion(store: graft.store.Store,
+      s: org.apache.spark.sql.SparkSession): Option[Long] =
+    try {
+      // bounded: one row
+      val r = store.read("ann_coarse_book", s)
+        .agg(max($"trained_at".cast("long"))).first()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
   /** Train and persist the x43 artifacts: the coarse book
-    * (`ann_coarse_book`: cid, cv) and the per-subspace PQ codebooks
-    * (`ann_pq_books`: s, cid, cv). */
+    * (`ann_coarse_book`: trained_at, cid, cv) and the per-subspace PQ
+    * codebooks (`ann_pq_books`: trained_at, s, cid, cv) — VERSIONED
+    * under (trained_at) partitions. A retrain lands a NEW version and
+    * leaves prior ones readable ([[loadAnnBooks]]' as-of), so a past
+    * search stays reproducible after today's retrain; re-persisting
+    * the CURRENT version overwrites only itself (idempotent replay).
+    *
+    * Coherence guard: the PQ-coded `ann_corpus` and the cell-addressed
+    * `knn_vectors` are encoded against the book version that ingested
+    * them and carry no raw vectors to re-encode — retraining (a new
+    * trained_at) underneath them would silently desync every stored
+    * search, so it refuses loudly; rebuild into a fresh store (or
+    * tear the dependents down) first. [[rebalanceKnnCells]]' in-place
+    * book mutation is NOT a retrain: it rewrites the current
+    * version's partition and advances the knn maintenance horizon. */
   def persistAnnBooks(s: org.apache.spark.sql.SparkSession,
       dir: String, store: graft.store.Store,
-      cells: Int = DefaultCells): Unit = {
+      cells: Int = DefaultCells, trainedAt: Long = 0L): Unit = {
+    latestBookVersion(store, s).filter(_ != trainedAt).foreach { cur =>
+      require(trainedAt > cur,
+        s"ANN book versions must advance: got $trainedAt over $cur")
+      def populated(e: String) =
+        try store.read(e, s).limit(1).count() > 0
+        catch { case scala.util.control.NonFatal(_) => false }
+      require(!populated("ann_corpus") && !populated("knn_vectors"),
+        s"ANN book retrain (version $trainedAt over $cur) would " +
+          "desync the PQ-coded ann_corpus / cell-addressed " +
+          "knn_vectors encoded against the current book — rebuild " +
+          "into a fresh store or tear the dependents down first")
+    }
     implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
     val coarse = kmeansBook(s, dir, cells)
     store.write("ann_coarse_book",
       s.createDataset(coarse.toIndexedSeq.zipWithIndex.map {
           case (cv, c) => SubCentRow(0, c.toLong, cv.toSeq, 0.0)
         })
-        .toDF("ks", "cid", "cv", "n2").select($"cid", $"cv"),
-      Seq.empty)
+        .toDF("ks", "cid", "cv", "n2")
+        .select(lit(trainedAt).as("trained_at"), $"cid", $"cv"),
+      Seq("trained_at"))
     val books = pqBooksTrained(s, dir)
     store.write("ann_pq_books",
       s.createDataset(for {
           (b, ss) <- books.toIndexedSeq.zipWithIndex
           (cv, c) <- b.toIndexedSeq.zipWithIndex
         } yield SubCentRow(ss, c.toLong, cv.toSeq, 0.0))
-        .toDF("s", "cid", "cv", "n2").select($"s", $"cid", $"cv"),
-      Seq.empty)
+        .toDF("s", "cid", "cv", "n2")
+        .select(lit(trainedAt).as("trained_at"), $"s", $"cid", $"cv"),
+      Seq("trained_at"))
   }
 
   /** [[persistAnnBooks]] with corpus-scaled coarse geometry — the
@@ -3653,15 +3692,28 @@ object VectorOps {
 
   /** Load the persisted [[persistAnnBooks]] artifacts back into driver
     * arrays (bounded collects — 16×64 + 128×8 doubles; parquet doubles
-    * round-trip exactly). */
+    * round-trip exactly). Serves the newest version at or below
+    * `asOfTrainedAt` (latest by default) — both entities are written
+    * together, so one version pick covers both; refuses loudly when
+    * no version exists at or below the cut. */
   private[graft] def loadAnnBooks(s: org.apache.spark.sql.SparkSession,
-      store: graft.store.Store)
+      store: graft.store.Store, asOfTrainedAt: Long = Long.MaxValue)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val coarse = store.read("ann_coarse_book", s)
+    val cb = store.read("ann_coarse_book", s)
+      .select($"trained_at".cast("long").as("t"), $"cid", $"cv")
+      .filter($"t" <= asOfTrainedAt)
+    // bounded: one row — the served version
+    val vr = cb.agg(max($"t")).first()
+    require(!vr.isNullAt(0),
+      s"no ANN book version at or below $asOfTrainedAt — " +
+        "persistAnnBooks first")
+    val ver = vr.getLong(0)
+    val coarse = cb.filter($"t" === ver)
       .select($"cid", $"cv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     val pq = store.read("ann_pq_books", s)
+      .filter($"trained_at".cast("long") === ver)
       .select($"s", $"cid", $"cv").collect()
       .map(r => (r.getInt(0), r.getLong(1).toInt) ->
         r.getSeq[Double](2).toArray).toMap
@@ -3670,13 +3722,15 @@ object VectorOps {
     (coarse, books)
   }
 
-  /** A "later session's" x43: load the persisted books and search; no
-    * training jobs run. */
+  /** A "later session's" x43: load the persisted books (optionally a
+    * PAST version via `asOfTrainedAt`) and search; no training jobs
+    * run. */
   private[graft] def annIvfPqFromStore(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      store: graft.store.Store, k: Int = 3)
+      store: graft.store.Store, k: Int = 3,
+      asOfTrainedAt: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame = {
-    val (coarse, books) = loadAnnBooks(s, store)
+    val (coarse, books) = loadAnnBooks(s, store, asOfTrainedAt)
     annIvfPqWith(s, dir, coarse, books, k)
   }
 
@@ -4616,57 +4670,96 @@ object VectorOps {
     * never the raw corpus. */
   def trainStoredEmbeddings(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, window: Int = 2,
-      iters: Int = EmbedIters): Unit = {
+      iters: Int = EmbedIters, dims: Int = 2): Unit = {
     val mark = graft.store.Horizon.get(store, s, "walks").getOrElse(
       throw new IllegalArgumentException(
         "no maintained walk corpus to train on — run appendWalkCorpus"))
-    val emb = trainNodeEmbeddings(s,
-      skipGramPairsOver(walkCorpusStored(s, store), window), iters)
-      .select(lit(mark).as("trained_at"), $"node", $"w1", $"w2")
+    val wide = trainNodeEmbeddings(s,
+      skipGramPairsOver(walkCorpusStored(s, store), window), iters,
+      dims)
+    // melted to (trained_at, node, dim, w): schema-stable across any
+    // d, so versions trained at different widths coexist under one
+    // entity. VERSIONED under (trained_at) partitions — a retrain
+    // lands a NEW version and leaves prior ones readable
+    // ([[embedNeighborsStored]]'s as-of), while re-training at an
+    // unchanged watermark overwrites only its own partition
+    // (idempotent replay). Yesterday's model-dependent answers stay
+    // reproducible after today's retrain — the same discipline the
+    // index families' as-of reads earned, applied to the artifact.
+    val emb = wide.select(lit(mark).as("trained_at"), $"node",
+        explode(array((1 to dims).map(j =>
+          struct(lit(j.toLong).as("dim"), col(s"w$j").as("w"))): _*))
+          .as("dw"))
+      .select($"trained_at", $"node", $"dw.dim".as("dim"),
+        $"dw.w".as("w"))
       .localCheckpoint(true)
-    store.delete("node_embeddings", Seq.empty)
-    store.write("node_embeddings", emb, Seq.empty)
+    store.write("node_embeddings", emb, Seq("trained_at"))
   }
 
   /** Serve embedding-space neighbors from the PERSISTED vectors —
-    * x123's shape over the stored artifact, with a loud staleness
-    * guard: vectors trained at an older walk watermark than the
-    * corpus' current one are refused rather than silently served
-    * (the compaction-horizon discipline, applied to model freshness —
-    * a stale embedding table is wrong answers, not slow ones).
-    * `allowStale` opts into serving anyway (the production pattern:
-    * retrain lags ingest by design). */
+    * x123's shape over the stored artifact. Serves the LATEST model
+    * version by default, with a loud staleness guard: vectors trained
+    * at an older walk watermark than the corpus' current one are
+    * refused rather than silently served (the compaction-horizon
+    * discipline, applied to model freshness — a stale embedding table
+    * is wrong answers, not slow ones). `allowStale` opts into serving
+    * anyway (the production pattern: retrain lags ingest by design).
+    *
+    * `asOfTrainedAt` serves a PAST model version: the newest version
+    * trained at or below the cut, with the k-NN graph read cut at the
+    * SAME watermark — so a post-retrain as-of read reproduces the
+    * pre-retrain answers exactly, in_graph flags included (StoreSpec
+    * pins it). An as-of read is historical by design, so the
+    * freshness guard does not apply to it; it still refuses loudly
+    * when no version exists at or below the cut, or when graph
+    * maintenance (rebalance) has destroyed the history under it. */
   def embedNeighborsStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, k: Int = 5,
-      allowStale: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val e = store.read("node_embeddings", s)
+      allowStale: Boolean = false,
+      asOfTrainedAt: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    val latest = asOfTrainedAt == Long.MaxValue
+    val all = store.read("node_embeddings", s)
       .select($"trained_at".cast("long").as("trained_at"),
-        $"node", $"w1", $"w2")
-    if (!allowStale) {
+        $"node", $"dim".cast("long").as("dim"), $"w")
+    // bounded: one row — the served version is the newest at/below
+    // the cut
+    val vr = all.filter($"trained_at" <= asOfTrainedAt)
+      .agg(max($"trained_at")).first()
+    require(!vr.isNullAt(0),
+      s"no stored embedding version at or below $asOfTrainedAt — " +
+        "train first (trainStoredEmbeddings)")
+    val ver = vr.getLong(0)
+    if (latest && !allowStale) {
       val cur = graft.store.Horizon.get(store, s, "walks")
-      // bounded: one row
-      val at = e.agg(min($"trained_at")).first()
       // a MISSING walks watermark while trained vectors exist means
       // the corpus was torn down since training (cell rebalance) —
       // the vectors are unanchored, not merely behind
-      require(at.isNullAt(0) || cur.nonEmpty,
+      require(cur.nonEmpty,
         "stored embeddings exist but the walk corpus they were " +
           "trained on was torn down (cell rebalance) — rebuild the " +
           "corpus and retrain, or pass allowStale=true")
-      require(at.isNullAt(0) ||
-        at.getLong(0) >= cur.getOrElse(Long.MinValue),
-        s"stored embeddings were trained at walk watermark " +
-          s"${at.getLong(0)} but the corpus has advanced to " +
+      require(ver >= cur.getOrElse(Long.MinValue),
+        s"stored embeddings were trained at walk watermark $ver " +
+          s"but the corpus has advanced to " +
           s"${cur.getOrElse(Long.MinValue)} — retrain " +
           "(trainStoredEmbeddings) or pass allowStale=true")
     }
+    // partition-pruned to the one served version
+    val e = all.filter($"trained_at" === ver)
+      .select($"node", $"dim", $"w")
     val q = e.filter($"node" < 8)
-      .select($"node".as("qid"), $"w1".as("q1"), $"w2".as("q2"))
-    val edges = store.read("knn_graph", s)
+      .select($"node".as("qid"), $"dim", $"w".as("qw"))
+    val edges = knnGraphStored(s, store,
+        asOfBatch = if (latest) Long.MaxValue else ver)
       .select($"src".as("qid"), $"dst".as("nid"), lit(1L).as("g"))
-    e.join(broadcast(q), $"node" =!= $"qid")
-      .select($"qid", $"node".as("nid"),
-        ($"q1" * $"w1" + $"q2" * $"w2").as("dot"))
+    // per-dim pair join + rollup: d-agnostic integer dot (the melted
+    // layout's price is pair-sized × d exchange rows — still
+    // query-set-bounded, never corpus-shaped)
+    e.join(broadcast(q), "dim")
+      .filter($"node" =!= $"qid")
+      .groupBy($"qid", $"node").agg(sum($"qw" * $"w").as("dot"))
+      .select($"qid", $"node".as("nid"), $"dot")
       .join(edges, Seq("qid", "nid"), "left")
       .withColumn("in_graph", coalesce($"g", lit(0L)))
       .withColumn("rn", row_number().over(Window.partitionBy($"qid")
@@ -4966,8 +5059,16 @@ object VectorOps {
       .filter($"n" > cap)
       .select($"cell").collect().map(_.getLong(0)).sorted
     if (hot.isEmpty) return 0
+    // cell maintenance mutates the CURRENT book version in place —
+    // it is not a retrain (the version stamp is preserved; the knn
+    // horizon advance below is what declares history destroyed)
+    val bookVer = latestBookVersion(store, s).getOrElse(
+      throw new IllegalArgumentException(
+        "no persisted ANN book to rebalance against"))
     val book = scala.collection.mutable.ArrayBuffer(
-      store.read("ann_coarse_book", s).select($"cid", $"cv").collect()
+      store.read("ann_coarse_book", s)
+        .filter($"trained_at".cast("long") === bookVer)
+        .select($"cid", $"cv").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).map(_._2).toIndexedSeq: _*)
     var moved = List.empty[org.apache.spark.sql.DataFrame]
@@ -5030,7 +5131,9 @@ object VectorOps {
     store.write("ann_coarse_book",
       s.createDataset(book.toIndexedSeq.zipWithIndex.map {
         case (cv, i) => CentRow(i.toLong, cv.toSeq) })
-        .toDF("cid", "cv"), Seq.empty)
+        .toDF("cid", "cv")
+        .select(lit(bookVer).as("trained_at"), $"cid", $"cv"),
+      Seq("trained_at"))
     // re-edge split + new cells from the rewritten store; untouched
     // cells' graph partitions are never read or rewritten
     val affected = (splitCells ++ newCells).distinct

@@ -316,6 +316,62 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       "search over persisted books diverged from fresh training")
   }
 
+  test("ANN books are VERSIONED: a retrain preserves prior versions " +
+    "for as-of search, refuses under encoded dependents, and " +
+    "requires monotonic versions") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-annbooks-ver").toString
+    val store = new ParquetStore(s"$tmp/books")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    val r0 = rows(VectorOps.annIvfPqFromStore(spark, dir, store))
+    assert(r0.nonEmpty)
+    // RETRAIN at different geometry: a new version lands, the old one
+    // stays readable — yesterday's search replays exactly via as-of
+    VectorOps.persistAnnBooks(spark, dir, store,
+      cells = 2 * graft.queries.VectorOps.DefaultCells, trainedAt = 1L)
+    assert(rows(VectorOps.annIvfPqFromStore(spark, dir, store,
+      asOfTrainedAt = 0L)) == r0,
+      "as-of book search diverged from the pre-retrain answers")
+    // latest serves the retrained geometry (coarse book row count
+    // doubles with the cell count)
+    assert(store.read("ann_coarse_book", spark)
+        .filter($"trained_at".cast("long") === 1L).count() ==
+      2L * store.read("ann_coarse_book", spark)
+        .filter($"trained_at".cast("long") === 0L).count())
+    // replaying the CURRENT version overwrites only itself
+    VectorOps.persistAnnBooks(spark, dir, store,
+      cells = 2 * graft.queries.VectorOps.DefaultCells, trainedAt = 1L)
+    assert(store.read("ann_coarse_book", spark)
+      .select($"trained_at".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    // versions must advance — a lower version refuses
+    val eMono = intercept[IllegalArgumentException] {
+      VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 0L)
+    }
+    assert(eMono.getMessage.contains("must advance"), eMono.getMessage)
+    // and below every version, as-of refuses loudly
+    val eNo = intercept[IllegalArgumentException] {
+      VectorOps.annIvfPqFromStore(spark, dir, store,
+        asOfTrainedAt = -1L)
+    }
+    assert(eNo.getMessage.contains("no ANN book version"),
+      eNo.getMessage)
+    // DESYNC GUARD: once a corpus is encoded against the current
+    // book, a retrain refuses — its codes carry no raw vectors to
+    // re-encode, so a new quantizer would silently corrupt search
+    VectorOps.appendAnnCorpus(spark,
+      VectorOps.normalizedEmbeddings(spark, dir).limit(32), 0L, store)
+    val eDep = intercept[IllegalArgumentException] {
+      VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 2L)
+    }
+    assert(eDep.getMessage.contains("desync"), eDep.getMessage)
+  }
+
   test("bucketed stores with different roots and one entity name keep " +
     "separate catalog tables") {
     val tmp = Files.createTempDirectory("graft-bkt-roots").toString
@@ -938,6 +994,27 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(TextOps.rerankCrossStored(spark, dir, store)) ==
       rows(graft.SparkEntry.queries("x110_rerank_cross")(spark, dir)),
       "stored-model rerank diverged from the registry body")
+    // THE MODEL IS VERSIONED: a retrain (new trained_at under the
+    // same model_id) serves by default, but the pre-retrain rerank
+    // stays reproducible via as-of — and an as-of below every
+    // version refuses loudly
+    val pre = rows(TextOps.rerankCrossStored(spark, dir, store))
+    TextOps.persistCeModel(spark, store,
+      weights = Array(1L, -2L, 3L, 40L), trainedAt = 5L)
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store))
+      .sameElements(Array(1L, -2L, 3L, 40L)),
+      "latest load did not serve the retrained version")
+    assert(rows(TextOps.rerankCrossStored(spark, dir, store,
+      asOfTrainedAt = 0L)) == pre,
+      "as-of rerank diverged from the pre-retrain answers")
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store, asOfTrainedAt = 4L))
+      .sameElements(TextOps.CeWeights))
+    val eNo = intercept[IllegalArgumentException] {
+      TextOps.loadCeModel(spark, store, asOfTrainedAt = -1L)
+    }
+    assert(eNo.getMessage.contains("no version"), eNo.getMessage)
   }
 
   test("sparse-index updates: a re-ingested doc scores from its " +
@@ -1882,14 +1959,22 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     VectorOps.appendKnnGraph(spark, n.filter($"vec_id" % 2 === 0), 0L, store)
     VectorOps.appendWalkCorpus(spark, store, 0L)
     VectorOps.trainStoredEmbeddings(spark, store)
-    def vecs() = store.read("node_embeddings", spark)
-      .select($"node", $"w1", $"w2").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val fresh = VectorOps.trainNodeEmbeddings(spark,
-        VectorOps.skipGramPairsOver(
-          VectorOps.walkCorpusStored(spark, store)))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSet
+    // stored layout is melted (trained_at, node, dim, w); compare the
+    // LATEST version against a melted from-scratch train
+    def vecs() = {
+      val e = store.read("node_embeddings", spark)
+        .select($"trained_at".cast("long").as("t"), $"node",
+          $"dim".cast("long").as("dim"), $"w")
+      val top = e.agg(max($"t")).first().getLong(0)
+      e.filter($"t" === top).select($"node", $"dim", $"w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def melt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().flatMap(r => Seq((r.getLong(0), 1L, r.getLong(1)),
+        (r.getLong(0), 2L, r.getLong(2)))).toSet
+    val fresh = melt(VectorOps.trainNodeEmbeddings(spark,
+      VectorOps.skipGramPairsOver(
+        VectorOps.walkCorpusStored(spark, store))))
     assert(vecs() == fresh && fresh.nonEmpty,
       "stored vectors diverged from a from-scratch train")
     def serve() = VectorOps.embedNeighborsStored(spark, store)
@@ -1909,13 +1994,31 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     // retrain over the maintained corpus = fresh train over the
     // maintained corpus (which is itself one-shot-identical)
     VectorOps.trainStoredEmbeddings(spark, store)
-    val fresh2 = VectorOps.trainNodeEmbeddings(spark,
-        VectorOps.skipGramPairsOver(
-          VectorOps.walkCorpusOneShot(spark, store)))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSet
+    val fresh2 = melt(VectorOps.trainNodeEmbeddings(spark,
+      VectorOps.skipGramPairsOver(
+        VectorOps.walkCorpusOneShot(spark, store))))
     assert(vecs() == fresh2, "retrain diverged from one-shot")
     assert(serve().nonEmpty)
+    // THE MODEL IS VERSIONED: the retrain landed a new trained_at
+    // partition and left the old one readable — an as-of stored read
+    // (model version AND graph cut at its training watermark)
+    // reproduces the pre-retrain answers exactly, in_graph included
+    assert(store.read("node_embeddings", spark)
+      .select($"trained_at".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L),
+      "retrain did not version the model artifact")
+    assert(VectorOps.embedNeighborsStored(spark, store,
+        asOfTrainedAt = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq == served,
+      "as-of stored serve diverged from the pre-retrain answers")
+    // an as-of below every version refuses loudly
+    val eNo = intercept[IllegalArgumentException] {
+      VectorOps.embedNeighborsStored(spark, store,
+        asOfTrainedAt = -1L)
+    }
+    assert(eNo.getMessage.contains("no stored embedding version"),
+      eNo.getMessage)
     // a rebalance tears the walk corpus (and its watermark) down:
     // the trained vectors are UNANCHORED, not merely behind — serving
     // refuses with the teardown message, not the advance message
