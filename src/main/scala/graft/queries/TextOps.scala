@@ -1811,6 +1811,29 @@ object TextOps {
     rows.head.getAs[Array[Byte]](1)
   }
 
+  /** Retention for the versioned cross-encoder artifact: drop every
+    * version of `modelId` strictly below `keepFrom` — except the
+    * newest, which a vacuum never deletes. As-of loads below the cut
+    * then refuse with the standard no-version message. Returns the
+    * number of versions dropped; partition-level deletes only. */
+  def vacuumCeModelVersions(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, keepFrom: Long,
+      modelId: Long = 0L): Int = {
+    // bounded collect: one row per retained version of one model id
+    val vers =
+      try store.readKeyed("ce_model", Seq("model_id" -> modelId), s)
+        .select($"trained_at".cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return 0
+      }
+    if (vers.isEmpty) return 0
+    val drop = vers.filter(v => v < keepFrom && v != vers.last)
+    drop.foreach(v => store.delete("ce_model",
+      Seq("model_id" -> modelId, "trained_at" -> v)))
+    drop.length
+  }
+
   /** x110 against a PERSISTED model: load the `ce_model` artifact
     * (optionally a PAST version via `asOfTrainedAt`) and rerank with
     * it — a serving session's path (StoreSpec pins it row-identical

@@ -4696,6 +4696,48 @@ object VectorOps {
     store.write("node_embeddings", emb, Seq("trained_at"))
   }
 
+  /** Retention for the versioned embedding artifact: drop every
+    * `node_embeddings` version strictly below `keepFrom` — EXCEPT the
+    * newest one, which is never dropped (a vacuum must not delete the
+    * serving model; pass the lifecycle's teardown verbs for that).
+    * As-of reads below the retention cut then refuse with the
+    * standard no-version message. Returns the number of versions
+    * dropped. Partition-level deletes only — no data is read. */
+  def vacuumEmbeddingVersions(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, keepFrom: Long): Int =
+    vacuumVersions(s, store, Seq("node_embeddings"), keepFrom)
+
+  /** Retention for the versioned ANN books: both entities drop the
+    * same version set (they are written together), newest retained. */
+  def vacuumAnnBookVersions(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, keepFrom: Long): Int =
+    vacuumVersions(s, store,
+      Seq("ann_coarse_book", "ann_pq_books"), keepFrom)
+
+  /** Shared retention core: versions come from the FIRST entity (the
+    * families write their entities under one version set), every
+    * listed entity drops the same partitions. */
+  private[graft] def vacuumVersions(
+      s: org.apache.spark.sql.SparkSession, store: graft.store.Store,
+      entities: Seq[String], keepFrom: Long): Int = {
+    // bounded collect: one row per retained version
+    val vers =
+      try store.read(entities.head, s)
+        .select($"trained_at".cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return 0 // nothing ever trained — retention no-ops
+      }
+    if (vers.isEmpty) return 0
+    val drop = vers.filter(v => v < keepFrom && v != vers.last)
+    drop.foreach { v =>
+      entities.foreach(e =>
+        store.delete(e, Seq("trained_at" -> v)))
+    }
+    drop.length
+  }
+
   /** Serve embedding-space neighbors from the PERSISTED vectors —
     * x123's shape over the stored artifact. Serves the LATEST model
     * version by default, with a loud staleness guard: vectors trained

@@ -1648,6 +1648,52 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("horizon"), e.getMessage)
   }
 
+  test("model-version retention: vacuum drops old versions (as-of " +
+    "below the cut refuses), never the newest, and no-ops on " +
+    "never-trained stores") {
+    import graft.queries.{TextOps, VectorOps}
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-vacuum").toString
+    val store = new ParquetStore(root)
+    // never trained: every retention verb no-ops
+    assert(VectorOps.vacuumEmbeddingVersions(spark, store, 10L) == 0)
+    assert(VectorOps.vacuumAnnBookVersions(spark, store, 10L) == 0)
+    assert(TextOps.vacuumCeModelVersions(spark, store, 10L) == 0)
+    // three ANN book versions (no corpus in this store, so retrains
+    // are legal); vacuum keeps >= keepFrom plus always the newest
+    VectorOps.persistAnnBooks(spark, dir, store)
+    VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 1L)
+    VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 2L)
+    val r2 = VectorOps.annIvfPqFromStore(spark, dir, store,
+      asOfTrainedAt = 2L).collect().length
+    assert(VectorOps.vacuumAnnBookVersions(spark, store, 2L) == 2)
+    def bookVers() = store.read("ann_coarse_book", spark)
+      .select($"trained_at".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(bookVers() == Set(2L))
+    val eB = intercept[IllegalArgumentException] {
+      VectorOps.annIvfPqFromStore(spark, dir, store, asOfTrainedAt = 1L)
+    }
+    assert(eB.getMessage.contains("no ANN book version"), eB.getMessage)
+    assert(VectorOps.annIvfPqFromStore(spark, dir, store)
+      .collect().length == r2, "vacuum disturbed the newest version")
+    // a keepFrom above every version still retains the newest
+    assert(VectorOps.vacuumAnnBookVersions(spark, store, 99L) == 0)
+    assert(bookVers() == Set(2L))
+    // ce_model: two versions; vacuum drops the old one only
+    TextOps.persistCeModel(spark, store)
+    TextOps.persistCeModel(spark, store,
+      weights = Array(9L, 9L, 9L, 9L), trainedAt = 3L)
+    assert(TextOps.vacuumCeModelVersions(spark, store, 3L) == 1)
+    val eC = intercept[IllegalArgumentException] {
+      TextOps.loadCeModel(spark, store, asOfTrainedAt = 0L)
+    }
+    assert(eC.getMessage.contains("no version"), eC.getMessage)
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store))
+      .sameElements(Array(9L, 9L, 9L, 9L)))
+  }
+
   test("re-tombstoning with duplicate ids keeps one row per doc in " +
     "the tombstone partition (no geometric fan-out) and ANN " +
     "compaction no-ops on a store that never ingested") {
