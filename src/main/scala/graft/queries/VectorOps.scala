@@ -4754,12 +4754,18 @@ object VectorOps {
     * pins it). An as-of read is historical by design, so the
     * freshness guard does not apply to it; it still refuses loudly
     * when no version exists at or below the cut, or when graph
-    * maintenance (rebalance) has destroyed the history under it. */
+    * maintenance (rebalance) has destroyed the history under it.
+    *
+    * `queryNodes` selects which nodes' neighborhoods to serve
+    * (default: x123's 0..7 probe set) — the query side stays a
+    * broadcast however many are asked. */
   def embedNeighborsStored(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, k: Int = 5,
       allowStale: Boolean = false,
-      asOfTrainedAt: Long = Long.MaxValue)
+      asOfTrainedAt: Long = Long.MaxValue,
+      queryNodes: Seq[Long] = 0L until 8L)
       : org.apache.spark.sql.DataFrame = {
+    require(queryNodes.nonEmpty, "stored embed serving needs queries")
     val latest = asOfTrainedAt == Long.MaxValue
     val all = store.read("node_embeddings", s)
       .select($"trained_at".cast("long").as("trained_at"),
@@ -4790,7 +4796,8 @@ object VectorOps {
     // partition-pruned to the one served version
     val e = all.filter($"trained_at" === ver)
       .select($"node", $"dim", $"w")
-    val q = e.filter($"node" < 8)
+    val q = e.filter($"node"
+        .isin(queryNodes.distinct.map(Long.box): _*))
       .select($"node".as("qid"), $"dim", $"w".as("qw"))
     val edges = knnGraphStored(s, store,
         asOfBatch = if (latest) Long.MaxValue else ver)
