@@ -1646,6 +1646,15 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(stored() == oneShot(), "MaxSim diverged after compaction")
     val e = intercept[IllegalArgumentException] { stored(0L) }
     assert(e.getMessage.contains("horizon"), e.getMessage)
+    // the forward read prunes at the DIRECTORY level: the shortlist
+    // dbuckets reach the sparse_forward scan as a PARTITION filter
+    // through the stale-keys anti-join — the 100 TB property (MaxSim
+    // reads a shortlist-sized sliver of the index, never the corpus)
+    val liPlan = TextOps.lateInteractionStored(spark, store, queries,
+        k = 3, shortK = 4)
+      .queryExecution.executedPlan.toString
+    assert(liPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("dbucket")), liPlan)
   }
 
   test("model-version retention: vacuum drops old versions (as-of " +
