@@ -3717,6 +3717,13 @@ object VectorOps {
       .select($"s", $"cid", $"cv").collect()
       .map(r => (r.getInt(0), r.getLong(1).toInt) ->
         r.getSeq[Double](2).toArray).toMap
+    // a TORN version (a crash between persistAnnBooks' two writes, or
+    // a vacuum caught mid-version) fails here with the cause, not a
+    // NoSuchElement deep in the LUT build
+    require(pq.size == SubM * CodeK,
+      s"ann_pq_books version $ver is torn (${pq.size} of " +
+        s"${SubM * CodeK} codebook rows) — re-run persistAnnBooks " +
+        s"for version $ver, or vacuum past it")
     val books = Array.tabulate(SubM)(ss =>
       Array.tabulate(CodeK)(c => pq((ss, c))))
     (coarse, books)
@@ -4732,7 +4739,12 @@ object VectorOps {
     if (vers.isEmpty) return 0
     val drop = vers.filter(v => v < keepFrom && v != vers.last)
     drop.foreach { v =>
-      entities.foreach(e =>
+      // crash-window ordering: the version list above comes from the
+      // FIRST entity, so it must be deleted LAST — a crash mid-loop
+      // then leaves the version still listed and the next vacuum
+      // rolls the partial delete forward; head-first would orphan the
+      // other entities' partitions invisibly forever
+      entities.reverse.foreach(e =>
         store.delete(e, Seq("trained_at" -> v)))
     }
     drop.length

@@ -1701,6 +1701,19 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(graft.ml.CrossEncoder.weightsOf(
         TextOps.loadCeModel(spark, store))
       .sameElements(Array(9L, 9L, 9L, 9L)))
+    // TORN version: coarse rows exist at a version whose pq rows are
+    // missing (a crash between persistAnnBooks' two writes) — loading
+    // fails naming the tear, and re-persisting the SAME version
+    // repairs it in place
+    store.write("ann_coarse_book",
+      Seq((4L, 0L, Seq(0.0))).toDF("trained_at", "cid", "cv"),
+      Seq("trained_at"))
+    val eT = intercept[IllegalArgumentException] {
+      VectorOps.loadAnnBooks(spark, store)
+    }
+    assert(eT.getMessage.contains("torn"), eT.getMessage)
+    VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 4L)
+    assert(VectorOps.loadAnnBooks(spark, store)._1.nonEmpty)
   }
 
   test("re-tombstoning with duplicate ids keeps one row per doc in " +
