@@ -4582,50 +4582,73 @@ object VectorOps {
         .withColumnRenamed("center", "node")
       val mx = p.agg(max(abs($"p1")).as("mx1"),
         D.tail.map(j => max(abs(col(s"p$j"))).as(s"mx$j")): _*)
-      // Each 1-row aggregate nests the frame it summarizes inside the
-      // round plan, and nesting depth multiplies re-execution of the
-      // un-materialized lineage below it (~2x per level — measured:
-      // the d=4 ladder's 10 nested aggregates turned a 3-minute sf
-      // 0.001 registry sweep into 12 minutes on one query). d=2's
-      // depth of 3 is fine single-action; beyond that, pin at ladder
-      // SEGMENT boundaries so depth stays ≤ (j-1)+1 over a
-      // materialized base — a few extra node-sized actions per round
-      // buys off the exponential.
-      def pin(df: org.apache.spark.sql.DataFrame) =
-        if (dims > 2) df.localCheckpoint(true) else df
-      var cur = pin(p.crossJoin(broadcast(mx))
-        .select($"node" +: D.map(j =>
-          when(col(s"mx$j") === 0L, lit(0L))
-            .otherwise(expr(s"(p$j * 10000) div mx$j")).as(s"w$j")): _*))
-      // the ladder: each step's scalar projection coefficients ride as
-      // a broadcast 1-row frame; the step's projection drops them, so
-      // the round plan stays O(d²) nodes
-      for (j <- 2 to dims) {
-        for (i <- 1 until j) {
-          val ab = cur.agg(sum(col(s"w$i") * col(s"w$j")).as("al"),
-            sum(col(s"w$i") * col(s"w$i")).as("bt"))
-          cur = cur.crossJoin(broadcast(ab))
-            .select($"node" +: D.map(d =>
-              if (d == j)
-                when($"bt" === 0L, col(s"w$j"))
-                  .otherwise(col(s"w$j") - expr(s"(al * w$i) div bt"))
-                  .as(s"w$j")
-              else col(s"w$d")): _*)
+      // Each 1-row aggregate NESTED as a broadcast frame multiplies
+      // re-execution of the un-materialized lineage below it (~2x per
+      // level — measured: the d=4 ladder's 10 nested aggregates
+      // turned a 3-minute sf0.001 registry sweep into 12 minutes on
+      // one query). d=2's depth of 3 is fine single-action and stays
+      // on the broadcast path (bit-identical to every round since
+      // r10). Beyond d=2, the ladder's scalars are EAGER bounded
+      // collects (one row each) injected as literals over ONE pinned
+      // base per round: each scalar costs a single narrow stage over
+      // the checkpointed frame instead of a broadcast exchange + AQE
+      // subplan, and the exponential never starts (arithmetic is
+      // identical exact-long either way — prefix stability against
+      // the d=2 train is pinned in ScaleGuardsSpec).
+      if (dims == 2) {
+        var cur = p.crossJoin(broadcast(mx))
+          .select($"node" +: D.map(j =>
+            when(col(s"mx$j") === 0L, lit(0L))
+              .otherwise(expr(s"(p$j * 10000) div mx$j")).as(s"w$j")): _*)
+        val ab = cur.agg(sum($"w1" * $"w2").as("al"),
+          sum($"w1" * $"w1").as("bt"))
+        cur = cur.crossJoin(broadcast(ab))
+          .select($"node", $"w1",
+            when($"bt" === 0L, $"w2")
+              .otherwise($"w2" - expr("(al * w1) div bt")).as("w2"))
+        val mo = cur.agg(max(abs($"w2")).as("mo"))
+        w = cur.crossJoin(broadcast(mo))
+          .select($"node", $"w1",
+            when($"mo" === 0L, lit(0L))
+              .otherwise(expr("(w2 * 10000) div mo")).as("w2"))
+          .localCheckpoint(true)
+      } else {
+        var cur = p.crossJoin(broadcast(mx))
+          .select($"node" +: D.map(j =>
+            when(col(s"mx$j") === 0L, lit(0L))
+              .otherwise(expr(s"(p$j * 10000) div mx$j")).as(s"w$j")): _*)
+          .localCheckpoint(true)
+        def scalar(c1: org.apache.spark.sql.Column,
+            c2: org.apache.spark.sql.Column): (Long, Long) = {
+          // bounded collect: one row (empty vocabulary → zeros)
+          val r = cur.agg(c1, c2).first()
+          (if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1))
         }
-        val mo = cur.agg(max(abs(col(s"w$j"))).as("mo"))
-        cur = cur.crossJoin(broadcast(mo))
-          .select($"node" +: D.map(d =>
+        for (j <- 2 to dims) {
+          for (i <- 1 until j) {
+            val (al, bt) = scalar(sum(col(s"w$i") * col(s"w$j")),
+              sum(col(s"w$i") * col(s"w$i")))
+            if (bt != 0L)
+              cur = cur.select($"node" +: D.map(d =>
+                if (d == j)
+                  (col(s"w$j") - expr(s"(${al}L * w$i) div ${bt}L"))
+                    .as(s"w$j")
+                else col(s"w$d")): _*)
+          }
+          val (mo, _) = scalar(max(abs(col(s"w$j"))), count(lit(1)))
+          cur = cur.select($"node" +: D.map(d =>
             if (d == j)
-              when($"mo" === 0L, lit(0L))
-                .otherwise(expr(s"(w$j * 10000) div mo")).as(s"w$j")
+              (if (mo == 0L) lit(0L)
+               else expr(s"(w$j * 10000) div ${mo}L")).as(s"w$j")
             else col(s"w$d")): _*)
-        if (j < dims) cur = pin(cur)
+        }
+        w = cur.localCheckpoint(true)
       }
-      // ONE action per round: the scalar aggregates ride as broadcast
-      // 1-row frames inside the round's plan, and the checkpoint both
-      // materializes it and severs lineage (constant-size plans over
-      // any iteration count — the x114 discipline)
-      w = cur.localCheckpoint(true)
+      // both branches end the round on a checkpoint of `w`: it both
+      // materializes the round (d=2: ONE action, the broadcast
+      // scalars ride inside its plan) and severs lineage (constant-
+      // size plans over any iteration count — the x114 discipline)
     }
     w.orderBy($"node")
   }
