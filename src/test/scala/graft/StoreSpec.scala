@@ -1657,6 +1657,29 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       l.contains("PartitionFilters") && l.contains("dbucket")), liPlan)
   }
 
+  test("one-shot late-interaction twin equals the oracle-checked " +
+    "x118 registry body on the registry corpus") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    // the registry's query shape: qid = doc_id < 4, query terms = the
+    // doc's distinct tokens — handing the twin the same corpus frame
+    // and query set ties the whole stored-MaxSim spec chain back to
+    // the DuckDB-hash-checked body
+    val docs = graft.Tables.spread(spark, dir, "documents")
+    val queries = TextOps.tokenized(docs.filter($"doc_id" < 4))
+      .select($"doc_id", $"tk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toSeq
+      .sortBy(_._1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val twin = rows(TextOps.lateInteractionOver(spark, docs, queries))
+    val body = rows(
+      graft.SparkEntry.queries("x118_late_interaction")(spark, dir))
+    assert(twin == body && twin.nonEmpty,
+      "the spec twin diverged from the oracle-checked registry body")
+  }
+
   test("model-version retention: vacuum drops old versions (as-of " +
     "below the cut refuses), never the newest, and no-ops on " +
     "never-trained stores") {
