@@ -371,10 +371,19 @@ object Bench {
     // it honestly, so the pin records enforced=false there.
     val x107Warm = warm.toMap.getOrElse("x107_release_manifest", -1.0)
     val x107Violated = !contended && x107Warm > 3.5
+    // weather references ship INSIDE the pin: the heavy-text class
+    // shifts ~1.4x together under host pressure both canaries miss
+    // (measured r11: x75, byte-identical since r9, read 2.77 and
+    // 3.99 s in two same-day canary-clean records) — a violated bit
+    // must be readable against untouched same-class bodies from the
+    // SAME record, mechanically, not by archaeology
+    val refs = Seq("x75_bm25_wand", "x43_ann_ivfpq_trained")
+      .map(n => s""""$n":${warm.toMap.getOrElse(n, -1.0)}""")
+      .mkString("{", ",", "}")
     val pinsJson =
       s"""{"x107_release_manifest":{"bar_sec":3.5,""" +
         s""""warm_sec":$x107Warm,"enforced":${!contended},""" +
-        s""""violated":$x107Violated}}"""
+        s""""violated":$x107Violated,"weather_refs":$refs}}"""
     if (x107Violated)
       System.err.println(
         s"[bench] PIN VIOLATED: x107_release_manifest warm " +
