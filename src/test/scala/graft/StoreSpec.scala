@@ -1216,6 +1216,11 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       assert(rows(TextOps.prfExpandStored(spark, store, queries)) ==
         rows(TextOps.prfExpandOver(spark, live, queries)),
         s"PRF diverged after: $tag")
+      assert(rows(TextOps.lateInteractionStored(spark, store, queries,
+          k = 3, shortK = 4)) ==
+        rows(TextOps.lateInteractionOver(spark, live, queries,
+          k = 3, shortK = 4)),
+        s"MaxSim diverged after: $tag")
       // the as-of twin of the same invariant, at the oldest and the
       // newest servable cut (every cut at or above the horizon must
       // re-derive its historical search exactly)
