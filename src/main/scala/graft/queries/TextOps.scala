@@ -316,6 +316,11 @@ object TextOps {
   private val ChunkSize = 32
   private val ChunkStride = 16
 
+  /** x125 packing geometry: the training context window (tokens) and
+    * the doc_id range width of the prefix-sum buckets. */
+  private val PackWindow = 512L
+  private val PackBucket = 1024L
+
   /** Per-language epoch repeat factors (x25); 0 drops the language. */
   private val MixtureWeights: Seq[(String, Int)] =
     Seq("en" -> 1, "de" -> 2, "es" -> 3, "fr" -> 4, "zh" -> 0)
@@ -3410,6 +3415,88 @@ object TextOps {
           size(chunk).cast("long").as("n_tokens"),
           md5(concat_ws(" ", chunk)).as("chunk_hash"))
         .orderBy($"doc_id", $"chunk_id")
+    },
+
+    // ----- x125 sequence-packing audit: concatenate each source's
+    // docs in doc_id order into one token stream, split at fixed
+    // context windows (PackWindow tokens, GPT-style packing WITH
+    // boundary splits), and report the numbers an epoch-sizing pass
+    // needs — bins used, docs straddling a window boundary (the
+    // fragmentation attention masking must handle), and last-bin fill.
+    //
+    // Scale shape: the metrics need each doc's global token OFFSET
+    // within its source — a prefix sum, which a naive per-source
+    // window serializes (one task per source at 100 TB). The body
+    // runs the standard TWO-LEVEL distributed prefix sum instead:
+    // (1) bucket docs by doc_id range, (2) per-(source, bucket)
+    // token subtotals — a rollup, (3) a window over the tiny
+    // subtotal table (rows = buckets, not docs) for bucket offsets,
+    // broadcast back, (4) within-bucket cumsum, parallel across
+    // buckets. The only corpus-sized exchange is the (source, bucket)
+    // window partitioning; the serial window runs over the offsets
+    // table. The ORACLE uses the plain global window — same math.
+    "x125_pack_audit" -> Q(
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(${TS.wsTokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN n_tok > 0 AND
+         |        ((cum - n_tok) // $PackWindow) != ((cum - 1) // $PackWindow)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |  FROM c GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  (n_tokens + ${PackWindow - 1}) // $PackWindow AS n_bins,
+         |  n_straddlers,
+         |  CASE WHEN n_tokens > 0
+         |    THEN ((n_tokens - ((n_tokens + ${PackWindow - 1})
+         |        // $PackWindow - 1) * $PackWindow) * 1000000)
+         |      // $PackWindow
+         |    ELSE CAST(0 AS BIGINT) END AS tail_fill6
+         |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir, "documents")
+        .select($"source", $"doc_id",
+          size(T.wsTokens($"text")).cast("long").as("n_tok"),
+          expr(s"doc_id div $PackBucket").as("b"))
+      // level 1: per-bucket subtotals (a rollup, corpus-parallel)
+      val bt = t.groupBy($"source", $"b")
+        .agg(sum($"n_tok").as("bt"))
+      // level 2: bucket offsets — the window runs over the SUBTOTAL
+      // table (rows = buckets), never the corpus
+      val off = bt.withColumn("off",
+        sum($"bt").over(Window.partitionBy($"source").orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"bt")
+        .select($"source", $"b", $"off")
+      // level 3: within-bucket cumsum, parallel across buckets; the
+      // global offset is the broadcast bucket offset + local prefix
+      val cum = t.join(broadcast(off), Seq("source", "b"))
+        .withColumn("cum", $"off" + sum($"n_tok")
+          .over(Window.partitionBy($"source", $"b").orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = cum.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum(when($"n_tok" > 0 &&
+            expr(s"((cum - n_tok) div $PackWindow) != " +
+              s"((cum - 1) div $PackWindow)"), 1L)
+          .otherwise(0L)).as("n_straddlers"))
+      g.withColumn("n_bins",
+          expr(s"(n_tokens + ${PackWindow - 1}) div $PackWindow"))
+        .withColumn("tail_fill6",
+          when($"n_tokens" > 0,
+            expr(s"((n_tokens - ((n_tokens + ${PackWindow - 1}) div " +
+              s"$PackWindow - 1) * $PackWindow) * 1000000) div " +
+              s"$PackWindow"))
+            .otherwise(lit(0L)))
+        .select($"source", $"n_docs", $"n_tokens", $"n_bins",
+          $"n_straddlers", $"tail_fill6")
+        .orderBy($"source")
     },
 
     // ----- x25 dataset mixture: per-language epoch (repeat) factors —
