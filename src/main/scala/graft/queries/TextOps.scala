@@ -317,9 +317,12 @@ object TextOps {
   private val ChunkStride = 16
 
   /** x125 packing geometry: the training context window (tokens) and
-    * the doc_id range width of the prefix-sum buckets. */
+    * the prefix-sum bucket COUNT bound. The bucket WIDTH derives from
+    * max(doc_id) so the level-2 offsets table stays ≤ PackBuckets
+    * rows at ANY corpus size — a fixed width would make it
+    * corpus-proportional and un-broadcastable at 10^12 docs. */
   private val PackWindow = 512L
-  private val PackBucket = 1024L
+  private val PackBuckets = 4096L
 
   /** Per-language epoch repeat factors (x25); 0 drops the language. */
   private val MixtureWeights: Seq[(String, Int)] =
@@ -3459,10 +3462,18 @@ object TextOps {
          |    ELSE CAST(0 AS BIGINT) END AS tail_fill6
          |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // bounded collect: one row — the id range sizes the bucket
+      // width so bucket COUNT (the level-2 window's row bound) stays
+      // fixed at any corpus size
+      val mxRow = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).first()
+      val width =
+        if (mxRow.isNullAt(0)) 1L
+        else math.max(1L, (mxRow.getLong(0) + 1L) / PackBuckets)
       val t = Tables(s, dir, "documents")
         .select($"source", $"doc_id",
           size(T.wsTokens($"text")).cast("long").as("n_tok"),
-          expr(s"doc_id div $PackBucket").as("b"))
+          expr(s"doc_id div $width").as("b"))
       // level 1: per-bucket subtotals (a rollup, corpus-parallel)
       val bt = t.groupBy($"source", $"b")
         .agg(sum($"n_tok").as("bt"))
