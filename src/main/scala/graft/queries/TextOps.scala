@@ -737,9 +737,29 @@ object TextOps {
     * side may be a COMPUTED relation (the PRF round-2 expansion), so
     * it is pinned once (it feeds the bucket collect, the term
     * semi-join, and the candidate join) and deduplicated. */
+  /** The registry/live/stale frame triple every stored read resolves
+    * versions against — one builder so a multi-stage stored verb
+    * (stored MaxSim: shortlist then forward read) constructs it ONCE
+    * and shares the frames across its stages instead of rebuilding
+    * the corpus-thin registry chain per stage. */
+  private def sparseLiveState(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, asOfBatch: Long)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val reg0 = store.read("sparse_docs", s)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
+    requireAboveHorizon(reg0, asOfBatch)
+    val reg = asOf(reg0, asOfBatch)
+    val live = liveOf(reg, s, store)
+    (reg, live, staleSparseKeys(reg, live))
+  }
+
   private def bm25RankStored(s: org.apache.spark.sql.SparkSession,
       qt0: org.apache.spark.sql.DataFrame, store: graft.store.Store,
-      k: Int, excludeSelf: Boolean, asOfBatch: Long)
+      k: Int, excludeSelf: Boolean, asOfBatch: Long,
+      state: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qt = qt0.distinct()
@@ -747,11 +767,8 @@ object TextOps {
       .localCheckpoint(true)
     // bounded collect: ≤ |distinct query terms| bucket ids
     val qb = qt.select($"bucket").distinct().collect().map(_.getLong(0))
-    val reg0 = store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl")
-    requireAboveHorizon(reg0, asOfBatch)
-    val reg = asOf(reg0, asOfBatch)
-    val live = liveOf(reg, s, store)
+    val (_, live, stale) =
+      state.getOrElse(sparseLiveState(s, store, asOfBatch))
     // corpus statistics over the LIVE set: exact under updates and
     // deletes, where summed per-batch partials double-count — the
     // registry scan is ~1% of a postings scan and collapses to one
@@ -765,8 +782,7 @@ object TextOps {
         .filter($"bucket".isin(qb.toIndexedSeq.map(Long.box): _*))
         .select($"batch".cast("long").as("batch"), $"term", $"doc_id",
           $"tf", $"dl"), asOfBatch)
-      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
-        "left_anti")
+      .join(stale, Seq("doc_id", "batch"), "left_anti")
     // all LIVE postings of the queried terms: candidate rows AND the
     // terms' exact document frequencies come from this one frame
     val tpost = post
@@ -1238,28 +1254,28 @@ object TextOps {
     val qt = s.createDataFrame(
         queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
       .toDF("qid", "term")
+    // ONE registry/live/stale construction shared by the shortlist
+    // and the forward read (the two stages still execute as two
+    // actions — the shortlist checkpoint is what bounds the dbucket
+    // collect — but they share frames, not rebuilt chains)
+    val state = sparseLiveState(s, store, asOfBatch)
     // pinned: the shortlist feeds the dbucket collect, the docsNeeded
-    // broadcast, and the MaxSim pair join (bm25RankStored's eager
-    // horizon check runs inside this call)
+    // broadcast, and the MaxSim pair join (the eager horizon check
+    // ran inside sparseLiveState)
     val shortlist = bm25RankStored(s, qt, store, shortK,
-        excludeSelf = true, asOfBatch)
+        excludeSelf = true, asOfBatch, Some(state))
       .select($"qid", $"doc_id")
       .localCheckpoint(true)
     // bounded collect: the shortlist docs' dbucket ids (≤ q×shortK)
     val dbs = shortlist
       .select(pmod(xxhash64($"doc_id"), lit(SparseBuckets)).as("db"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val reg = asOf(store.read("sparse_docs", s)
-      .select($"batch".cast("long").as("batch"), $"doc_id", $"dl"),
-      asOfBatch)
-    val live = liveOf(reg, s, store)
     val docsNeeded = shortlist.select($"doc_id").distinct()
     val dterms = asOf(store.read("sparse_forward", s)
         .filter($"dbucket".isin(dbs.map(Long.box): _*))
         .select($"batch".cast("long").as("batch"), $"doc_id",
           $"term"), asOfBatch)
-      .join(staleSparseKeys(reg, live), Seq("doc_id", "batch"),
-        "left_anti")
+      .join(state._3, Seq("doc_id", "batch"), "left_anti")
       .join(broadcast(docsNeeded), Seq("doc_id"))
       .select($"doc_id", $"term")
     maxSimRank(shortlist, qt, dterms, k, dims)
@@ -1826,21 +1842,11 @@ object TextOps {
     * number of versions dropped; partition-level deletes only. */
   def vacuumCeModelVersions(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, keepFrom: Long,
-      modelId: Long = 0L): Int = {
-    // bounded collect: one row per retained version of one model id
-    val vers =
-      try store.readKeyed("ce_model", Seq("model_id" -> modelId), s)
-        .select($"trained_at".cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => return 0
-      }
-    if (vers.isEmpty) return 0
-    val drop = vers.filter(v => v < keepFrom && v != vers.last)
-    drop.foreach(v => store.delete("ce_model",
-      Seq("model_id" -> modelId, "trained_at" -> v)))
-    drop.length
-  }
+      modelId: Long = 0L): Int =
+    // ONE retention core for every versioned artifact — the
+    // never-newest rule and crash-window ordering live in one place
+    VectorOps.vacuumVersions(s, store, Seq("ce_model"), keepFrom,
+      key = Seq("model_id" -> modelId))
 
   /** x110 against a PERSISTED model: load the `ce_model` artifact
     * (optionally a PAST version via `asOfTrainedAt`) and rerank with
@@ -3467,9 +3473,11 @@ object TextOps {
       // fixed at any corpus size
       val mxRow = Tables(s, dir, "documents")
         .agg(max($"doc_id")).first()
+      // ceil division: truncating width would leave up to ~2x
+      // PackBuckets bucket ids at id ranges just above a multiple
       val width =
         if (mxRow.isNullAt(0)) 1L
-        else math.max(1L, (mxRow.getLong(0) + 1L) / PackBuckets)
+        else math.max(1L, (mxRow.getLong(0) + PackBuckets) / PackBuckets)
       val t = Tables(s, dir, "documents")
         .select($"source", $"doc_id",
           size(T.wsTokens($"text")).cast("long").as("n_tok"),

@@ -3647,17 +3647,36 @@ object VectorOps {
   def persistAnnBooks(s: org.apache.spark.sql.SparkSession,
       dir: String, store: graft.store.Store,
       cells: Int = DefaultCells, trainedAt: Long = 0L): Unit = {
-    latestBookVersion(store, s).filter(_ != trainedAt).foreach { cur =>
-      require(trainedAt > cur,
-        s"ANN book versions must advance: got $trainedAt over $cur")
-      def populated(e: String) =
-        try store.read(e, s).limit(1).count() > 0
-        catch { case scala.util.control.NonFatal(_) => false }
+    // entity-absent means "no dependents"; a FAILING read must
+    // propagate — swallowing it here would let a transient I/O error
+    // wave a destructive retrain through (the liveOf discipline)
+    def populated(e: String) =
+      try store.read(e, s).limit(1).count() > 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    def requireNoDependents(what: String): Unit =
       require(!populated("ann_corpus") && !populated("knn_vectors"),
-        s"ANN book retrain (version $trainedAt over $cur) would " +
-          "desync the PQ-coded ann_corpus / cell-addressed " +
-          "knn_vectors encoded against the current book — rebuild " +
-          "into a fresh store or tear the dependents down first")
+        s"ANN book $what would desync the PQ-coded ann_corpus / " +
+          "cell-addressed knn_vectors encoded against the current " +
+          "book — rebuild into a fresh store or tear the dependents " +
+          "down first")
+    latestBookVersion(store, s).foreach { cur =>
+      if (trainedAt != cur) {
+        require(trainedAt > cur,
+          s"ANN book versions must advance: got $trainedAt over $cur")
+        requireNoDependents(s"retrain (version $trainedAt over $cur)")
+      } else {
+        // SAME-version re-persist is the sanctioned crash-recovery
+        // replay — but only content-identical geometry is a replay.
+        // The coarse cell count IS the geometry knob (SubM/CodeK are
+        // constants), so a same-version persist that would CHANGE it
+        // under encoded dependents is a retrain wearing replay's
+        // version stamp (persistAnnBooksScaled's exact hazard).
+        val curCells = store.read("ann_coarse_book", s)
+          .filter($"trained_at".cast("long") === cur).count()
+        if (curCells != cells.toLong)
+          requireNoDependents(
+            s"same-version geometry change ($curCells -> $cells cells)")
+      }
     }
     implicit val enc = org.apache.spark.sql.Encoders.product[SubCentRow]
     val coarse = kmeansBook(s, dir, cells)
@@ -3685,9 +3704,10 @@ object VectorOps {
     * ([[appendAnnCorpus]], [[appendKnnGraph]], [[annIvfPqFromStore]])
     * automatically: they read geometry from the book, not a knob. */
   def persistAnnBooksScaled(s: org.apache.spark.sql.SparkSession,
-      dir: String, store: graft.store.Store): Unit = {
+      dir: String, store: graft.store.Store,
+      trainedAt: Long = 0L): Unit = {
     val (c, _) = scaledGeometry(s, dir)
-    persistAnnBooks(s, dir, store, c)
+    persistAnnBooks(s, dir, store, c, trainedAt)
   }
 
   /** Load the persisted [[persistAnnBooks]] artifacts back into driver
@@ -3723,7 +3743,8 @@ object VectorOps {
     require(pq.size == SubM * CodeK,
       s"ann_pq_books version $ver is torn (${pq.size} of " +
         s"${SubM * CodeK} codebook rows) — re-run persistAnnBooks " +
-        s"for version $ver, or vacuum past it")
+        s"for version $ver to repair it in place (a vacuum cannot " +
+        "help: it never deletes the newest version)")
     val books = Array.tabulate(SubM)(ss =>
       Array.tabulate(CodeK)(c => pq((ss, c))))
     (coarse, books)
@@ -4746,16 +4767,23 @@ object VectorOps {
 
   /** Shared retention core: versions come from the FIRST entity (the
     * families write their entities under one version set), every
-    * listed entity drops the same partitions. */
+    * listed entity drops the same partitions. `key` scopes the whole
+    * operation to one keyed artifact (the ce_model per-model case):
+    * version listing reads only that key's partitions and deletes
+    * carry the key prefix. */
   private[graft] def vacuumVersions(
       s: org.apache.spark.sql.SparkSession, store: graft.store.Store,
-      entities: Seq[String], keepFrom: Long): Int = {
+      entities: Seq[String], keepFrom: Long,
+      key: Seq[(String, Any)] = Seq.empty): Int = {
     // bounded collect: one row per retained version
     val vers =
-      try store.read(entities.head, s)
-        .select($"trained_at".cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      catch {
+      try {
+        val base =
+          if (key.isEmpty) store.read(entities.head, s)
+          else store.readKeyed(entities.head, key, s)
+        base.select($"trained_at".cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+      } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           return 0 // nothing ever trained — retention no-ops
       }
@@ -4768,7 +4796,7 @@ object VectorOps {
       // rolls the partial delete forward; head-first would orphan the
       // other entities' partitions invisibly forever
       entities.reverse.foreach(e =>
-        store.delete(e, Seq("trained_at" -> v)))
+        store.delete(e, key :+ ("trained_at" -> (v: Any))))
     }
     drop.length
   }

@@ -370,6 +370,17 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 2L)
     }
     assert(eDep.getMessage.contains("desync"), eDep.getMessage)
+    // a SAME-version persist that would CHANGE the geometry under
+    // encoded dependents is a retrain wearing replay's version stamp
+    // (persistAnnBooksScaled's exact hazard) — refused; a true
+    // content-identical replay stays sanctioned
+    val eGeo = intercept[IllegalArgumentException] {
+      VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 1L)
+    }
+    assert(eGeo.getMessage.contains("desync") &&
+      eGeo.getMessage.contains("geometry"), eGeo.getMessage)
+    VectorOps.persistAnnBooks(spark, dir, store,
+      cells = 2 * graft.queries.VectorOps.DefaultCells, trainedAt = 1L)
   }
 
   test("bucketed stores with different roots and one entity name keep " +
