@@ -1808,11 +1808,31 @@ object TextOps {
     // version and leaves prior ones readable (loadCeModel's as-of),
     // while replaying the same version overwrites only itself —
     // yesterday's rerank stays reproducible after today's retrain
+    val bytes = graft.ml.CrossEncoder.model(weights)
+    // Same-version re-persist is the sanctioned crash-recovery replay
+    // — but only the SAME weights are a replay. New weights under an
+    // existing version stamp would silently redefine what every past
+    // consumer of that version scored with (the trainStoredEmbeddings
+    // / persistAnnBooks same-version geometry rule; here the whole
+    // artifact is the geometry, and it is one row, so the guard
+    // compares it outright). Bounded: one keyed point read.
+    val existing =
+      try store.readKeyed("ce_model",
+          Seq("model_id" -> modelId, "trained_at" -> trainedAt), s)
+        .select($"model").collect()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[org.apache.spark.sql.Row]
+      }
+    existing.headOption.foreach(r => require(
+      java.util.Arrays.equals(r.getAs[Array[Byte]](0), bytes),
+      s"ce_model $modelId already holds different weights at version " +
+        s"$trainedAt — new weights are a retrain, not a replay; land " +
+        "them under a new trained_at"))
     store.delete("ce_model",
       Seq("model_id" -> modelId, "trained_at" -> trainedAt))
     store.write("ce_model",
-      s.createDataFrame(
-          Seq((modelId, trainedAt, graft.ml.CrossEncoder.model(weights))))
+      s.createDataFrame(Seq((modelId, trainedAt, bytes)))
         .toDF("model_id", "trained_at", "model"),
       Seq("model_id", "trained_at"))
   }

@@ -4725,6 +4725,31 @@ object VectorOps {
     val mark = graft.store.Horizon.get(store, s, "walks").getOrElse(
       throw new IllegalArgumentException(
         "no maintained walk corpus to train on — run appendWalkCorpus"))
+    // Same-version re-train is the sanctioned crash-recovery replay
+    // (the trainer is deterministic, so the overwrite rewrites
+    // identical rows) — but only same-GEOMETRY training is a replay.
+    // The dim count is the artifact's geometry knob (window/iters are
+    // defaulted constants, like SubM/CodeK for the books), so a
+    // same-watermark train that would CHANGE it is a retrain wearing
+    // replay's version stamp: it would silently destroy the stored
+    // model while every consumer of that version keeps its answers.
+    // persistAnnBooks' same-version geometry rule, applied here.
+    val existingDims =
+      try {
+        // bounded: one row, partition-pruned to this watermark's version
+        val r = store.read("node_embeddings", s)
+          .filter($"trained_at".cast("long") === mark)
+          .agg(max($"dim".cast("long"))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    existingDims.foreach(d => require(d == dims.toLong,
+      s"node_embeddings already holds a $d-dim model at walk " +
+        s"watermark $mark — training $dims dims at the same watermark " +
+        "is a geometry change wearing replay's version stamp; advance " +
+        "the corpus (appendWalkCorpus) so the new width lands as a " +
+        "new version"))
     val wide = trainNodeEmbeddings(s,
       skipGramPairsOver(walkCorpusStored(s, store), window), iters,
       dims)

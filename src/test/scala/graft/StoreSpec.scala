@@ -1026,6 +1026,24 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       TextOps.loadCeModel(spark, store, asOfTrainedAt = -1L)
     }
     assert(eNo.getMessage.contains("no version"), eNo.getMessage)
+    // NEW WEIGHTS UNDER AN EXISTING VERSION STAMP refuse loudly: a
+    // same-version re-persist is only a replay when the bytes match —
+    // otherwise it would silently redefine what every past consumer
+    // of that version scored with (the same-version geometry rule)
+    val eRedef = intercept[IllegalArgumentException] {
+      TextOps.persistCeModel(spark, store,
+        weights = Array(9L, 9L, 9L, 9L), trainedAt = 5L)
+    }
+    assert(eRedef.getMessage.contains("new trained_at"),
+      eRedef.getMessage)
+    // the refused persist left the stored version untouched
+    assert(graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store, asOfTrainedAt = 5L))
+      .sameElements(Array(1L, -2L, 3L, 40L)),
+      "a refused redefinition still mutated the stored version")
+    // the SAME bytes replay fine (crash-recovery idempotency)
+    TextOps.persistCeModel(spark, store,
+      weights = Array(1L, -2L, 3L, 40L), trainedAt = 5L)
   }
 
   test("sparse-index updates: a re-ingested doc scores from its " +
@@ -2148,8 +2166,9 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val tmp = Files.createTempDirectory("graft-emb-d4").toString
     val store = new ParquetStore(s"$tmp/emb")
     VectorOps.persistAnnBooks(spark, dir, store)
+    val nAll = VectorOps.normalizedEmbeddings(spark, dir).cache()
     VectorOps.appendKnnGraph(spark,
-      VectorOps.normalizedEmbeddings(spark, dir), 0L, store)
+      nAll.filter($"vec_id" % 2 === 0), 0L, store)
     VectorOps.appendWalkCorpus(spark, store, 0L)
     VectorOps.trainStoredEmbeddings(spark, store, dims = 4)
     assert(store.read("node_embeddings", spark)
@@ -2168,6 +2187,38 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     val (qid, nid, dot, _, _) = served.head
     val manual = (1L to 4L).map(j => e((qid, j)) * e((nid, j))).sum
     assert(dot == manual, s"served dot $dot != manual $manual")
+    // A DIFFERENT WIDTH AT THE SAME WATERMARK refuses loudly: the
+    // dynamic-partition overwrite would silently replace the d=4
+    // model under its own version stamp (a geometry change wearing
+    // replay's clothes — persistAnnBooks' same-version rule)
+    val eGeom = intercept[IllegalArgumentException] {
+      VectorOps.trainStoredEmbeddings(spark, store, dims = 2)
+    }
+    assert(eGeom.getMessage.contains("geometry change"),
+      eGeom.getMessage)
+    // the refused train left the stored model untouched
+    assert(store.read("node_embeddings", spark)
+      .agg(max($"dim".cast("long"))).first().getLong(0) == 4L,
+      "a refused geometry change still mutated the stored model")
+    // a SAME-geometry re-train replays fine (deterministic trainer,
+    // idempotent overwrite) and serves the same answers
+    VectorOps.trainStoredEmbeddings(spark, store, dims = 4)
+    assert(VectorOps.embedNeighborsStored(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq == served,
+      "same-geometry replay changed the served answers")
+    // after the corpus advances, the new width lands as a NEW version
+    // and the d=4 answers stay reproducible as-of its watermark
+    VectorOps.appendKnnGraph(spark,
+      nAll.filter($"vec_id" % 2 === 1), 1L, store)
+    VectorOps.appendWalkCorpus(spark, store, 1L)
+    VectorOps.trainStoredEmbeddings(spark, store, dims = 2)
+    assert(VectorOps.embedNeighborsStored(spark, store,
+        asOfTrainedAt = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq == served,
+      "as-of serve of the d=4 version diverged after the d=2 retrain")
+    nAll.unpersist()
   }
 
   test("sketch registers (HLL, KMV, quantile) serve as-of snapshots, " +
