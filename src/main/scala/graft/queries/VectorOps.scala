@@ -1406,9 +1406,12 @@ object VectorOps {
   private def sqlEmbedCtes(dims: Int = 2): String = {
     val D = 1 to dims
     // generated from the same per-round structure as the DataFrame
-    // trainer (matvec → renormalize all dims → the Gram-Schmidt
-    // ladder, dim j orthogonalized against each final dim i < j in
-    // turn, then renormalized) so the two cannot drift
+    // trainer (matvec → renormalize all dims → the BATCHED
+    // Gram-Schmidt ladder: dim j's projections against every dim
+    // i < j come from ONE scalar row and subtract in one step, dims
+    // renormalize together at round end) so the two cannot drift.
+    // For dims=2 the arithmetic is identical to the r10 spelling
+    // (one projection, one renorm), so x122/x123 hashes are stable.
     val roundCtes = (1 to EmbedIters).map { t =>
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       parts += s"ep$t AS MATERIALIZED (SELECT s.center AS node,\n" +
@@ -1426,33 +1429,35 @@ object VectorOps {
         s"\n  FROM ep$t CROSS JOIN emx$t)"
       var prev = s"en$t"
       for (j <- 2 to dims) {
-        for (i <- 1 until j) {
-          parts += s"ab${t}_${j}_$i AS (SELECT " +
-            s"CAST(sum(w$i * w$j) AS BIGINT) AS al, " +
-            s"CAST(sum(w$i * w$i) AS BIGINT) AS bt FROM $prev)"
-          val nxt = s"gs${t}_${j}_$i"
-          parts += s"$nxt AS MATERIALIZED (SELECT node,\n" +
-            D.map(d =>
-              if (d == j)
-                s"    CASE WHEN bt = 0 THEN w$j\n" +
-                s"      ELSE w$j - ((al * w$i) // bt) END AS w$j"
-              else s"    w$d").mkString(",\n") +
-            s"\n  FROM $prev CROSS JOIN ab${t}_${j}_$i)"
-          prev = nxt
-        }
-        parts += s"mo${t}_$j AS (SELECT max(abs(w$j)) AS mo FROM $prev)"
-        val nxt = s"rn${t}_$j"
+        parts += s"ab${t}_$j AS (SELECT " +
+          (1 until j).map(i =>
+            s"CAST(sum(w$i * w$j) AS BIGINT) AS al$i, " +
+              s"CAST(sum(w$i * w$i) AS BIGINT) AS bt$i")
+            .mkString(", ") + s" FROM $prev)"
+        val nxt = s"gs${t}_$j"
         parts += s"$nxt AS MATERIALIZED (SELECT node,\n" +
           D.map(d =>
             if (d == j)
-              s"    CASE WHEN mo = 0 THEN CAST(0 AS BIGINT)\n" +
-              s"      ELSE (w$j * 10000) // mo END AS w$j"
+              s"    w$j" + (1 until j).map(i =>
+                s"\n      - (CASE WHEN bt$i = 0 THEN CAST(0 AS BIGINT)\n" +
+                  s"         ELSE (al$i * w$i) // bt$i END)").mkString +
+                s" AS w$j"
             else s"    w$d").mkString(",\n") +
-          s"\n  FROM $prev CROSS JOIN mo${t}_$j)"
+          s"\n  FROM $prev CROSS JOIN ab${t}_$j)"
         prev = nxt
       }
-      parts += s"e$t AS MATERIALIZED (SELECT node, " +
-        D.map(j => s"w$j").mkString(", ") + s" FROM $prev)"
+      if (dims == 1)
+        parts += s"e$t AS MATERIALIZED (SELECT node, w1 FROM $prev)"
+      else {
+        parts += s"emo$t AS (SELECT " +
+          (2 to dims).map(j => s"max(abs(w$j)) AS mo$j")
+            .mkString(", ") + s" FROM $prev)"
+        parts += s"e$t AS MATERIALIZED (SELECT node, w1" +
+          (2 to dims).map(j =>
+            s",\n    CASE WHEN mo$j = 0 THEN CAST(0 AS BIGINT)\n" +
+              s"      ELSE (w$j * 10000) // mo$j END AS w$j").mkString +
+          s"\n  FROM $prev CROSS JOIN emo$t)"
+      }
       parts.mkString(",\n")
     }.mkString(",\n")
     s"""$sqlGraphWalkCtes,
@@ -2870,7 +2875,7 @@ object VectorOps {
     // minimal oracle-replayable seam and the general-d path. Prefix
     // stability (w1/w2 identical to x122's) is pinned in
     // ScaleGuardsSpec; here the full 4-dim vectors hash-match a
-    // DuckDB replay of all 8 rounds × 6 ladder steps.
+    // DuckDB replay of all 8 rounds × 3 batched ladder dims.
     "x124_embed_train_d4" -> Q(
       s"""WITH ${sqlEmbedCtes(4)}
          |SELECT node, w1, w2, w3, w4 FROM emb
@@ -4560,17 +4565,22 @@ object VectorOps {
   /** Train d-dim node embeddings over a (center, context, n) pair
     * relation: seeded-hash start vectors (one md5 stream per dim),
     * then [[EmbedIters]] rounds of matvec (ONE keyed join + grouped
-    * sum for ALL dims) → max-abs renormalize of every dim → an
-    * integer Gram-Schmidt ladder: dim j is orthogonalized against
-    * each FINAL dim i < j in turn, then renormalized — O(d²) 1-row
-    * broadcast aggregates per round, no collect. Every operation is
-    * exact long arithmetic on both engines (truncating division,
-    * max-abs scaling — no norms, no floating accumulation), so the
-    * result is deterministic, retry-safe, and oracle-replayable.
-    * Because dim j never feeds back into dims < j, a d-dim train's
-    * first d' columns are IDENTICAL to a d'-dim train's (prefix
-    * stability — ScaleGuardsSpec pins it): added dimensions only
-    * refine. Returns (node, w1..wd) over the SPPMI vocabulary. */
+    * sum for ALL dims) → max-abs renormalize of every dim → a BATCHED
+    * integer Gram-Schmidt ladder: dim j's projections against every
+    * FINAL dim i < j land in one scalar row and subtract in one step
+    * (classical Gram-Schmidt within the dim, a ladder across dims),
+    * and all dims renormalize together at round end — d+1 actions per
+    * round, each scalar a bounded 1-row collect, never a corpus
+    * collect. Every operation is exact long arithmetic on both
+    * engines (truncating division, max-abs scaling — no norms, no
+    * floating accumulation), so the result is deterministic,
+    * retry-safe, and oracle-replayable; driver-maintained BigInt
+    * bounds prove every 64-bit product in range before it runs and
+    * refuse loudly otherwise. Because dim j never feeds back into
+    * dims < j, a d-dim train's first d' columns are IDENTICAL to a
+    * d'-dim train's (prefix stability — ScaleGuardsSpec pins it):
+    * added dimensions only refine. Returns (node, w1..wd) over the
+    * SPPMI vocabulary. */
   private[graft] def trainNodeEmbeddings(
       s: org.apache.spark.sql.SparkSession,
       pairs: org.apache.spark.sql.DataFrame, iters: Int = EmbedIters,
@@ -4594,6 +4604,10 @@ object VectorOps {
         (pmod(T.md5Long(concat_ws(":", $"node", lit(j.toString))),
           lit(2001L)) - 1000L).as(s"w$j")): _*)
       .localCheckpoint(true)
+    // bounded: one scalar — the vocabulary size parameterizes the
+    // d>2 ladder's driver-side overflow bounds (constant across
+    // rounds, so counted once; the frame is already checkpointed)
+    val vocab = if (dims > 2) BigInt(w.count()) else BigInt(1)
     (1 to iters).foreach { _ =>
       val p = sp.join(w.select($"node".as("context") +:
             D.map(j => col(s"w$j")): _*), "context")
@@ -4605,17 +4619,18 @@ object VectorOps {
         D.tail.map(j => max(abs(col(s"p$j"))).as(s"mx$j")): _*)
       // Each 1-row aggregate NESTED as a broadcast frame multiplies
       // re-execution of the un-materialized lineage below it (~2x per
-      // level — measured: the d=4 ladder's 10 nested aggregates
-      // turned a 3-minute sf0.001 registry sweep into 12 minutes on
-      // one query). d=2's depth of 3 is fine single-action and stays
-      // on the broadcast path (bit-identical to every round since
-      // r10). Beyond d=2, the ladder's scalars are EAGER bounded
-      // collects (one row each) injected as literals over ONE pinned
-      // base per round: each scalar costs a single narrow stage over
-      // the checkpointed frame instead of a broadcast exchange + AQE
-      // subplan, and the exponential never starts (arithmetic is
-      // identical exact-long either way — prefix stability against
-      // the d=2 train is pinned in ScaleGuardsSpec).
+      // level — measured: a 10-nested-aggregate d=4 ladder turned a
+      // 3-minute sf0.001 registry sweep into 12 minutes on one
+      // query). d=2's depth of 3 is fine single-action and stays on
+      // the broadcast path (bit-identical to every round since r10).
+      // Beyond d=2, the ladder's scalars are EAGER bounded collects
+      // injected as literals over ONE pinned base per round — and the
+      // wall is ACTION COUNT, not data (measured: x124 warm ≈ cold ≈
+      // data-independent), so the ladder batches dim j's projections
+      // into ONE scalar row and folds every renorm into the closing
+      // checkpoint: d+1 actions per round vs 2d+1 step-at-a-time.
+      // Prefix stability against the d=2 train is pinned in
+      // ScaleGuardsSpec.
       if (dims == 2) {
         var cur = p.crossJoin(broadcast(mx))
           .select($"node" +: D.map(j =>
@@ -4633,38 +4648,77 @@ object VectorOps {
             when($"mo" === 0L, lit(0L))
               .otherwise(expr("(w2 * 10000) div mo")).as("w2"))
           .localCheckpoint(true)
+      } else if (dims == 1) {
+        w = p.crossJoin(broadcast(mx))
+          .select($"node", when($"mx1" === 0L, lit(0L))
+            .otherwise(expr("(p1 * 10000) div mx1")).as("w1"))
+          .localCheckpoint(true)
       } else {
         var cur = p.crossJoin(broadcast(mx))
           .select($"node" +: D.map(j =>
             when(col(s"mx$j") === 0L, lit(0L))
               .otherwise(expr(s"(p$j * 10000) div mx$j")).as(s"w$j")): _*)
           .localCheckpoint(true)
-        def scalar(c1: org.apache.spark.sql.Column,
-            c2: org.apache.spark.sql.Column): (Long, Long) = {
-          // bounded collect: one row (empty vocabulary → zeros)
-          val r = cur.agg(c1, c2).first()
-          (if (r.isNullAt(0)) 0L else r.getLong(0),
-            if (r.isNullAt(1)) 0L else r.getLong(1))
-        }
+        // Exact per-dim |w| bounds, maintained driver-side in BigInt
+        // from the collected scalars: the renorm caps every dim at
+        // 10000, and each projection can grow dim j by at most
+        // ceil(|al_i|·|w_i|max / bt_i). The bounds prove every 64-bit
+        // product in range BEFORE it runs and trip LOUDLY (the
+        // quantile sketch's guard discipline) where a pathological
+        // corpus would otherwise wrap silently — renormalization
+        // moving to round end (below) is only sound because of them.
+        val longMax = BigInt(Long.MaxValue)
+        val mxB = scala.collection.mutable.ArrayBuffer.fill(
+          dims + 1)(BigInt(10000))
         for (j <- 2 to dims) {
-          for (i <- 1 until j) {
-            val (al, bt) = scalar(sum(col(s"w$i") * col(s"w$j")),
-              sum(col(s"w$i") * col(s"w$i")))
-            if (bt != 0L)
-              cur = cur.select($"node" +: D.map(d =>
-                if (d == j)
-                  (col(s"w$j") - expr(s"(${al}L * w$i) div ${bt}L"))
-                    .as(s"w$j")
-                else col(s"w$d")): _*)
+          (1 until j).foreach(i =>
+            require(vocab * mxB(i) * mxB(j) <= longMax &&
+              vocab * mxB(i) * mxB(i) <= longMax,
+              s"embedding ladder would overflow 64-bit sums at dim $j " +
+                s"(vocabulary $vocab, |w| bounds ${mxB(i)}/${mxB(j)}) " +
+                "— reduce dims or the renorm scale"))
+          // ONE aggregate per dim: every projection's (al_i, bt_i)
+          // lands in one scalar row (classical Gram-Schmidt within
+          // the dim, a ladder across dims — dim j still reads dim
+          // i < j FINAL, so the d'-dim prefix of a d-dim train stays
+          // identical to a d'-dim train). Bounded collect: one row.
+          val aggs = (1 until j).flatMap(i => Seq(
+            sum(col(s"w$i") * col(s"w$j")).as(s"al$i"),
+            sum(col(s"w$i") * col(s"w$i")).as(s"bt$i")))
+          val r = cur.agg(aggs.head, aggs.drop(1): _*).first()
+          val terms = (1 until j).flatMap { i =>
+            val al = if (r.isNullAt(2 * (i - 1))) 0L
+              else r.getLong(2 * (i - 1))
+            val bt = if (r.isNullAt(2 * i - 1)) 0L else r.getLong(2 * i - 1)
+            if (bt == 0L) None
+            else {
+              require(BigInt(al).abs * mxB(i) <= longMax,
+                s"embedding ladder would overflow the projection " +
+                  s"product at dim $j against dim $i (|al|=${al.abs}, " +
+                  s"|w$i| bound ${mxB(i)}) — reduce dims or the " +
+                  "renorm scale")
+              mxB(j) += (BigInt(al).abs * mxB(i) + bt - 1) / bt
+              Some(expr(s"(${al}L * w$i) div ${bt}L"))
+            }
           }
-          val (mo, _) = scalar(max(abs(col(s"w$j"))), count(lit(1)))
-          cur = cur.select($"node" +: D.map(d =>
-            if (d == j)
-              (if (mo == 0L) lit(0L)
-               else expr(s"(w$j * 10000) div ${mo}L")).as(s"w$j")
-            else col(s"w$d")): _*)
+          if (terms.nonEmpty)
+            cur = cur.select($"node" +: D.map(d =>
+              if (d == j) terms.foldLeft(col(s"w$j"))(_ - _).as(s"w$j")
+              else col(s"w$d")): _*)
         }
-        w = cur.localCheckpoint(true)
+        // every dim's renorm scale rides ONE broadcast on the round-
+        // closing checkpoint — a single nesting level over pending
+        // NARROW selects (not the nested-AGGREGATE ladder the measured
+        // note above forbids), so the closing action executes the
+        // cheap select chain twice and the exponential never starts
+        val mo = cur.agg(max(abs($"w2")).as("mo2"),
+          (3 to dims).map(j => max(abs(col(s"w$j"))).as(s"mo$j")): _*)
+        w = cur.crossJoin(broadcast(mo))
+          .select($"node" +: D.map(d =>
+            if (d == 1) col("w1")
+            else when(col(s"mo$d") === 0L, lit(0L))
+              .otherwise(expr(s"(w$d * 10000) div mo$d")).as(s"w$d")): _*)
+          .localCheckpoint(true)
       }
       // both branches end the round on a checkpoint of `w`: it both
       // materializes the round (d=2: ONE action, the broadcast
