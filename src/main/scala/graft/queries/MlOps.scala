@@ -343,11 +343,21 @@ object MlOps {
         |    / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept
         |FROM f ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       import graft.StringToColumn
-      val t = Tables(s, dir, "orders").select($"o_custkey",
+      trendOver(Tables(s, dir, "orders").select($"o_custkey",
         datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date"))
           .cast("long").as("x"),
-        round($"o_totalprice" * 100).cast("long").as("y"))
-      val a = t.groupBy($"o_custkey").agg(
+        round($"o_totalprice" * 100).cast("long").as("y")))
+    })
+
+  /** m3's per-key least-squares core over a (o_custkey, x, y) long
+    * frame — one map-side-combined shuffle on the key, exact integer
+    * sums, the closed-form slope/intercept derived from bit-identical
+    * doubles on both engines. Extracted so the overflow guard below is
+    * pinnable against a pathological frame (PropertiesSpec). */
+  private[graft] def trendOver(t: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.StringToColumn
+    val a = t.groupBy($"o_custkey").agg(
         count(lit(1)).as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
@@ -356,10 +366,29 @@ object MlOps {
       val slope = num / den
       def r6(c: org.apache.spark.sql.Column) =
         floor(c * 1000000 + 0.5) / 1000000
-      a.filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") =!= 0)
+      // LOUD 64-bit guard (the sppmi/x67 lesson): n·sxy and sx·sy
+      // wrap silently once one key holds ~9k+ orders, and the oracle
+      // shares the formula so the hash-match could not catch it —
+      // worse, DuckDB's ANSI multiply THROWS on the same corpus while
+      // Spark wraps, an engine-parity hole. The double-space bound
+      // sits >200 ulps under 2^63, so it trips before any wrap;
+      // assert_true is NULL on pass, so the filter keeps every sane
+      // row and cannot be pruned away with an unused column.
+      val inRange =
+        ($"n".cast("double") *
+          greatest(abs($"sxy"), abs($"sxx")).cast("double") < 9.0e18) &&
+        (abs($"sx").cast("double") *
+          greatest(abs($"sy"), abs($"sx")).cast("double") < 9.0e18)
+      a.filter(assert_true(inRange,
+          concat(lit("m3_trend: 64-bit overflow at o_custkey="),
+            $"o_custkey".cast("string"),
+            lit(" — per-key order volume exceeds the exact-long " +
+              "trend bound; widen to DECIMAL(38,0) (the x67 " +
+              "pattern) for this corpus"))).isNull)
+        .filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") =!= 0)
         .select($"o_custkey", $"n", r6(slope).as("slope"),
           r6(($"sy".cast("double") - slope * $"sx".cast("double"))
             / $"n".cast("double")).as("intercept"))
         .orderBy($"o_custkey")
-    })
+  }
 }

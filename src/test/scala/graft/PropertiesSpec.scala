@@ -180,4 +180,28 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       PartialTopKExec.maxPartialRows = savedPR
     }
   }
+
+  test("m3 trend refuses LOUDLY where its exact-long products would " +
+    "wrap (DuckDB's ANSI multiply throws on the same corpus)") {
+    import graft.queries.MlOps
+    // sane volumes pass through the guard untouched
+    val ok = spark.createDataFrame(
+        (1 to 50).map(i => (1L, i.toLong, i.toLong * 1000)))
+      .toDF("o_custkey", "x", "y")
+    assert(MlOps.trendOver(ok).collect().length == 1)
+    // y large enough that n·sxy passes 2^63 while every SUM is still
+    // exact: per-row x·y ≈ 5e17, 10 rows → sxy ≈ 5e18 (fits), and
+    // n·sxy ≈ 5e19 wraps — the silent-mis-slope case the guard traps
+    val bad = spark.createDataFrame(
+        (1 to 10).map(i => (1L, i.toLong, 50_000_000_000_000_000L)))
+      .toDF("o_custkey", "x", "y")
+    val e = intercept[Exception] {
+      MlOps.trendOver(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("64-bit overflow")),
+      msgs(e).mkString(" | "))
+  }
 }
