@@ -4960,6 +4960,44 @@ object VectorOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Drift report between two PERSISTED embedding model versions —
+    * the roll-forward decision artifact the versioned lifecycle
+    * exists to enable (x101's index-drift idiom applied to the
+    * trained model): per query node, the top-k neighbor sets under
+    * version A and version B ([[embedNeighborsStored]]'s as-of reads,
+    * each with the graph cut at its own training watermark), reported
+    * as set sizes, overlap, and Jaccard in parts-per-million (exact
+    * integer — no float drift in the report itself). Every frame is
+    * queries×k-sized; the underlying reads are the partition-pruned
+    * stored serves, so the report costs two serves plus tiny joins at
+    * any corpus size. Refusals (missing version, history destroyed
+    * under the cut) propagate loudly from the as-of reads. */
+  def embedVersionDrift(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store, verA: Long, verB: Long, k: Int = 5,
+      queryNodes: Seq[Long] = 0L until 8L)
+      : org.apache.spark.sql.DataFrame = {
+    def side(ver: Long) = embedNeighborsStored(s, store, k,
+      allowStale = true, asOfTrainedAt = ver, queryNodes = queryNodes)
+      .select($"qid", $"nid")
+    val a = side(verA).localCheckpoint(true)
+    val b = side(verB).localCheckpoint(true)
+    val na = a.groupBy($"qid").agg(count(lit(1)).as("n_a"))
+    val nb = b.groupBy($"qid").agg(count(lit(1)).as("n_b"))
+    val ov = a.join(b, Seq("qid", "nid"))
+      .groupBy($"qid").agg(count(lit(1)).as("overlap"))
+    na.join(nb, Seq("qid"), "full")
+      .join(ov, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"overlap", lit(0L)).as("overlap"))
+      .withColumn("jaccard6",
+        when($"n_a" + $"n_b" - $"overlap" === 0L, lit(1000000L))
+          .otherwise(expr(
+            "(overlap * 1000000) div (n_a + n_b - overlap)")))
+      .orderBy($"qid")
+  }
+
   /** Incremental k-NN graph maintenance — the x33/x35 incremental
     * pattern applied to the x86 graph. The corpus lives in the store
     * as `knn_vectors` (partitioned (batch, cell)); the graph as

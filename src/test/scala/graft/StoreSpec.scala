@@ -2144,6 +2144,34 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     }
     assert(eNo.getMessage.contains("no stored embedding version"),
       eNo.getMessage)
+    // VERSION DRIFT is the roll-forward decision artifact: self-drift
+    // is exactly 1.0 (ppm) per query, and cross-version drift is a
+    // well-formed set comparison whose overlap can be recomputed from
+    // the two as-of serves it summarizes
+    val selfDrift = VectorOps.embedVersionDrift(spark, store, 0L, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(selfDrift.nonEmpty && selfDrift.forall(t =>
+      t._2 == t._3 && t._3 == t._4 && t._5 == 1000000L),
+      s"self-drift not identity: ${selfDrift.mkString(",")}")
+    val drift = VectorOps.embedVersionDrift(spark, store, 0L, 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def nbrs(ver: Long) = VectorOps.embedNeighborsStored(spark, store,
+        asOfTrainedAt = ver, allowStale = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (va, vb) = (nbrs(0L), nbrs(1L))
+    drift.foreach { case (qid, (nA, nB, ov, j6)) =>
+      val (sa, sb) = (va.getOrElse(qid, Set.empty),
+        vb.getOrElse(qid, Set.empty))
+      assert(nA == sa.size && nB == sb.size && ov == (sa & sb).size,
+        s"qid $qid drift row ($nA,$nB,$ov) != recomputed " +
+          s"(${sa.size},${sb.size},${(sa & sb).size})")
+      assert(j6 == (if ((sa | sb).isEmpty) 1000000L
+        else (sa & sb).size.toLong * 1000000L / (sa | sb).size),
+        s"qid $qid jaccard6 $j6 wrong")
+    }
     // a rebalance tears the walk corpus (and its watermark) down:
     // the trained vectors are UNANCHORED, not merely behind — serving
     // refuses with the teardown message, not the advance message
