@@ -1881,6 +1881,21 @@ object TextOps {
     rerankCrossWith(s, dir,
       loadCeModel(s, store, modelId, asOfTrainedAt), shortlist, k)
 
+  /** Cross-encoder version drift: per query, the top-k reranked sets
+    * under two persisted model versions, as set sizes + overlap +
+    * exact-integer Jaccard ppm — the roll-forward decision artifact,
+    * sharing [[VectorOps.neighborSetDrift]] with the embedding and
+    * ANN-book families (one drift verb per versioned artifact). */
+  def rerankVersionDrift(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store, verA: Long, verB: Long,
+      modelId: Long = 0L, shortlist: Int = 20, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    def side(ver: Long) = rerankCrossStored(s, dir, store, modelId,
+      shortlist, k, asOfTrainedAt = ver)
+      .select($"qid", $"doc_id".as("nid"))
+    VectorOps.neighborSetDrift(side(verA), side(verB))
+  }
+
   /** x110 body: BM25 top-20 shortlist per query, reranked by the
     * batched [[graft.ml.CrossEncoder]] pair scorer (broadcast model
     * bytes, mapPartitions batches — the M3 inference seam). The model

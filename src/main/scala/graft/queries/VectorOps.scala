@@ -4979,8 +4979,31 @@ object VectorOps {
     def side(ver: Long) = embedNeighborsStored(s, store, k,
       allowStale = true, asOfTrainedAt = ver, queryNodes = queryNodes)
       .select($"qid", $"nid")
-    val a = side(verA).localCheckpoint(true)
-    val b = side(verB).localCheckpoint(true)
+    neighborSetDrift(side(verA), side(verB))
+  }
+
+  /** ANN-book version drift: the same report over two as-of IVF-PQ
+    * searches ([[annIvfPqFromStore]]) — what the quantizer retrain
+    * changed, per query, before the old version is vacuumed. */
+  def annVersionDrift(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store, verA: Long, verB: Long,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    def side(ver: Long) = annIvfPqFromStore(s, dir, store, k,
+      asOfTrainedAt = ver).select($"qid", $"nid")
+    neighborSetDrift(side(verA), side(verB))
+  }
+
+  /** The set-drift core every versioned family's drift verb shares:
+    * two (qid, nid) serves in, per-qid set sizes + overlap +
+    * exact-integer Jaccard ppm out. Both sides pin before the joins
+    * (each feeds a size rollup and the overlap join), so the serve
+    * chains run once; all frames are queries×k-sized. */
+  private[graft] def neighborSetDrift(
+      a0: org.apache.spark.sql.DataFrame,
+      b0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = a0.localCheckpoint(true)
+    val b = b0.localCheckpoint(true)
     val na = a.groupBy($"qid").agg(count(lit(1)).as("n_a"))
     val nb = b.groupBy($"qid").agg(count(lit(1)).as("n_b"))
     val ov = a.join(b, Seq("qid", "nid"))

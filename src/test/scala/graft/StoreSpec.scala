@@ -1732,6 +1732,16 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     VectorOps.persistAnnBooks(spark, dir, store, trainedAt = 2L)
     val r2 = VectorOps.annIvfPqFromStore(spark, dir, store,
       asOfTrainedAt = 2L).collect().length
+    // ANN-BOOK VERSION DRIFT (before retention destroys v0): the
+    // three versions trained identical books, so cross-version drift
+    // is exactly identity — and the report is recomputable from the
+    // two as-of serves it summarizes
+    val annDrift = VectorOps.annVersionDrift(spark, dir, store, 0L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(annDrift.nonEmpty && annDrift.forall(t =>
+      t._2 == t._3 && t._3 == t._4 && t._5 == 1000000L),
+      s"identical-book drift not identity: ${annDrift.mkString(",")}")
     assert(VectorOps.vacuumAnnBookVersions(spark, store, 2L) == 2)
     def bookVers() = store.read("ann_coarse_book", spark)
       .select($"trained_at".cast("long")).distinct().collect()
@@ -1750,6 +1760,27 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     TextOps.persistCeModel(spark, store)
     TextOps.persistCeModel(spark, store,
       weights = Array(9L, 9L, 9L, 9L), trainedAt = 3L)
+    // CE VERSION DRIFT (before retention destroys v0): different
+    // weights rerank differently — the report's rows must recompute
+    // exactly from the two as-of serves it summarizes
+    val ceDrift = TextOps.rerankVersionDrift(spark, dir, store, 0L, 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ceNbrs(ver: Long) = TextOps.rerankCrossStored(spark, dir,
+        store, asOfTrainedAt = ver)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (ca, cb) = (ceNbrs(0L), ceNbrs(3L))
+    assert(ceDrift.nonEmpty)
+    ceDrift.foreach { case (qid, (nA, nB, ov, j6)) =>
+      val (sa, sb) = (ca.getOrElse(qid, Set.empty),
+        cb.getOrElse(qid, Set.empty))
+      assert(nA == sa.size && nB == sb.size && ov == (sa & sb).size &&
+        j6 == (if ((sa | sb).isEmpty) 1000000L
+          else (sa & sb).size.toLong * 1000000L / (sa | sb).size),
+        s"qid $qid ce drift row ($nA,$nB,$ov,$j6) vs serves " +
+          s"(${sa.size},${sb.size},${(sa & sb).size})")
+    }
     assert(TextOps.vacuumCeModelVersions(spark, store, 3L) == 1)
     val eC = intercept[IllegalArgumentException] {
       TextOps.loadCeModel(spark, store, asOfTrainedAt = 0L)
