@@ -323,7 +323,7 @@ object Bench {
       // trainer — both pay multi-job overhead cold
       "x122_embed_train", "x123_embed_neighbors",
       // round-11: the d=4 trainer pays the same per-round scheduler
-      // tax as x122 plus the ladder's segment pins
+      // tax as x122 plus the batched ladder's per-dim scalar actions
       "x124_embed_train_d4")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40

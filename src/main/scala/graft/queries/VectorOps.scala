@@ -4701,6 +4701,13 @@ object VectorOps {
               Some(expr(s"(${al}L * w$i) div ${bt}L"))
             }
           }
+          // the accumulated bound must itself stay in range: each
+          // term alone fits, but |w_j| after several subtractions is
+          // their SUM — this trips before the fold could wrap
+          require(mxB(j) <= longMax,
+            s"embedding ladder would overflow dim $j's accumulated " +
+              s"magnitude (bound ${mxB(j)}) — reduce dims or the " +
+              "renorm scale")
           if (terms.nonEmpty)
             cur = cur.select($"node" +: D.map(d =>
               if (d == j) terms.foldLeft(col(s"w$j"))(_ - _).as(s"w$j")
