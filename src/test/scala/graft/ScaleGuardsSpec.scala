@@ -1858,4 +1858,44 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     assert(d4.map(_._3._1).max == 10000L ||
       d4.map(_._3._1).min == -10000L, "w3 not renormalized to max-abs")
   }
+
+  test("the batched d>2 ladder's driver-action count is pinned: d+1 " +
+    "actions per round, not the step-at-a-time 2d+1") {
+    import spark.implicits._
+    // the d>2 trainer's wall clock is ACTION COUNT, not data (warm ≈
+    // cold ≈ data-independent) — so the structural invariant worth
+    // pinning is the scheduler-job count, which no weather can
+    // inflate. AQE splits each driver action into several jobs
+    // (broadcast + shuffle-stage materializations), so the pin is
+    // calibrated empirically: the batched ladder (d+1 actions/round)
+    // measures ~128 jobs end-to-end on this fixture; a revert to
+    // per-(i,j)-step scalars (2d+1 actions/round) adds ~40 driver
+    // actions (several jobs each under AQE) and lands well above it.
+    val pairs = (for {
+      a <- 0L until 32L; b <- 0L until 32L
+      if a != b && a / 4 == b / 4
+    } yield (a, b, 10L + (a * 3 + b) % 4)).toDF("center", "context", "n")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      VectorOps.trainNodeEmbeddings(spark, pairs, dims = 4).collect()
+      // listener events post asynchronously; the bus is private, so
+      // settle on quiescence: count stable across two 300 ms reads
+      var n = -1
+      var prev = -2
+      while (n != prev) {
+        prev = n; Thread.sleep(300); n = jobs.get()
+      }
+      // measured 128 on the batched shape; budget 170 tolerates AQE
+      // plan jitter while staying far under a step-at-a-time revert
+      assert(n <= 170, s"d=4 train ran $n scheduler jobs (budget " +
+        "170; batched shape measures ~128) — the ladder regressed " +
+        "toward step-at-a-time scalars")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
