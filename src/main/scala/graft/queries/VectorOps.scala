@@ -4354,7 +4354,21 @@ object VectorOps {
       inspect: org.apache.spark.sql.DataFrame => Unit = _ => (),
       pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
         = _.cache())
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    graphWalksWithEdges(s, dir, walks, steps, inspect, pin)._1
+
+  /** [[graphWalks]] plus its PINNED ranked-edge relation
+    * (src, dst, cos, rn, deg) — for consumers that need the graph the
+    * walks ran over (x123's adjacency flags): re-deriving the
+    * corpus-scale per-cell kNN join a second time in the same body is
+    * pure waste when the walk chain already pinned it. */
+  private[graft] def graphWalksWithEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String, walks: Int = WalksPerNode, steps: Int = WalkSteps,
+      inspect: org.apache.spark.sql.DataFrame => Unit = _ => (),
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = _.cache())
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = normalizedEmbeddings(s, dir)
     val a = pin(literalCells(e, DefaultCells)
       .select($"vec_id", $"v", $"cell"))
@@ -4365,7 +4379,8 @@ object VectorOps {
       .select($"vec_id".as("qid"),
         explode(sequence(lit(0L), lit(walks - 1L))).as("wid"))
       .select($"qid", $"wid", lit(0L).as("step"), $"qid".as("node"))
-    walkSteps(starts, ed, steps, inspect).orderBy($"qid", $"wid", $"step")
+    (walkSteps(starts, ed, steps, inspect)
+      .orderBy($"qid", $"wid", $"step"), ed)
   }
 
   /** The uniform-walk step recursion shared by x116's corpus scan and
@@ -4750,12 +4765,16 @@ object VectorOps {
     * the oracle replays row for row. */
   private[graft] def embedNeighbors(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
-    val e = nodeEmbeddings(s, dir).localCheckpoint(true)
+    // ONE walk chain serves both sides: the trainer consumes its
+    // pairs, the adjacency flags consume its pinned ranked edges —
+    // without the share this body re-ran the corpus-scale per-cell
+    // kNN join a second time just to flag in_graph
+    val (walks, ed) = graphWalksWithEdges(s, dir)
+    val e = trainNodeEmbeddings(s, skipGramPairsOver(walks))
+      .localCheckpoint(true)
     val q = e.filter($"node" < 8)
       .select($"node".as("qid"), $"w1".as("q1"), $"w2".as("q2"))
-    val a = literalCells(normalizedEmbeddings(s, dir), DefaultCells)
-      .select($"vec_id", $"v", $"cell")
-    val edges = knnEdges(a, KnnGraphK)
+    val edges = ed
       .select($"src".as("qid"), $"dst".as("nid"), lit(1L).as("g"))
     e.join(broadcast(q), $"node" =!= $"qid")
       .select($"qid", $"node".as("nid"),
