@@ -370,15 +370,31 @@ object MlOps {
       // wrap silently once one key holds ~9k+ orders, and the oracle
       // shares the formula so the hash-match could not catch it —
       // worse, DuckDB's ANSI multiply THROWS on the same corpus while
-      // Spark wraps, an engine-parity hole. The double-space bound
-      // sits >200 ulps under 2^63, so it trips before any wrap;
-      // assert_true is NULL on pass, so the filter keeps every sane
-      // row and cannot be pruned away with an unused column.
+      // Spark wraps, an engine-parity hole. The bound is on the SUM
+      // of the two product magnitudes, not each product alone: num =
+      // n·sxy − sx·sy is itself long arithmetic, and with mixed-sign
+      // inputs two individually-safe ~8.9e18 products subtract to a
+      // wrapping ~1.8e19. n·|sxy| + |sx|·|sy| < 9.0e18 bounds |num|
+      // (triangle inequality) AND each product, all >200 ulps under
+      // 2^63 in double space, so it trips before any wrap. den never
+      // wraps under the same bound: n·sxx and sx² are both
+      // non-negative (n·sxx ≥ sx²/… by Cauchy-Schwarz is not even
+      // needed — each term is individually bounded and the
+      // subtraction of non-negatives cannot exceed the larger).
+      // Conservative by design: corpora whose true |num| lies in
+      // [9.0e18, 2^63) are refused here though they would not wrap
+      // (Spark throws, DuckDB computes) — the reverse-parity band is
+      // the price of a driver-free double-space check; widen to
+      // DECIMAL(38,0) for such corpora. assert_true is NULL on pass,
+      // so the filter keeps every sane row and cannot be pruned away
+      // with an unused column.
       val inRange =
-        ($"n".cast("double") *
-          greatest(abs($"sxy"), abs($"sxx")).cast("double") < 9.0e18) &&
-        (abs($"sx").cast("double") *
-          greatest(abs($"sy"), abs($"sx")).cast("double") < 9.0e18)
+        ($"n".cast("double") * abs($"sxy").cast("double") +
+          abs($"sx").cast("double") * abs($"sy").cast("double")
+          < 9.0e18) &&
+        ($"n".cast("double") * $"sxx".cast("double") < 9.0e18) &&
+        (abs($"sx").cast("double") * abs($"sx").cast("double")
+          < 9.0e18)
       a.filter(assert_true(inRange,
           concat(lit("m3_trend: 64-bit overflow at o_custkey="),
             $"o_custkey".cast("string"),

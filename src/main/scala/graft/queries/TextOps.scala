@@ -2114,16 +2114,32 @@ object TextOps {
     // survivor's tk IS its original doc's tk by the min_by
     // construction), the bench side (the doc_id % 20 slice), and,
     // through the x107 manifest, the near-dup pair index — instead of
-    // three independent explode passes over overlapping corpus slices
+    // three independent explode passes over overlapping corpus slices.
+    // Pinned HASH-PARTITIONED ON h: the frame's three downstream
+    // exchanges (survivor-distinct, bench-distinct, the pair stage's
+    // df-cap window) all cluster on h or a superset of it, so ONE
+    // repartition before the cache replaces three independent
+    // corpus-sized shuffles — HashPartitioning(h) satisfies the
+    // window's ClusteredDistribution(h) exactly and the distinct's
+    // ClusteredDistribution(doc_id, h) by the subset rule. Measured
+    // at sf0.1: x107 warm 4.05 s → the r11 floor dump's three
+    // shingle-frame exchanges collapse to the one paid here.
     val shAll = q.filter(size($"tk") >= K)
       .select($"doc_id", explode(T.shingles($"tk", K)).as("s"))
       .select($"doc_id", T.md5Long($"s").as("h"))
+      .repartition($"h")
       .cache()
-    val sh = shAll
+    // ONE distinct over the h-partitioned cache (local hash-agg, no
+    // exchange) feeds BOTH decontamination sides — previously the
+    // survivor and bench sides each paid their own distinct shuffle.
+    // CACHED: with the exchange gone there is no shuffle for
+    // ReuseExchange to dedup, so an un-pinned shD would re-run the
+    // corpus-sized hash-agg once per consumer (three in x107's DAG)
+    val shD = shAll.distinct().cache()
+    val sh = shD
       .join(surv.select($"doc_id"), Seq("doc_id"), "left_semi")
-      .distinct()
-    val bench = shAll.filter($"doc_id" % 20 === 0)
-      .select($"doc_id".as("bd"), $"h").distinct()
+    val bench = shD.filter($"doc_id" % 20 === 0)
+      .select($"doc_id".as("bd"), $"h")
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val bad = sh.join(broadcast(bench), "h")
       .groupBy($"doc_id".as("cd"), $"bd").agg(count(lit(1)).as("i"))

@@ -4358,7 +4358,7 @@ object VectorOps {
     graphWalksWithEdges(s, dir, walks, steps, inspect, pin)._1
 
   /** [[graphWalks]] plus its PINNED ranked-edge relation
-    * (src, dst, cos, rn, deg) — for consumers that need the graph the
+    * (src, dst, rn, deg) — for consumers that need the graph the
     * walks ran over (x123's adjacency flags): re-deriving the
     * corpus-scale per-cell kNN join a second time in the same body is
     * pure waste when the walk chain already pinned it. */
@@ -5002,8 +5002,11 @@ object VectorOps {
       store: graft.store.Store, verA: Long, verB: Long, k: Int = 5,
       queryNodes: Seq[Long] = 0L until 8L)
       : org.apache.spark.sql.DataFrame = {
+    // no allowStale: an explicit as-of read already skips the
+    // freshness guard by design (latest = false), so passing it
+    // would be a dead argument implying a bypass that never happens.
     def side(ver: Long) = embedNeighborsStored(s, store, k,
-      allowStale = true, asOfTrainedAt = ver, queryNodes = queryNodes)
+      asOfTrainedAt = ver, queryNodes = queryNodes)
       .select($"qid", $"nid")
     neighborSetDrift(side(verA), side(verB))
   }

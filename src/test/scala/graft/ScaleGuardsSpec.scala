@@ -1883,19 +1883,28 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      VectorOps.trainNodeEmbeddings(spark, pairs, dims = 4).collect()
-      // listener events post asynchronously; the bus is private, so
-      // settle on quiescence: count stable across two 300 ms reads
-      var n = -1
-      var prev = -2
-      while (n != prev) {
-        prev = n; Thread.sleep(300); n = jobs.get()
-      }
-      // measured 128 on the batched shape; budget 170 tolerates AQE
-      // plan jitter while staying far under a step-at-a-time revert
-      assert(n <= 170, s"d=4 train ran $n scheduler jobs (budget " +
-        "170; batched shape measures ~128) — the ladder regressed " +
-        "toward step-at-a-time scalars")
+      val dims = 4
+      VectorOps.trainNodeEmbeddings(spark, pairs, dims = dims).collect()
+      // listener events post asynchronously; drain the bus for real
+      // (waitUntilEmpty is private[spark] = bytecode-public, so a
+      // reflective call is exact where a sleep-until-stable loop can
+      // exit mid-drain and undercount into a spurious pass)
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      val n = jobs.get()
+      // budget anchored to the ladder's shape, not a bare constant:
+      // (d+1) driver actions per round × EmbedIters rounds, ≤3 AQE
+      // jobs per action (broadcast + shuffle-stage materializations),
+      // + 40 for setup (checkpoint, init, final renorm/collect).
+      // d=4: 3·5·8 + 40 = 160; measured ~128 on the batched shape. A
+      // step-at-a-time revert is (2d+1) = 9 actions/round → ≥216
+      // action jobs alone, well past the budget at every d.
+      val budget = 3 * (dims + 1) * VectorOps.EmbedIters + 40
+      assert(n <= budget, s"d=$dims train ran $n scheduler jobs " +
+        s"(budget $budget = 3·(d+1)·iters + 40; batched shape " +
+        "measures ~128) — the ladder regressed toward " +
+        "step-at-a-time scalars")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 }
