@@ -3880,6 +3880,100 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // ----- x126 per-source DATA drift: the corpus-side twin of the
+    // model-version drift verbs (r11) — per source, how far the
+    // CANDIDATE half's quality distribution (odd doc_ids) moved from
+    // the REFERENCE half's (even doc_ids), over ten fixed integer
+    // quality-decile buckets of x2/x108's SHARED q6 definition.
+    // Two statistics per source, both add-1-smoothed over the full
+    // bucket scaffold so an empty bucket is evidence, not a crash:
+    // total-variation distance in ppm — EXACT integer end to end
+    // (the |c·R − r·C| cross-products widen to 128-bit like x67:
+    // count × count passes 2^63 near ~3e9 docs/side, so the wide
+    // type is the exactness requirement, not padding) — and the
+    // published PSI, per-bucket micro-integerized BEFORE the sum
+    // (x119's ln discipline) so the rollup is order-independent.
+    // The governance report that catches a drifting crawl BEFORE
+    // x54/x84 mix it into training. Scale shape: one corpus pass to
+    // bucket counts (map-side combinable), then every frame is
+    // |sources|×10; the scaffold join and totals broadcast.
+    "x126_psi_drift" -> Q(
+      s"""WITH tk AS (SELECT doc_id, source, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    CAST(round(round(least(len(tk) / 50.0, 1.0) *
+         |      (1.0 - len(list_filter(tk, w -> w IN ($StopwordsSql)))
+         |        / len(tk)), 6) * 1000000.0) AS BIGINT) AS q6
+         |  FROM tk WHERE len(tk) >= 1),
+         |b AS (SELECT source, doc_id % 2 = 0 AS is_ref,
+         |    least(q6 // 100000, 9) AS bucket FROM q),
+         |g AS (SELECT source, bucket,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS r,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS c
+         |  FROM b GROUP BY 1, 2),
+         |sb AS (SELECT source, unnest(range(0, 10)) AS bucket
+         |  FROM (SELECT DISTINCT source FROM q)),
+         |f AS (SELECT sb.source, sb.bucket,
+         |    coalesce(r, 0) + 1 AS r1, coalesce(c, 0) + 1 AS c1
+         |  FROM sb LEFT JOIN g ON sb.source = g.source
+         |    AND sb.bucket = g.bucket),
+         |t AS (SELECT source, CAST(sum(r1) AS BIGINT) AS rt,
+         |    CAST(sum(c1) AS BIGINT) AS ct FROM f GROUP BY 1),
+         |d AS (SELECT f.source, rt, ct,
+         |    abs(CAST(c1 AS HUGEINT) * rt - CAST(r1 AS HUGEINT) * ct)
+         |      AS tvnum,
+         |    CAST(floor((c1 * 1.0 / ct - r1 * 1.0 / rt) *
+         |      ln((c1 * 1.0 / ct) / (r1 * 1.0 / rt)) * 1000000.0
+         |      + 0.5) AS BIGINT) AS psi6b
+         |  FROM f JOIN t USING (source))
+         |SELECT source, CAST(max(rt) - 10 AS BIGINT) AS n_ref,
+         |  CAST(max(ct) - 10 AS BIGINT) AS n_cand,
+         |  CAST((CAST(1000000 AS HUGEINT) * sum(tvnum))
+         |    // (2 * CAST(max(ct) AS HUGEINT) * max(rt)) AS BIGINT)
+         |    AS tv_ppm,
+         |  CAST(sum(psi6b) AS BIGINT) AS psi6
+         |FROM d GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val dec = "decimal(38,0)"
+      val q = qualityBySource(s, dir)
+      val g = q
+        .select($"source", ($"doc_id" % 2 === 0).as("is_ref"),
+          least(expr("q6 div 100000"), lit(9L)).as("bucket"))
+        .groupBy($"source", $"bucket")
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+          sum(when($"is_ref", 0L).otherwise(1L)).as("c"))
+      // the bucket scaffold: |sources|×10 rows, broadcast — an empty
+      // bucket must still contribute its smoothed term
+      val sb = q.select($"source").distinct()
+        .select($"source",
+          explode(sequence(lit(0L), lit(9L))).as("bucket"))
+      val f = broadcast(sb)
+        .join(g, Seq("source", "bucket"), "left")
+        .select($"source", $"bucket",
+          (coalesce($"r", lit(0L)) + 1L).as("r1"),
+          (coalesce($"c", lit(0L)) + 1L).as("c1"))
+      val t = f.groupBy($"source")
+        .agg(sum($"r1").as("rt"), sum($"c1").as("ct"))
+      val pC = $"c1" * lit(1.0) / $"ct"
+      val pR = $"r1" * lit(1.0) / $"rt"
+      f.join(broadcast(t), "source")
+        .select($"source", $"rt", $"ct",
+          abs($"c1".cast(dec) * $"rt".cast(dec) -
+            $"r1".cast(dec) * $"ct".cast(dec)).as("tvnum"),
+          floor((pC - pR) * log(pC / pR) * lit(1000000.0) + 0.5)
+            .cast("long").as("psi6b"))
+        .groupBy($"source").agg(
+          (max($"rt") - 10L).cast("long").as("n_ref"),
+          (max($"ct") - 10L).cast("long").as("n_cand"),
+          expr(s"CAST((CAST(1000000 AS $dec) * sum(tvnum)) div " +
+            s"(2 * CAST(max(ct) AS $dec) * max(rt)) AS BIGINT)")
+            .as("tv_ppm"),
+          sum($"psi6b").cast("long").as("psi6"))
+        .orderBy($"source")
+    },
+
     // ----- x57 cross-source overlap matrix: for every source pair,
     // how many exact content keys (x5's 8-token fingerprint) appear in
     // BOTH — the governance report that catches a crawl source leaking

@@ -4849,6 +4849,16 @@ object VectorOps {
       .select($"trained_at", $"node", $"dw.dim".as("dim"),
         $"dw.w".as("w"))
       .localCheckpoint(true)
+    // an empty model must refuse, not land: a corpus too small or
+    // too disconnected for any positive SPPMI entry trains zero
+    // nodes, and writing that would leave a schemaless (or silently
+    // unservable) version under this watermark — the torn-artifact
+    // hazard the ANN books' loud tear check exists for
+    require(!emb.isEmpty,
+      s"embedding training at walk watermark $mark produced no " +
+        "nodes (no positive SPPMI co-occurrence in the walk " +
+        "corpus) — the corpus is too small or too disconnected to " +
+        "train; ingest more before training")
     store.write("node_embeddings", emb, Seq("trained_at"))
   }
 

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, max}
+import graft.StringToColumn
+import graft.store.Store
+
+/** Continuous version-drift monitoring — the batch `*VersionDrift`
+  * verbs run as a streaming side effect of ingest. Each micro-batch
+  * stamps which trained-model version is CURRENTLY serving (the
+  * store's latest `trained_at`) into a `<family>_serving` entity; when
+  * the stamp differs from the previous batch's, the family's drift
+  * verb runs between the two versions and its rows land under the
+  * batch's own `<family>_version_drift` partition — so a model
+  * roll-forward mid-stream produces its before/after neighbor-set
+  * report automatically, with no operator running the batch verb by
+  * hand. The x101 batch/stream-twin discipline (the streaming sketch
+  * twins) applied to the versioned-model families.
+  *
+  * Idempotency: both the stamp and the drift rows are delete-before-
+  * write on the `batch` partition, so a replayed micro-batch rewrites
+  * its own rows. A replay AFTER a further retrain re-stamps the
+  * version serving at replay time — the stamp records what a read at
+  * that batch would have served, which is the honest answer for a
+  * serving log (the drift rows themselves are deterministic given
+  * their (ver_a, ver_b) columns, which ride in the output).
+  *
+  * Scale shape: the stamp read is one partition-pruned `max` over the
+  * version column (version-count rows, not data); the previous stamp
+  * is a head(1) over the batch-count-sized serving log; the drift
+  * verb's frames are queries×k-sized (its serves are the
+  * partition-pruned stored paths). Nothing here scans the corpus.
+  */
+object DriftMonitor {
+
+  /** Latest version of a (trained_at)-partitioned entity; None when
+    * the entity is absent or empty (nothing trained yet — the monitor
+    * stays silent rather than stamping a sentinel). */
+  private def latestVersion(s: SparkSession, store: Store,
+      entity: String): Option[Long] =
+    try {
+      val r = store.read(entity, s)
+        .agg(max($"trained_at".cast("long"))).first()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Stamp the serving version for `batch` and emit drift rows when
+    * it changed since the previous stamped batch. `drift` is the
+    * family's batch verb, called only on a version change. */
+  private[streaming] def stampAndDrift(s: SparkSession, store: Store,
+      batch: Long, family: String, versionedEntity: String,
+      drift: (Long, Long) => DataFrame): Unit =
+    latestVersion(s, store, versionedEntity).foreach { cur =>
+      val servingEntity = s"${family}_serving"
+      // previous stamp = the highest batch strictly below this one —
+      // strict, so a replayed batch compares against the same
+      // predecessor it originally did, not against itself
+      val prev =
+        try {
+          store.read(servingEntity, s)
+            .filter($"batch".cast("long") < batch)
+            .orderBy($"batch".cast("long").desc)
+            .select($"trained_at".cast("long"))
+            .head(1).headOption.map(_.getLong(0))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      import s.implicits._
+      store.write(servingEntity,
+        Seq((batch, cur)).toDF("batch", "trained_at"), Seq("batch"))
+      prev.filter(_ != cur).foreach { p =>
+        store.write(s"${family}_version_drift",
+          drift(p, cur)
+            .withColumn("batch", lit(batch))
+            .withColumn("ver_a", lit(p))
+            .withColumn("ver_b", lit(cur)),
+          Seq("batch"))
+      }
+    }
+
+  /** The embedding-model monitor: stamps `node_embeddings`' latest
+    * version per batch; on change, lands
+    * [[graft.queries.VectorOps.embedVersionDrift]]'s report. */
+  private[streaming] def embedStampAndDrift(s: SparkSession,
+      store: Store, batch: Long, k: Int,
+      queryNodes: Seq[Long]): Unit =
+    stampAndDrift(s, store, batch, "embed", "node_embeddings",
+      (a, b) => graft.queries.VectorOps
+        .embedVersionDrift(s, store, a, b, k, queryNodes))
+
+  /** The ANN-book monitor: stamps `ann_coarse_book`'s latest version
+    * per batch; on change, lands
+    * [[graft.queries.VectorOps.annVersionDrift]]'s report (query
+    * vectors read from `dir`'s embeddings table, like the batch verb). */
+  private[streaming] def annStampAndDrift(s: SparkSession, dir: String,
+      store: Store, batch: Long, k: Int): Unit =
+    stampAndDrift(s, store, batch, "ann", "ann_coarse_book",
+      (a, b) => graft.queries.VectorOps
+        .annVersionDrift(s, dir, store, a, b, k))
+}

@@ -31,6 +31,17 @@ object WalkIngest {
     * micro-batch id becomes the graph `batch` partition. */
   def start(vectors: DataFrame, store: Store, checkpoint: String)
       : StreamingQuery =
+    startMonitored(vectors, store, checkpoint, monitorDrift = false)
+
+  /** [[start]] plus the embedding-model version monitor: each
+    * micro-batch stamps which `node_embeddings` version is serving
+    * ([[DriftMonitor]]); an out-of-band retrain
+    * ([[graft.queries.VectorOps.trainStoredEmbeddings]]) then shows up
+    * as a `embed_version_drift` report on the next batch — the batch
+    * drift verb running continuously, for free, on the ingest clock. */
+  def startMonitored(vectors: DataFrame, store: Store,
+      checkpoint: String, monitorDrift: Boolean = true, k: Int = 5,
+      queryNodes: Seq[Long] = 0L until 8L): StreamingQuery =
     vectors
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .writeStream
@@ -38,6 +49,9 @@ object WalkIngest {
         VectorOps.appendKnnGraph(b.sparkSession,
           VectorOps.normalized(b), id, store)
         VectorOps.appendWalkCorpus(b.sparkSession, store, id)
+        if (monitorDrift)
+          DriftMonitor.embedStampAndDrift(b.sparkSession, store, id,
+            k, queryNodes)
       }
       .option("checkpointLocation", checkpoint)
       .start()

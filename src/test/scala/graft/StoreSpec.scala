@@ -1804,6 +1804,143 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(VectorOps.loadAnnBooks(spark, store)._1.nonEmpty)
   }
 
+  // Randomized retention property (seeded, deterministic), the
+  // versioned-model counterpart of the sparse-index lifecycle
+  // property: under ANY interleaving of retrains and vacuums across
+  // ALL THREE versioned families (embedding model, ANN books,
+  // cross-encoder), every as-of read at or above the retention cut
+  // serves bit-identically to the snapshot taken at training time,
+  // every vacuumed version refuses loudly, and the newest version is
+  // NEVER dropped — the single invariant the retention verbs exist to
+  // preserve, checked against sequences the scripted per-family cases
+  // can't reach (vacuum-then-retrain, double vacuum, a cut above
+  // every version, cross-family interleavings).
+  test("versioned-model retention property: random retrain/vacuum " +
+    "interleavings keep every retained as-of serve identical and " +
+    "refuse every vacuumed version, across all three families") {
+    import graft.queries.{TextOps, VectorOps}
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-retention-prop").toString
+    val store = new ParquetStore(s"$tmp/main")
+    // the ANN family retrains in its OWN store: a book retrain under
+    // a populated knn_vectors correctly refuses (the desync guard),
+    // and the embedding family needs exactly that graph in its store
+    val annStore = new ParquetStore(s"$tmp/ann")
+    VectorOps.persistAnnBooks(spark, dir, store) // embed's fixed books
+    val n = VectorOps.normalizedEmbeddings(spark, dir)
+      .localCheckpoint(true)
+    val rnd = new scala.util.Random(20260816L)
+    // per family: version -> serve snapshot at train time; the set of
+    // vacuumed versions the model says must now refuse
+    val snaps = Map(
+      "embed" -> scala.collection.mutable.Map.empty[Long, Any],
+      "ann" -> scala.collection.mutable.Map.empty[Long, Any],
+      "ce" -> scala.collection.mutable.Map.empty[Long, Any])
+    val gone = scala.collection.mutable.Map(
+      "embed" -> Set.empty[Long], "ann" -> Set.empty[Long],
+      "ce" -> Set.empty[Long])
+    def serve(family: String, ver: Long): Any = try serve0(family, ver)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          fail(s"serve($family, $ver) raised a raw engine error " +
+            s"instead of a verb-level refusal: ${e.getMessage}", e)
+      }
+    def serve0(family: String, ver: Long): Any = family match {
+      case "embed" => VectorOps.embedNeighborsStored(spark, store,
+          asOfTrainedAt = ver)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      case "ann" => VectorOps.annIvfPqFromStore(spark, dir, annStore,
+          asOfTrainedAt = ver)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSeq
+      case "ce" => graft.ml.CrossEncoder.weightsOf(
+        TextOps.loadCeModel(spark, store, asOfTrainedAt = ver)).toSeq
+    }
+    def refusal(family: String): String = family match {
+      case "embed" => "no stored embedding version"
+      case "ann"   => "no ANN book version"
+      case "ce"    => "no version"
+    }
+    var embedBatch = 0L
+    var annVer = -1L
+    var ceVer = -1L
+    def train(family: String): Unit = family match {
+      case "embed" =>
+        // a new embedding version needs a new walk watermark: land a
+        // corpus slice, re-walk, then train at the advanced horizon
+        VectorOps.appendKnnGraph(spark,
+          n.filter($"vec_id" % 3 === embedBatch % 3), embedBatch, store)
+        VectorOps.appendWalkCorpus(spark, store, embedBatch)
+        VectorOps.trainStoredEmbeddings(spark, store)
+        snaps("embed")(embedBatch) = serve("embed", embedBatch)
+        embedBatch += 1
+      case "ann" =>
+        annVer += 1 + rnd.nextInt(2) // versions advance, gaps legal
+        VectorOps.persistAnnBooks(spark, dir, annStore,
+          trainedAt = annVer)
+        snaps("ann")(annVer) = serve("ann", annVer)
+      case "ce" =>
+        ceVer += 1 + rnd.nextInt(2)
+        TextOps.persistCeModel(spark, store,
+          weights = Array.fill(4)(rnd.nextInt(16).toLong + 1L),
+          trainedAt = ceVer)
+        snaps("ce")(ceVer) = serve("ce", ceVer)
+    }
+    def vacuum(family: String): Unit = {
+      val vers = snaps(family).keySet -- gone(family)
+      if (vers.nonEmpty) {
+        // cuts land below, between, at, and above the version range
+        val cut = -1L + rnd.nextInt((vers.max + 3).toInt)
+        val newest = vers.max
+        val expectDrop = vers.filter(v => v < cut && v != newest)
+        val dropped = family match {
+          case "embed" =>
+            VectorOps.vacuumEmbeddingVersions(spark, store, cut)
+          case "ann" =>
+            VectorOps.vacuumAnnBookVersions(spark, annStore, cut)
+          case "ce" => TextOps.vacuumCeModelVersions(spark, store, cut)
+        }
+        assert(dropped == expectDrop.size,
+          s"$family vacuum(cut=$cut) dropped $dropped, " +
+            s"expected ${expectDrop.size} of $vers")
+        gone(family) ++= expectDrop
+      }
+    }
+    def check(tag: String): Unit =
+      Seq("embed", "ann", "ce").foreach { f =>
+        val retained = snaps(f).keySet -- gone(f)
+        // vacuum never drops the newest version
+        if (snaps(f).nonEmpty)
+          assert(retained.contains(snaps(f).keySet.max),
+            s"$f newest version vanished after: $tag")
+        retained.foreach { v =>
+          assert(serve(f, v) == snaps(f)(v),
+            s"$f as-of $v diverged after: $tag")
+        }
+        gone(f).foreach { v =>
+          val e = intercept[IllegalArgumentException] { serve(f, v) }
+          assert(e.getMessage.contains(refusal(f)),
+            s"$f as-of $v: ${e.getMessage}")
+        }
+      }
+    // random interleaving: every family trains 3 versions; 5 vacuums
+    // land somewhere among them (a vacuum before any train no-ops)
+    val script = rnd.shuffle(
+      Seq.fill(3)(Seq("embed", "ann", "ce")).flatten.map("t" -> _) ++
+        (Seq.fill(2)("embed") ++ Seq.fill(2)("ann") ++ Seq("ce"))
+          .map("v" -> _))
+    script.zipWithIndex.foreach { case ((kind, family), i) =>
+      if (kind == "t") train(family)
+      else { vacuum(family); check(s"step $i: vacuum $family") }
+    }
+    vacuum("embed"); vacuum("ann"); vacuum("ce")
+    check("final vacuums")
+    assert(Seq("embed", "ann", "ce").forall(f => snaps(f).size == 3) &&
+      gone.valuesIterator.exists(_.nonEmpty),
+      "the sequence was trivial — no version ever vacuumed")
+  }
+
   test("re-tombstoning with duplicate ids keeps one row per doc in " +
     "the tombstone partition (no geometric fan-out) and ANN " +
     "compaction no-ops on a store that never ingested") {

@@ -760,6 +760,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed walk corpus diverged from one-shot over final graph")
   }
 
+  test("version-drift monitor: a retrain between micro-batches lands " +
+    "the SAME drift rows as the batch verb, stamped with its versions") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-driftstream").toString
+    val store = new ParquetStore(s"$tmp/d")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val raw = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = WalkIngest.startMonitored(
+      in.toDF().toDF("vec_id", "embedding"), store, s"$tmp/ckpt")
+    try {
+      // batch 0: corpus lands, no model trained yet — monitor silent
+      in.addData(raw.filter(_._1 % 3 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      VectorOps.trainStoredEmbeddings(spark, store) // version A
+      // batch 1: first stamp (version A), no predecessor → no drift
+      in.addData(raw.filter(_._1 % 3 == 1).toIndexedSeq)
+      q.processAllAvailable()
+      VectorOps.trainStoredEmbeddings(spark, store) // version B
+      // batch 2: stamp flips A→B → the drift report lands
+      in.addData(raw.filter(_._1 % 3 == 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the serving log: batch 0 unstamped (no model), 1=A, 2=B
+    val stamps = store.read("embed_serving", spark)
+      .select($"batch".cast("long"), $"trained_at".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stamps.keySet == Set(1L, 2L), s"stamps: $stamps")
+    val (verA, verB) = (stamps(1L), stamps(2L))
+    assert(verA != verB, s"retrain did not change the version: $stamps")
+    // drift landed ONLY at the flip batch, tagged with its versions
+    def driftRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"n_a", $"n_b", $"overlap", $"jaccard6")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val landed = store.read("embed_version_drift", spark)
+    assert(landed.select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L), "drift at wrong batch")
+    assert(landed.select($"ver_a".cast("long"), $"ver_b".cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((verA, verB)), "drift version tags wrong")
+    // ...and the rows are bit-identical to the batch verb between the
+    // same two versions — the monitor IS the batch drift, on a clock
+    val want = driftRows(
+      VectorOps.embedVersionDrift(spark, store, verA, verB))
+    assert(driftRows(landed) == want && want.nonEmpty,
+      "streamed drift rows diverged from the batch verb")
+  }
+
   test("sparse-index ingest stream: streamed postings reproduce the " +
     "one-shot BM25 rank over the same corpus") {
     import graft.queries.TextOps
