@@ -2213,18 +2213,96 @@ object TextOps {
       (lit(1.0) - nStop / nTok), 6)
   }
 
-  /** The per-doc integerized quality frame behind x108 — shared with
-    * the ScaleGuardsSpec case pinning the approx_percentile
-    * (mergeable-sketch) swap against the exact quartiles. */
-  private[graft] def qualityBySource(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    Tables.spread(s, dir, "documents")
+  /** The per-doc integerized quality frame behind x108/x126, over a
+    * caller-supplied documents frame (doc_id, source, text) — the
+    * streaming drift twin feeds its micro-batches through the same
+    * definition, so live and batch quality cannot drift. */
+  private[graft] def qualityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select($"doc_id", $"source",
         graft.functions.TextExprs.wsTokens($"text").as("tk"))
       .filter(size($"tk") >= 1)
       .select($"doc_id", $"source",
         round(qualityCol($"tk") * lit(1000000.0)).cast("long")
           .as("q6"))
+
+  /** The per-doc integerized quality frame behind x108 — shared with
+    * the ScaleGuardsSpec case pinning the approx_percentile
+    * (mergeable-sketch) swap against the exact quartiles. */
+  private[graft] def qualityBySource(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    qualityOf(Tables.spread(s, dir, "documents"))
+
+  /** x126's sufficient statistics: per (source, decile bucket),
+    * reference-half (even doc_ids) and candidate-half (odd) counts.
+    * This IS the drift monitor's whole state — ≤ |sources|×10 rows
+    * however much corpus has passed, counts add per micro-batch like
+    * any sketch merge rule, so the streaming twin maintains it in
+    * Complete mode with no watermark and no growth (the CMS/HLL twin
+    * discipline applied to data drift). */
+  private[graft] def qualityBucketCounts(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    qualityOf(docs)
+      .select($"source", ($"doc_id" % 2 === 0).as("is_ref"),
+        least(expr("q6 div 100000"), lit(9L)).as("bucket"))
+      .groupBy($"source", $"bucket")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when($"is_ref", 0L).otherwise(1L)).as("c"))
+
+  /** x126's report over a (source, bucket, r, c) count table — the
+    * read side the streaming twin shares with the batch body: add-1
+    * smoothing over the full 10-bucket scaffold, exact-integer TV
+    * distance in ppm (128-bit cross-products, the x67 rule), and PSI
+    * with per-bucket micro-integerized contributions (x119's ln
+    * discipline) so the rollup is order-independent. Every frame here
+    * is |sources|×10 — the corpus never enters. */
+  private[graft] def psiDriftOver(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    // the bucket scaffold: |sources|×10 rows — an empty bucket must
+    // still contribute its smoothed term. DRIVER-BUILT from a
+    // bounded collect (the report is per-source by contract, so the
+    // source list is enumerable at any corpus size): a scaffold
+    // derived from g's own lineage is a self-join, and the analyzer
+    // cannot deduplicate some leaves (the streaming twin's in-memory
+    // sink table raised INTERNAL_ERROR conflicting-references); a
+    // fresh local relation sidesteps the whole class.
+    val spark = g.sparkSession
+    val srcs = g.select($"source").distinct().collect().map(_.get(0))
+    val sb = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        srcs.toIndexedSeq.flatMap(src => (0L to 9L).map(b =>
+          org.apache.spark.sql.Row(src, b))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        g.schema("source"),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val f = sb
+      .join(g, Seq("source", "bucket"), "left")
+      .select($"source", $"bucket",
+        (coalesce($"r", lit(0L)) + 1L).as("r1"),
+        (coalesce($"c", lit(0L)) + 1L).as("c1"))
+    val t = f.groupBy($"source")
+      .agg(sum($"r1").as("rt"), sum($"c1").as("ct"))
+    val pC = $"c1" * lit(1.0) / $"ct"
+    val pR = $"r1" * lit(1.0) / $"rt"
+    f.join(broadcast(t), "source")
+      .select($"source", $"rt", $"ct",
+        abs($"c1".cast(dec) * $"rt".cast(dec) -
+          $"r1".cast(dec) * $"ct".cast(dec)).as("tvnum"),
+        floor((pC - pR) * log(pC / pR) * lit(1000000.0) + 0.5)
+          .cast("long").as("psi6b"))
+      .groupBy($"source").agg(
+        (max($"rt") - 10L).cast("long").as("n_ref"),
+        (max($"ct") - 10L).cast("long").as("n_cand"),
+        expr(s"CAST((CAST(1000000 AS $dec) * sum(tvnum)) div " +
+          s"(2 * CAST(max(ct) AS $dec) * max(rt)) AS BIGINT)")
+          .as("tv_ppm"),
+        sum($"psi6b").cast("long").as("psi6"))
+      .orderBy($"source")
+  }
 
   /** x93 body: canonical-by-QUALITY resolution of near-dup clusters —
     * the production dedup selection rule. x19 gives the transitive
@@ -3936,42 +4014,11 @@ object TextOps {
          |  CAST(sum(psi6b) AS BIGINT) AS psi6
          |FROM d GROUP BY source ORDER BY source""".stripMargin) {
       (s, dir) =>
-      val dec = "decimal(38,0)"
-      val q = qualityBySource(s, dir)
-      val g = q
-        .select($"source", ($"doc_id" % 2 === 0).as("is_ref"),
-          least(expr("q6 div 100000"), lit(9L)).as("bucket"))
-        .groupBy($"source", $"bucket")
-        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
-          sum(when($"is_ref", 0L).otherwise(1L)).as("c"))
-      // the bucket scaffold: |sources|×10 rows, broadcast — an empty
-      // bucket must still contribute its smoothed term
-      val sb = q.select($"source").distinct()
-        .select($"source",
-          explode(sequence(lit(0L), lit(9L))).as("bucket"))
-      val f = broadcast(sb)
-        .join(g, Seq("source", "bucket"), "left")
-        .select($"source", $"bucket",
-          (coalesce($"r", lit(0L)) + 1L).as("r1"),
-          (coalesce($"c", lit(0L)) + 1L).as("c1"))
-      val t = f.groupBy($"source")
-        .agg(sum($"r1").as("rt"), sum($"c1").as("ct"))
-      val pC = $"c1" * lit(1.0) / $"ct"
-      val pR = $"r1" * lit(1.0) / $"rt"
-      f.join(broadcast(t), "source")
-        .select($"source", $"rt", $"ct",
-          abs($"c1".cast(dec) * $"rt".cast(dec) -
-            $"r1".cast(dec) * $"ct".cast(dec)).as("tvnum"),
-          floor((pC - pR) * log(pC / pR) * lit(1000000.0) + 0.5)
-            .cast("long").as("psi6b"))
-        .groupBy($"source").agg(
-          (max($"rt") - 10L).cast("long").as("n_ref"),
-          (max($"ct") - 10L).cast("long").as("n_cand"),
-          expr(s"CAST((CAST(1000000 AS $dec) * sum(tvnum)) div " +
-            s"(2 * CAST(max(ct) AS $dec) * max(rt)) AS BIGINT)")
-            .as("tv_ppm"),
-          sum($"psi6b").cast("long").as("psi6"))
-        .orderBy($"source")
+      // ONE count core + ONE read core, shared verbatim with the
+      // streaming twin (SketchStream.qualityBucketCounts /
+      // psiDriftVerdicts) — live and batch drift cannot diverge
+      psiDriftOver(qualityBucketCounts(
+        Tables.spread(s, dir, "documents")))
     },
 
     // ----- x57 cross-source overlap matrix: for every source pair,

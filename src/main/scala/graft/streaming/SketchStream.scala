@@ -97,4 +97,22 @@ object SketchStream {
   /** The quantile read side over a maintained bin histogram. */
   def quantileReport(hist: DataFrame): DataFrame =
     graft.queries.SketchOps.quantileReport(hist)
+
+  /** x126's per-source quality-decile counts maintained live over a
+    * document stream (SAME `TextOps.qualityBucketCounts` definition,
+    * so the live table is bit-identical to a batch build over the
+    * same documents): state IS the ≤ |sources|×10-row count table —
+    * reference/candidate counts add per micro-batch like any sketch
+    * merge rule, no watermark, no growth. The drift report (a
+    * smoothed scaffold + TV/PSI rollup the streaming engine need
+    * not express) reads the live table batch-side via
+    * [[psiDriftVerdicts]] — the same write/read split as the
+    * burst/trending/quantile twins. The continuous DATA-drift
+    * monitor beside [[DriftMonitor]]'s model-version one. */
+  def qualityBucketCounts(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.qualityBucketCounts(docs)
+
+  /** The drift read side over a maintained count table. */
+  def psiDriftVerdicts(counts: DataFrame): DataFrame =
+    graft.queries.TextOps.psiDriftOver(counts)
 }

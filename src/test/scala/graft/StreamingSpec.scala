@@ -887,6 +887,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed re-ingest did not supersede the original version")
   }
 
+  test("streaming data-drift counts are bit-identical to the batch " +
+    "build, bounded at sources x 10 rows, and the composed report " +
+    "matches the oracle-checked x126 body") {
+    import graft.queries.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val in = MemoryStream[(Long, String, String)]
+    val q = SketchStream.qualityBucketCounts(
+        in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(docs.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+      val live = spark.table("drift")
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        df.select($"source", $"bucket", $"r", $"c")
+          .as[(String, Long, Long, Long)].collect().toSet
+      val streamed = counts(live)
+      val batch = counts(TextOps.qualityBucketCounts(
+        graft.Tables.spread(spark, dir, "documents")))
+      assert(streamed == batch && streamed.nonEmpty,
+        "streamed drift counts diverged from the batch build")
+      // bounded-state guarantee: ≤ |sources|×10 rows however much
+      // corpus has passed
+      assert(streamed.size <= 10 * streamed.map(_._1).size)
+      // the composed report over the live table is row-identical to
+      // the oracle-checked registry body
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(rows(SketchStream.psiDriftVerdicts(live)) ==
+        rows(graft.SparkEntry.queries("x126_psi_drift")(spark, dir)),
+        "streamed drift report diverged from the x126 body")
+    } finally q.stop()
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
