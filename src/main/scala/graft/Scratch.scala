@@ -57,8 +57,13 @@ object Scratch {
       System.gc()
     }
     val names = if (args.nonEmpty) args.toSeq else Seq("x14_tfidf")
+    // SPARK_GRAFT_EXPLAIN=1 dumps each query's formatted physical
+    // plan (post-AQE initial plan) before timing — the .explain
+    // audit loop without a REPL
+    val dumpPlan = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (dumpPlan) fn(spark, sfDir).explain("formatted")
       val c0 = System.nanoTime()
       fn(spark, sfDir).count() // warm
       val cold = (System.nanoTime() - c0) / 1e9

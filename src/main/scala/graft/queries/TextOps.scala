@@ -2258,9 +2258,15 @@ object TextOps {
     * with per-bucket micro-integerized contributions (x119's ln
     * discipline) so the rollup is order-independent. Every frame here
     * is |sources|×10 — the corpus never enters. */
-  private[graft] def psiDriftOver(g: org.apache.spark.sql.DataFrame)
+  private[graft] def psiDriftOver(g0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dec = "decimal(38,0)"
+    // pinned: the count table has THREE consumers (the source-list
+    // collect, the scaffold join, and the totals rollup) and an
+    // un-pinned g would re-run its whole corpus pass per consumer —
+    // the plan dump showed two full parquet scans. |sources|×10 rows:
+    // the canonical localCheckpoint candidate.
+    val g = g0.localCheckpoint(true)
     // the bucket scaffold: |sources|×10 rows — an empty bucket must
     // still contribute its smoothed term. DRIVER-BUILT from a
     // bounded collect (the report is per-source by contract, so the
