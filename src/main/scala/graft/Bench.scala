@@ -198,8 +198,14 @@ object Bench {
           ml.BoostConfig(numRound = 15, numClass = 4, maxDepth = 3)),
         // per-chip jobs are small vs cluster capacity; overlap enough
         // of them to keep all cores fed (measured 28.5s -> 10.9s at
-        // par 4 -> 16 on local[32])
-        parallelism = math.max(4, cpus.toInt / 2))
+        // par 4 -> 16 on local[32]; env-overridable for A/B runs).
+        // 3/4 of cores, not 1/2: the r12 A/B read t2-segment mins
+        // 42.9/31.5/24.3 s at par 16 vs 21.4/24.4/24.1 at par 24 —
+        // deeper overlap both shaves the tail and dampens exposure
+        // to one stalled job under host pressure; par 32 regressed
+        // t1 segment (13.4 vs 8.4 s), so full-width is too deep.
+        parallelism = sys.env.get("SPARK_GRAFT_JQ_PAR").map(_.toInt)
+          .getOrElse(math.max(4, cpus.toInt * 3 / 4)))
       def timed(f: => Unit): Double = {
         val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
       }
