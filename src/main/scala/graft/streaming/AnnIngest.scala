@@ -42,21 +42,11 @@ object AnnIngest {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** [[start]] plus the ANN-book version monitor ([[DriftMonitor]]):
-    * each micro-batch stamps which `ann_coarse_book` version is
-    * serving; a book retrain then lands an `ann_version_drift` report
-    * on the next batch (query vectors read from `dir`, like the batch
-    * verb [[graft.queries.VectorOps.annVersionDrift]]). */
-  def startMonitored(vectors: DataFrame, dir: String, store: Store,
-      checkpoint: String, k: Int = 3): StreamingQuery =
-    vectors
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        VectorOps.appendAnnCorpus(b.sparkSession,
-          VectorOps.normalized(b), id, store)
-        DriftMonitor.annStampAndDrift(b.sparkSession, dir, store, id, k)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+  // NOTE: there is deliberately no `startMonitored` here. An ANN-book
+  // version flip cannot happen on an ingest store: a book retrain
+  // under a populated, PQ-coded `ann_corpus` REFUSES (the desync
+  // guard — the codes carry no raw vectors to re-encode), and this
+  // stream is exactly what populates that corpus. Monitoring book
+  // versions belongs on the stores where retrains are legal —
+  // [[DriftMonitor.annMonitor]] runs there on its own clock.
 }

@@ -99,4 +99,24 @@ object DriftMonitor {
     stampAndDrift(s, store, batch, "ann", "ann_coarse_book",
       (a, b) => graft.queries.VectorOps
         .annVersionDrift(s, dir, store, a, b, k))
+
+  /** Standalone ANN-book version monitor on its own clock. The ANN
+    * family is the one versioned family whose retrains are ILLEGAL on
+    * an ingest store (a retrain under a PQ-coded corpus refuses — the
+    * desync guard), so unlike the embedding monitor this one cannot
+    * ride [[AnnIngest]]: it watches a store where books are trained
+    * and served against the `dir` corpus (the x43 shape) and stamps /
+    * drifts per tick batch. `ticks` is any streaming frame used purely
+    * as a clock — row contents are ignored; each micro-batch costs one
+    * version-list max plus, on a flip, the queries×k drift serves. */
+  def annMonitor(ticks: org.apache.spark.sql.DataFrame, dir: String,
+      store: Store, checkpoint: String, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.count(): Unit // drain the trigger batch; contents unused
+        annStampAndDrift(b.sparkSession, dir, store, id, k)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -814,6 +814,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed drift rows diverged from the batch verb")
   }
 
+  test("ANN-book version monitor: a legal retrain between ticks lands " +
+    "the batch annVersionDrift rows; on an ingest store the flip " +
+    "cannot happen because the retrain itself refuses") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-annmon").toString
+    // a BOOK store (train + serve against the dir corpus, the x43
+    // shape): retrains are legal here, so versions can flip mid-stream
+    val store = new ParquetStore(s"$tmp/books")
+    VectorOps.persistAnnBooks(spark, dir, store) // version 0
+    val in = MemoryStream[Long]
+    val q = DriftMonitor.annMonitor(in.toDF(), dir, store, s"$tmp/ckpt")
+    try {
+      in.addData(0L); q.processAllAvailable() // tick 0: stamps v0
+      // a coarser-geometry retrain lands version 1 (no coded
+      // dependents in this store, so the guard allows it)
+      VectorOps.persistAnnBooks(spark, dir, store, cells = 8,
+        trainedAt = 1L)
+      in.addData(1L); q.processAllAvailable() // tick 1: flip → drift
+    } finally q.stop()
+    val stamps = store.read("ann_serving", spark)
+      .select($"batch".cast("long"), $"trained_at".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stamps == Map(0L -> 0L, 1L -> 1L), s"stamps: $stamps")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"n_a", $"n_b", $"overlap", $"jaccard6")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val landed = store.read("ann_version_drift", spark)
+    assert(landed.select($"ver_a".cast("long"), $"ver_b".cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((0L, 1L)))
+    val want = rows(VectorOps.annVersionDrift(spark, dir, store, 0L, 1L))
+    assert(rows(landed) == want && want.nonEmpty,
+      "streamed ANN drift rows diverged from the batch verb")
+    // ...and the reason this monitor does NOT ride AnnIngest: on a
+    // store whose corpus the stream PQ-coded, the retrain that would
+    // flip the version refuses outright (the desync guard)
+    val ingestStore = new ParquetStore(s"$tmp/ingest")
+    VectorOps.persistAnnBooks(spark, dir, ingestStore)
+    VectorOps.appendAnnCorpus(spark,
+      VectorOps.normalizedEmbeddings(spark, dir).limit(32), 0L,
+      ingestStore)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.persistAnnBooks(spark, dir, ingestStore, trainedAt = 1L)
+    }
+    assert(e.getMessage.contains("desync"), e.getMessage)
+  }
+
   test("sparse-index ingest stream: streamed postings reproduce the " +
     "one-shot BM25 rank over the same corpus") {
     import graft.queries.TextOps
