@@ -413,9 +413,15 @@ object Bench {
     // s/chip must hold ~flat from t1's grid to t2's. A t2 stage
     // whose s/chip exceeds 2x t1's flags the stage block the way
     // pins.x107 flags the query — it WOULD have fired on the r11
-    // record (prediction 0.649 s/chip vs t1's 0.137). Checked on the
-    // min-of-2 values the record ships as the stage numbers; the raw
-    // runs ride alongside for attribution.
+    // record (prediction 0.649 s/chip vs t1's 0.137). TWO-SIDED
+    // (the r12 run-D lesson): when t1 is the corrupted grid the
+    // ratio drops BELOW its natural band instead — clean records
+    // read 0.66-1.15 (t1's fixed overhead amortizes over fewer
+    // chips, so t2/t1 < 1 is the healthy shape) while a t1-segment
+    // corruption read 0.28 — so a ratio under 0.5 flags the block
+    // the same way. Checked on the min-of-2 values the record ships
+    // as the stage numbers; the raw runs ride alongside for
+    // attribution of WHICH grid carried the weather.
     def perChip(v: Double, chips: Int): Double =
       if (v > 0 && chips > 0) v / chips else -1.0
     def stageRatio(s1: Double, s2: Double): Double = {
@@ -424,9 +430,11 @@ object Bench {
     }
     val segRatio = stageRatio(t1._2, t2._2)
     val predRatio = stageRatio(t1._4, t2._4)
-    val stagesViolated = segRatio > 2.0 || predRatio > 2.0
+    def off(r: Double): Boolean = r > 2.0 || (r > 0 && r < 0.5)
+    val stagesViolated = off(segRatio) || off(predRatio)
     val lifecyclePin =
-      s"""{"bar_ratio":2.0,"segment_per_chip_ratio":$segRatio,""" +
+      s"""{"bar_ratio":2.0,"bar_ratio_low":0.5,""" +
+        s""""segment_per_chip_ratio":$segRatio,""" +
         s""""prediction_per_chip_ratio":$predRatio,""" +
         s""""violated":$stagesViolated}"""
     val pinsJson =
