@@ -71,12 +71,53 @@ object DriftMonitor {
       store.write(servingEntity,
         Seq((batch, cur)).toDF("batch", "trained_at"), Seq("batch"))
       prev.filter(_ != cur).foreach { p =>
-        store.write(s"${family}_version_drift",
-          drift(p, cur)
-            .withColumn("batch", lit(batch))
-            .withColumn("ver_a", lit(p))
-            .withColumn("ver_b", lit(cur)),
-          Seq("batch"))
+        // The previous version may have been VACUUMED between batches:
+        // retention protects only the NEWEST version — exactly the one
+        // a flip replaces — so the flip's ver_a is the version most
+        // likely to be gone. The drift verb's as-of serve refuses a
+        // missing version, and an uncaught refusal here would fail the
+        // micro-batch and terminate the streaming query (under
+        // startMonitored, the ingest stream itself — and checkpoint
+        // replays re-hit the same refusal: a poison batch). So the
+        // monitor degrades gracefully: probe ver_a's retention first
+        // (one partition-pruned existence read — version-count rows,
+        // never data), and keep a narrow catch around the drift write
+        // for a vacuum racing between the probe and the serve (or
+        // as-of history destroyed underneath it, the same refusal
+        // class). The stamp above already landed either way; the gap
+        // is reported, not fatal. A vacuum can never make the as-of
+        // read silently serve a WRONG older version: retention drops
+        // every version below its cut except the newest, so if ver_a
+        // is gone nothing at-or-below it survives and the serve
+        // refuses loudly — which is what this degrade path absorbs.
+        val verARetained =
+          try {
+            !store.read(versionedEntity, s)
+              .filter(org.apache.spark.sql.functions
+                .col("trained_at").cast("long") === p).isEmpty
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        if (!verARetained)
+          System.err.println(s"[drift-monitor] $family version " +
+            s"$p was vacuumed before batch $batch could report the " +
+            s"$p -> $cur drift; stamped the new version without a " +
+            "report")
+        else
+          try {
+            store.write(s"${family}_version_drift",
+              drift(p, cur)
+                .withColumn("batch", lit(batch))
+                .withColumn("ver_a", lit(p))
+                .withColumn("ver_b", lit(cur)),
+              Seq("batch"))
+          } catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"[drift-monitor] $family version " +
+                s"drift $p -> $cur unavailable at batch $batch " +
+                s"(${e.getMessage}); stamped the new version without " +
+                "a report")
+          }
       }
     }
 

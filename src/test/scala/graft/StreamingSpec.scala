@@ -814,6 +814,72 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed drift rows diverged from the batch verb")
   }
 
+  test("version-drift monitor survives a vacuumed predecessor: the " +
+    "flip stamps the new version, skips the unavailable report, and " +
+    "the stream stays ALIVE (no poison batch)") {
+    import graft.queries.VectorOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-driftvac").toString
+    val store = new ParquetStore(s"$tmp/d")
+    VectorOps.persistAnnBooks(spark, dir, store)
+    val raw = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = WalkIngest.startMonitored(
+      in.toDF().toDF("vec_id", "embedding"), store, s"$tmp/ckpt")
+    try {
+      in.addData(raw.filter(_._1 % 3 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      VectorOps.trainStoredEmbeddings(spark, store) // version A
+      in.addData(raw.filter(_._1 % 3 == 1).toIndexedSeq)
+      q.processAllAvailable() // batch 1 stamps A
+      VectorOps.trainStoredEmbeddings(spark, store) // version B
+      val vers = store.read("node_embeddings", spark)
+        .select($"trained_at".cast("long")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      assert(vers.length == 2, s"expected two versions, got $vers")
+      // retention drops version A — the exact version batch 2's flip
+      // report would need as its ver_a (vacuum protects only the
+      // newest, which is precisely the one a flip replaces)
+      assert(VectorOps.vacuumEmbeddingVersions(spark, store,
+        keepFrom = vers.last) == 1)
+      // batch 2: flip A -> B with A gone. Before the degrade fix this
+      // refusal failed the micro-batch and TERMINATED the ingest
+      // stream (and every checkpoint replay re-hit it — poison batch);
+      // processAllAvailable rethrows a stream failure, so not throwing
+      // here IS the liveness assertion.
+      in.addData(raw.filter(_._1 % 3 == 2).toIndexedSeq)
+      q.processAllAvailable()
+      // ...and the stream keeps processing SUBSEQUENT batches (fresh
+      // vec_ids so batch 3 is genuinely new corpus)
+      in.addData(raw.take(16).map { case (id, v) =>
+        (id + 100000L, v)
+      }.toIndexedSeq)
+      q.processAllAvailable()
+      val stamps = store.read("embed_serving", spark)
+        .select($"batch".cast("long"), $"trained_at".cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch 1 stamped A; batches 2 and 3 stamp B (the flip batch
+      // still stamps — only the report is unavailable)
+      assert(stamps.keySet == Set(1L, 2L, 3L), s"stamps: $stamps")
+      assert(stamps(1L) == vers.head && stamps(2L) == vers.last &&
+        stamps(3L) == vers.last, s"stamps: $stamps vs $vers")
+      // no drift report landed: ver_a was vacuumed, and retention
+      // guarantees nothing at-or-below it survives for the as-of read
+      // to silently substitute
+      val driftRows =
+        try store.read("embed_version_drift", spark).count()
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => 0L
+        }
+      assert(driftRows == 0L,
+        s"drift report landed despite vacuumed ver_a ($driftRows rows)")
+    } finally q.stop()
+  }
+
   test("ANN-book version monitor: a legal retrain between ticks lands " +
     "the batch annVersionDrift rows; on an ingest store the flip " +
     "cannot happen because the retrain itself refuses") {
