@@ -204,7 +204,18 @@ object Bench {
         // deeper overlap both shaves the tail and dampens exposure
         // to one stalled job under host pressure; par 32 regressed
         // t1 segment (13.4 vs 8.4 s), so full-width is too deep.
-        parallelism = sys.env.get("SPARK_GRAFT_JQ_PAR").map(_.toInt)
+        parallelism = sys.env.get("SPARK_GRAFT_JQ_PAR")
+          .flatMap { v =>
+            // validated override: a typo'd value must not crash the
+            // bench at startup, and 0/negative would build a hung or
+            // crashing job queue instead of a clear error
+            val p = v.toIntOption.filter(_ > 0)
+            if (p.isEmpty)
+              System.err.println(s"[bench] ignoring SPARK_GRAFT_JQ_PAR" +
+                s"='$v' (not a positive integer); using the computed " +
+                "default")
+            p
+          }
           .getOrElse(math.max(4, cpus.toInt * 3 / 4)))
       def timed(f: => Unit): Double = {
         val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
@@ -341,9 +352,10 @@ object Bench {
       // runs 8 checkpointed matvec rounds; the consumer re-derives the
       // trainer — both pay multi-job overhead cold
       "x122_embed_train", "x123_embed_neighbors",
-      // round-11: the d=4 trainer pays the same per-round scheduler
-      // tax as x122 plus the batched ladder's per-dim scalar actions
-      "x124_embed_train_d4")
+      // round-13 split halves: the d=4 trainer over the FIXTURE pair
+      // relation (pure ladder scheduler cost — pins.x124's target)
+      // and its serve-shaped consumer (same fixture train + the rank)
+      "x124_embed_train_d4", "x127_embed_serve_d4")
     // MIN of two isolated runs per query: the r7 record showed single
     // warm samples can inflate 5-10x on driver-VM contention (x40
     // 9.1 s / x87 51 s in the round run vs 1.4 s / 4.1 s reproduced
@@ -378,88 +390,125 @@ object Bench {
     // one catches scheduler/CPU contention, the heavy one catches the
     // memory-bandwidth contention the light one is blind to
     val contended = cSpread > 3.0 || c2Spread > 3.0
-    val cJson = s"""{"samples":[${canarySamples.mkString(",")}],""" +
-      s""""spread":$cSpread,"contended":${cSpread > 3.0}}"""
-    val c2Json = s"""{"samples":[${canary2Samples.mkString(",")}],""" +
-      s""""spread":$c2Spread,"contended":${c2Spread > 3.0}}"""
+    import BenchPins.f3
+    def canaryJson(xs: Seq[Double], spread: Double): String =
+      s"""{"samples":[${xs.map(f3).mkString(",")}],""" +
+        s""""spread":${f3(spread)},"contended":${spread > 3.0}}"""
+    val cJson = canaryJson(canarySamples.toSeq, cSpread)
+    val c2Json = canaryJson(canary2Samples.toSeq, c2Spread)
     // Machine-checked performance pins (the r10 agreement): a pinned
     // query exceeding its bar in a CANARY-CLEAN record fails the
     // report visibly — prose bars don't regress loudly, JSON does.
-    // x107's revised 3.5 s bar (documented 39-stage floor) is pinned
-    // on the warm (min-of-2) number; a contended record can't enforce
-    // it honestly, so the pin records enforced=false there.
-    val x107Warm = warm.toMap.getOrElse("x107_release_manifest", -1.0)
-    val x107Violated = !contended && x107Warm > 3.5
-    // weather references ship INSIDE the pin: the heavy-text class
-    // shifts ~1.4x together under host pressure both canaries miss
-    // (measured r11: x75, byte-identical since r9, read 2.77 and
-    // 3.99 s in two same-day canary-clean records) — a violated bit
-    // must be readable against untouched same-class bodies from the
-    // SAME record, mechanically, not by archaeology
-    val refs = Seq("x75_bm25_wand", "x43_ann_ivfpq_trained")
-      .map(n => s""""$n":${warm.toMap.getOrElse(n, -1.0)}""")
-      .mkString("{", ",", "}")
-    // x124 split-threshold pin (the x107 lesson applied forward): the
-    // r10 agreement says split the embedding trainer's
-    // oracle-standalone body if the chain exceeds ~12 s — pinned NOW
-    // so the decision fires mechanically when d grows, not by
-    // archaeology over old records. Same weather refs as x107.
-    val x124Warm = warm.toMap.getOrElse("x124_embed_train_d4", -1.0)
-    val x124Violated = !contended && x124Warm > 12.0
-    // Lifecycle stage cross-check (the r11 lesson: the official
-    // record shipped t2 prediction 64.9 s — a ~4.7x weather artifact
-    // vs 12.9-13.7 s reproduced — with every health bit green):
-    // per-chip jobs are independent partitions, so each stage's
-    // s/chip must hold ~flat from t1's grid to t2's. A t2 stage
-    // whose s/chip exceeds 2x t1's flags the stage block the way
-    // pins.x107 flags the query — it WOULD have fired on the r11
-    // record (prediction 0.649 s/chip vs t1's 0.137). TWO-SIDED
-    // (the r12 run-D lesson): when t1 is the corrupted grid the
-    // ratio drops BELOW its natural band instead — clean records
-    // read 0.66-1.15 (t1's fixed overhead amortizes over fewer
-    // chips, so t2/t1 < 1 is the healthy shape) while a t1-segment
-    // corruption read 0.28 — so a ratio under 0.5 flags the block
-    // the same way. Checked on the min-of-2 values the record ships
-    // as the stage numbers; the raw runs ride alongside for
-    // attribution of WHICH grid carried the weather.
-    def perChip(v: Double, chips: Int): Double =
-      if (v > 0 && chips > 0) v / chips else -1.0
-    def stageRatio(s1: Double, s2: Double): Double = {
-      val (a, b) = (perChip(s1, t1Chips), perChip(s2, t2Chips))
-      if (a > 0 && b > 0) b / a else -1.0
+    // Calibration, classification, and the r12-record regression
+    // fixtures live in [[BenchPins]] (unit-replayed by BenchPinsSpec).
+    //
+    // DEWEATHERED (the r13 ask): two rounds of official records
+    // stamped `violated: true` on pure box pressure (x107 r11+r12,
+    // x124 r12 — every one attributed to weather after the fact), so
+    // a fired pin now (a) re-probes the query min-of-3 — one-shot
+    // spikes never stamp at all — and (b) stamps the DISTINCT value
+    // "weather" when the record's own untouched reference queries
+    // read >1.3x their pinned clean anchors. A genuine regression
+    // (refs in band) still stamps an unqualified true.
+    val warmMap = warm.toMap
+    def reprobe(name: String): Double =
+      SparkEntry.queries.get(name).map { fn =>
+        val good = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val d = (System.nanoTime() - t0) / 1e9
+          perQueryIsolate()
+          if (ok) Some(d) else None
+        }
+        if (good.nonEmpty) good.min else -1.0
+      }.getOrElse(-1.0)
+    val refs = BenchPins.RefAnchors.map { case (n, a) =>
+      (n, warmMap.getOrElse(n, -1.0), a)
     }
-    val segRatio = stageRatio(t1._2, t2._2)
-    val predRatio = stageRatio(t1._4, t2._4)
-    def off(r: Double): Boolean = r > 2.0 || (r > 0 && r < 0.5)
-    val stagesViolated = off(segRatio) || off(predRatio)
-    val lifecyclePin =
-      s"""{"bar_ratio":2.0,"bar_ratio_low":0.5,""" +
-        s""""segment_per_chip_ratio":$segRatio,""" +
-        s""""prediction_per_chip_ratio":$predRatio,""" +
-        s""""violated":$stagesViolated}"""
+    def pinOf(name: String, bar: Double)
+        : (Double, Double, BenchPins.Violation) = {
+      val w = warmMap.getOrElse(name, -1.0)
+      val rp = if (!contended && w > bar) reprobe(name) else -1.0
+      (w, rp, BenchPins.classify(w, bar, !contended, rp, refs))
+    }
+    val (x107Warm, x107Rp, x107V) = pinOf("x107_release_manifest", 3.5)
+    // x124 retargeted to the TRAIN-REPLAY half (the r12 agreement
+    // honored: the chain split into fixture-train + fixture-serve
+    // entries, the corpus-scale walk derivation gone from both): the
+    // bar derives from the half's anchored scheduler-job budget —
+    // ScaleGuardsSpec's 3·(d+1)·iters + 40 = 160 jobs at a ~40 ms
+    // clean per-job budget ≈ 6.4 s, rounded to 6.5 (measured 5.9-7.1
+    // warm at 1.2-1.3x box pressure → ~4.5-5.5 clean; the wall is
+    // pure scheduler latency — 130 stages, 3.3 s stage-sum — so the
+    // pin now watches exactly the cost the ladder's design accepts).
+    val x124Bar = 6.5
+    val (x124Warm, x124Rp, x124V) = pinOf("x124_embed_train_d4", x124Bar)
+    val lp = BenchPins.lifecyclePin(t1, t2, t2Runs, t1Chips, t2Chips)
+    def queryPinJson(bar: Double, w: Double, rp: Double,
+        v: BenchPins.Violation): String =
+      s"""{"bar_sec":$bar,"warm_sec":${f3(w)},""" +
+        s""""reprobe_sec":${f3(rp)},"enforced":${!contended},""" +
+        s""""violated":${v.json},""" +
+        s""""weather_refs":${BenchPins.refsJson(refs)}}"""
     val pinsJson =
-      s"""{"x107_release_manifest":{"bar_sec":3.5,""" +
-        s""""warm_sec":$x107Warm,"enforced":${!contended},""" +
-        s""""violated":$x107Violated,"weather_refs":$refs},""" +
-        s""""x124_embed_train_d4":{"bar_sec":12.0,""" +
-        s""""warm_sec":$x124Warm,"enforced":${!contended},""" +
-        s""""violated":$x124Violated,"weather_refs":$refs},""" +
-        s""""lifecycle_stages":$lifecyclePin}"""
-    if (x107Violated)
+      s"""{"x107_release_manifest":${
+        queryPinJson(3.5, x107Warm, x107Rp, x107V)},""" +
+        s""""x124_embed_train_d4":${
+          queryPinJson(x124Bar, x124Warm, x124Rp, x124V)},""" +
+        s""""lifecycle_stages":${lp.json}}"""
+    def pinAlert(name: String, v: BenchPins.Violation, w: Double,
+        rp: Double, bar: Double): Unit =
+      if (v.fired)
+        System.err.println(s"[bench] PIN ${
+          if (v == BenchPins.Weather) "elevated (weather)"
+          else "VIOLATED"}: $name warm ${f3(w)} s / reprobe ${f3(rp)} " +
+          s"s > $bar s bar" +
+          (if (v == BenchPins.Weather)
+            " — the record's weather refs are elevated; box, not code"
+          else " in a canary-clean, refs-in-band record"))
+    pinAlert("x107_release_manifest", x107V, x107Warm, x107Rp, 3.5)
+    pinAlert("x124_embed_train_d4", x124V, x124Warm, x124Rp, x124Bar)
+    if (lp.violated)
       System.err.println(
-        s"[bench] PIN VIOLATED: x107_release_manifest warm " +
-          s"$x107Warm s > 3.5 s bar in a canary-clean record")
-    if (x124Violated)
-      System.err.println(
-        s"[bench] PIN VIOLATED: x124_embed_train_d4 warm $x124Warm " +
-          "s > 12.0 s split threshold in a canary-clean record — " +
-          "split the trainer chain's oracle-standalone body")
-    if (stagesViolated)
-      System.err.println(
-        s"[bench] PIN VIOLATED: lifecycle stage s/chip ratio t2/t1 " +
-          s"segment=$segRatio prediction=$predRatio exceeds 2.0 — " +
-          "the stage numbers carry weather; read the raw runs")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"stages":$stages,"canary":$cJson,"canary2":$c2Json,"contended":$contended,"pins":$pinsJson,"sf":"$sfDir"}""")
+        s"[bench] PIN VIOLATED: lifecycle stages — segment ratio ${
+          f3(lp.segRatio)}, prediction ratio ${f3(lp.predRatio)}, " +
+          s"tile wall ratio ${f3(lp.tileWallRatio)}, both-runs " +
+          s"flags [${lp.bothRuns.mkString("; ")}] — the stage " +
+          "numbers carry weather; read the raw runs")
+    // Sidecar record (the r13 ask): the full per-query/warm dicts
+    // outgrew the driver's capture window — BENCH_r11 AND r12 both
+    // shipped "parsed": null with the headline line visibly truncated
+    // mid-dict. The complete record lands in a sidecar file (path in
+    // the headline) and the final stdout line stays compact: totals +
+    // stages/runs + canaries + pins, every float 3-decimal.
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
+      "BENCH_DETAILS.json")
+    val sidecar =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"warm":$ws,"stages":$stages,""" +
+        s""""canary":$cJson,"canary2":$c2Json,""" +
+        s""""contended":$contended,"pins":$pinsJson,"sf":"$sfDir"}"""
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailsPath),
+        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write sidecar " +
+          s"$detailsPath: ${e.getMessage}")
+    }
+    def stageJson3(t: (Double, Double, Double, Double)): String =
+      s"""{"segment":${f3(t._2)},"tile":${f3(t._3)},""" +
+        s""""prediction":${f3(t._4)}}"""
+    def stageRuns3(min: (Double, Double, Double, Double),
+        runs: Seq[(Double, Double, Double, Double)]): String =
+      stageJson3(min).dropRight(1) +
+        s""","runs":[${runs.map(stageJson3).mkString(",")}]}"""
+    val stages3 =
+      s"""{"t1":${stageRuns3(t1, t1Runs)}""" +
+        s""","t2":${stageRuns3(t2, t2Runs)}""" +
+        t3.fold("")(t => s""","t3":${stageJson3(t._2)}""") + "}"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","stages":$stages3,"canary":$cJson,"canary2":$c2Json,"contended":$contended,"pins":$pinsJson,"details":"$detailsPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
