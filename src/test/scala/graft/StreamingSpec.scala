@@ -1047,6 +1047,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("data-drift MONITOR: per-batch PSI/TV verdicts land under the " +
+    "batch's own partition at ingest time, row-identical to the " +
+    "batch x126 over the same prefix — including across a mid-stream " +
+    "distribution shift") {
+    import graft.queries.TextOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-datadrift").toString
+    val store = new ParquetStore(s"$tmp/d")
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    // the injected shift: a flood of DEGRADED candidate-half docs
+    // (odd ids — qualityBucketCounts' candidate side) on one source,
+    // ids disjoint from the corpus
+    val shiftSrc = docs.map(_._2).min
+    val shift = (0 until 100).map(k =>
+      (200001L + 2 * k, shiftSrc, "the the the the the"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = DriftMonitor.dataDriftMonitor(
+      in.toDF().toDF("doc_id", "source", "text"), store, s"$tmp/ckpt")
+    def landed(batch: Long) =
+      store.read("quality_drift", spark)
+        .filter($"batch".cast("long") === batch)
+        .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    def batchOver(d: org.apache.spark.sql.DataFrame) =
+      TextOps.psiDriftOver(TextOps.qualityBucketCounts(d))
+        .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    try {
+      in.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      // batch 0's verdicts are on disk ALREADY — ingest-time flagging,
+      // not the next batch report — and row-identical to the batch
+      // x126 body over the same corpus
+      val v0 = landed(0L)
+      assert(v0.nonEmpty && v0 == batchOver(
+        graft.Tables.spread(spark, dir, "documents")), "batch-0 drift")
+      in.addData(shift.toIndexedSeq)
+      q.processAllAvailable()
+      // batch 1's verdicts integrate the shift and stay row-identical
+      // to a batch build over the full prefix
+      val v1 = landed(1L)
+      val want = batchOver(
+        graft.Tables.spread(spark, dir, "documents")
+          .select($"doc_id", $"source", $"text")
+          .unionByName(spark.createDataset(shift.toIndexedSeq)
+            .toDF("doc_id", "source", "text")))
+      assert(v1 == want, "batch-1 drift diverged from the batch build")
+      // ...and the monitor actually FLAGS the shift: the flooded
+      // source's PSI jumps at the shift batch
+      val p0 = v0.find(_._1 == shiftSrc).get._5
+      val p1 = v1.find(_._1 == shiftSrc).get._5
+      assert(p1 > p0, s"psi did not move on the shift: $p0 -> $p1")
+    } finally q.stop()
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
