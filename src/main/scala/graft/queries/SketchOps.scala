@@ -442,7 +442,7 @@ object SketchOps {
     * crash-safe [[graft.store.StagedFold]] (stage → intent marker →
     * move, crashed moves rolled forward; the family horizon then
     * makes below-horizon appends and as-of reads refuse loudly). */
-  private def compactSketchEntity(s: org.apache.spark.sql.SparkSession,
+  private[graft] def compactSketchEntity(s: org.apache.spark.sql.SparkSession,
       store: graft.store.Store, family: String, entity: String,
       merge: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame,

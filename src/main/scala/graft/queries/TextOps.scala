@@ -2310,6 +2310,31 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Retention/compaction for the data-drift monitor's count table:
+    * the monitor lands one `quality_bucket_counts` partition per
+    * micro-batch, and its cumulative read scans every landed
+    * partition — bounded state (counts add), but unbounded PARTITION
+    * COUNT: at a million micro-batches the per-batch verdict read
+    * lists a million directories. This folds all landed batches into
+    * one consolidated partition under the newest batch id through the
+    * crash-safe [[graft.store.StagedFold]] (the sketch families'
+    * shared discipline): counts are a merge-by-sum sketch, so the
+    * fold is the |sources|×10-row rollup. The family horizon advances
+    * with the fold; the monitor's append guard then refuses a
+    * replayed batch at/below it loudly (a delete-before-write replay
+    * would destroy every other row folded with it) — run compaction
+    * as the family's offline maintenance job, never under the live
+    * monitor, exactly like the other sketch folds. Verdict rows
+    * (`quality_drift`) are the per-batch PRODUCT, not state — they
+    * are never folded. */
+  def compactQualityCounts(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit =
+    SketchOps.compactSketchEntity(s, store, "qualitydrift",
+      "quality_bucket_counts",
+      df => df.groupBy($"source", $"bucket")
+        .agg(sum($"r").as("r"), sum($"c").as("c")),
+      Seq("source", "bucket", "r", "c"))
+
   /** x93 body: canonical-by-QUALITY resolution of near-dup clusters —
     * the production dedup selection rule. x19 gives the transitive
     * near-dup components; of each cluster this keeps the member with

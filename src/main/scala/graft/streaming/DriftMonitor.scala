@@ -172,34 +172,50 @@ object DriftMonitor {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val s = b.sparkSession
-        import org.apache.spark.sql.functions.{col, lit, sum}
-        val counts = graft.queries.TextOps.qualityBucketCounts(b)
-          .withColumn("batch", lit(id))
-          .localCheckpoint(true)
-        if (!counts.isEmpty)
-          store.write("quality_bucket_counts", counts, Seq("batch"))
-        val cum =
-          try {
-            store.read("quality_bucket_counts", s)
-              .filter(col("batch").cast("long") <= id)
-              .groupBy(col("source"), col("bucket"))
-              .agg(sum(col("r")).as("r"), sum(col("c")).as("c"))
-              .localCheckpoint(true)
-          } catch {
-            // nothing landed yet (every batch so far empty)
-            case _: org.apache.spark.sql.AnalysisException =>
-              counts.limit(0).select(col("source"), col("bucket"),
-                col("r"), col("c"))
-          }
-        if (!cum.isEmpty)
-          store.write("quality_drift",
-            graft.queries.TextOps.psiDriftOver(cum)
-              .withColumn("batch", lit(id)),
-            Seq("batch"))
+        dataDriftBatch(store, b, id)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** One monitor micro-batch, extracted so the compaction-replay
+    * refusal is directly testable. The append guard runs FIRST: a
+    * replayed batch id at/below the family's compaction horizon
+    * ([[graft.queries.TextOps.compactQualityCounts]]) would
+    * delete-before-write the consolidated partition and silently
+    * destroy every other batch folded with it — refusing loudly is
+    * correct here (unlike the vacuum degrade above) because
+    * compaction under a live monitor is forbidden by the fold
+    * families' contract, and continuing the SAME checkpoint after an
+    * offline fold keeps ids strictly above the horizon. */
+  private[graft] def dataDriftBatch(store: Store,
+      b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val s = b.sparkSession
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    graft.store.Horizon.requireAppendable(store, s, "qualitydrift", id)
+    val counts = graft.queries.TextOps.qualityBucketCounts(b)
+      .withColumn("batch", lit(id))
+      .localCheckpoint(true)
+    if (!counts.isEmpty)
+      store.write("quality_bucket_counts", counts, Seq("batch"))
+    val cum =
+      try {
+        store.read("quality_bucket_counts", s)
+          .filter(col("batch").cast("long") <= id)
+          .groupBy(col("source"), col("bucket"))
+          .agg(sum(col("r")).as("r"), sum(col("c")).as("c"))
+          .localCheckpoint(true)
+      } catch {
+        // nothing landed yet (every batch so far empty)
+        case _: org.apache.spark.sql.AnalysisException =>
+          counts.limit(0).select(col("source"), col("bucket"),
+            col("r"), col("c"))
+      }
+    if (!cum.isEmpty)
+      store.write("quality_drift",
+        graft.queries.TextOps.psiDriftOver(cum)
+          .withColumn("batch", lit(id)),
+        Seq("batch"))
+  }
 
   /** Standalone ANN-book version monitor on its own clock. The ANN
     * family is the one versioned family whose retrains are ILLEGAL on

@@ -1110,6 +1110,87 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("data-drift count-table compaction: landed batches fold to ONE " +
+    "partition, the folded verdict is bit-identical, the same-" +
+    "checkpoint monitor continues above the horizon, and a replayed " +
+    "batch below it refuses loudly") {
+    import graft.queries.TextOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-driftcompact").toString
+    val store = new ParquetStore(s"$tmp/d")
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    def counts() = store.read("quality_bucket_counts", spark)
+    def batches() = counts().select($"batch".cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    def verdictOf(c: org.apache.spark.sql.DataFrame) =
+      TextOps.psiDriftOver(
+          c.select($"source", $"bucket".cast("long").as("bucket"),
+            $"r".cast("long").as("r"), $"c".cast("long").as("c"))
+            .groupBy($"source", $"bucket")
+            .agg(org.apache.spark.sql.functions.sum($"r").as("r"),
+              org.apache.spark.sql.functions.sum($"c").as("c")))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = DriftMonitor.dataDriftMonitor(
+      in.toDF().toDF("doc_id", "source", "text"), store, s"$tmp/ckpt")
+    try {
+      in.addData(docs.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches() == Seq(0L, 1L))
+    val before = verdictOf(counts())
+    TextOps.compactQualityCounts(spark, store)
+    // all history folded into the newest batch id's one partition...
+    assert(batches() == Seq(1L), s"fold left ${batches()}")
+    // ...reproducing the pre-fold cumulative verdict exactly (counts
+    // are a merge-by-sum sketch; the fold IS the merge rule)
+    assert(verdictOf(counts()) == before && before.nonEmpty)
+    // idempotent: a re-run over the already-compact table no-ops
+    TextOps.compactQualityCounts(spark, store)
+    assert(batches() == Seq(1L) && verdictOf(counts()) == before)
+    // the SAME checkpoint continues above the horizon: the restarted
+    // monitor's next micro-batch id (2) clears the guard, and its
+    // verdict reads base + tail = a batch build over the full prefix
+    val q2 = DriftMonitor.dataDriftMonitor(
+      in.toDF().toDF("doc_id", "source", "text"), store, s"$tmp/ckpt")
+    try {
+      in.addData(docs.take(50).map { case (id, src, t) =>
+        (id + 300000L, src, t)
+      }.toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val v2 = store.read("quality_drift", spark)
+      .filter($"batch".cast("long") === 2L)
+      .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val full = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .unionByName(spark.createDataset(docs.take(50).map {
+        case (id, src, t) => (id + 300000L, src, t)
+      }.toIndexedSeq).toDF("doc_id", "source", "text"))
+    assert(v2 == TextOps.psiDriftOver(TextOps.qualityBucketCounts(full))
+      .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq,
+      "post-compaction verdict diverged from the full-prefix build")
+    // a replayed batch at/below the horizon refuses loudly instead of
+    // delete-before-writing the consolidated partition
+    val e = intercept[IllegalArgumentException] {
+      DriftMonitor.dataDriftBatch(store,
+        spark.createDataset(docs.take(5).toIndexedSeq)
+          .toDF("doc_id", "source", "text"), 0L)
+    }
+    assert(e.getMessage.contains("compaction horizon"), e.getMessage)
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
