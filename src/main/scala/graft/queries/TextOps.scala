@@ -2310,6 +2310,31 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** As-of drift verdict over the monitor's PERSISTED count table —
+    * the sketch families' snapshot verb applied to data drift: the
+    * counts are batch-partitioned, so "the drift report as of batch
+    * B" is the same |sources|×10-row read over the `batch <= B`
+    * partition cut (a directory prune, no history replay). Guarded by
+    * the family's maintenance horizon: history below a fold was
+    * physically consolidated and refuses rather than silently serving
+    * the folded (newer) state under an old batch id. Default serves
+    * the latest state — the standing drift report between monitor
+    * ticks. */
+  def psiDriftAsOf(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store,
+      asOfBatch: Long = graft.store.Snapshot.Latest)
+      : org.apache.spark.sql.DataFrame = {
+    graft.store.Horizon.requireServable(store, s, "qualitydrift",
+      asOfBatch)
+    val counts = graft.store.Snapshot.cut(
+        store.read("quality_bucket_counts", s), asOfBatch)
+      .select($"source", $"bucket".cast("long").as("bucket"),
+        $"r".cast("long").as("r"), $"c".cast("long").as("c"))
+      .groupBy($"source", $"bucket")
+      .agg(sum($"r").as("r"), sum($"c").as("c"))
+    psiDriftOver(counts)
+  }
+
   /** Retention/compaction for the data-drift monitor's count table:
     * the monitor lands one `quality_bucket_counts` partition per
     * micro-batch, and its cumulative read scans every landed

@@ -1146,7 +1146,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
     assert(batches() == Seq(0L, 1L))
     val before = verdictOf(counts())
+    def landedV(b: Long) = store.read("quality_drift", spark)
+      .filter($"batch".cast("long") === b)
+      .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    def asOfV(b: Long) = TextOps.psiDriftAsOf(spark, store, b)
+      .select($"source", $"n_ref", $"n_cand", $"tv_ppm", $"psi6")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // the as-of snapshot verb: the report as of batch 0 reproduces the
+    // verdict the monitor landed AT batch 0; latest matches batch 1
+    assert(asOfV(0L) == landedV(0L) && asOfV(0L).nonEmpty)
+    assert(asOfV(Long.MaxValue) == landedV(1L))
     TextOps.compactQualityCounts(spark, store)
+    // history below the fold is physically consolidated — the as-of
+    // read refuses rather than serving folded state under an old id
+    val eh = intercept[IllegalArgumentException] {
+      TextOps.psiDriftAsOf(spark, store, 0L).collect()
+    }
+    assert(eh.getMessage.contains("maintenance horizon"), eh.getMessage)
+    assert(asOfV(Long.MaxValue) == before,
+      "post-fold latest as-of diverged from the folded cumulative")
     // all history folded into the newest batch id's one partition...
     assert(batches() == Seq(1L), s"fold left ${batches()}")
     // ...reproducing the pre-fold cumulative verdict exactly (counts
