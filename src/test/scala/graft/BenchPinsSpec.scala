@@ -64,6 +64,26 @@ class BenchPinsSpec extends AnyFunSuite {
     assert(q.tileWallRatio === 3.5 && q.violated, q)
   }
 
+  test("the round-13 official record replays: lifecycle in-band at " +
+    "0.647/1.16/0.934, x124 clean under its retargeted bar, x107 " +
+    "stamps weather on the x75 elevation") {
+    // records/bench_full_20260816T1908Z_sf0.1.json, verbatim
+    val t1 = (13.0, 7.478, 2.230, 3.106)
+    val t2 = (34.0, 19.339, 2.586, 11.602)
+    val t2Runs = Seq((44.0, 19.339, 2.586, 21.981),
+      (38.0, 24.072, 2.751, 11.602))
+    val p = lifecyclePin(t1, t2, t2Runs, 25, 100)
+    assert(!p.violated && p.bothRuns.isEmpty, p)
+    assert(math.abs(p.segRatio - 0.647) < 0.01 &&
+      math.abs(p.tileWallRatio - 1.160) < 0.01 &&
+      math.abs(p.predRatio - 0.934) < 0.01, p)
+    val refs = Seq(("x75_bm25_wand", 4.476, 3.3),
+      ("x43_ann_ivfpq_trained", 4.141, 4.3))
+    assert(classify(4.927, 6.5, enforced = true, -1.0, refs) == Clean)
+    assert(classify(5.466, 3.5, enforced = true, 5.031,
+      refs) == Weather)
+  }
+
   test("deweather: the r12 official x107 reading classifies as " +
     "'weather' (x43 at 1.51x anchor), a refs-in-band excess as true, " +
     "a reprobe recovery as clean") {
