@@ -1907,4 +1907,38 @@ class ScaleGuardsSpec extends AnyFunSuite with SparkSpec {
         "step-at-a-time scalars")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("x107's plan fix is pinned STRUCTURALLY: the release-manifest " +
+    "body executes within its stage budget — the one-hash-layout " +
+    "shape, independent of box weather") {
+    // The r12 fix collapsed three shingle-frame exchanges into one
+    // repartition + shared cached distinct; a revert re-adds the
+    // exchanges AND recomputes the distinct per consumer (measured as
+    // 6-7 repeated full-width stages). Wall-clock cannot adjudicate
+    // that on this box (the 3.5 s time pin flip-flops inside the
+    // weather band), but STAGE COUNT is weather-immune: same data,
+    // same config, same plan => same stages. Budget = measured + 4 —
+    // tight enough that the revert's +6 stages trip it, loose enough
+    // for AQE's small run-to-run variance.
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.SparkEntry.queries("x107_release_manifest")(
+        spark, "/root/testdata/sf0.001").count()
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      val n = stages.get()
+      assert(n <= 40 && n >= 15,
+        s"x107 ran $n stages (budget 40; the one-layout shape " +
+          "measures ~35-36) — a structural plan regression, not " +
+          "weather: re-audit the shingle-frame exchanges")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
