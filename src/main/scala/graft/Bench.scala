@@ -423,16 +423,39 @@ object Bench {
         }
         if (good.nonEmpty) good.min else -1.0
       }.getOrElse(-1.0)
-    val refs = BenchPins.RefAnchors.map { case (n, a) =>
+    val refsWarm = BenchPins.RefAnchors.map { case (n, a) =>
       (n, warmMap.getOrElse(n, -1.0), a)
     }
-    def pinOf(name: String, bar: Double)
-        : (Double, Double, BenchPins.Violation) = {
-      val w = warmMap.getOrElse(name, -1.0)
-      val rp = if (!contended && w > bar) reprobe(name) else -1.0
-      (w, rp, BenchPins.classify(w, bar, !contended, rp, refs))
+    // window-matched refs: the warm-sweep ref readings can be minutes
+    // stale by the time a fired pin re-probes — under SHIFTING weather
+    // that mismatch could stamp an unqualified true against refs
+    // measured in a calmer window (or mask a regression against refs
+    // from a stormier one). When any pin survives its re-probe, the
+    // refs are re-probed min-of-3 ONCE in the same window and every
+    // surviving pin classifies against those; the record ships the
+    // values actually used.
+    lazy val refsNow = BenchPins.RefAnchors.map { case (n, a) =>
+      (n, reprobe(n), a)
     }
-    val (x107Warm, x107Rp, x107V) = pinOf("x107_release_manifest", 3.5)
+    def pinOf(name: String, bar: Double)
+        : (Double, Double, Seq[(String, Double, Double)],
+          BenchPins.Violation) = {
+      val w = warmMap.getOrElse(name, -1.0)
+      if (contended || w < 0 || w <= bar)
+        (w, -1.0, refsWarm,
+          BenchPins.classify(w, bar, !contended, -1.0, refsWarm))
+      else {
+        val rp = reprobe(name)
+        if (rp > 0 && rp <= bar)
+          (w, rp, refsWarm,
+            BenchPins.classify(w, bar, !contended, rp, refsWarm))
+        else
+          (w, rp, refsNow,
+            BenchPins.classify(w, bar, !contended, rp, refsNow))
+      }
+    }
+    val (x107Warm, x107Rp, x107Refs, x107V) =
+      pinOf("x107_release_manifest", 3.5)
     // x124 retargeted to the TRAIN-REPLAY half (the r12 agreement
     // honored: the chain split into fixture-train + fixture-serve
     // entries, the corpus-scale walk derivation gone from both): the
@@ -443,9 +466,11 @@ object Bench {
     // pure scheduler latency — 130 stages, 3.3 s stage-sum — so the
     // pin now watches exactly the cost the ladder's design accepts).
     val x124Bar = 6.5
-    val (x124Warm, x124Rp, x124V) = pinOf("x124_embed_train_d4", x124Bar)
+    val (x124Warm, x124Rp, x124Refs, x124V) =
+      pinOf("x124_embed_train_d4", x124Bar)
     val lp = BenchPins.lifecyclePin(t1, t2, t2Runs, t1Chips, t2Chips)
     def queryPinJson(bar: Double, w: Double, rp: Double,
+        refs: Seq[(String, Double, Double)],
         v: BenchPins.Violation): String =
       s"""{"bar_sec":$bar,"warm_sec":${f3(w)},""" +
         s""""reprobe_sec":${f3(rp)},"enforced":${!contended},""" +
@@ -453,9 +478,9 @@ object Bench {
         s""""weather_refs":${BenchPins.refsJson(refs)}}"""
     val pinsJson =
       s"""{"x107_release_manifest":${
-        queryPinJson(3.5, x107Warm, x107Rp, x107V)},""" +
+        queryPinJson(3.5, x107Warm, x107Rp, x107Refs, x107V)},""" +
         s""""x124_embed_train_d4":${
-          queryPinJson(x124Bar, x124Warm, x124Rp, x124V)},""" +
+          queryPinJson(x124Bar, x124Warm, x124Rp, x124Refs, x124V)},""" +
         s""""lifecycle_stages":${lp.json}}"""
     def pinAlert(name: String, v: BenchPins.Violation, w: Double,
         rp: Double, bar: Double): Unit =
