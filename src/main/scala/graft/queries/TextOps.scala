@@ -357,6 +357,27 @@ object TextOps {
   private val RefSources = Seq("src0", "src1")
   private val RefSourcesSql = RefSources.map(s => s"'$s'").mkString(", ")
 
+  /** x128 per-source boilerplate geometry: the template unit is a
+    * token 3-gram (the corpus has no newlines, so CCNet's "line"
+    * becomes a fixed n-gram, the x30 adaptation); a gram is
+    * boilerplate for a source when it appears in >= BoilerMinDocs of
+    * the source's docs AND in >= 10% of them (both gates exact
+    * integers). Declared before the qs map (oracle interpolation). */
+  private val BoilerN = 3
+  private val BoilerMinDocs = 3
+  private val BoilerMinPpm = 100000L
+
+  /** x129 repeated-substring window width in tokens (the ExactSubstr
+    * audit unit; Lee et al. 2022 use 50 BPE tokens on web text — 8
+    * carries the same signal on this corpus's short docs). */
+  private val SubstrW = 8
+
+  /** x130 fuzzy-decontamination verify threshold: exact shingle
+    * Jaccard >= 0.5 in ppm (Dolma flags paragraph overlap at lower
+    * bars; doc-level fuzzy matches are near-exact dups, so 0.5 is
+    * conservative AND every observed true match sits above 0.8). */
+  private val FuzzyJaccMinPpm = 500000L
+
   /** x14 body. The vocabulary-side join strategy is left to AQE: the
     * df relation's true size exists only after its aggregation runs,
     * and AQE converts the shuffled term join to a broadcast join at
@@ -4836,7 +4857,104 @@ object TextOps {
          |SELECT w, n FROM c, tot WHERE n * $HhK > tot
          |ORDER BY n DESC, w""".stripMargin) {
       (s, dir) => heavyHitters(s, dir)
-    })
+    },
+
+    // ----- x128 per-source boilerplate grams (see [[sourceBoilerplate]]):
+    // CCNet-style template detection — the repeated unit a crawl
+    // pipeline strips per DOMAIN before dedup — adapted to token
+    // 3-grams because the corpus has no line structure. Doc-frequency
+    // thresholds are exact integers (count + integer-ppm share), so
+    // both engines gate identically.
+    "x128_source_boilerplate" -> Q(
+      s"""WITH tk AS (SELECT doc_id, source, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |g AS (SELECT doc_id, source, unnest(${TS.shingles("tk", BoilerN)})
+         |    AS gram FROM tk WHERE len(tk) >= $BoilerN),
+         |f AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM g GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+         |  FROM tk WHERE len(tk) >= $BoilerN GROUP BY 1)
+         |SELECT source, gram, n_docs,
+         |  CAST(n_docs * 1000000 // src_docs AS BIGINT) AS share_ppm
+         |FROM f JOIN n USING (source)
+         |WHERE n_docs >= $BoilerMinDocs
+         |  AND n_docs * 1000000 // src_docs >= $BoilerMinPpm
+         |ORDER BY source, gram""".stripMargin) {
+      (s, dir) => sourceBoilerplate(s, dir)
+    },
+
+    // ----- x129 cross-document repeated-substring audit (see
+    // [[substrDedupAudit]]): the ExactSubstr protocol (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better") as a
+    // relational plan — fixed-width sliding windows, corpus-wide
+    // occurrence >= 2, per-doc duplicated-token coverage via a
+    // fixed-length interval merge (lag window; ends are monotone when
+    // starts are, so min(W, gap) IS the merge).
+    "x129_substr_dedup" -> Q({
+      val w = SubstrW
+      val winHash = TS.md5Long(
+        s"array_to_string(tk[CAST(i AS INT):CAST(i + ${w - 1} AS INT)], ' ')")
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk
+         |  FROM tk WHERE len(tk) >= $w),
+         |ix AS (SELECT doc_id, n_tokens, tk,
+         |    unnest(range(1, len(tk) + 2 - $w)) AS i FROM t),
+         |win AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS start,
+         |    $winHash AS h FROM ix),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         |m AS (SELECT doc_id, n_tokens, start, start - lag(start) OVER (
+         |    PARTITION BY doc_id ORDER BY start) AS gap
+         |  FROM win JOIN dup USING (h)),
+         |c AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    sum(CASE WHEN gap IS NULL THEN $w
+         |      ELSE least($w, gap) END) AS dup_tokens,
+         |    sum(CASE WHEN gap IS NULL OR gap > $w THEN 1 ELSE 0 END)
+         |      AS dup_spans
+         |  FROM m GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(dup_tokens AS BIGINT) AS dup_tokens,
+         |  CAST(dup_spans AS BIGINT) AS dup_spans,
+         |  CAST(dup_tokens * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => substrDedupAudit(s, dir) },
+
+    // ----- x130 fuzzy decontamination (see [[fuzzyDecontam]]): the
+    // MinHash-LSH variant of the benchmark scrub (Dolma's fuzzy
+    // dedupe applied cross-table, where x31/x105 are the exact-key
+    // protocols) — corpus×benchmark candidates via the x7 band
+    // machinery, exact shingle-Jaccard verify on the candidate sliver.
+    "x130_fuzzy_decontam" -> Q({
+      val sigCols = (0 until Sig)
+        .map(i => s"${TS.minhash("arr", i)} AS h$i").mkString(",\n         |  ")
+      val bandSel = (0 until Bands).map { b =>
+        val ks = (0 until RowsPerBand)
+          .map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, source, $b AS b, concat_ws('_', $ks) AS k FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, source, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, ${TS.shingles("tk", K)} AS arr
+         |  FROM tk WHERE len(tk) >= $K),
+         |sig AS (SELECT doc_id, source,
+         |  $sigCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandSel),
+         |cand AS (SELECT c.doc_id AS doc_id, r.doc_id AS bench_id
+         |  FROM bands c JOIN bands r ON c.b = r.b AND c.k = r.k
+         |  WHERE c.source NOT IN ($RefSourcesSql)
+         |    AND r.source IN ($RefSourcesSql)
+         |  GROUP BY 1, 2),
+         |v AS (SELECT cand.doc_id, bench_id,
+         |    CAST(len(list_intersect(x.arr, y.arr)) AS BIGINT) AS inter,
+         |    CAST(len(x.arr) + len(y.arr) AS BIGINT) AS ssum
+         |  FROM cand JOIN sh x ON cand.doc_id = x.doc_id
+         |    JOIN sh y ON cand.bench_id = y.doc_id)
+         |SELECT doc_id, bench_id,
+         |  CAST(inter * 1000000 // (ssum - inter) AS BIGINT) AS jaccard_ppm
+         |FROM v WHERE inter * 1000000 // (ssum - inter) >= $FuzzyJaccMinPpm
+         |ORDER BY doc_id, bench_id""".stripMargin
+    }) { (s, dir) => fuzzyDecontam(s, dir) })
 
   /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
     * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
@@ -5024,5 +5142,132 @@ object TextOps {
       .filter($"fp".isNotNull)
       .groupBy($"doc_id", $"fp").agg(count(lit(1)))
       .select($"doc_id", $"fp")
+  }
+
+  /** x128 body: per-source boilerplate/template grams — CCNet strips
+    * lines repeated across a domain's pages before dedup; with no line
+    * structure in this corpus the unit is a token 3-gram, and the gate
+    * is doc-frequency within the source (>= [[BoilerMinDocs]] docs AND
+    * >= [[BoilerMinPpm]] of the source's docs, both exact integers).
+    *
+    * Scale shape (100 TB): [[TextExprs.shingles]] is distinct-per-doc,
+    * so the (source, gram) count is a plain count(*) — ONE map-side-
+    * combinable shuffle over the exploded grams. The per-source doc
+    * count is a |sources|-row aggregate broadcast back; no second pass
+    * over the corpus, no window, no skew risk beyond the gram key
+    * itself (AQE-splittable). */
+  private[graft] def sourceBoilerplate(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .select($"doc_id", $"source", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= BoilerN)
+    val perSrc = docs.groupBy($"source")
+      .agg(count(lit(1)).as("src_docs"))
+    docs
+      .select($"doc_id", $"source",
+        explode(T.shingles($"tk", BoilerN)).as("gram"))
+      .groupBy($"source", $"gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(perSrc), "source")
+      .filter($"n_docs" >= BoilerMinDocs &&
+        $"n_docs" * 1000000L >= $"src_docs" * BoilerMinPpm)
+      .select($"source", $"gram", $"n_docs",
+        expr("n_docs * 1000000 div src_docs").as("share_ppm"))
+      .orderBy($"source", $"gram")
+  }
+
+  /** x129 body: the ExactSubstr dedup audit (Lee et al. 2022) — every
+    * [[SubstrW]]-token sliding window hashed to the canonical 48-bit
+    * content hash; a window content occurring >= 2 times corpus-wide
+    * (cross-doc or within-doc, the paper's criterion) marks its span
+    * duplicated; per doc the covered token count is the union of the
+    * fixed-length intervals. Because every interval has the SAME width
+    * W, interval ends are monotone in starts, and the union reduces to
+    * one lag: contribution = min(W, start − prev_start), a new span
+    * starts when the gap exceeds W. Output is the per-doc audit a
+    * trim pass would consume (n_tokens, dup_tokens, dup_spans,
+    * dup_ppm).
+    *
+    * Scale shape (100 TB): windows shuffle ONCE on the 8-byte hash
+    * (not the 50-byte window text) for the map-side-combinable
+    * occurrence count; the >= 2 sliver joins back on the same key
+    * (AQE picks broadcast when the dup set is small); the final
+    * doc_id window sorts only each doc's OWN dup starts — bounded by
+    * doc length, never corpus-wide. No all-pairs anywhere. */
+  private[graft] def substrDedupAudit(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    substrDedupOf(Tables.spread(s, dir, "documents"), SubstrW)
+
+  /** Frame-shaped x129 core over any (doc_id, text) frame — the
+    * registry body at [[SubstrW]]; the property spec drives it at
+    * arbitrary widths against a brute-force interval union. */
+  private[graft] def substrDedupOf(docs: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    val win = docs
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= w)
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(1), size($"tk") - (w - 1)),
+          i => T.md5Long(array_join(slice($"tk", i, lit(w)), " "))))
+          .as(Seq("off", "h")))
+      .select($"doc_id", $"n_tokens",
+        ($"off" + 1).cast("long").as("start"), $"h")
+    val dup = win.groupBy($"h")
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"start")
+    win.join(dup, "h")
+      .withColumn("gap", $"start" - lag($"start", 1).over(byDoc))
+      .select($"doc_id", $"n_tokens",
+        when($"gap".isNull, lit(w.toLong))
+          .otherwise(least(lit(w.toLong), $"gap")).as("contrib"),
+        when($"gap".isNull || $"gap" > w, 1L).otherwise(0L).as("ns"))
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        sum($"contrib").as("dup_tokens"),
+        sum($"ns").as("dup_spans"))
+      .select($"doc_id", $"n_tokens", $"dup_tokens", $"dup_spans",
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** x130 body: fuzzy benchmark decontamination — the MinHash-LSH
+    * cross-table variant of the scrub (Dolma's fuzzy protocol; x31 and
+    * x105 are the exact-key tiers). Candidates come from the SAME band
+    * machinery as x7 ([[signatureOf]]/[[bandRowsOf]], so recall
+    * replays exactly in the oracle); the verify is EXACT shingle
+    * Jaccard in integer ppm on the candidate sliver only.
+    *
+    * Scale shape (100 TB): the benchmark side is eval suites — small
+    * by nature — so its bands and shingle sets BROADCAST; the corpus
+    * is never self-joined and never all-paired, it flows map-side
+    * through signature → band probe → (sliver-only) verify. A
+    * benchmark too large to broadcast degrades to a shuffle join on
+    * the band key, nothing else changes. */
+  private[graft] def fuzzyDecontam(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+    val bench = docs.filter($"source".isin(RefSources: _*))
+    val corp = docs.filter(!$"source".isin(RefSources: _*))
+    def shOf(d: org.apache.spark.sql.DataFrame) = d
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= K)
+      .select($"doc_id", T.shingles($"tk", K).as("sh"))
+    val cand = bandRowsOf(signatureOf(corp, Sig), Sig, Bands)
+      .join(broadcast(bandRowsOf(signatureOf(bench, Sig), Sig, Bands)
+        .withColumnRenamed("doc_id", "bench_id")), Seq("b", "k"))
+      .select($"doc_id", $"bench_id").distinct()
+    cand
+      .join(shOf(corp), "doc_id")
+      .join(broadcast(shOf(bench)
+        .withColumnRenamed("doc_id", "bench_id")
+        .withColumnRenamed("sh", "bsh")), "bench_id")
+      .select($"doc_id", $"bench_id",
+        size(array_intersect($"sh", $"bsh")).cast("long").as("inter"),
+        (size($"sh") + size($"bsh")).cast("long").as("ssum"))
+      .filter($"inter" * 1000000L >= ($"ssum" - $"inter") * FuzzyJaccMinPpm)
+      .select($"doc_id", $"bench_id",
+        expr("inter * 1000000 div (ssum - inter)").as("jaccard_ppm"))
+      .orderBy($"doc_id", $"bench_id")
   }
 }

@@ -183,6 +183,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x129 substr audit: exactly one per-doc window (the interval " +
+    "merge), occurrence counting never sorts corpus-wide") {
+    val p = finalPlanOf("x129_substr_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the lag-merge is the ONLY window — duplicated-window detection
+    // must stay a hash aggregate, not a count() over a sorted window
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
+  test("x130 fuzzy decontam: candidates via band joins, benchmark side " +
+    "broadcast, never a corpus×benchmark cartesian") {
+    val p = finalPlanOf("x130_fuzzy_decontam")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x27 filter report is one scan into a 4-row aggregate") {
     val p = finalPlanOf("x27_filter_report")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)

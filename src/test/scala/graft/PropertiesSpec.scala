@@ -204,4 +204,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(e).exists(_.contains("64-bit overflow")),
       msgs(e).mkString(" | "))
   }
+
+  test("x129 fixed-width interval merge equals a brute-force position " +
+    "union for random corpora (adjacent/overlapping/gap edges)") {
+    // tiny vocabulary forces heavy window repeats: every merge edge —
+    // overlap (gap < w), exactly-adjacent (gap == w), and new-span
+    // (gap > w) — occurs in the sampled corpora
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.listOfN(12, Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab))))
+    val w = 3
+    (1 to 3).foreach { trial =>
+      val docs = sample(docGen, 100L + trial)
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = queries.TextOps.substrDedupOf(df, w)
+        .select($"doc_id", $"n_tokens", $"dup_tokens", $"dup_spans")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val wins = docs.zipWithIndex.flatMap { case (toks, d) =>
+        toks.sliding(w).filter(_.size == w).zipWithIndex
+          .map { case (win, i) => (win.mkString(" "), d.toLong, i) }
+      }
+      val cnt = wins.groupBy(_._1).view.mapValues(_.size).toMap
+      docs.zipWithIndex.foreach { case (toks, d) =>
+        val covered = wins
+          .filter(x => x._2 == d.toLong && cnt(x._1) >= 2)
+          .flatMap(x => x._3 until (x._3 + w)).toSet
+        if (covered.nonEmpty) {
+          val spans = covered.toSeq.sorted
+            .foldLeft((0, -2)) { case ((n, prev), p) =>
+              (if (p == prev + 1) n else n + 1, p)
+            }._1
+          val (nt, dt, ds) = got(d.toLong)
+          assert(nt == toks.size.toLong, s"trial $trial doc $d n_tokens")
+          assert(dt == covered.size.toLong, s"trial $trial doc $d dup_tokens")
+          assert(ds == spans.toLong, s"trial $trial doc $d dup_spans")
+        } else assert(!got.contains(d.toLong), s"trial $trial doc $d")
+      }
+    }
+  }
 }
