@@ -4954,7 +4954,44 @@ object TextOps {
          |  CAST(inter * 1000000 // (ssum - inter) AS BIGINT) AS jaccard_ppm
          |FROM v WHERE inter * 1000000 // (ssum - inter) >= $FuzzyJaccMinPpm
          |ORDER BY doc_id, bench_id""".stripMargin
-    }) { (s, dir) => fuzzyDecontam(s, dir) })
+    }) { (s, dir) => fuzzyDecontam(s, dir) },
+
+    // ----- x131 repeated-substring TRIM (see [[substrTrim]]): the
+    // apply side of the x129 audit — Lee et al.'s actual rewrite,
+    // keeping each duplicated window's FIRST corpus occurrence
+    // (min (doc_id, start), the x30 first-wins convention) and
+    // dropping every token covered only by later occurrences. A doc
+    // that is an exact copy of an earlier one trims to empty text.
+    "x131_substr_trim" -> Q({
+      val w = SubstrW
+      val winHash = TS.md5Long(
+        s"array_to_string(tk[CAST(i AS INT):CAST(i + ${w - 1} AS INT)], ' ')")
+      s"""WITH tk0 AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk
+         |  FROM tk0 WHERE len(tk) >= $w),
+         |ix AS (SELECT doc_id, tk,
+         |    unnest(range(1, len(tk) + 2 - $w)) AS i FROM t),
+         |win AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |    $winHash AS h FROM ix),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         |occ AS (SELECT doc_id, start, row_number() OVER (
+         |    PARTITION BY h ORDER BY doc_id, start) AS rn
+         |  FROM win JOIN dup USING (h)),
+         |rmp AS (SELECT DISTINCT doc_id, pos
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, $w),
+         |      o -> start + o)) AS pos FROM occ WHERE rn > 1)),
+         |rm AS (SELECT doc_id, list(pos) AS rm FROM rmp GROUP BY doc_id),
+         |j AS (SELECT t.doc_id, t.n_tokens, t.tk,
+         |    coalesce(rm.rm, []::BIGINT[]) AS rm
+         |  FROM t LEFT JOIN rm USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |  CAST(len(rm) AS BIGINT) AS removed_tokens,
+         |  coalesce(array_to_string(list_transform(list_filter(
+         |    range(1, len(tk) + 1), zp_ -> NOT list_contains(rm, zp_)),
+         |    zp_ -> tk[CAST(zp_ AS INT)]), ' '), '') AS text_trimmed
+         |FROM j ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => substrTrim(s, dir) })
 
   /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
     * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
@@ -5269,5 +5306,52 @@ object TextOps {
       .select($"doc_id", $"bench_id",
         expr("inter * 1000000 div (ssum - inter)").as("jaccard_ppm"))
       .orderBy($"doc_id", $"bench_id")
+  }
+
+  /** x131 body: the trim pass the x129 audit feeds (Lee et al.'s
+    * rewrite) — every duplicated window keeps its FIRST corpus
+    * occurrence, chosen as min (doc_id, start) via the x30 min-struct
+    * idiom (map-side combinable, equal to the oracle's
+    * row_number()=1); tokens covered only by later occurrences are
+    * dropped and the doc re-assembled in order.
+    *
+    * Scale shape (100 TB): dup detection and first-pick are the x129
+    * hash-keyed aggregates; removed POSITIONS exist only for the
+    * non-first sliver (W× that sliver, not the corpus); they fold to
+    * ONE array row per affected doc, so the rewrite is a doc-keyed
+    * sliver join + a map-side array_except over each doc's own
+    * positions — the corpus is never shuffled per token. A doc that
+    * duplicates an earlier doc entirely trims to empty text (rows are
+    * kept, text empties — the downstream filter decides). */
+  private[graft] def substrTrim(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = SubstrW
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens($"text").as("tk"))
+      .filter(size($"tk") >= w)
+    val win = tk.select($"doc_id",
+      posexplode(transform(sequence(lit(1), size($"tk") - (w - 1)),
+        i => T.md5Long(array_join(slice($"tk", i, lit(w)), " "))))
+        .as(Seq("off", "h")))
+      .select($"doc_id", ($"off" + 1).cast("long").as("start"), $"h")
+    val occ = win.join(win.groupBy($"h")
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h"), "h")
+    val first = occ.groupBy($"h")
+      .agg(min(struct($"doc_id", $"start")).as("f"))
+      .select($"h", $"f.doc_id".as("fdoc"), $"f.start".as("fstart"))
+    val rm = occ.join(first, "h")
+      .filter(!($"doc_id" === $"fdoc" && $"start" === $"fstart"))
+      .select($"doc_id",
+        explode(sequence($"start", $"start" + (w - 1))).as("pos"))
+      .groupBy($"doc_id").agg(collect_set($"pos").as("rm"))
+    tk.join(rm, Seq("doc_id"), "left")
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+        coalesce($"rm", array().cast("array<long>")).as("rm"), $"tk")
+      .select($"doc_id", $"n_tokens",
+        size($"rm").cast("long").as("removed_tokens"),
+        array_join(transform(
+          array_except(sequence(lit(1L), $"n_tokens"), $"rm"),
+          p => element_at($"tk", p.cast("int"))), " ").as("text_trimmed"))
+      .orderBy($"doc_id")
   }
 }
