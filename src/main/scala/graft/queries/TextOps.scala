@@ -4991,7 +4991,68 @@ object TextOps {
          |    range(1, len(tk) + 1), zp_ -> NOT list_contains(rm, zp_)),
          |    zp_ -> tk[CAST(zp_ AS INT)]), ' '), '') AS text_trimmed
          |FROM j ORDER BY doc_id""".stripMargin
-    }) { (s, dir) => substrTrim(s, dir) })
+    }) { (s, dir) => substrTrim(s, dir) },
+
+    // ----- x132 per-doc unigram entropy + type-token ratio (see
+    // [[tokenEntropy]]): the information-density quality features the
+    // repetition gates (x32/x88) don't capture — a doc can pass every
+    // top-gram share test and still be low-entropy spam. Per-term
+    // contributions (c/n)·ln(n/c) micro-integerized BEFORE the sum
+    // (x119's ln discipline) so the rollup is order-independent and
+    // bit-exact in both engines; TTR is plain integer ppm.
+    "x132_token_entropy" -> Q(
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("lower(text)")} AS tk
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM tk WHERE len(tk) >= 1),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+         |e AS (SELECT tf.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CAST(floor((c * 1.0 / n_tokens)
+         |      * ln(n_tokens * 1.0 / c) * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS entropy_micronats
+         |  FROM tf JOIN d USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id, n_tokens, n_types,
+         |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+         |  entropy_micronats
+         |FROM d JOIN e ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) => tokenEntropy(s, dir)
+    },
+
+    // ----- x133 per-source Zipf slope (see [[zipfSlope]]): the
+    // rank-frequency power-law fit as a corpus-health diagnostic —
+    // natural text sits near slope −1; synthetic/spammy sources
+    // deviate. ln(rank)/ln(count) micro-integerized per term (x119's
+    // discipline), then the least-squares slope is EXACT integer
+    // algebra: numerator sx·sy − n·sxy = −n²·cov ≥ 0 because counts
+    // are non-increasing in rank, so the ppm division never sees a
+    // negative operand (truncate-vs-floor division would diverge
+    // between engines there); 128-bit sums per the x67 rule.
+    "x133_zipf_source" -> Q(
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    ${TS.wsTokens("lower(text)")} AS tk FROM documents),
+         |t AS (SELECT source, unnest(tk) AS term FROM tk),
+         |tf AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+         |r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, term) AS rank FROM tf),
+         |m AS (SELECT source, c,
+         |    CAST(floor(ln(rank * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS xi,
+         |    CAST(floor(ln(c * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS yi
+         |  FROM r),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(xi) AS HUGEINT) AS sx, CAST(sum(yi) AS HUGEINT) AS sy,
+         |    sum(CAST(xi AS HUGEINT) * yi) AS sxy,
+         |    sum(CAST(xi AS HUGEINT) * xi) AS sxx
+         |  FROM m GROUP BY 1)
+         |SELECT source, n_terms, n_tokens,
+         |  CAST(((sx * sy - n_terms * sxy) * 1000000)
+         |    // (n_terms * sxx - sx * sx) AS BIGINT) AS zipf_neg_ppm
+         |FROM a WHERE n_terms >= 2 ORDER BY source""".stripMargin) {
+      (s, dir) => zipfSlope(s, dir)
+    })
 
   /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
     * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
@@ -5353,5 +5414,87 @@ object TextOps {
           array_except(sequence(lit(1L), $"n_tokens"), $"rm"),
           p => element_at($"tk", p.cast("int"))), " ").as("text_trimmed"))
       .orderBy($"doc_id")
+  }
+
+  /** x132 body: per-doc unigram Shannon entropy (micro-nats) and
+    * type-token ratio (ppm) — the information-density features a
+    * quality filter stacks beside the x32/x88 repetition gates: a doc
+    * can pass every top-gram share test and still be low-entropy spam
+    * (tiny effective vocabulary). Each term's (c/n)·ln(n/c) is
+    * micro-integerized BEFORE the per-doc sum (x119's ln discipline:
+    * the double math runs on identical rationals in both engines, the
+    * floor(·1e6 + 0.5) lands the same integer, and the SUM is then
+    * order-independent exact).
+    *
+    * Scale shape (100 TB): one token explode into a map-side-combinable
+    * (doc, term) count, then a doc-keyed rollup — two keyed shuffles,
+    * both AQE-splittable, no window, no join wider than the doc-length
+    * relation. */
+  private[graft] def tokenEntropy(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tk = Tables.spread(s, dir, "documents")
+      .select($"doc_id", T.wsTokens(lower($"text")).as("tk"))
+    val d = tk.filter(size($"tk") >= 1)
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"))
+    val tf = tk.select($"doc_id", explode($"tk").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val e = tf.join(d, "doc_id")
+      .select($"doc_id",
+        floor(($"c" * lit(1.0) / $"n_tokens")
+          * log($"n_tokens" * lit(1.0) / $"c") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("ci"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_types"), sum($"ci").as("entropy_micronats"))
+    d.join(e, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_types",
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        $"entropy_micronats")
+      .orderBy($"doc_id")
+  }
+
+  /** x133 body: per-source Zipf rank-frequency slope — the power-law
+    * fit data-quality teams use as a corpus-health check (natural text
+    * sits near −1; template/synthetic/spam sources flatten or steepen
+    * it). Terms rank per source by count (term tiebreak); ln(rank)
+    * and ln(count) micro-integerize per term, and the least-squares
+    * slope becomes exact integer algebra on the five per-source sums.
+    * The emitted value is the NEGATED slope in ppm: the numerator
+    * sx·sy − n·sxy = −n²·cov(x,y) is provably ≥ 0 (counts
+    * non-increasing in rank ⇒ cov ≤ 0), so the integer division never
+    * sees a negative operand — where Spark's `div` (truncate) and
+    * DuckDB's `//` (floor) would disagree. Sums widen per the x67
+    * 128-bit rule: Σxi·yi ≈ vocab·(ln·1e6)² passes 2^63 near a
+    * 40k-term vocabulary.
+    *
+    * Scale shape (100 TB): one token explode into a map-side-
+    * combinable (source, term) count; the rank window sorts each
+    * source's OWN vocabulary (vocab ≪ corpus, skew AQE-handled); the
+    * regression is a |sources|-row rollup. */
+  private[graft] def zipfSlope(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".desc, $"term")
+    val tf = Tables.spread(s, dir, "documents")
+      .select($"source", explode(T.wsTokens(lower($"text"))).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    tf.withColumn("rank", row_number().over(bySrc).cast("long"))
+      .select($"source", $"c",
+        floor(log($"rank" * lit(1.0)) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("xi"),
+        floor(log($"c" * lit(1.0)) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("yi"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"), sum($"c").as("n_tokens"),
+        sum($"xi").as("sx"), sum($"yi").as("sy"),
+        sum(expr("CAST(xi AS DECIMAL(38,0)) * yi")).as("sxy"),
+        sum(expr("CAST(xi AS DECIMAL(38,0)) * xi")).as("sxx"))
+      .filter($"n_terms" >= 2)
+      .select($"source", $"n_terms", $"n_tokens",
+        expr("CAST(((CAST(sx AS DECIMAL(38,0)) * sy" +
+          " - CAST(n_terms AS DECIMAL(38,0)) * sxy) * 1000000)" +
+          " div (CAST(n_terms AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)")
+          .as("zipf_neg_ppm"))
+      .orderBy($"source")
   }
 }
