@@ -5052,7 +5052,50 @@ object TextOps {
          |    // (n_terms * sxx - sx * sx) AS BIGINT) AS zipf_neg_ppm
          |FROM a WHERE n_terms >= 2 ORDER BY source""".stripMargin) {
       (s, dir) => zipfSlope(s, dir)
-    })
+    },
+
+    // ----- x134 incremental repeated-substring audit (see
+    // [[incrementalSubstr]]): the x129 protocol at the daily-ingest
+    // shape (x33's convention — even doc_ids stand in for the already-
+    // ingested corpus, odd for the new batch). A batch window is
+    // duplicated if its hash exists in the HISTORICAL window-hash
+    // index OR occurs >= 2 times within the batch itself — exactly
+    // the windows x129 over the merged corpus would flag among batch
+    // docs whose duplicates aren't exclusively in even-vs-even pairs.
+    // History is touched only as its distinct-hash index artifact
+    // (persisted production shape: [[persistSubstrIndex]] /
+    // [[incrementalSubstrPersisted]], result-identity pinned in
+    // StoreSpec).
+    "x134_incremental_substr" -> Q({
+      val w = SubstrW
+      val winHash = TS.md5Long(
+        s"array_to_string(tk[CAST(i AS INT):CAST(i + ${w - 1} AS INT)], ' ')")
+      s"""WITH tk AS (SELECT doc_id, ${TS.wsTokens("text")} AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk
+         |  FROM tk WHERE len(tk) >= $w),
+         |ix AS (SELECT doc_id, n_tokens, tk,
+         |    unnest(range(1, len(tk) + 2 - $w)) AS i FROM t),
+         |win AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS start,
+         |    $winHash AS h FROM ix),
+         |dup AS (SELECT DISTINCT h FROM win WHERE doc_id % 2 = 0
+         |  UNION
+         |  SELECT h FROM win WHERE doc_id % 2 = 1
+         |  GROUP BY h HAVING count(*) >= 2),
+         |m AS (SELECT doc_id, n_tokens, start, start - lag(start) OVER (
+         |    PARTITION BY doc_id ORDER BY start) AS gap
+         |  FROM win JOIN dup USING (h) WHERE doc_id % 2 = 1),
+         |c AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    sum(CASE WHEN gap IS NULL THEN $w
+         |      ELSE least($w, gap) END) AS dup_tokens,
+         |    sum(CASE WHEN gap IS NULL OR gap > $w THEN 1 ELSE 0 END)
+         |      AS dup_spans
+         |  FROM m GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(dup_tokens AS BIGINT) AS dup_tokens,
+         |  CAST(dup_spans AS BIGINT) AS dup_spans,
+         |  CAST(dup_tokens * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => incrementalSubstr(s, dir) })
 
   /** x88 body: Gopher/MassiveText CHARACTER-COVERAGE repetition gates
     * (Rae et al. 2021 §A1.1) — the other half of the repetition filter
@@ -5301,20 +5344,37 @@ object TextOps {
     * arbitrary widths against a brute-force interval union. */
   private[graft] def substrDedupOf(docs: org.apache.spark.sql.DataFrame,
       w: Int): org.apache.spark.sql.DataFrame = {
-    val win = docs
-      .select($"doc_id", T.wsTokens($"text").as("tk"))
-      .filter(size($"tk") >= w)
-      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
-        posexplode(transform(sequence(lit(1), size($"tk") - (w - 1)),
-          i => T.md5Long(array_join(slice($"tk", i, lit(w)), " "))))
-          .as(Seq("off", "h")))
-      .select($"doc_id", $"n_tokens",
-        ($"off" + 1).cast("long").as("start"), $"h")
+    val win = substrWinOf(docs, w)
     val dup = win.groupBy($"h")
       .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+    substrAuditOf(win.join(dup, "h"), w)
+  }
+
+  /** The (doc_id, n_tokens, start, h) sliding-window frame shared by
+    * the whole-corpus audit (x129), the trim (x131), and the
+    * incremental probe (x134) — ONE definition so the window hash can
+    * never drift between the batch, incremental, and persisted
+    * surfaces. */
+  private[graft] def substrWinOf(docs: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame = docs
+    .select($"doc_id", T.wsTokens($"text").as("tk"))
+    .filter(size($"tk") >= w)
+    .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+      posexplode(transform(sequence(lit(1), size($"tk") - (w - 1)),
+        i => T.md5Long(array_join(slice($"tk", i, lit(w)), " "))))
+        .as(Seq("off", "h")))
+    .select($"doc_id", $"n_tokens",
+      ($"off" + 1).cast("long").as("start"), $"h")
+
+  /** The fixed-width interval-merge audit over a frame of DUPLICATED
+    * window rows (doc_id, n_tokens, start): min(W, gap) coverage +
+    * span count per doc (see [[substrDedupAudit]] for the monotone-
+    * ends argument). */
+  private[graft] def substrAuditOf(marked: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"start")
-    win.join(dup, "h")
+    marked
       .withColumn("gap", $"start" - lag($"start", 1).over(byDoc))
       .select($"doc_id", $"n_tokens",
         when($"gap".isNull, lit(w.toLong))
@@ -5470,6 +5530,68 @@ object TextOps {
     * combinable (source, term) count; the rank window sorts each
     * source's OWN vocabulary (vocab ≪ corpus, skew AQE-handled); the
     * regression is a |sources|-row rollup. */
+  /** x134 body: the in-query incremental shape (even = history, odd =
+    * batch). History participates ONLY as its distinct window-hash
+    * set — the artifact a production pipeline persists — so the
+    * historical corpus is never re-audited, and a batch window is dup
+    * iff it hits the index or repeats within the batch.
+    *
+    * Scale shape (100 TB): the index probe is an equi-join on the
+    * 8-byte hash with the BATCH as the small side; batch self-dup is
+    * the x129 map-side-combinable count over one day's windows; the
+    * audit window sorts each batch doc's own dup starts. The
+    * historical corpus neither rescans nor reshuffles — the
+    * incremental-ingest contract every maintained index here obeys. */
+  private[graft] def incrementalSubstr(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = SubstrW
+    val win = substrWinOf(Tables.spread(s, dir, "documents"), w)
+    val hist = win.filter($"doc_id" % 2 === 0).select($"h").distinct()
+    val batch = win.filter($"doc_id" % 2 === 1)
+    val batchDup = batch.groupBy($"h")
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+    substrAuditOf(batch.join(hist.union(batchDup).distinct(), "h"), w)
+  }
+
+  /** Bucket fan-out for the persisted window-hash index (parallel
+    * writes + point-lookup pruning; the batch probe broadcasts, so it
+    * never depends on the bucket count). */
+  private[graft] val SubstrBuckets = 64
+
+  /** Persist the historical window-hash index — x134's production
+    * artifact: the DISTINCT window hashes of the already-ingested
+    * corpus, bucketed by hash for parallel writes. The index is 8
+    * bytes per distinct window: the only state ExactSubstr needs to
+    * audit future batches without ever rereading history. */
+  def persistSubstrIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, store: graft.store.Store): Unit = {
+    val hist = substrWinOf(Tables.spread(s, dir, "documents"), SubstrW)
+      .filter($"doc_id" % 2 === 0)
+      .select($"h").distinct()
+      .withColumn("bucket", pmod($"h", lit(SubstrBuckets.toLong)))
+    store.write("substr_index", hist, Seq("bucket"))
+    ()
+  }
+
+  /** The later-batch probe against the PERSISTED window-hash index:
+    * the batch's distinct hashes BROADCAST into the index scan (the
+    * incrementalDedupPersisted discipline — the index is read
+    * map-side, shuffled never), the surviving hits union the batch's
+    * own repeats, and the audit runs over the batch alone.
+    * Result-identical to [[incrementalSubstr]] (pinned in StoreSpec). */
+  private[graft] def incrementalSubstrPersisted(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      store: graft.store.Store): org.apache.spark.sql.DataFrame = {
+    val w = SubstrW
+    val batch = substrWinOf(Tables.spread(s, dir, "documents"), w)
+      .filter($"doc_id" % 2 === 1)
+    val batchDup = batch.groupBy($"h")
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+    val histHit = store.read("substr_index", s).select($"h")
+      .join(broadcast(batch.select($"h").distinct()), "h")
+    substrAuditOf(batch.join(histHit.union(batchDup).distinct(), "h"), w)
+  }
+
   private[graft] def zipfSlope(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val bySrc = org.apache.spark.sql.expressions.Window

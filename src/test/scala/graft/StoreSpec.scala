@@ -298,6 +298,31 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
       s"historical side reshuffled:\n$p")
   }
 
+  test("x134's window-hash index persists through Store and a later " +
+    "batch's audit probes it without reshuffling the historical side") {
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-substrix").toString
+    val store = new ClusteredParquetStore(s"$tmp/winhash", Seq("h"))
+    TextOps.persistSubstrIndex(spark, dir, store)
+    // a "later session": the probe reads ONLY the persisted hash set
+    // for the historical side and must reproduce x134 exactly
+    val got = TextOps.incrementalSubstrPersisted(spark, dir, store)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val expect = rows(
+      SparkEntry.queries("x134_incremental_substr")(spark, dir))
+    val gotRows = rows(got)
+    assert(gotRows.nonEmpty)
+    assert(gotRows == expect, "persisted-index probe diverged from x134")
+    // plan contract: the persisted index joins via BROADCAST of the
+    // batch's distinct hashes — the index's h is never reshuffled
+    val p = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("trained ANN books persist through Store and a later session's " +
     "search over them is bit-identical to fresh training") {
     import graft.queries.VectorOps
