@@ -370,7 +370,7 @@ object TextOps {
   /** x129 repeated-substring window width in tokens (the ExactSubstr
     * audit unit; Lee et al. 2022 use 50 BPE tokens on web text — 8
     * carries the same signal on this corpus's short docs). */
-  private val SubstrW = 8
+  private[graft] val SubstrW = 8
 
   /** x130 fuzzy-decontamination verify threshold: exact shingle
     * Jaccard >= 0.5 in ppm (Dolma flags paragraph overlap at lower
@@ -5591,6 +5591,77 @@ object TextOps {
       .join(broadcast(batch.select($"h").distinct()), "h")
     substrAuditOf(batch.join(histHit.union(batchDup).distinct(), "h"), w)
   }
+
+  /** One streamed ingest batch of the LIVE window-hash index
+    * ([[graft.streaming.SubstrIngest]]'s foreachBatch verb): the
+    * batch is audited AT INGEST TIME against the index as of all
+    * prior batches plus its own repeats — the x134 definition with
+    * history = everything already landed — and the audit rows plus
+    * the batch's NEW hashes land under the batch's own partitions
+    * (delete-before-write; the history read is cut at batch < id, so
+    * checkpoint replays recompute against exactly the state they
+    * first saw and the sink stays idempotent through retries).
+    *
+    * Scale shape: per batch the index is read ONCE map-side (the
+    * batch's distinct hashes broadcast into the scan; the hit sliver
+    * pins via localCheckpoint for its two consumers — the dup set and
+    * the new-hash anti-join — per the tiny-multi-consumer-frame
+    * rule); the only shuffles are batch-sized. Empty batches and
+    * no-new-hash batches write nothing — an empty partitioned write
+    * would land a schemaless entity. */
+  def substrIngestBatch(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      store: graft.store.Store): Unit = {
+    graft.store.Horizon.requireAppendable(store, s, "substrdedup", batchId)
+    val w = SubstrW
+    val docs = batch.dropDuplicates("doc_id", "text")
+    val win = substrWinOf(docs, w).cache()
+    try {
+      if (win.limit(1).count() == 0) return
+      require(docs.groupBy($"doc_id").count()
+          .filter($"count" > 1).limit(1).count() == 0,
+        s"batch $batchId carries conflicting versions of a doc_id; " +
+          "resolve ordering upstream before auditing")
+      val hist = try Some(store.read("substr_hashes", s)
+          .filter($"batch".cast("long") < batchId)
+          .select($"h".cast("long").as("h")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val batchH = win.select($"h").distinct()
+      val histHit = hist.map(hx =>
+        hx.join(broadcast(batchH), "h").select($"h").localCheckpoint(true))
+      val batchDup = win.groupBy($"h")
+        .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+      val dup = histHit.fold(batchDup)(hh => batchDup.union(hh).distinct())
+      val audit = substrAuditOf(win.join(dup, "h"), w)
+        .select(lit(batchId).as("batch"), $"doc_id", $"n_tokens",
+          $"dup_tokens", $"dup_spans", $"dup_ppm")
+        .localCheckpoint(true)
+      store.delete("substr_audit", Seq("batch" -> batchId))
+      if (audit.limit(1).count() > 0)
+        store.write("substr_audit", audit, Seq("batch"))
+      val newH = histHit.fold(batchH)(hh =>
+        batchH.join(broadcast(hh), Seq("h"), "left_anti"))
+        .localCheckpoint(true)
+      store.delete("substr_hashes", Seq("batch" -> batchId))
+      if (newH.limit(1).count() > 0)
+        store.write("substr_hashes",
+          newH.select(lit(batchId).as("batch"), $"h"), Seq("batch"))
+    } finally { win.unpersist(); () }
+  }
+
+  /** Partition-count retention for the streamed window-hash index:
+    * every landed batch folds to ONE consolidated distinct-hash
+    * partition through the sketch families' crash-safe StagedFold
+    * (a distinct-hash set is a merge-by-union sketch). The horizon
+    * guard then refuses replayed batches below the fold — a replay's
+    * delete-before-write against the consolidated partition would
+    * destroy every other batch's hashes folded into it. Audit rows
+    * are the per-batch PRODUCT, not state — never folded. */
+  def compactSubstrHashes(s: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store): Unit =
+    SketchOps.compactSketchEntity(s, store, "substrdedup",
+      "substr_hashes",
+      df => df.select($"h").distinct(), Seq("h"))
 
   private[graft] def zipfSlope(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

@@ -1212,6 +1212,78 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("compaction horizon"), e.getMessage)
   }
 
+  test("substring-dedup ingest stream: per-batch audits land at ingest " +
+    "time row-identical to the batch-built expectation (batch 1 == the " +
+    "oracle-checked x134), replays are idempotent, and compaction + " +
+    "horizon protect folded hashes") {
+    import graft.queries.TextOps
+    import graft.store.ParquetStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("graft-substr-ingest").toString
+    val store = new ParquetStore(s"$tmp/s")
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // ingest even docs as batch 0, odd as batch 1 — exactly x134's
+    // history/batch convention, so batch 1's landed audit must equal
+    // the oracle-checked registry body
+    val b0 = docs.filter(_._1 % 2 == 0)
+    val b1 = docs.filter(_._1 % 2 == 1)
+    def dfOf(rows: Array[(Long, String)]) =
+      spark.createDataset(rows.toIndexedSeq).toDF("doc_id", "text")
+    def auditRows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"dup_tokens", $"dup_spans",
+        $"dup_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    def landed(batch: Long) = auditRows(
+      store.read("substr_audit", spark)
+        .filter($"batch".cast("long") === batch))
+    val in = MemoryStream[(Long, String)]
+    val q = SubstrIngest.start(in.toDF().toDF("doc_id", "text"),
+      store, s"$tmp/ckpt")
+    try {
+      in.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      // batch 0 has no history: its audit is the whole-corpus x129
+      // body over the batch alone (dup = within-batch repeats)
+      assert(landed(0L).nonEmpty && landed(0L) == auditRows(
+        TextOps.substrDedupOf(dfOf(b0), TextOps.SubstrW)), "batch-0")
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      // batch 1 audits against batch 0's hashes + its own repeats —
+      // the x134 definition exactly
+      assert(landed(1L) == auditRows(
+        SparkEntry.queries("x134_incremental_substr")(spark, dir)),
+        "batch-1 diverged from x134")
+    } finally q.stop()
+    // a replayed batch recomputes against batch < id and overwrites
+    // itself — idempotent through retries
+    val before1 = landed(1L)
+    TextOps.substrIngestBatch(spark, dfOf(b1), 1L, store)
+    assert(landed(1L) == before1, "replay was not idempotent")
+    // compaction folds the hash partitions to ONE and the horizon
+    // refuses replays below the fold
+    TextOps.compactSubstrHashes(spark, store)
+    val hb = store.read("substr_hashes", spark)
+      .select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hb == Seq(1L), s"fold left $hb")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.substrIngestBatch(spark, dfOf(b0), 0L, store)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // a post-fold batch still audits correctly against the folded
+    // index: re-ingesting an even doc's text under a NEW id makes it
+    // a full duplicate of history
+    val dupDoc = Array((900001L, b0.find(
+      _._2.trim.split("\\s+").length >= TextOps.SubstrW).get._2))
+    TextOps.substrIngestBatch(spark, dfOf(dupDoc), 2L, store)
+    val v2 = landed(2L)
+    assert(v2.length == 1 && v2.head._5 == 1000000L,
+      s"post-fold full-dup audit: $v2")
+  }
+
   test("streaming CMS matrix is bit-identical to the batch build and " +
     "its state never exceeds the D x W geometry") {
     implicit val sqlCtx = spark.sqlContext
