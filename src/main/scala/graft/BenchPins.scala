@@ -74,6 +74,22 @@ object BenchPins {
     "x75_bm25_wand" -> 3.3,
     "x43_ann_ivfpq_trained" -> 4.3)
 
+  /** Ref-run INSTABILITY gate: the level gate above has a hard 1.3
+    * cliff, and the box's documented ~10-minute oscillation produces
+    * windows where the refs' min lands just UNDER it (1.23-1.24x)
+    * while their raw runs are still falling steeply through the
+    * transition — the r13 23:28 record read x75 runs 5.87→4.50→4.06
+    * (spread 1.45) and x43 7.97→5.71→5.34 (spread 1.49) and stamped an
+    * unqualified true on a weather window. A ref whose own three runs
+    * spread wider than this factor is measuring a NON-STATIONARY
+    * window, and the verdict is weather regardless of where the min
+    * landed. Calibration: stable windows (clean or uniformly hot —
+    * the latter caught by the level gate) read ref spreads 1.06-1.16
+    * across tonight's probes; mid-oscillation transitions read
+    * 1.38-1.49. A genuine regression measured in a stable window
+    * (tight in-band refs) still stamps true. */
+  val RefSpreadFactor = 1.35
+
   def perChip(v: Double, chips: Int): Double =
     if (v > 0 && chips > 0) v / chips else -1.0
 
@@ -144,16 +160,23 @@ object BenchPins {
     * re-probe Bench runs AFTER seeing warm > bar (negative = not run /
     * not needed); the best of warm and re-probe competes against the
     * bar, so one-shot noise spikes never stamp at all. `refs` are
-    * (name, measuredSec, anchorSec). */
+    * (name, measuredSec, anchorSec); `refRuns`, when available (the
+    * Record path), are each ref's raw runs — a spread beyond
+    * [[RefSpreadFactor]] marks the window non-stationary and the
+    * verdict weather even when the ref MIN slipped under the level
+    * gate. */
   def classify(warmSec: Double, barSec: Double, enforced: Boolean,
-      reprobeSec: Double, refs: Seq[(String, Double, Double)])
-      : Violation = {
+      reprobeSec: Double, refs: Seq[(String, Double, Double)],
+      refRuns: Seq[Seq[Double]] = Nil): Violation = {
     if (!enforced || warmSec < 0) return Clean
     val best =
       if (reprobeSec > 0) math.min(warmSec, reprobeSec) else warmSec
     if (best <= barSec) Clean
     else if (refs.exists { case (_, m, a) =>
         m > 0 && a > 0 && m > WeatherFactor * a }) Weather
+    else if (refRuns.exists(rs =>
+        rs.size >= 2 && rs.min > 0 && rs.max / rs.min > RefSpreadFactor))
+      Weather
     else Violated
   }
 

@@ -104,7 +104,8 @@ object Record {
     val refs = refRuns.map { case (r, rs, a) =>
       (r, if (rs.nonEmpty) rs.min else -1.0, a)
     }
-    val verdict = BenchPins.classify(best, bar, !contended, -1.0, refs)
+    val verdict = BenchPins.classify(best, bar, !contended, -1.0, refs,
+      refRuns.map(_._2))
     import BenchPins.f3
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'")

@@ -105,4 +105,32 @@ class BenchPinsSpec extends AnyFunSuite {
     // JSON spellings are machine-distinct
     assert(Weather.json == "\"weather\"" && Violated.json == "true")
   }
+
+  test("ref-run instability: the r13 23:28 record (refs 1.23-1.24x — " +
+    "just under the level gate — with runs falling 1.45-1.49x through " +
+    "an oscillation) classifies weather; tight in-band refs keep a " +
+    "genuine excess true") {
+    // records/x107_release_manifest_20260816T232849Z.json, verbatim:
+    // the level gate's hard 1.3 cliff let a mid-transition window
+    // stamp an unqualified true
+    val refs = Seq(("x75_bm25_wand", 4.057, 3.3),
+      ("x43_ann_ivfpq_trained", 5.343, 4.3))
+    val runs = Seq(Seq(5.872, 4.496, 4.057), Seq(7.966, 5.707, 5.343))
+    assert(classify(4.827, 3.5, enforced = true, -1.0, refs,
+      runs) == Weather)
+    // the same ref LEVELS measured in a STABLE window (tight runs):
+    // the excess is the code, not the box — still true
+    val tight = Seq(Seq(4.057, 4.101, 4.063), Seq(5.343, 5.410, 5.391))
+    assert(classify(4.827, 3.5, enforced = true, -1.0, refs,
+      tight) == Violated)
+    // no runs available (the Bench warm-sweep path): level gate only,
+    // behavior unchanged
+    assert(classify(4.827, 3.5, enforced = true, -1.0,
+      refs) == Violated)
+    // spreads from tonight's STABLE windows (1.06-1.16) sit well
+    // under the 1.35 factor
+    val stable = Seq(Seq(4.809, 4.806, 5.109))
+    assert(classify(4.827, 3.5, enforced = true, -1.0, refs,
+      stable) == Violated)
+  }
 }
