@@ -33,6 +33,17 @@ object EventOps {
   private val PrIters = 3
   private val LpIters = 3
 
+  /** x135 k-core peel: remove nodes whose INDUCED degree is < k,
+    * [[KPeelRounds]] synchronous rounds (the bounded-round discipline
+    * of x66's 3 power iterations — after R rounds the survivor set is
+    * a SUPERSET of the true k-core, shrinking monotonically; at the
+    * gate scales R = 5 is observed converged: sf0.01 removes
+    * 36/8/3/1/1 then stabilizes). k = 8 sits above the graph's median
+    * degree (11.5 at sf0.01) where the peel exposes layers instead of
+    * a trivial all-survive/all-die verdict. */
+  private val KCoreK = 8
+  private val KPeelRounds = 5
+
   /** x94 burst threshold: τ² for the integerized z² > τ² test (τ = 2
     * — the 2σ alert level; declared before the qs map so the oracle
     * interpolates the real value). */
@@ -339,6 +350,73 @@ object EventOps {
               "(2000000 * CAST(coalesce(tri, 0) AS DECIMAL(38,0)))" +
                 " div (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"))
             .otherwise(0L).as("lcc_ppm"))
+        .orderBy($"user_id")
+    },
+
+    // ----- x135 k-core peel (onion layers) over the same co-activity
+    // graph (one shared edge definition with x66/x78/x98): KPeelRounds
+    // synchronous rounds of "remove every node whose INDUCED degree
+    // fell below k" — the density backbone extraction graph curation
+    // runs before expensive per-node work (a node's peel round is its
+    // onion layer; survivors are the k-core at convergence, a
+    // monotone-shrinking superset before it). Scale shape: per round
+    // two src/dst-keyed semi-join filters + one map-side-combinable
+    // degree count — the x66 Pregel-as-DataFrames economy; deep R
+    // would checkpoint lineage every ~10 rounds per x66's note.
+    "x135_kcore_peel" -> Q(
+      s"""WITH $sqlCoEdgeCtes,
+         |s0 AS (SELECT src AS n FROM deg),
+         |${(1 to KPeelRounds).map { i =>
+          val p = i - 1
+          s"""g$i AS (SELECT a.n, coalesce(c.cnt, 0) AS d
+             |  FROM s$p a LEFT JOIN (
+             |    SELECT e.src AS n, count(*) AS cnt FROM edges e
+             |    JOIN s$p x ON e.src = x.n JOIN s$p y ON e.dst = y.n
+             |    GROUP BY 1) c ON a.n = c.n),
+             |s$i AS (SELECT n FROM g$i WHERE d >= $KCoreK),
+             |r$i AS (SELECT n, $i AS rr FROM g$i WHERE d < $KCoreK)"""
+            .stripMargin
+        }.mkString(",\n")},
+         |rall AS (${(1 to KPeelRounds)
+          .map(i => s"SELECT n, rr FROM r$i").mkString(" UNION ALL ")})
+         |SELECT n AS user_id, CAST(rr AS BIGINT) AS peel_round,
+         |  FALSE AS in_core FROM rall
+         |UNION ALL SELECT n, 0, TRUE FROM s$KPeelRounds
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // Each round's degree frame is MULTI-CONSUMER (the round's
+      // removals and its survivor set both read g; every later round
+      // reads the survivors), so an unbroken lineage EMBEDS the prior
+      // round's plan twice per round — 2^R plan growth that cache()
+      // alone does not cure: execution would reuse the cached blocks,
+      // but Catalyst still walks the exponential TREE on the driver
+      // (measured: ~14k plan nodes and a 40 s wall at R=5 with plain
+      // cache; sub-second plans checkpointed). localCheckpoint(false)
+      // truncates the logical plan to an RDD leaf IMMEDIATELY while
+      // computing nothing until the first action — zero jobs at
+      // construction, the x14 discipline — which is x66's deep-
+      // iteration checkpoint idiom applied lazily, every round,
+      // because the BRANCHING (not the depth) is what compounds here.
+      val edges = coEdges(s, dir).localCheckpoint(false)
+      var cur = edges.select($"src".as("n")).distinct()
+      val removed = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      (1 to KPeelRounds).foreach { i =>
+        val ind = edges
+          .join(cur.select($"n".as("sx")), $"src" === $"sx")
+          .join(cur.select($"n".as("sy")), $"dst" === $"sy")
+          .groupBy($"src").agg(count(lit(1)).as("cnt"))
+        val g = cur.join(ind, cur("n") === ind("src"), "left")
+          .select($"n", coalesce($"cnt", lit(0L)).as("d"))
+          .localCheckpoint(false)
+        removed += g.filter($"d" < KCoreK)
+          .select($"n", lit(i.toLong).as("peel_round"))
+        cur = g.filter($"d" >= KCoreK).select($"n")
+      }
+      removed.reduce(_ union _)
+        .select($"n".as("user_id"), $"peel_round",
+          lit(false).as("in_core"))
+        .union(cur.select($"n".as("user_id"), lit(0L).as("peel_round"),
+          lit(true).as("in_core")))
         .orderBy($"user_id")
     },
 
