@@ -44,17 +44,33 @@ object SyntheticTile {
     }
   }
 
+  /** Partition a driver-local fixture to its DATA, not the core count:
+    * `createDataset(Seq)` plans a LocalTableScan whose RDD fans out to
+    * `min(rows, leafNodeDefaultParallelism)` slices — for a 100-pixel
+    * bench chip on local[32] that is 32 partitions of ~3 rows, so every
+    * per-chip lifecycle stage schedules ~32 near-empty tasks and a
+    * 100-chip grid pays tens of thousands of them (measured: the t2
+    * segment stage is task-overhead-bound, guide §2.2/§2.5 — partition
+    * count must derive from input size). One slice per ~500 pixels,
+    * capped at the session's default parallelism, keeps a real 10k-pixel
+    * chip at ~20 parallel tasks while a bench chip becomes one. */
+  private def slicesFor(s: SparkSession, rows: Int, rowsPerSlice: Int): Int =
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (rows + rowsPerSlice - 1) / rowsPerSlice))
+
   def chip(s: SparkSession, cx: Long, cy: Long = Cy, side: Int = 10,
       n: Int = 120): Dataset[PixelTimeseries] = {
     implicit val enc = Encoders.product[PixelTimeseries]
-    s.createDataset(chipRows(cx, cy, side, n))
+    val rows = chipRows(cx, cy, side, n)
+    s.createDataset(
+      s.sparkContext.parallelize(rows, slicesFor(s, rows.size, 500)))
   }
 
   /** Aux labels for a chip grid: classes 1..3 by pixel position, one
     * unlabeled pixel per chip (the F1 filter case). */
   def aux(s: SparkSession, nChips: Int, side: Int = 10): DataFrame = {
     implicit val enc = Encoders.product[AuxRow]
-    s.createDataset(for {
+    auxDs(s, for {
       k <- 0 until nChips
       cx = cxOf(k)
       px <- 0 until side; py <- 0 until side
@@ -66,4 +82,14 @@ object SyntheticTile {
         Array(px), Array(340.0 + py))
     }).toDF()
   }
+
+  /** Same data-sized slicing for the aux fixture (it is cached once per
+    * dispatch batch, then re-scanned per chip for the broadcast slice —
+    * 32 cached partitions of a few hundred rows made every per-chip
+    * broadcast build a 32-task job). ~2500 rows per slice. */
+  private def auxDs(s: SparkSession, rows: Seq[AuxRow])(
+      implicit enc: org.apache.spark.sql.Encoder[AuxRow])
+      : Dataset[AuxRow] =
+    s.createDataset(
+      s.sparkContext.parallelize(rows, slicesFor(s, rows.size, 2500)))
 }
