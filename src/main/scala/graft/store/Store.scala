@@ -63,11 +63,27 @@ private[store] object PartitionedDelete {
   private val orderCache =
     new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
 
+  // per-(root, entity, fmt) FILE schema memo for keyed reads: a tile of
+  // prediction requests is thousands of keyed point reads against one
+  // unchanging entity, and each un-memoized spark.read.load() re-infers
+  // the schema (a driver-side footer read + file listing per REQUEST —
+  // pure driver work that serializes the job queue's worker pool; guide
+  // §5). One inference per entity serves every later keyed read; any
+  // write through the store invalidates. Only the file schema (before
+  // partition-column discovery) is memoized — partition columns still
+  // resolve from the directory layout per read, and keyTyped() pins
+  // their types to the caller's key values exactly as before.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Writers call this when (re)writing an entity: a rewrite may
-    * change the partition-key order, so the discovered order is
-    * re-learned on the next delete. */
+    * change the partition-key order (and the file schema), so both are
+    * re-learned on the next keyed access. */
   def invalidate(root: String, entity: String): Unit = {
-    orderCache.remove(s"$root/$entity"); ()
+    orderCache.remove(s"$root/$entity")
+    schemaCache.keys().asIterator().forEachRemaining { k =>
+      if (k.startsWith(s"$root/$entity@")) schemaCache.remove(k)
+    }
   }
 
   /** Key values reordered to the on-disk partition-key order (layout
@@ -174,13 +190,32 @@ private[store] object PartitionedDelete {
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val exists = try fs.exists(p)
       catch { case scala.util.control.NonFatal(_) => false }
-    if (exists)
-      keyTyped(spark.read.option("basePath", s"$root/$entity")
-        .format(fmt).load(p.toString))
-    else
-      keyTyped(keyValues.foldLeft(
-        spark.read.format(fmt).load(s"$root/$entity")) {
-        case (df, (k, v)) => df.filter(col(k) === lit(v)) })
+    // schema memo (see schemaCache above): the first keyed read infers
+    // and remembers, every later one skips the per-request footer read.
+    // The memoized schema is the LOADED one (file + discovered key
+    // columns, pre-keyTyped), so replaying it through .schema() yields
+    // the identical frame the inference path built.
+    // parquet only: its footer schema is uniform across partitions by
+    // construction. A JSON partition's inferred schema is data-shaped
+    // (an all-null field vanishes), so memoizing one partition's view
+    // could narrow another's — the JSON store keeps per-read inference.
+    val ck = s"$root/$entity@$fmt"
+    val memo =
+      if (fmt == "parquet") Option(schemaCache.get(ck)) else None
+    def reader() = {
+      val r = spark.read
+      memo.fold(r)(r.schema)
+    }
+    val df =
+      if (exists)
+        reader().option("basePath", s"$root/$entity")
+          .format(fmt).load(p.toString)
+      else
+        keyValues.foldLeft(
+          reader().format(fmt).load(s"$root/$entity")) {
+          case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    if (memo.isEmpty && fmt == "parquet") schemaCache.put(ck, df.schema)
+    keyTyped(df)
   }
 }
 
